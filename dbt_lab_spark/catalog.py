@@ -1,0 +1,154 @@
+"""Table catalog: name -> parquet path + explicit StructType + statistics.
+
+This is the Spark analogue of the reference's catalogue
+(catalogue/TableSchema.java:20, TableDescriptor, TableStatistics —
+SURVEY.md §1.1): a declared-schema registry binding table names to
+storage.  Statistics feed Spark's CBO (ANALYZE TABLE) the way
+catalogue.xml cardinalities fed the reference's cardinality estimator.
+
+Schemas below are the driver's synthetic TPC-H-ish tables (FIXTURES.md §1),
+declared explicitly — the engine never infers schema.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, d, nullable=True) for n, d in fields])
+
+
+# Driver tables (FIXTURES.md §1).  The reference's columns were NOT NULL
+# CHAR/FLOAT variants of the same TPC-H shapes (FIXTURES.md §2).
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
+    "nation": _st(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _st(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _st(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _st(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _st(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ),
+    "events": _st(
+        ("event_id", T.LongType()),
+        ("ts", T.TimestampType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ),
+    "documents": _st(
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ),
+    "embeddings": _st(
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ),
+}
+
+TABLE_NAMES = tuple(SCHEMAS)
+
+
+@dataclass
+class Catalog:
+    """Registry of tables rooted at one scale-factor directory.
+
+    ``Catalog("/root/testdata/sf0.01").table(spark, "lineitem")`` returns a
+    DataFrame with the declared schema; views are also registered so
+    ``spark.sql`` works against the same names (the reference's SQL entry
+    point, QueryProcessor.java:96).
+    """
+
+    sf_dir: str
+    _registered: set[str] = field(default_factory=set)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        if name not in SCHEMAS:
+            raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+        if name == "events":
+            # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+            # rejects; read it as raw nanos and truncate to micros (the
+            # same truncation DuckDB applies), keeping the declared
+            # TimestampType at the catalog boundary.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                    for f in SCHEMAS[name].fields
+                ]
+            )
+            df = spark.read.schema(raw).parquet(self.path(name))
+            from pyspark.sql import functions as F
+
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Explicit schema: enforces declared types (timestamp unit, int
+        # widths) regardless of what the parquet footer says.
+        return spark.read.schema(SCHEMAS[name]).parquet(self.path(name))
+
+    def register_views(self, spark: SparkSession, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        """Expose every table as a temp view for the spark.sql entry point."""
+        for name in names:
+            if name not in self._registered:
+                self.table(spark, name).createOrReplaceTempView(name)
+                self._registered.add(name)
+
+    def analyze(self, spark: SparkSession, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        """Collect table+column stats so CBO join reordering has
+        cardinalities — the analogue of catalogue.xml statistics
+        (catalogue/TableStatistics.java:19-29)."""
+        self.register_views(spark, names)
+        for name in names:
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")

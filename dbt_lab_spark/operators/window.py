@@ -1,0 +1,60 @@
+"""Window functions — entirely beyond-reference (the reference has no
+ranking/analytic functions or frame specs, SURVEY.md §2.5).  Provided as
+the idiomatic Spark upgrades the new engine declares in its inventory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _spec(partition_by: Sequence[str], order_by: Sequence[str], ascending: Sequence[bool] | None) -> WindowSpec:
+    if ascending is None:
+        ascending = [True] * len(order_by)
+    keys = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(order_by, ascending)]
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(*keys)
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    ascending: Sequence[bool] | None = None,
+    fn: str = "row_number",
+    alias: str = "rank",
+) -> DataFrame:
+    """Attach a ranking column: row_number / rank / dense_rank."""
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    if fn not in fns:
+        raise ValueError(f"unknown ranking fn {fn!r}; one of {sorted(fns)}")
+    return df.withColumn(alias, fns[fn]().over(_spec(partition_by, order_by, ascending)))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    k: int,
+    ascending: Sequence[bool] | None = None,
+) -> DataFrame:
+    """Top-k rows per group via row_number — the distributed idiom
+    (one shuffle on the partition keys; no global sort)."""
+    out = ranked(df, partition_by, order_by, ascending, "row_number", "__rn")
+    return out.filter(F.col("__rn") <= k).drop("__rn")
+
+
+def windowed_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    agg: Column,
+    alias: str,
+    ascending: Sequence[bool] | None = None,
+) -> DataFrame:
+    """Generic analytic aggregate over a window (running sums, lag/lead
+    composites are built by passing e.g. F.sum(...)/F.lag(...))."""
+    return df.withColumn(alias, agg.over(_spec(partition_by, order_by, ascending)))

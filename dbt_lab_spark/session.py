@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-vs-oracle first (UTC timestamps,
+ANSI off to match the reference's permissive arithmetic) and for scale
+second (AQE on, skew-join handling on, sensible shuffle parallelism).
+
+On a real cluster the same builder works unchanged: master/memory come
+from spark-submit, and the AQE settings below are exactly what we want
+at 100 TB (runtime coalescing, skew splitting, dynamic broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dbt-lab-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local mode defaults: ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``) and shuffle partitions ~= cores.  On a cluster, pass
+    ``master=None`` with spark-submit providing the master and leave
+    ``shuffle_partitions`` unset — AQE coalesces from a high initial
+    number, which is the scale-safe configuration.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / oracle comparability -------------------------
+        # DuckDB timestamps are UTC-naive; Spark's are session-TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- scale posture ----------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Collected stats feed the cost-based join reorderer — the Spark
+        # analogue of the reference's catalogue statistics + cardinality
+        # estimator (SURVEY.md §4; optimizer/cardinality/CardinalityEstimator.java:56).
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Arrow for the pandas-UDF paths (llm/, multimodal plumbing).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet: vectorized reader + aggressive pushdown are defaults,
+        # pinned here so a misconfigured cluster profile can't lose them.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Type surface of the reference engine mapped onto Spark SQL types.
+
+The reference declares eleven fixed types (core/BasicType.java:11-64,
+see SURVEY.md §1.2).  We expose the same names so catalog definitions can
+be written in reference vocabulary, resolved to Spark types.  Schema is
+always fixed/declared — never inferred — matching the reference's
+catalogue-driven model (catalogue/TableSchema.java:20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# MiniDBS BasicType -> Spark type (SURVEY.md §1.2 table).
+# CHAR(n)/VAR_CHAR(n) both map to StringType; CHAR pad semantics are a
+# storage detail we drop (strings are stored trimmed; comparisons are on
+# trimmed values, which the oracle harness mirrors).
+# TIME has no Spark type: stored as seconds-of-day INT by convention.
+# RID has no user-facing equivalent in a DataFrame engine.
+BASIC_TYPES: dict[str, T.DataType] = {
+    "SMALL_INT": T.ShortType(),
+    "INT": T.IntegerType(),
+    "BIG_INT": T.LongType(),
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "CHAR": T.StringType(),
+    "VAR_CHAR": T.StringType(),
+    "DATE": T.DateType(),
+    "TIME": T.IntegerType(),  # seconds of day
+    "TIMESTAMP": T.TimestampType(),
+}
+
+# Types on which SUM/AVG are legal in the reference
+# (qexec/OperatorFactory.java:357-361 restricts SUM/AVG to arithmetic
+# types; COUNT/MIN/MAX work on all types).
+ARITHMETIC_TYPES: tuple[type, ...] = (
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def is_arithmetic(dt: T.DataType) -> bool:
+    """True if SUM/AVG are legal on this type (reference semantics)."""
+    return isinstance(dt, ARITHMETIC_TYPES)
+
+
+def resolve(name: str) -> T.DataType:
+    """Resolve a reference type name (e.g. 'BIG_INT') to a Spark type."""
+    key = name.strip().upper()
+    # tolerate parameterized forms like CHAR(25)
+    if "(" in key:
+        key = key[: key.index("(")]
+    if key not in BASIC_TYPES:
+        raise KeyError(f"unknown reference type: {name!r}")
+    return BASIC_TYPES[key]

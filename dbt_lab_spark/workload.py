@@ -1,0 +1,617 @@
+"""Declared query workload: every operator from SURVEY.md §2 exercised as
+a (Spark builder, DuckDB oracle SQL) pair.
+
+This module is the engine's correctness surface.  Each entry:
+  - `build(spark, sf_dir)` constructs the query through the operator
+    layer (dbt_lab_spark.operators) and returns a DataFrame;
+  - `oracle` is ANSI SQL DuckDB runs on the same parquet views; the
+    driver hash-compares values order-insensitively.
+
+Determinism contract (SURVEY.md §7 risk register):
+  - money/double aggregates go through DECIMAL(18,2) (exact, order-
+    independent) and are cast back to double only at the output —
+    every input double column is 2-decimal quantized, so the cast is
+    lossless and both engines produce bit-identical results;
+  - every computed column is aliased identically on both sides;
+  - ranking queries order by a unique tie-breaker key.
+
+Reference query shapes are cited per entry (file:line into
+/root/reference, see SURVEY.md §5 golden plan tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.expr import between, compare, money
+from dbt_lab_spark.operators import (
+    AggSpec,
+    broadcast_join,
+    cross_join,
+    grand_aggregate,
+    group_by,
+    join,
+    merge_join_hint,
+    scan,
+    sort,
+    theta_join,
+    top_k,
+    top_k_per_group,
+    union_distinct,
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+def _dsum(column: str, alias: str) -> F.Column:
+    """Deterministic SUM of a 2-decimal double: exact decimal internally,
+    double at the boundary."""
+    return F.sum(money(column)).cast("double").alias(alias)
+
+
+def _davg(column: str, alias: str) -> F.Column:
+    """Deterministic AVG: exact decimal sum / count, divided in double."""
+    return (F.sum(money(column)).cast("double") / F.count(column)).alias(alias)
+
+
+# SQL fragments mirroring _dsum/_davg exactly.
+def _sql_dsum(column: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({column} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def _sql_davg(column: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({column} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({column}) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries (reference golden-plan shapes, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+
+def _q_group_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: customers grouped by nation — COUNT/SUM/AVG/MIN/MAX of
+    acctbal, join nation name, order by name.  Reference golden test
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    agg = customer.groupBy("c_nationkey").agg(
+        F.count("c_custkey").alias("num_customers"),
+        _dsum("c_acctbal", "sum_acctbal"),
+        _davg("c_acctbal", "avg_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+    # nation is tiny: broadcast replaces the reference's index-NLJ.
+    out = broadcast_join(agg, nation, on=F.col("c_nationkey") == F.col("n_nationkey"))
+    return sort(
+        out.select(
+            "n_name", "num_customers", "sum_acctbal", "avg_acctbal", "min_acctbal", "max_acctbal"
+        ),
+        ["n_name"],
+    )
+
+
+_SQL_GROUP_CUSTOMERS = f"""
+SELECT n_name,
+       COUNT(c_custkey) AS num_customers,
+       {_sql_dsum("c_acctbal", "sum_acctbal")},
+       {_sql_davg("c_acctbal", "avg_acctbal")},
+       MIN(c_acctbal) AS min_acctbal,
+       MAX(c_acctbal) AS max_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def _q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range/equality filter + projection on lineitem
+    (shape of TestPhysicalOperatorsIStudents.testTableScan:181-320).
+    The discount predicate is on a non-projected column — pushdown +
+    pruning must both happen."""
+    cat = Catalog(sf_dir)
+    return scan(
+        spark,
+        cat,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+        predicates=[
+            between("l_quantity", 10.0, 20.0),
+            compare("l_shipdate", ">=", F.lit("1999-01-01").cast("timestamp")),
+            compare("l_discount", "<=", 0.05),
+            compare("l_returnflag", "=", "A"),
+        ],
+    )
+
+
+_SQL_SCAN_FILTER = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_quantity BETWEEN 10.0 AND 20.0
+  AND l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_discount <= 0.05
+  AND l_returnflag = 'A'
+"""
+
+
+def _q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total COUNT (TestPhysicalOperatorsIIIStudents.java:203)."""
+    cat = Catalog(sf_dir)
+    return grand_aggregate(
+        scan(spark, cat, "lineitem", ["l_orderkey"]), [AggSpec("count", "l_orderkey", "cnt")]
+    )
+
+
+_SQL_COUNT = "SELECT COUNT(l_orderkey) AS cnt FROM lineitem"
+
+
+def _q_grand_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total COUNT/SUM/AVG/MIN/MAX with empty group columns
+    (OperatorFactory.java:393-406 empty-group case)."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_quantity"])
+    return li.agg(
+        F.count("l_quantity").alias("cnt"),
+        _dsum("l_quantity", "sum_qty"),
+        _davg("l_quantity", "avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_SQL_GRAND_AGG = f"""
+SELECT COUNT(l_quantity) AS cnt,
+       {_sql_dsum("l_quantity", "sum_qty")},
+       {_sql_davg("l_quantity", "avg_qty")},
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+"""
+
+
+def _q_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table join tree with filters on both ends: region(σ) ⋈ nation
+    ⋈ supplier ⋈ lineitem ⋈ part(σ) — the reference's multiway golden
+    test (TestPhysicalOperatorsIIStudents.java:488-560) with lineitem as
+    the fact table (driver data has no partsupp).  All dimensions
+    broadcast; only the fact table stays partitioned — zero shuffles on
+    the build side at any scale."""
+    cat = Catalog(sf_dir)
+    region = scan(spark, cat, "region", predicates=[compare("r_name", "=", "ASIA")])
+    nation = scan(spark, cat, "nation")
+    supplier = scan(spark, cat, "supplier")
+    part = scan(spark, cat, "part", predicates=[compare("p_size", "<", 20)])
+    lineitem = scan(
+        spark, cat, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    )
+    dims = join(
+        join(supplier, nation, on=F.col("s_nationkey") == F.col("n_nationkey")),
+        region,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    out = broadcast_join(lineitem, dims, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    out = broadcast_join(out, part, on=F.col("l_partkey") == F.col("p_partkey"))
+    return out.select(
+        "l_orderkey", "l_linenumber", "n_name", "s_name", "p_name", "l_quantity"
+    )
+
+
+_SQL_MULTIWAY = """
+SELECT l_orderkey, l_linenumber, n_name, s_name, p_name, l_quantity
+FROM region, nation, supplier, lineitem, part
+WHERE r_name = 'ASIA'
+  AND n_regionkey = r_regionkey
+  AND s_nationkey = n_nationkey
+  AND l_suppkey = s_suppkey
+  AND l_partkey = p_partkey
+  AND p_size < 20
+"""
+
+
+def _q_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join orders ⋈ lineitem (reference MergeJoin,
+    TestPhysicalOperatorsIIIStudents.java:405) — forced sort-merge, the
+    bounded-memory strategy for fact-fact joins at scale."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    lineitem = scan(spark, cat, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = merge_join_hint(
+        orders.withColumnRenamed("o_orderkey", "orderkey"),
+        lineitem.withColumnRenamed("l_orderkey", "orderkey"),
+        on="orderkey",
+    )
+    return out.select("orderkey", "o_orderdate", "o_totalprice", "l_linenumber", "l_quantity")
+
+
+_SQL_MERGE_JOIN = """
+SELECT o_orderkey AS orderkey, o_orderdate, o_totalprice, l_linenumber, l_quantity
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi NLJ: nation ⋈ region ON n_regionkey < r_regionkey
+    (theta-capable NestedLoopJoin, OperatorFactory.java:260-270)."""
+    cat = Catalog(sf_dir)
+    nation = scan(spark, cat, "nation", ["n_name", "n_regionkey"])
+    region = scan(spark, cat, "region", ["r_name", "r_regionkey"])
+    out = theta_join(nation, region, F.col("n_regionkey") < F.col("r_regionkey"))
+    return out.select("n_name", "r_name")
+
+
+_SQL_THETA_JOIN = """
+SELECT n_name, r_name FROM nation JOIN region ON n_regionkey < r_regionkey
+"""
+
+
+def _q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (NLJ with null predicate,
+    OperatorFactory.java:223-225)."""
+    cat = Catalog(sf_dir)
+    out = cross_join(
+        scan(spark, cat, "region", ["r_name"]), scan(spark, cat, "nation", ["n_name"])
+    )
+    return out.select("r_name", "n_name")
+
+
+_SQL_CROSS_JOIN = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def _q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING on an alias column (parser/HavingClause.java;
+    ALIASCOLUMN_LITERAL predicate form, parser/Predicate.java:27-52)."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_quantity"])
+    return group_by(
+        li,
+        ["l_partkey"],
+        [AggSpec("count", "l_quantity", "n_items"), AggSpec("max", "l_quantity", "max_qty")],
+        having=F.col("n_items") > 40,
+    )
+
+
+_SQL_HAVING = """
+SELECT l_partkey, COUNT(l_quantity) AS n_items, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_partkey HAVING COUNT(l_quantity) > 40
+"""
+
+
+def _q_between_onesided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN with a one-sided open range — the reference synthesizes
+    the open side from type min/max (OperatorFactory.java:104-106)."""
+    cat = Catalog(sf_dir)
+    return scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_totalprice"],
+        predicates=[between("o_totalprice", lower=450000.0, upper=None, lower_inclusive=False)],
+    )
+
+
+_SQL_BETWEEN_ONESIDED = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0
+"""
+
+
+def _q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column asc/desc sort + LIMIT (external sort shape,
+    TestPhysicalOperatorsIIIStudents.java:166; LIMIT is the free
+    upgrade).  Tie-broken by unique keys so top-k is deterministic;
+    plans as TakeOrderedAndProject (distributed heap top-k)."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark, cat, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
+    )
+    return top_k(
+        li,
+        ["l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"],
+        100,
+        ascending=[False, True, True, True],
+    )
+
+
+_SQL_SORT_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_quantity ASC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+def _q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (upgrade — reference has none, SURVEY.md §2.4)."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_suppkey", "l_quantity"])
+    return group_by(
+        li,
+        ["l_returnflag"],
+        [
+            AggSpec("count", "l_suppkey", "n_supp", distinct=True),
+            AggSpec("sum", "l_quantity", "sum_distinct_qty", distinct=True),
+        ],
+    )
+
+
+_SQL_DISTINCT_AGG = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       SUM(DISTINCT l_quantity) AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one open order."""
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    orders = scan(
+        spark, cat, "orders", ["o_custkey"], predicates=[compare("o_orderstatus", "=", "O")]
+    )
+    return join(
+        customer, orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left_semi"
+    )
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_name"])
+    orders = scan(spark, cat, "orders", ["o_custkey"])
+    return join(customer, orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left_anti")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def _q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregate: order count per customer incl. zero."""
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_name"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderkey"])
+    out = join(
+        customer, orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left"
+    )
+    return group_by(
+        out, ["c_custkey", "c_name"], [AggSpec("count", "o_orderkey", "n_orders")]
+    )
+
+
+_SQL_OUTER_JOIN = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics) — §2.7 upgrade."""
+    cat = Catalog(sf_dir)
+    c = scan(spark, cat, "customer", ["c_nationkey"]).withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    s = scan(spark, cat, "supplier", ["s_nationkey"]).withColumnRenamed(
+        "s_nationkey", "nationkey"
+    )
+    return union_distinct(c, s)
+
+
+_SQL_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — nations with customers but no suppliers."""
+    from dbt_lab_spark.operators import except_distinct
+
+    cat = Catalog(sf_dir)
+    c = scan(spark, cat, "customer", ["c_nationkey"]).withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    s = scan(spark, cat, "supplier", ["s_nationkey"]).withColumnRenamed(
+        "s_nationkey", "nationkey"
+    )
+    return except_distinct(c, s)
+
+
+_SQL_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — nations having both customers and suppliers."""
+    from dbt_lab_spark.operators import intersect
+
+    cat = Catalog(sf_dir)
+    c = scan(spark, cat, "customer", ["c_nationkey"]).withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    s = scan(spark, cat, "supplier", ["s_nationkey"]).withColumnRenamed(
+        "s_nationkey", "nationkey"
+    )
+    return intersect(c, s)
+
+
+_SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice — window functions
+    (§2.5 upgrade), tie-broken by o_orderkey."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return top_k_per_group(
+        orders, ["o_custkey"], ["o_totalprice", "o_orderkey"], 3, ascending=[False, True]
+    )
+
+
+_SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def _q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price.
+    The reference plans FROM-subqueries recursively
+    (Optimizer.java:163-196); the scalar form is the DataFrame idiom
+    broadcast(grand_agg) + filter.  Threshold computed decimal-exact so
+    boundary rows can't flip between engines."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"])
+    threshold = grand_aggregate(
+        orders.select(money("o_totalprice").alias("p")), [AggSpec("avg", "p", "avg_price")]
+    )
+    out = orders.crossJoin(F.broadcast(threshold)).filter(
+        money("o_totalprice") > F.col("avg_price")
+    )
+    return out.select("o_orderkey", "o_totalprice")
+
+
+_SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+"""
+
+
+def _q_arith_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic expressions + - * / in the select list and inside
+    aggregates (parser/Expression.java:13-34): revenue per returnflag.
+    Products computed in exact decimal; output cast to double."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark, cat, "lineitem", ["l_returnflag", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + money("l_tax"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+    )
+
+
+_SQL_ARITH_EXPR = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+                (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical OLAP aggregate, all five
+    reference aggregate functions plus expression aggregates, decimal-
+    exact."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        predicates=[compare("l_shipdate", "<=", F.lit("2001-09-01").cast("timestamp"))],
+    )
+    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        _davg("l_quantity", "avg_qty"),
+        _davg("l_extendedprice", "avg_price"),
+        _davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return sort(out, ["l_returnflag", "l_linestatus"])
+
+
+_SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum("l_quantity", "sum_qty")},
+       {_sql_dsum("l_extendedprice", "sum_base_price")},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       {_sql_davg("l_quantity", "avg_qty")},
+       {_sql_davg("l_extendedprice", "avg_price")},
+       {_sql_davg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+CORE_QUERIES: list[QueryDef] = [
+    QueryDef("q_group_customers", _q_group_customers, _SQL_GROUP_CUSTOMERS, "flagship golden test"),
+    QueryDef("q_scan_filter", _q_scan_filter, _SQL_SCAN_FILTER, "scan + conjunctive pushdown"),
+    QueryDef("q_count", _q_count, _SQL_COUNT, "grand-total count"),
+    QueryDef("q_grand_agg", _q_grand_agg, _SQL_GRAND_AGG, "grand-total 5-aggregate"),
+    QueryDef("q_multiway", _q_multiway, _SQL_MULTIWAY, "5-table join"),
+    QueryDef("q_merge_join", _q_merge_join, _SQL_MERGE_JOIN, "large-large SMJ"),
+    QueryDef("q_theta_join", _q_theta_join, _SQL_THETA_JOIN, "non-equi NLJ"),
+    QueryDef("q_cross_join", _q_cross_join, _SQL_CROSS_JOIN, "cartesian"),
+    QueryDef("q_having", _q_having, _SQL_HAVING, "group + having"),
+    QueryDef("q_between_onesided", _q_between_onesided, _SQL_BETWEEN_ONESIDED, "open range"),
+    QueryDef("q_sort_topk", _q_sort_topk, _SQL_SORT_TOPK, "multi-col sort + limit"),
+    QueryDef("q_distinct_agg", _q_distinct_agg, _SQL_DISTINCT_AGG, "distinct aggregates"),
+    QueryDef("q_semi_join", _q_semi_join, _SQL_SEMI_JOIN, "left-semi"),
+    QueryDef("q_anti_join", _q_anti_join, _SQL_ANTI_JOIN, "left-anti"),
+    QueryDef("q_outer_join", _q_outer_join, _SQL_OUTER_JOIN, "left-outer + agg"),
+    QueryDef("q_union", _q_union, _SQL_UNION, "union distinct"),
+    QueryDef("q_except", _q_except, _SQL_EXCEPT, "except"),
+    QueryDef("q_intersect", _q_intersect, _SQL_INTERSECT, "intersect"),
+    QueryDef("q_window_rank", _q_window_rank, _SQL_WINDOW_RANK, "window top-k per group"),
+    QueryDef("q_scalar_subquery", _q_scalar_subquery, _SQL_SCALAR_SUBQUERY, "scalar subquery"),
+    QueryDef("q_arith_expr", _q_arith_expr, _SQL_ARITH_EXPR, "expression aggregates"),
+    QueryDef("q_tpch_q1", _q_tpch_q1, _SQL_TPCH_Q1, "TPC-H Q1"),
+]
+
+
+def all_queries() -> list[QueryDef]:
+    """Full declared workload: core + events + text/dedup + vectors."""
+    from dbt_lab_spark.workload_beyond import BEYOND_QUERIES
+
+    return CORE_QUERIES + BEYOND_QUERIES

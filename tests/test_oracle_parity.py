@@ -1,0 +1,35 @@
+"""The t2 gate run locally: every declared query with an oracle must
+hash-match DuckDB at sf0.01; rows-only queries must run and be sane."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_lab_spark.workload import all_queries
+from tests.oracle import compare, duckdb_connect
+
+_QUERIES = all_queries()
+_WITH_ORACLE = [q for q in _QUERIES if q.oracle is not None]
+_ROWS_ONLY = [q for q in _QUERIES if q.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_medium):
+    c = duckdb_connect(sf_medium)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("qdef", _WITH_ORACLE, ids=[q.name for q in _WITH_ORACLE])
+def test_oracle_parity(qdef, spark, sf_medium, con):
+    sdf = qdef.build(spark, sf_medium)
+    report = compare(sdf, con, qdef.oracle)
+    assert report["ok"], f"{qdef.name}: {report}"
+
+
+@pytest.mark.parametrize("qdef", _ROWS_ONLY, ids=[q.name for q in _ROWS_ONLY])
+def test_rows_only_runs(qdef, spark, sf_medium):
+    sdf = qdef.build(spark, sf_medium)
+    n = sdf.count()
+    assert n >= 0
+    assert len(sdf.columns) > 0
