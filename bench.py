@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set (BASELINE.md BENCH-QS
+plus the beyond-reference training-data ops) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing: median of 3 runs per query after 1 warm-up; each run fully
+materializes the result via the noop sink (no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from pyspark.sql import DataFrame
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.operators.sort import sort
+from dbt_lab_spark.session import get_spark
+from dbt_lab_spark.workload import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# BENCH-QS (BASELINE.md §2) + beyond-reference headliners.
+BENCH_NAMES = [
+    "q_scan_filter",
+    "q_count",
+    "q_group_customers",
+    "q_multiway",
+    "q_merge_join",
+    "q_tpch_q1",
+    "q_window_rank",
+    "q_sessionize",
+    "q_minhash_pairs",
+    "q_knn_bruteforce",
+]
+
+
+def _q_sort_ext(spark, sf_dir: str) -> DataFrame:
+    """Q-sort-ext: full multi-column asc/desc sort of lineitem
+    (BASELINE.md; reference external-sort test shape)."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark, cat, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"],
+    )
+    return sort(li, ["l_extendedprice", "l_shipdate", "l_orderkey"], [False, True, True])
+
+
+def materialize(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="dbt-lab-spark-bench")
+    builders = {q.name: q.build for q in all_queries()}
+    builders["q_sort_ext"] = _q_sort_ext
+    names = BENCH_NAMES[:5] + ["q_sort_ext"] + BENCH_NAMES[5:]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        build = builders[name]
+        materialize(build(spark, SF_DIR))  # warm-up (JIT, page cache)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(build(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        print(f"# {name}: {timings[name]:.3f}s (runs: {[round(r,3) for r in runs]})",
+              file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "bench_qs_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,19 @@ from pyspark.sql import functions as F
 from dbt_lab_spark.functions.text import fingerprint, shingles
 from dbt_lab_spark.functions.vectors import cosine_similarity, to_double_array
 
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the source has fewer partitions than
+    the cluster has slots (e.g. one small parquet file) so the per-row
+    heavy maps (shingling, token hashing) don't run serially.  At real
+    scale the source already has enough partitions and this is a no-op.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -59,18 +72,28 @@ def minhash_signatures(
     shingle_k: int = 5,
 ) -> DataFrame:
     """MinHash signature per document: array of `num_hashes` min-values
-    of seeded xxhash64 over word shingles.
+    of seeded rehashes of the document's shingle hashes.
 
-    Pure Column expressions: shingle array -> per-seed transform+min.
-    No UDF, no explode — the signature never leaves the row, so this is
-    a map-only stage (zero shuffle) regardless of data size.
+    Shape: explode shingles -> ONE string hash each -> a single
+    hash-aggregate pass computing all K minima (cheap long rehashes).
+    Partial aggregation collapses the shingle blow-up map-side, so the
+    shuffle carries |docs| x K longs regardless of document length —
+    the same scale shape as a distributed word count.  (A pure
+    array-expression variant hits Catalyst's CollapseProject duplicating
+    the shingle-hash array into all K min-expressions.)
     """
-    sh = shingles(text_col, shingle_k).alias("__sh")
-    def _minhash(i: int) -> Column:
-        return F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(i))))
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sh).select(F.col(id_col), sig.alias("signature"))
+    exploded = _parallelize(df).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s")
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -122,6 +145,10 @@ def minhash_dedup_pairs(
     estimated Jaccard (signature agreement rate) >= threshold.
     Returns (id_a, id_b, est_jaccard)."""
     rows_per_band = num_hashes // num_bands
+    # minhash_signatures ends in a groupBy(id) exchange: that shuffle
+    # boundary parallelizes downstream work even for single-file input
+    # and lets ReusedExchange share the signatures across the three
+    # consumers below (candidates + both verify sides).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
@@ -147,29 +174,34 @@ def minhash_dedup_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: sign-sum of per-token hash bits.
 
-    Implemented as: tokens -> xxhash64 -> per-bit +/-1 contributions
-    summed via aggregate() -> sign vector -> packed bigint.  All Column
-    expressions (map-only, zero shuffle).
+    Shape: explode tokens -> xxhash64 -> ONE hash-aggregate pass with 64
+    per-bit +/-1 sums (partial aggregation collapses the token blow-up
+    map-side, so the shuffle carries |docs| x 64 ints regardless of
+    document length) -> sign vector packed into a signed bigint.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def _bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    # Pack sign bits into one signed 64-bit value with static masks
-    # (bit 63 is the sign bit: use the negative two's-complement literal).
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+    hashed = _parallelize(df).select(F.col(id_col), toks).select(
+        F.col(id_col), F.xxhash64("__tok").alias("__h")
+    )
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    # Pack sign bits with static masks (bit 63 via the negative
+    # two's-complement literal).
     packed: Column = F.lit(0).cast("long")
     for b in range(bits):
         mask = (1 << b) if b < 63 else -(1 << 63)
         packed = packed.bitwiseOR(
-            F.when(_bit_sum(b) > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__b{b}") > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    return bit_sums.select(F.col(id_col), packed.alias("simhash"))
 
 
 def _hamming64(a: Column, b: Column) -> Column:
