@@ -1,0 +1,111 @@
+"""Structured-Streaming window operators over the events table.
+
+Entirely beyond-reference (the reference is strictly batch, SURVEY.md
+§2.9); this module fills the gap with the idiomatic Spark constructs:
+watermark + window()/session_window() aggregations that run identically
+over a batch DataFrame or a readStream source — the functions below
+accept either and the tests drive both paths (memory sink +
+processAllAvailable for the streaming side).
+
+Scale posture: windowed aggregation state is keyed by (window, key);
+the watermark bounds state size, which is what makes the operator safe
+on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.catalog import SCHEMAS, Catalog
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file-source stream (one-file-per-trigger is the
+    local smoke path; a production source would be Kafka with the same
+    downstream plan).
+
+    The nanos timestamp forces the same long->micros conversion the
+    batch catalog applies.
+    """
+    import pyspark.sql.types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    # File streaming sources need a directory; the driver data is one
+    # file per table, so stream the directory with a glob filter.
+    stream = (
+        spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    by: str = "event_type",
+) -> DataFrame:
+    """Count + sum per tumbling window and key, late data bounded by the
+    watermark.  Works on batch and streaming frames alike."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(F.window("ts", window).alias("w"), F.col(by)).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    by: str = "event_type",
+) -> DataFrame:
+    """Sliding-window count/sum."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(F.window("ts", window, slide).alias("w"), F.col(by)).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    by: str = "user_id",
+) -> DataFrame:
+    """Session windows with an inactivity gap — the streaming-native
+    form of dbt_lab_spark.workload_beyond._q_sessionize (which computes
+    the same sessions with lag+cumsum for the batch oracle)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(F.session_window("ts", gap).alias("w"), F.col(by)).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregate to completion over the available
+    input (local smoke path) and return the result as a batch DF."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,169 @@
+"""Tests: pipeline DAG layer, streaming windows, multimodal plumbing,
+SQL entry point, DML operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.operators.dml import delete_by_keys, insert_into
+from dbt_lab_spark.plans import Pipeline
+from dbt_lab_spark.sql import SqlProcessor
+from dbt_lab_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    tumbling_window_agg,
+)
+from dbt_lab_spark.llm.multimodal import extract_features, make_fake_assets, sample_frames
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_dag_order_and_results(spark, sf_medium, tmp_path):
+    cat = Catalog(sf_medium)
+    p = Pipeline(spark, workdir=str(tmp_path))
+    p.add("orders", lambda up: cat.table(spark, "orders"))
+    p.add(
+        "big_orders",
+        lambda up: up["orders"].filter(F.col("o_totalprice") > 300000),
+        depends_on=("orders",),
+        materialize="parquet",
+    )
+    p.add(
+        "by_status",
+        lambda up: up["big_orders"].groupBy("o_orderstatus").agg(F.count("*").alias("n")),
+        depends_on=("big_orders",),
+    )
+    res = p.run()
+    total = res["big_orders"].count()
+    assert total == res["by_status"].agg(F.sum("n")).collect()[0][0]
+    # parquet materialization actually wrote files
+    assert (tmp_path / "big_orders").exists()
+
+
+def test_pipeline_rejects_cycles_and_unknowns(spark):
+    p = Pipeline(spark)
+    p.add("a", lambda up: None, depends_on=("b",))
+    p.add("b", lambda up: None, depends_on=("a",))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+    p2 = Pipeline(spark)
+    p2.add("a", lambda up: None, depends_on=("zzz",))
+    with pytest.raises(ValueError, match="unknown"):
+        p2.run()
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_medium):
+    """The SAME aggregation over readStream must equal the batch result
+    — the defining property of Structured Streaming."""
+    cat = Catalog(sf_medium)
+    batch = tumbling_window_agg(cat.table(spark, "events"))
+    stream = tumbling_window_agg(read_events_stream(spark, sf_medium))
+    got = run_stream_to_memory(spark, stream, "t_tumbling")
+    b = {(r["w"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+         for r in batch.collect()}
+    s = {(r["w"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+         for r in got.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_streaming_session_window_runs(spark, sf_medium):
+    stream = session_window_agg(read_events_stream(spark, sf_medium))
+    got = run_stream_to_memory(spark, stream, "t_session")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    assets = make_fake_assets(spark, n=64).repartition(8)
+    feats = extract_features(assets, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+        assert r["n_bytes"] >= 256
+    # determinism across runs
+    again = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert all(again[r["asset_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    assets = make_fake_assets(spark, n=4)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(assets, fake_decode=False).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    assets = make_fake_assets(spark, n=30)
+    frames = sample_frames(assets, every_ms=5000)
+    rows = frames.collect()
+    assert all(r["frame_ts_ms"] % 5000 == 0 for r in rows)
+    # every video asset yields at least one frame (ts=0)
+    n_videos = assets.filter(F.col("media_type") == "video").count()
+    assert frames.select("asset_id").distinct().count() == n_videos
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point
+# ---------------------------------------------------------------------------
+
+
+def test_sql_entry_point_reference_shaped_query(spark, sf_medium):
+    proc = SqlProcessor(spark, Catalog(sf_medium))
+    df = proc.process_query(
+        """
+        SELECT n_name, COUNT(c_custkey) AS num_customers
+        FROM customer, nation
+        WHERE c_nationkey = n_nationkey AND c_acctbal > 0
+        GROUP BY n_name
+        HAVING COUNT(c_custkey) > 10
+        ORDER BY n_name
+        """
+    )
+    rows = df.collect()
+    assert len(rows) > 0 and rows == sorted(rows, key=lambda r: r["n_name"])
+
+
+def test_sql_entry_point_rejects_dml(spark, sf_medium):
+    proc = SqlProcessor(spark, Catalog(sf_medium))
+    with pytest.raises(ValueError, match="only SELECT"):
+        proc.process_query("DELETE FROM orders WHERE o_orderkey = 1")
+
+
+# ---------------------------------------------------------------------------
+# DML (reference Insert/Delete — F8)
+# ---------------------------------------------------------------------------
+
+
+def test_insert_append_and_delete_by_keys(spark, sf_medium, tmp_path):
+    cat = Catalog(sf_medium)
+    path = str(tmp_path / "nation_copy")
+    nation = cat.table(spark, "nation")
+    nation.write.parquet(path)
+    # insert: append 5 new rows
+    extra = nation.limit(5).withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    insert_into(extra, path)
+    assert spark.read.parquet(path).count() == 30
+    # delete-by-key as anti-join transformation
+    survivors = delete_by_keys(
+        spark.read.parquet(path), extra.select("n_nationkey"), keys=["n_nationkey"]
+    )
+    assert survivors.count() == 25
+    assert survivors.filter(F.col("n_nationkey") >= 1000).count() == 0
