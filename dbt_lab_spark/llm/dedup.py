@@ -303,49 +303,69 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 12,
+    num_tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
-    Candidate generation: random-hyperplane LSH — sign bits of `num_planes`
-    fixed pseudo-random projections form a bucket key; only same-bucket
-    pairs are compared.  High-cosine pairs collide with probability
-    (1 - theta/pi)^planes, so recall is tunable via num_planes; exact
-    cosine verification follows.  Scale shape: one shuffle on the bucket
-    key, no cross join.
+    Candidate generation: random-hyperplane LSH with OR-amplification —
+    `num_tables` independent bucket keys, each the sign bits of
+    `num_planes` fixed pseudo-random projections; a pair is a candidate
+    if it collides in ANY table.  Collision probability per table is
+    (1 - theta/pi)^planes, so recall ≈ 1 - (1 - p)^tables — tunable on
+    both axes.  Exact cosine verification follows on the deduplicated
+    candidate set.  Scale shape: explode to `num_tables` rows/vector,
+    shuffle on (table, bucket), join within buckets only — no cross join.
     """
     v = to_double_array(vec_col)
     dim = 64  # driver embeddings are 64-dim; projections derived per index
 
-    # Deterministic pseudo-random plane p[j][i] from xxhash64(seed, j, i),
+    # Deterministic pseudo-random plane p[t][j][i] from xxhash64(seed,t,j,i),
     # mapped to [-1, 1).  Stays JVM-side via transform over the vector.
-    def plane_dot(j: int) -> Column:
+    def plane_dot(t: int, j: int) -> Column:
         return F.aggregate(
             F.zip_with(
                 v,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda x, i: x
-                * ((F.xxhash64(F.lit(seed), F.lit(j), i) % 20001).cast("double") / 10000.0),
+                * (
+                    (F.xxhash64(F.lit(seed), F.lit(t), F.lit(j), i) % 20001).cast("double")
+                    / 10000.0
+                ),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    bucket = F.concat_ws(
-        "",
-        *[F.when(plane_dot(j) >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(num_planes)],
+    def table_bucket(t: int) -> Column:
+        return F.concat_ws(
+            "",
+            *[
+                F.when(plane_dot(t, j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(num_planes)
+            ],
+        )
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[table_bucket(t) for t in range(num_tables)])).alias(
+            "__table", "__bucket"
+        ),
     )
-    bucketed = df.select(F.col(id_col), v.alias("__v"), bucket.alias("__bucket"))
-    left = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"), "__bucket"
-    )
-    right = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"), "__bucket"
-    )
-    pairs = (
-        left.join(right, on="__bucket")
+    left = bucketed.select(F.col(id_col).alias("id_a"), "__table", "__bucket")
+    right = bucketed.select(F.col(id_col).alias("id_b"), "__table", "__bucket")
+    cand = (
+        left.join(right, on=["__table", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = df.select(F.col(id_col).alias("id_a"), v.alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), v.alias("v_b"))
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs.select("id_a", "id_b", "cosine").distinct()
+    return pairs.select("id_a", "id_b", "cosine")

@@ -20,7 +20,7 @@ from dbt_lab_spark.operators.joins import (
     broadcast_join,
     salted_join,
 )
-from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, AggSpec
+from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup, cube, AggSpec
 from dbt_lab_spark.operators.sort import sort, limit, top_k
 from dbt_lab_spark.operators.setops import union_all, union_distinct, intersect, except_all, except_distinct
 from dbt_lab_spark.operators.window import ranked, top_k_per_group
@@ -29,7 +29,7 @@ from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_key
 __all__ = [
     "scan", "index_scan",
     "join", "cross_join", "theta_join", "merge_join_hint", "broadcast_join", "salted_join",
-    "group_by", "grand_aggregate", "AggSpec",
+    "group_by", "grand_aggregate", "rollup", "cube", "AggSpec",
     "sort", "limit", "top_k",
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",
     "ranked", "top_k_per_group",

@@ -584,6 +584,232 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-sets upgrade
+    (reference has none, SURVEY.md §2.4 absences).  Decimal sums stay
+    decimal end-to-end (both engines collect exact Decimal)."""
+    from dbt_lab_spark.operators import rollup
+
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("count", "l_quantity", "n_items"),
+            AggSpec("sum", money("l_quantity"), "sum_qty"),
+        ],
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(l_quantity) AS n_items,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end (QueryProcessor.processQuery
+    analogue, dbt_lab_spark.sql.SqlProcessor): a reference-grammar-shaped
+    SELECT string — SELECT/FROM/WHERE-conjunction/GROUP BY/HAVING/
+    ORDER BY — run verbatim through spark.sql over catalog views.  The
+    oracle runs the IDENTICAL string, proving the dialect stays ANSI."""
+    from dbt_lab_spark.sql import SqlProcessor
+
+    proc = SqlProcessor(spark, Catalog(sf_dir))
+    return proc.process_query(_SQL_SQL_ENTRY)
+
+
+_SQL_SQL_ENTRY = """
+SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders, MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+HAVING COUNT(o_orderkey) > 10
+ORDER BY o_orderpriority
+"""
+
+
+# -- TPC-H-shaped headliners (adapted to the driver schema: no partsupp,
+# -- no o_shippriority/c_address columns) --------------------------------
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority revenue): σ(customer) ⋈ orders
+    ⋈ lineitem, expression aggregate, top-10 by revenue.  Tie-broken by
+    o_orderkey for cross-engine determinism."""
+    cat = Catalog(sf_dir)
+    customer = scan(
+        spark, cat, "customer", ["c_custkey"], predicates=[compare("c_mktsegment", "=", "BUILDING")]
+    )
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        predicates=[compare("o_orderdate", "<", F.lit("1998-06-01").cast("timestamp"))],
+    )
+    lineitem = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        predicates=[compare("l_shipdate", ">", F.lit("1998-06-01").cast("timestamp"))],
+    )
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    joined = broadcast_join(
+        orders, customer, on=F.col("o_custkey") == F.col("c_custkey")
+    ).join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    return top_k(agg, ["revenue", "o_orderkey"], 10, ascending=[False, True])
+
+
+_SQL_TPCH_Q3 = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-table join, revenue per
+    nation where customer and supplier share the nation.  Dimensions
+    broadcast; the orders⋈lineitem fact join shuffles on the key."""
+    cat = Catalog(sf_dir)
+    region = scan(spark, cat, "region", predicates=[compare("r_name", "=", "ASIA")])
+    nation = scan(spark, cat, "nation")
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        predicates=[
+            compare("o_orderdate", ">=", F.lit("1996-01-01").cast("timestamp")),
+            compare("o_orderdate", "<", F.lit("1997-01-01").cast("timestamp")),
+        ],
+    )
+    lineitem = scan(
+        spark, cat, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    fact = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+    fact = broadcast_join(fact, customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    fact = broadcast_join(
+        fact,
+        supplier,
+        on=(F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    fact = broadcast_join(fact, nation, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    fact = broadcast_join(fact, region, on=F.col("n_regionkey") == F.col("r_regionkey"))
+    agg = fact.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+    return sort(agg, ["revenue", "n_name"], [False, True])
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue): pure scan-filter-aggregate — every
+    predicate reaches the parquet scan, one partial+final agg, no
+    shuffle of data rows at any scale."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_extendedprice", "l_discount"],
+        predicates=[
+            compare("l_shipdate", ">=", F.lit("1997-01-01").cast("timestamp")),
+            compare("l_shipdate", "<", F.lit("1998-01-01").cast("timestamp")),
+            between("l_discount", 0.05, 0.07),
+            compare("l_quantity", "<", 24.0),
+        ],
+    )
+    return li.agg(
+        F.sum(money("l_extendedprice") * money("l_discount")).cast("double").alias("revenue")
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer in a quarter, top-20.  Tie-broken by c_custkey."""
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_custkey"],
+        predicates=[
+            compare("o_orderdate", ">=", F.lit("1999-01-01").cast("timestamp")),
+            compare("o_orderdate", "<", F.lit("1999-04-01").cast("timestamp")),
+        ],
+    )
+    lineitem = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+        predicates=[compare("l_returnflag", "=", "R")],
+    )
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    fact = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+    fact = broadcast_join(fact, customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    fact = broadcast_join(fact, nation, on=F.col("c_nationkey") == F.col("n_nationkey"))
+    agg = fact.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    return top_k(agg, ["revenue", "c_custkey"], 20, ascending=[False, True])
+
+
+_SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_group_customers", _q_group_customers, _SQL_GROUP_CUSTOMERS, "flagship golden test"),
     QueryDef("q_scan_filter", _q_scan_filter, _SQL_SCAN_FILTER, "scan + conjunctive pushdown"),
@@ -606,7 +832,13 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_window_rank", _q_window_rank, _SQL_WINDOW_RANK, "window top-k per group"),
     QueryDef("q_scalar_subquery", _q_scalar_subquery, _SQL_SCALAR_SUBQUERY, "scalar subquery"),
     QueryDef("q_arith_expr", _q_arith_expr, _SQL_ARITH_EXPR, "expression aggregates"),
+    QueryDef("q_rollup", _q_rollup, _SQL_ROLLUP, "ROLLUP grouping sets"),
+    QueryDef("q_sql_entry", _q_sql_entry, _SQL_SQL_ENTRY, "SQL string entry point"),
     QueryDef("q_tpch_q1", _q_tpch_q1, _SQL_TPCH_Q1, "TPC-H Q1"),
+    QueryDef("q_tpch_q3", _q_tpch_q3, _SQL_TPCH_Q3, "TPC-H Q3 shape"),
+    QueryDef("q_tpch_q5", _q_tpch_q5, _SQL_TPCH_Q5, "TPC-H Q5 shape"),
+    QueryDef("q_tpch_q6", _q_tpch_q6, _SQL_TPCH_Q6, "TPC-H Q6"),
+    QueryDef("q_tpch_q10", _q_tpch_q10, _SQL_TPCH_Q10, "TPC-H Q10 shape"),
 ]
 
 

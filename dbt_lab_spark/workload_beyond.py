@@ -11,8 +11,21 @@ from pyspark.sql.window import Window
 
 from dbt_lab_spark.catalog import Catalog
 from dbt_lab_spark.expr import money
-from dbt_lab_spark.functions.text import fingerprint, token_count
-from dbt_lab_spark.llm.dedup import minhash_dedup_pairs, simhash_dedup_pairs
+from dbt_lab_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count,
+)
+from dbt_lab_spark.functions.vectors import cosine_similarity, to_double_array
+from dbt_lab_spark.llm.dedup import (
+    embedding_dedup_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
 from dbt_lab_spark.llm.similarity import brute_force_knn, lsh_knn
 from dbt_lab_spark.operators.scan import scan
 from dbt_lab_spark.workload import QueryDef
@@ -170,6 +183,116 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_pairs(docs, max_hamming=6)
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (jaccard >= 0.5).
+
+    Candidate generation here is the EXACT inverted-index join (any pair
+    with Jaccard > 0 shares a shingle), which makes the whole query
+    SQL-expressible for the oracle.  At 100 TB the common-shingle skew
+    makes this shape explode — the scale path is the same
+    `ngram_jaccard_pairs` verifier fed by MinHash-LSH candidates
+    (q_minhash_pairs); this entry pins the verifier's exactness."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("g"))
+    cand = (
+        sh.select(F.col("doc_id").alias("id_a"), "g")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "g"), on="g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(docs, cand, shingle_k=3, threshold=0.5)
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+         END) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis rollup per (source, predicted language): doc count,
+    high-quality count (heuristic score >= 0.5), BPE-ish token total.
+    Exercises lang_id, quality_score, bpe_ish_token_count — all pure
+    Column expressions, mirrored term-for-term in the oracle SQL."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    per_doc = docs.select(
+        "source",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        bpe_ish_token_count("text").alias("bpe"),
+    )
+    return per_doc.groupBy("source", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_high_quality"),
+        F.sum("bpe").alias("sum_bpe_tokens"),
+    )
+
+
+_SQL_LANG_QUALITY = r"""
+WITH per_doc AS (
+  SELECT source,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         trim(text) AS t
+  FROM documents
+), scored AS (
+  SELECT source,
+         len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+         len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s_de,
+         len(list_intersect(toks, ['le','la','les','et','est','une','pour','dans','que','des'])) AS s_fr,
+         len(list_intersect(toks, ['el','la','los','y','es','una','para','en','que','por'])) AS s_es,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_intersect(toks,
+              ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this','be','are','was'])) AS DOUBLE) AS stop_hits,
+         CAST(list_sum([CAST(ceil(length(w) / 4.0) AS INTEGER)
+                        FOR w IN string_split_regex(t, '\s+')]) AS INTEGER) AS bpe
+  FROM per_doc
+), lang AS (
+  SELECT source, bpe,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         round(CAST(0.3 AS DOUBLE) * least(n_chars / 200.0, 1.0)
+             + CAST(0.3 AS DOUBLE) * (n_alpha / greatest(n_chars, 1.0))
+             + CAST(0.2 AS DOUBLE) * least(stop_hits / 3.0, 1.0)
+             + CAST(0.2 AS DOUBLE) * (CASE WHEN n_chars / greatest(n_tok, 1.0) >= 3.0
+                                            AND n_chars / greatest(n_tok, 1.0) <= 12.0
+                                           THEN CAST(1.0 AS DOUBLE)
+                                           ELSE CAST(0.3 AS DOUBLE) END), 4) AS q
+  FROM scored
+)
+SELECT source, lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+       CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tokens
+FROM lang GROUP BY source, lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -218,13 +341,146 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(corpus, queries, k=10, num_planes=6, num_tables=6)
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.4; the driver
+    embeddings are near-random, max pairwise cosine ≈ 0.51, so the
+    threshold sits where real pairs exist).  All-pairs comparison — the
+    oracle-checkable verification baseline; the scale path is the LSH
+    variant below (q_embedding_neardup_lsh)."""
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    a = emb.select(F.col("vec_id").alias("id_a"), to_double_array("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), to_double_array("embedding").alias("v_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    return pairs.select("id_a", "id_b", "cosine")
+
+
+_SQL_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate generation + exact cosine verify — the
+    100 TB shape of q_embedding_neardup (shuffle on (table, bucket); no
+    cross join).  Rows-only check; recall vs the exact variant is
+    pin-tested in tests/."""
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup_pairs(emb, threshold=0.4, num_planes=8, num_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# streaming-native session windows (batch path of streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window() aggregation over events — the streaming-native
+    operator run on the batch frame (identical plan under readStream;
+    tests drive the stream path).  Oracle mirrors Spark's session
+    semantics: a gap >= 30min starts a new session, session end =
+    last ts + gap."""
+    from dbt_lab_spark.streaming.windows import session_window_agg
+
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "ts", "value"])
+    # decimal-quantized value => order-independent exact session sums
+    ev = ev.withColumn("value", money("value"))
+    out = session_window_agg(ev, gap="30 minutes", by="user_id")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+_SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 30*60*1000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal assets (Spark-side plumbing; decode stubbed per brief)
+# ---------------------------------------------------------------------------
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary asset
+    columns, aggregated per media type.  Deterministic fake decode (no
+    codec libs in this container) — rows-only check; exact feature
+    values are pin-tested in tests/."""
+    from dbt_lab_spark.llm.multimodal import extract_features, make_fake_assets
+
+    assets = make_fake_assets(spark, n=96)
+    feats = extract_features(assets, fake_decode=True)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.round(F.sum(F.element_at("feature", 1)), 4).alias("sum_f0"),
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence+explode, JVM-side) — one row
+    per sampled frame timestamp, counted per asset.  Rows-only check."""
+    from dbt_lab_spark.llm.multimodal import make_fake_assets, sample_frames
+
+    assets = make_fake_assets(spark, n=96)
+    return sample_frames(assets, every_ms=5000).groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"), F.max("frame_ts_ms").alias("last_frame_ts_ms")
+    )
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
+    QueryDef("q_session_window", _q_session_window, _SQL_SESSION_WINDOW, "session_window op"),
     QueryDef("q_text_stats", _q_text_stats, _SQL_TEXT_STATS, "token/char stats"),
+    QueryDef("q_lang_quality", _q_lang_quality, _SQL_LANG_QUALITY, "lang-id + quality score"),
     QueryDef("q_dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup groups"),
     QueryDef("q_minhash_pairs", _q_minhash_pairs, None, "minhash LSH near-dup"),
     QueryDef("q_simhash_pairs", _q_simhash_pairs, None, "simhash near-dup"),
+    QueryDef("q_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD, "exact n-gram jaccard"),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
+    QueryDef(
+        "q_embedding_neardup", _q_embedding_neardup, _SQL_EMBEDDING_NEARDUP, "exact cosine pairs"
+    ),
+    QueryDef(
+        "q_embedding_neardup_lsh", _q_embedding_neardup_lsh, None, "LSH cosine pairs"
+    ),
+    QueryDef("q_multimodal_features", _q_multimodal_features, None, "mapInPandas features"),
+    QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
 ]

@@ -1,0 +1,181 @@
+"""Pin-tests for the approximate dedup / similarity operators: the
+rows-only queries in the declared workload (minhash, simhash, LSH knn,
+embedding LSH) are verified here against exact recomputation on planted
+synthetic data — the strong check the DuckDB oracle can't express for
+seeded-hash algorithms.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.llm.dedup import (
+    embedding_dedup_pairs,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from dbt_lab_spark.llm.similarity import brute_force_knn, lsh_knn
+
+WORDS = [f"w{i}" for i in range(200)]
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _edit(rng: random.Random, text: str, n_edits: int) -> str:
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """100 base docs + a near-duplicate (2 token edits out of 60) for
+    each of the first 20 — known ground-truth near-dup pairs."""
+    rng = random.Random(1234)
+    rows = []
+    for i in range(100):
+        rows.append((i, _doc(rng)))
+    for i in range(20):
+        rows.append((100 + i, _edit(rng, rows[i][1], 2)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _true_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t: str) -> set[str]:
+        toks = t.lower().split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_finds_planted_near_dups(spark, planted_docs):
+    pairs = minhash_dedup_pairs(
+        planted_docs, num_hashes=64, shingle_k=3, num_bands=16, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every planted pair has true 3-gram jaccard far above threshold
+    # (2/60 token edits); 16 bands x 4 rows captures J>=0.8 w.p. ~1-3e-9
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= found, f"missed planted pairs: {planted - found}"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, planted_docs):
+    texts = {r.doc_id: r.text for r in planted_docs.collect()}
+    pairs = minhash_dedup_pairs(
+        planted_docs, num_hashes=64, shingle_k=3, num_bands=16, threshold=0.5
+    ).collect()
+    assert pairs, "no pairs returned"
+    for r in pairs:
+        true_j = _true_jaccard(texts[r.id_a], texts[r.id_b])
+        # 64-hash estimator: std ≈ sqrt(J(1-J)/64) ≤ 0.0625; allow 4σ
+        assert abs(r.est_jaccard - true_j) <= 0.25, (r.id_a, r.id_b, r.est_jaccard, true_j)
+
+
+def test_minhash_no_false_positives_on_unrelated(spark, planted_docs):
+    """Unrelated random docs (J ≈ 0) must not pass the 0.5 threshold."""
+    pairs = minhash_dedup_pairs(
+        planted_docs, num_hashes=64, shingle_k=3, num_bands=16, threshold=0.5
+    ).collect()
+    texts = {r.doc_id: r.text for r in planted_docs.collect()}
+    for r in pairs:
+        assert _true_jaccard(texts[r.id_a], texts[r.id_b]) >= 0.25, (
+            "false positive far from threshold",
+            r,
+        )
+
+
+def test_ngram_jaccard_verifier_is_exact(spark, planted_docs):
+    sigs = minhash_signatures(planted_docs, num_hashes=64, shingle_k=3)
+    cand = minhash_lsh_candidates(sigs, num_bands=16, rows_per_band=4)
+    out = ngram_jaccard_pairs(planted_docs, cand, shingle_k=3, threshold=0.5).collect()
+    texts = {r.doc_id: r.text for r in planted_docs.collect()}
+    assert out
+    for r in out:
+        assert math.isclose(r.jaccard, _true_jaccard(texts[r.id_a], texts[r.id_b]))
+
+
+def test_simhash_detects_minor_edits(spark, planted_docs):
+    pairs = simhash_dedup_pairs(planted_docs, max_hamming=12).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(i, 100 + i) for i in range(20)}
+    # 2/60 token edits flip few simhash bits; most planted pairs collide
+    assert len(planted & found) >= 15, f"simhash found only {len(planted & found)}/20"
+    for r in pairs:
+        assert r.hamming <= 12
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """60 random unit-ish vectors + a high-cosine perturbation of each of
+    the first 20 (ids 100+i) — known near-neighbor ground truth."""
+    rng = random.Random(99)
+    dim = 64
+    rows = []
+    base = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        base.append(v)
+        rows.append((i, v))
+    for i in range(20):
+        rows.append((100 + i, [x + rng.gauss(0, 0.08) for x in base[i]]))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+
+
+def test_embedding_lsh_is_subset_of_exact_and_high_recall(spark, planted_vectors):
+    # ground truth by brute force (no LSH): theta-join all pairs
+    from dbt_lab_spark.functions.vectors import cosine_similarity, to_double_array
+
+    v = planted_vectors.select(
+        F.col("vec_id"), to_double_array("embedding").alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(
+            planted_vectors, threshold=0.9, num_planes=8, num_tables=8
+        ).collect()
+    }
+    assert approx <= truth, "LSH produced a pair the exact verify should have rejected"
+    planted = {(i, 100 + i) for i in range(20)} & truth
+    assert planted, "sanity: perturbations should be above 0.9 cosine"
+    recall = len(approx & planted) / len(planted)
+    # sigma=0.08 perturbation => cosine ~0.997, theta~4.6deg: per-table
+    # collision (1-theta/pi)^8 ~ 0.81, OR over 8 tables ~ 1.0
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_lsh_knn_recovers_planted_neighbor(spark, planted_vectors):
+    queries = planted_vectors.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = planted_vectors.filter(F.col("vec_id") < 100)
+    exact = brute_force_knn(corpus, queries, k=1).collect()
+    # the planted source (query_id - 100) must be the exact 1-NN
+    for r in exact:
+        assert r.neighbor_id == r.query_id - 100
+    approx = lsh_knn(corpus, queries, k=1, num_planes=6, num_tables=8).collect()
+    hits = sum(1 for r in approx if r.neighbor_id == r.query_id - 100)
+    assert hits >= 16, f"lsh_knn top-1 recall {hits}/20"
