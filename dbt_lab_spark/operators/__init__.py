@@ -24,7 +24,7 @@ from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup,
 from dbt_lab_spark.operators.sort import sort, limit, top_k
 from dbt_lab_spark.operators.setops import union_all, union_distinct, intersect, except_all, except_distinct
 from dbt_lab_spark.operators.window import ranked, top_k_per_group
-from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_keys
+from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_keys, update_where
 
 __all__ = [
     "scan", "index_scan",
@@ -33,5 +33,5 @@ __all__ = [
     "sort", "limit", "top_k",
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",
     "ranked", "top_k_per_group",
-    "insert_into", "delete_where", "delete_by_keys",
+    "insert_into", "delete_where", "delete_by_keys", "update_where",
 ]

@@ -56,3 +56,23 @@ def delete_by_keys(
     (the DeleteOperator capability without RIDs).  Returns the surviving
     rows; caller writes them where needed."""
     return table.join(deletions.select(*keys).distinct(), on=list(keys), how="left_anti")
+
+
+def update_where(
+    table: DataFrame, predicate: Column, assignments: dict[str, Column]
+) -> DataFrame:
+    """UPDATE ... SET ... WHERE as a transformation: conditional column
+    rewrite (the reference parses UpdateQuery, parser/UpdateQuery.java:16,
+    but rejects it at the processor, QueryProcessor.java:162-172 — this
+    is the capability upgrade).  Rows matching `predicate` get each
+    assignment applied; others pass through.  Caller persists via
+    insert_into/overwrite — copy-on-write, the immutable-storage idiom.
+    """
+    from pyspark.sql import functions as F
+
+    out = table
+    for col_name, value in assignments.items():
+        if col_name not in table.columns:
+            raise KeyError(f"unknown column {col_name!r}")
+        out = out.withColumn(col_name, F.when(predicate, value).otherwise(F.col(col_name)))
+    return out

@@ -167,3 +167,27 @@ def test_insert_append_and_delete_by_keys(spark, sf_medium, tmp_path):
     )
     assert survivors.count() == 25
     assert survivors.filter(F.col("n_nationkey") >= 1000).count() == 0
+
+
+def test_update_where_conditional_rewrite(spark, sf_medium):
+    from dbt_lab_spark.operators import update_where
+
+    cat = Catalog(sf_medium)
+    nation = cat.table(spark, "nation")
+    updated = update_where(
+        nation,
+        F.col("n_regionkey") == 0,
+        {"n_name": F.lower(F.col("n_name")), "n_regionkey": F.lit(99)},
+    )
+    rows = {r.n_nationkey: r for r in updated.collect()}
+    orig = {r.n_nationkey: r for r in nation.collect()}
+    assert set(rows) == set(orig)
+    changed = [k for k, r in orig.items() if r.n_regionkey == 0]
+    assert changed
+    for k, r in orig.items():
+        if k in changed:
+            assert rows[k].n_name == r.n_name.lower() and rows[k].n_regionkey == 99
+        else:
+            assert rows[k].n_name == r.n_name and rows[k].n_regionkey == r.n_regionkey
+    with pytest.raises(KeyError):
+        update_where(nation, F.lit(True), {"nope": F.lit(1)})

@@ -1,0 +1,103 @@
+"""Plan-shape assertions — the Spark port of the reference's optimizer
+tests (JoinOrderVerifier / plan-node assertions, SURVEY.md §5.3):
+instead of matching join trees node-by-node, we assert the physical
+properties that matter at 100 TB:
+
+  - filters and projections reach the parquet scan (PushedFilters /
+    ReadSchema pruning);
+  - small dimensions broadcast (no shuffle of the fact side);
+  - large-large joins sort-merge;
+  - aggregates are partial+final (map-side combine);
+  - top-k plans as TakeOrderedAndProject (no full sort+collect);
+  - no redundant sort below an already-satisfying order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dbt_lab_spark.workload import all_queries
+
+_QUERIES = {q.name: q.build for q in all_queries()}
+
+
+def _formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _nodes(plan: str, kind: str) -> int:
+    """Count physical nodes of `kind` in a formatted plan (the detail
+    section numbers each node once: `(N) Kind`)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {kind}\b", plan))
+
+
+def _plan(spark, sf, name: str) -> str:
+    return _formatted(_QUERIES[name](spark, sf))
+
+
+def test_scan_filter_pushdown_and_pruning(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_scan_filter")
+    # all four predicates reach the parquet reader
+    for frag in [
+        "GreaterThanOrEqual(l_quantity,10.0)",
+        "LessThanOrEqual(l_quantity,20.0)",
+        "LessThanOrEqual(l_discount,0.05)",
+        "EqualTo(l_returnflag,A)",
+    ]:
+        assert frag in plan, f"predicate not pushed: {frag}\n{plan}"
+    # column pruning: the scan must not read unprojected, unfiltered cols
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_tax" not in read_schema and "l_linestatus" not in read_schema
+
+
+def test_multiway_broadcasts_all_dimensions(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_multiway")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # the fact table must never hit an exchange other than broadcast
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_merge_join_is_sort_merge(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_merge_join")
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_group_by_has_partial_aggregation(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_tpch_q1")
+    # two HashAggregate nodes (partial + final) around one exchange
+    assert _nodes(plan, "HashAggregate") == 2, plan
+    # exactly one data shuffle for the agg (plus one for the final sort)
+    assert _nodes(plan, "Exchange") <= 2, plan
+
+
+def test_topk_plans_take_ordered(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_sort_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_group_customers_broadcasts_nation(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_group_customers")
+    assert "BroadcastHashJoin" in plan, plan
+    # sort happens once, at the top, after the aggregate
+    head = plan.split("(1) Scan parquet")[0]
+    assert head.count("Sort") <= 1, plan
+
+
+def test_tpch_q6_no_shuffle_of_rows(spark, sf_medium):
+    """Q6 is scan→filter→grand-agg: the only exchange moves partial
+    aggregates (SinglePartition), never data rows."""
+    plan = _plan(spark, sf_medium, "q_tpch_q6")
+    assert _nodes(plan, "HashAggregate") == 2, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert "SinglePartition" in plan, plan
+
+
+def test_semi_anti_join_shapes(spark, sf_medium):
+    for name, frag in [("q_semi_join", "LeftSemi"), ("q_anti_join", "LeftAnti")]:
+        plan = _plan(spark, sf_medium, name)
+        assert frag in plan, f"{name}: {frag} missing\n{plan}"
