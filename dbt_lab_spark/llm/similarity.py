@@ -8,6 +8,11 @@
   lsh_knn          random-hyperplane LSH variant: queries only compare
                    against same-bucket (or neighboring-bucket) corpus
                    rows — the scale path when the query set is large.
+  ivf_centroids /  inverted-file (IVF) variant: k-means coarse quantizer
+  ivf_knn          trained with distributed Lloyd iterations (centroids
+                   are driver-held metadata, C×dim floats — the same
+                   footprint as a broadcast dimension); queries probe
+                   only the nprobe nearest clusters.
 """
 
 from __future__ import annotations
@@ -127,6 +132,145 @@ def lsh_knn(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sim_to_centroid(v: Column, centroid: list[float]) -> Column:
+    """Cosine numerator against a constant centroid (both sides get
+    normalized once outside, so dot == cosine).  Constant folding keeps
+    the per-centroid literals JVM-side."""
+    return F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(float(x)) for x in centroid]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _normalized(vec_col: str) -> Column:
+    v = to_double_array(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(v, lambda x: x / norm)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means via distributed
+    Lloyd iterations.
+
+    Deterministic init (cluster = id % C means) — no RNG, so results are
+    reproducible run-to-run.  Each iteration is one DataFrame job:
+    assign (map-side argmax against broadcast-literal centroids) →
+    per-dimension mean via explode + groupBy — shuffle rows are
+    (cluster, dim) partial sums, i.e. C×dim per partition after partial
+    aggregation, independent of corpus size.  Only C×dim floats ever
+    reach the driver per iteration.
+    """
+    vecs = corpus.select((F.col(id_col) % num_centroids).alias("__c"), _normalized(vec_col).alias("__v"))
+
+    def recompute(assigned: DataFrame) -> list[list[float]]:
+        sums = (
+            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__c", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        cents = [[0.0] * dim for _ in range(num_centroids)]
+        for r in sums:
+            cents[r["__c"]][r["__d"]] = r["__m"]
+        # re-normalize (spherical k-means keeps centroids on the sphere)
+        out = []
+        for c in cents:
+            n = sum(x * x for x in c) ** 0.5 or 1.0
+            out.append([x / n for x in c])
+        return out
+
+    centroids = recompute(vecs)
+    for _ in range(iters):
+        sims = F.array(*[_sim_to_centroid(F.col("__v"), c) for c in centroids])
+        assigned = vecs.select(
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("__c"), "__v"
+        )
+        centroids = recompute(assigned)
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid — the inverted
+    file.  Map-only (no shuffle); persist/bucket the result by `cluster`
+    so probes prune at the storage layer."""
+    v = _normalized(vec_col)
+    sims = F.array(*[_sim_to_centroid(v, c) for c in centroids])
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("__cv"),
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF probing: each query searches only the
+    `nprobe` clusters whose centroids are most similar.
+
+    The probe list explodes queries to nprobe rows; the equi-join on
+    `cluster` hits only those inverted lists — with the corpus bucketed
+    by cluster this is a partition-pruned scan of nprobe/C of the data.
+    Returns the same schema as brute_force_knn.
+    """
+    inv = ivf_assign(corpus, centroids, vec_col, id_col)
+    qv = _normalized(vec_col)
+    qsims = F.array(*[_sim_to_centroid(qv, c) for c in centroids])
+    # top-nprobe clusters per query: sort (sim, cluster) descending
+    ranked_clusters = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    qsims,
+                    lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cluster")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("__qv"),
+        F.explode(F.transform(ranked_clusters, lambda x: x["cluster"])).alias("cluster"),
+    )
+    scored = inv.join(F.broadcast(qb), on="cluster").select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("__qv", "__cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -5,6 +5,7 @@ from dbt_lab_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
 )
+from dbt_lab_spark.streaming.stateful import stateful_sessionize
 
 __all__ = [
     "tumbling_window_agg",
@@ -12,4 +13,5 @@ __all__ = [
     "session_window_agg",
     "read_events_stream",
     "run_stream_to_memory",
+    "stateful_sessionize",
 ]

@@ -341,6 +341,21 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(corpus, queries, k=10, num_planes=6, num_tables=6)
 
 
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN: spherical-k-means coarse quantizer (trained
+    in 3 distributed Lloyd iterations), queries probe the 4 nearest of
+    8 clusters.  Rows-only check; recall vs exact KNN is pin-tested in
+    tests/test_llm_ops.py."""
+    from dbt_lab_spark.llm.similarity import ivf_centroids, ivf_knn
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, num_centroids=8, iters=3)
+    return ivf_knn(corpus, queries, cents, k=10, nprobe=4)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= 0.4; the driver
     embeddings are near-random, max pairwise cosine ≈ 0.51, so the
@@ -475,6 +490,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD, "exact n-gram jaccard"),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
+    QueryDef("q_knn_ivf", _q_knn_ivf, None, "IVF approximate top-k"),
     QueryDef(
         "q_embedding_neardup", _q_embedding_neardup, _SQL_EMBEDDING_NEARDUP, "exact cosine pairs"
     ),

@@ -179,3 +179,42 @@ def test_lsh_knn_recovers_planted_neighbor(spark, planted_vectors):
     approx = lsh_knn(corpus, queries, k=1, num_planes=6, num_tables=8).collect()
     hits = sum(1 for r in approx if r.neighbor_id == r.query_id - 100)
     assert hits >= 16, f"lsh_knn top-1 recall {hits}/20"
+
+
+def test_ivf_knn_recovers_planted_neighbor(spark, planted_vectors):
+    from dbt_lab_spark.llm.similarity import brute_force_knn, ivf_centroids, ivf_knn
+
+    queries = planted_vectors.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = planted_vectors.filter(F.col("vec_id") < 100)
+    cents = ivf_centroids(corpus, num_centroids=8, iters=3)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # training is deterministic: same inputs -> identical centroids
+    assert cents == ivf_centroids(corpus, num_centroids=8, iters=3)
+    approx = ivf_knn(corpus, queries, cents, k=1, nprobe=4).collect()
+    hits = sum(1 for r in approx if r.neighbor_id == r.query_id - 100)
+    # probing half the clusters: the planted twin (cosine ~0.997) lands
+    # in the query's own probe list essentially always
+    assert hits >= 17, f"ivf top-1 recall {hits}/20"
+
+
+def test_ivf_probe_all_matches_brute_force(spark, planted_vectors):
+    """nprobe == num_centroids degrades IVF to exact search — results
+    must equal brute force (same ids, same ranks)."""
+    from dbt_lab_spark.llm.similarity import brute_force_knn, ivf_centroids, ivf_knn
+
+    queries = planted_vectors.filter(F.col("vec_id") >= 110).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = planted_vectors.filter(F.col("vec_id") < 100)
+    cents = ivf_centroids(corpus, num_centroids=4, iters=2)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_knn(corpus, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_knn(corpus, queries, cents, k=5, nprobe=4).collect()
+    }
+    assert ivf == exact

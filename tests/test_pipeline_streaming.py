@@ -191,3 +191,42 @@ def test_update_where_conditional_rewrite(spark, sf_medium):
             assert rows[k].n_name == r.n_name and rows[k].n_regionkey == r.n_regionkey
     with pytest.raises(KeyError):
         update_where(nation, F.lit(True), {"nope": F.lit(1)})
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_medium):
+    """applyInPandasWithState sessionizer vs the lag-cumsum batch
+    sessionizer: on a bounded input the stateful operator emits every
+    session except each user's last (which stays open in state)."""
+    from dbt_lab_spark.streaming import read_events_stream, stateful_sessionize
+    from dbt_lab_spark.workload_beyond import _q_sessionize
+
+    stream = stateful_sessionize(
+        read_events_stream(spark, sf_medium).select("user_id", "ts", "value")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stateful_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events): round(r.sum_value, 4)
+        for r in spark.sql("SELECT * FROM t_stateful_sessions").collect()
+    }
+
+    batch = _q_sessionize(spark, sf_medium).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events): round(r.sum_value, 4)
+        for r in batch
+        if r.session_seq != last_seq[r.user_id]
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)

@@ -198,3 +198,27 @@ def test_random_sort_topk(spark, seed):
     sql = f"SELECT * FROM t ORDER BY {order_sql} LIMIT 50"
     report = compare(out, con, sql)
     assert report["ok"], (sort_cols, asc, report)
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_salted_join_equals_plain_join(spark, seed):
+    """Skew path: salted join must be result-identical to the plain
+    equi-join on a skewed key distribution (90% of rows share one key)."""
+    rng = random.Random(seed)
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.operators import salted_join
+
+    big = spark.createDataFrame(
+        [(("hot" if rng.random() < 0.9 else f"k{rng.randint(0, 20)}"), i)
+         for i in range(2000)],
+        "k string, payload long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k3", 2), ("k7", 3), ("missing", 4)], "k string, dim long"
+    )
+    plain = {(r.k, r.payload, r.dim)
+             for r in big.join(small, on="k", how="inner").collect()}
+    salted = {(r.k, r.payload, r.dim)
+              for r in salted_join(big, small, key="k", salt_buckets=8).collect()}
+    assert salted == plain and len(plain) > 1500
