@@ -100,6 +100,24 @@ TABLE_NAMES = tuple(SCHEMAS)
 
 
 @dataclass
+class ColumnStats:
+    """Per-column statistics (ColumnStatistics.java:21-31: low/high key +
+    column cardinality)."""
+
+    low: object
+    high: object
+    ndv: int
+
+
+@dataclass
+class TableStats:
+    """Table cardinality + column stats (TableStatistics.java:19-29)."""
+
+    row_count: int
+    columns: dict[str, ColumnStats]
+
+
+@dataclass
 class Catalog:
     """Registry of tables rooted at one scale-factor directory.
 
@@ -111,6 +129,7 @@ class Catalog:
 
     sf_dir: str
     _registered: set[str] = field(default_factory=set)
+    statistics: dict[str, TableStats] = field(default_factory=dict)
 
     def path(self, name: str) -> str:
         return os.path.join(self.sf_dir, f"{name}.parquet")
@@ -145,10 +164,64 @@ class Catalog:
                 self.table(spark, name).createOrReplaceTempView(name)
                 self._registered.add(name)
 
-    def analyze(self, spark: SparkSession, names: tuple[str, ...] = TABLE_NAMES) -> None:
-        """Collect table+column stats so CBO join reordering has
-        cardinalities — the analogue of catalogue.xml statistics
-        (catalogue/TableStatistics.java:19-29)."""
-        self.register_views(spark, names)
+    def compute_statistics(
+        self, spark: SparkSession, names: tuple[str, ...] = TABLE_NAMES
+    ) -> dict[str, "TableStats"]:
+        """Collect per-table statistics — the direct analogue of the
+        reference's catalogue statistics (cardinality + per-column
+        low/high key + column cardinality: TableStatistics.java:19-29,
+        ColumnStatistics.java:21-31).  One aggregation pass per table;
+        NDVs are HyperLogLog approximations (exact distinct would be a
+        full shuffle per column — wrong trade at 100 TB)."""
+        from pyspark.sql import functions as F
+
+        out: dict[str, TableStats] = {}
         for name in names:
-            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+            df = self.table(spark, name)
+            aggs: list = [F.count(F.lit(1)).alias("__rows")]
+            simple = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            for c in simple:
+                aggs += [
+                    F.min(c).alias(f"__min_{c}"),
+                    F.max(c).alias(f"__max_{c}"),
+                    F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+                ]
+            row = df.agg(*aggs).collect()[0]
+            cols = {
+                c: ColumnStats(row[f"__min_{c}"], row[f"__max_{c}"], row[f"__ndv_{c}"])
+                for c in simple
+            }
+            out[name] = TableStats(row["__rows"], cols)
+        self.statistics = out
+        return out
+
+    def analyze(
+        self,
+        spark: SparkSession,
+        names: tuple[str, ...] = TABLE_NAMES,
+        schema: str = "dbt_lab",
+    ) -> None:
+        """Register external parquet tables in a session-catalog schema
+        and ANALYZE them, feeding Spark's CBO (spark.sql.cbo.enabled) the
+        cardinalities the reference's optimizer drew from catalogue.xml.
+
+        ANALYZE only attaches statistics to catalog tables (temp views
+        are rejected), so SQL that wants CBO join reordering should query
+        `<schema>.<name>`.  The events table is excluded: its
+        TIMESTAMP(NANOS) column needs the read-side rewrite in table().
+        """
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+        for name in names:
+            if name == "events":
+                continue
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {schema}.{name} "
+                f"USING parquet LOCATION '{self.path(name)}'"
+            )
+            spark.sql(
+                f"ANALYZE TABLE {schema}.{name} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )

@@ -230,3 +230,27 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_medium):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+def test_catalog_statistics_and_cbo_analyze(spark, sf_medium):
+    """Catalog statistics (the catalogue.xml analogue) and the ANALYZE
+    path that feeds Spark CBO rowCounts."""
+    cat = Catalog(sf_medium)
+    stats = cat.compute_statistics(spark, ("nation", "orders"))
+    assert stats["nation"].row_count == 25
+    assert stats["orders"].row_count > 0
+    op = stats["orders"].columns["o_totalprice"]
+    assert op.low < op.high and op.ndv > 100
+    # key column: NDV approximation within 10% of cardinality
+    # (approx_count_distinct default rsd is 5%)
+    ok = stats["orders"].columns["o_orderkey"]
+    assert abs(ok.ndv - stats["orders"].row_count) / stats["orders"].row_count < 0.10
+
+    cat.analyze(spark, ("nation",))
+    cbo = (
+        spark.sql("SELECT * FROM dbt_lab.nation")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+    )
+    assert cbo.rowCount().isDefined() and cbo.rowCount().get() == 25
