@@ -36,9 +36,16 @@ BENCH_NAMES = [
     "q_multiway",
     "q_merge_join",
     "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
     "q_window_rank",
     "q_sessionize",
+    "q_session_window",
+    "q_lang_quality",
     "q_minhash_pairs",
+    "q_ngram_jaccard",
     "q_knn_bruteforce",
 ]
 

@@ -292,6 +292,55 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold via the inverted-index
+    count trick: any qualifying pair shares a shingle, and because the
+    shingle sets are distinct, the number of (shingle-join) matches per
+    pair IS |A ∩ B| — so Jaccard = c / (|A| + |B| - c) without ever
+    joining the shingle arrays themselves.
+
+    Scale shape: shuffle 1 = explode + join on shingle (the inverted
+    index); shuffle 2 = count per (id_a, id_b) with map-side partial
+    aggregation collapsing hot shingles' repeats.  Set sizes broadcast.
+    Common-shingle skew still bounds this (hot shingles emit quadratic
+    pairs) — at corpus scale feed candidates from MinHash-LSH into
+    ngram_jaccard_pairs instead; this operator is the exact baseline.
+    """
+    sh = _parallelize(df).select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    a = ex.select(F.col(id_col).alias("id_a"), "__g")
+    b = ex.select(F.col(id_col).alias("id_b"), "__g")
+    shared = (
+        a.join(b, on="__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    # sizes join: AQE broadcasts when |docs| is small, shuffles on id
+    # otherwise — don't force broadcast (sizes is corpus-cardinality).
+    out = (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

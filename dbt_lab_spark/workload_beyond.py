@@ -184,25 +184,17 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (jaccard >= 0.5).
+    """Exact all-pairs word-3-gram Jaccard near-dups (jaccard >= 0.5)
+    via the inverted-index count trick (|A∩B| = shingle-join match
+    count; no arrays cross the shuffle).  SQL-expressible, so the oracle
+    verifies it end-to-end.  At 100 TB common-shingle skew still bounds
+    the exact form — the scale path is `ngram_jaccard_pairs` fed by
+    MinHash-LSH candidates (pinned in tests/test_llm_ops.py)."""
+    from dbt_lab_spark.llm.dedup import ngram_jaccard_all_pairs
 
-    Candidate generation here is the EXACT inverted-index join (any pair
-    with Jaccard > 0 shares a shingle), which makes the whole query
-    SQL-expressible for the oracle.  At 100 TB the common-shingle skew
-    makes this shape explode — the scale path is the same
-    `ngram_jaccard_pairs` verifier fed by MinHash-LSH candidates
-    (q_minhash_pairs); this entry pins the verifier's exactness."""
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["doc_id", "text"])
-    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("g"))
-    cand = (
-        sh.select(F.col("doc_id").alias("id_a"), "g")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "g"), on="g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return ngram_jaccard_pairs(docs, cand, shingle_k=3, threshold=0.5)
+    return ngram_jaccard_all_pairs(docs, shingle_k=3, threshold=0.5)
 
 
 _SQL_NGRAM_JACCARD = r"""

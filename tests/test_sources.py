@@ -1,0 +1,91 @@
+"""Source/sink connectors: round-trips, partition pruning, bucketed
+shuffle-free joins (SURVEY.md §2.1 — the reference had one format; these
+are the declared free upgrades)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.sources import (
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_partitioned,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_json_round_trip_matches_parquet(spark, sf_medium, tmp_path):
+    cat = Catalog(sf_medium)
+    nation = cat.table(spark, "nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    write_csv(nation, csv_path)
+    write_json(nation, json_path)
+    schema = nation.schema
+    assert _rows(read_csv(spark, csv_path, schema)) == _rows(nation)
+    assert _rows(read_json(spark, json_path, schema)) == _rows(nation)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_medium, tmp_path):
+    cat = Catalog(sf_medium)
+    orders = cat.table(spark, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["o_year"])
+
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("o_year") == 1997)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:200]
+    want = orders.filter(F.col("o_year") == 1997).count()
+    assert q.count() == want and want > 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_medium, tmp_path):
+    """Equal bucketing on both join sides removes the exchange — the
+    co-located fact-fact join.  (sortBy also removes SMJ sorts when
+    buckets are single-file.)"""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    cat = Catalog(sf_medium)
+    write_bucketed_table(
+        cat.table(spark, "orders").select("o_orderkey", "o_totalprice"),
+        "b_orders",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    write_bucketed_table(
+        cat.table(spark, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem",
+        ["l_orderkey"],
+        num_buckets=8,
+    )
+    # force SMJ (auto-broadcast would bypass bucketing on this small SF)
+    j = spark.table("b_orders").hint("merge").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # result parity against the plain path-based join
+    want = (
+        cat.table(spark, "orders")
+        .join(cat.table(spark, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .count()
+    )
+    assert j.count() == want
