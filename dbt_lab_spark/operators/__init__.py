@@ -23,7 +23,7 @@ from dbt_lab_spark.operators.joins import (
 from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup, cube, AggSpec
 from dbt_lab_spark.operators.sort import sort, limit, top_k
 from dbt_lab_spark.operators.setops import union_all, union_distinct, intersect, except_all, except_distinct
-from dbt_lab_spark.operators.window import ranked, top_k_per_group
+from dbt_lab_spark.operators.window import ranked, top_k_per_group, windowed_agg, running_agg
 from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_keys, update_where
 
 __all__ = [
@@ -32,6 +32,6 @@ __all__ = [
     "group_by", "grand_aggregate", "rollup", "cube", "AggSpec",
     "sort", "limit", "top_k",
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",
-    "ranked", "top_k_per_group",
+    "ranked", "top_k_per_group", "windowed_agg", "running_agg",
     "insert_into", "delete_where", "delete_by_keys", "update_where",
 ]

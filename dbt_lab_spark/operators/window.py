@@ -58,3 +58,20 @@ def windowed_agg(
     """Generic analytic aggregate over a window (running sums, lag/lead
     composites are built by passing e.g. F.sum(...)/F.lag(...))."""
     return df.withColumn(alias, agg.over(_spec(partition_by, order_by, ascending)))
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    agg: Column,
+    alias: str,
+    preceding: int | None = None,
+    ascending: Sequence[bool] | None = None,
+) -> DataFrame:
+    """Frame-spec aggregate: cumulative (preceding=None ⇒ UNBOUNDED
+    PRECEDING..CURRENT ROW) or moving (last `preceding`+1 rows).  The
+    frame-spec surface the reference's grammar lacks entirely."""
+    lo = Window.unboundedPreceding if preceding is None else -preceding
+    spec = _spec(partition_by, order_by, ascending).rowsBetween(lo, Window.currentRow)
+    return df.withColumn(alias, agg.over(spec))

@@ -810,6 +810,121 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def _q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (§2.8: the reference has only + - * /;
+    the engine's scalar library is Spark's built-ins).  String, date and
+    math functions chosen for exact cross-engine semantics — every
+    expression mirrored verbatim in the oracle."""
+    cat = Catalog(sf_dir)
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+        predicates=[compare("o_orderkey", "<", 2000)],
+    )
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 4)).alias("prio4"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("price_dev"),
+    )
+
+
+_SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       upper(substring(o_orderpriority, 1, 4)) AS prio4,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+       concat_ws('/', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       CAST(day(o_orderdate) AS INTEGER) AS o_day,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+       sqrt(o_totalprice) AS price_sqrt,
+       abs(o_totalprice - 250000.0) AS price_dev
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def _q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs (§2.5 gap): 7-row moving average of order
+    totals per customer.  Decimal-exact: frame SUM in DECIMAL, divided
+    by frame COUNT in double — identical on both engines regardless of
+    accumulation order."""
+    from dbt_lab_spark.operators import running_agg
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = running_agg(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.sum(money("o_totalprice")),
+        "__fsum",
+        preceding=6,
+    )
+    out = running_agg(
+        out,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.count("o_totalprice"),
+        "__fcnt",
+        preceding=6,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("__fsum").cast("double") / F.col("__fcnt")).alias("mov_avg_price"),
+    )
+
+
+_SQL_MOVING_AVG = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(o_totalprice) OVER w AS mov_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    quantity total exceeds a threshold, joined back to customer — the
+    IN-(grouped-HAVING-subquery) pattern as a join against the
+    aggregated subquery (the reference plans FROM-subqueries the same
+    way, Optimizer.java:163-196)."""
+    cat = Catalog(sf_dir)
+    lineitem = scan(spark, cat, "lineitem", ["l_orderkey", "l_quantity"])
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_name"])
+    out = orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+    out = broadcast_join(out, customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    return out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+
+
+_SQL_HAVING_SUBQUERY = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM customer, orders,
+     (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0) big
+WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+"""
+
+
 CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_group_customers", _q_group_customers, _SQL_GROUP_CUSTOMERS, "flagship golden test"),
     QueryDef("q_scan_filter", _q_scan_filter, _SQL_SCAN_FILTER, "scan + conjunctive pushdown"),
@@ -833,6 +948,9 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_scalar_subquery", _q_scalar_subquery, _SQL_SCALAR_SUBQUERY, "scalar subquery"),
     QueryDef("q_arith_expr", _q_arith_expr, _SQL_ARITH_EXPR, "expression aggregates"),
     QueryDef("q_rollup", _q_rollup, _SQL_ROLLUP, "ROLLUP grouping sets"),
+    QueryDef("q_scalar_functions", _q_scalar_functions, _SQL_SCALAR_FUNCTIONS, "string/date/math"),
+    QueryDef("q_moving_avg", _q_moving_avg, _SQL_MOVING_AVG, "window frame spec"),
+    QueryDef("q_having_subquery", _q_having_subquery, _SQL_HAVING_SUBQUERY, "Q18 shape"),
     QueryDef("q_sql_entry", _q_sql_entry, _SQL_SQL_ENTRY, "SQL string entry point"),
     QueryDef("q_tpch_q1", _q_tpch_q1, _SQL_TPCH_Q1, "TPC-H Q1"),
     QueryDef("q_tpch_q3", _q_tpch_q3, _SQL_TPCH_Q3, "TPC-H Q3 shape"),

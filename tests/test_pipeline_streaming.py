@@ -254,3 +254,38 @@ def test_catalog_statistics_and_cbo_analyze(spark, sf_medium):
         .stats()
     )
     assert cbo.rowCount().isDefined() and cbo.rowCount().get() == 25
+
+
+def test_streaming_parquet_sink_round_trip(spark, sf_medium, tmp_path):
+    """readStream -> transform -> writeStream to a durable parquet sink
+    with checkpointing; the sink contents must equal the batch result
+    (append mode requires the watermark to close windows, so only
+    watermark-expired windows land — assert subset + exact values)."""
+    from dbt_lab_spark.streaming import read_events_stream, tumbling_window_agg
+
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    agg = tumbling_window_agg(read_events_stream(spark, sf_medium), watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(out_dir)
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in sunk.collect()
+    }
+    cat = Catalog(sf_medium)
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in tumbling_window_agg(cat.table(spark, "events")).collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
