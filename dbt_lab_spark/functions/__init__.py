@@ -14,6 +14,8 @@ from dbt_lab_spark.functions.text import (
     quality_score,
     lang_id,
     fingerprint,
+    fingerprint64,
+    bpe_ish_token_count,
     shingles,
 )
 from dbt_lab_spark.functions.vectors import dot, l2_norm, cosine_similarity, to_double_array
@@ -24,6 +26,8 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "fingerprint64",
+    "bpe_ish_token_count",
     "shingles",
     "dot",
     "l2_norm",

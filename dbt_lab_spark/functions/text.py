@@ -116,6 +116,44 @@ def fingerprint64(text: str | Column) -> Column:
     return F.xxhash64(_c(text))
 
 
+def token_codes(text: str | Column, ) -> Column:
+    """Per-token integer code (sum of character code points) — the
+    alphabet for rolling_hashes.  Deliberately engine-portable (ascii()
+    + sum exist everywhere) so the DuckDB oracle mirrors it exactly."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""), F.lit(0).cast("long"), lambda acc, ch: acc + F.ascii(ch)
+        ),
+    )
+
+
+def rolling_hashes(
+    text: str | Column, k: int = 4, base: int = 257, mod: int = 1_000_000_007
+) -> Column:
+    """Rabin-Karp rolling fingerprints: polynomial hash of every k-token
+    window, array<bigint> of n-k+1 values (whole short text hashed when
+    n < k).  Exact 64-bit arithmetic (base*mod < 2^63), identical in any
+    engine.  The per-window Horner fold recomputes O(k) per position —
+    JVM-side and branch-free; the O(1) incremental update is an executor
+    micro-optimization that wouldn't change semantics.  Use for content-
+    defined chunking, winnowing-style fingerprint selection (e.g.
+    array_min per window range), and plagiarism-style overlap joins."""
+    codes = token_codes(text)
+    n = F.size(codes)
+
+    def horner(seq: Column) -> Column:
+        return F.aggregate(
+            seq, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % mod
+        )
+
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(horner(codes))).otherwise(
+        F.transform(idx, lambda i: horner(F.slice(codes, i + 1, k)))
+    )
+
+
 def shingles(text: str | Column, k: int = 5) -> Column:
     """Word k-shingles as an array<string> — input to MinHash/Jaccard.
     Built with transform over a token array slice; stays JVM-side."""

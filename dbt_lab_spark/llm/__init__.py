@@ -15,9 +15,16 @@ from dbt_lab_spark.llm.dedup import (
     simhash,
     simhash_dedup_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_all_pairs,
     embedding_dedup_pairs,
 )
-from dbt_lab_spark.llm.similarity import brute_force_knn, lsh_knn
+from dbt_lab_spark.llm.similarity import (
+    brute_force_knn,
+    lsh_knn,
+    ivf_centroids,
+    ivf_assign,
+    ivf_knn,
+)
 
 __all__ = [
     "exact_dedup",
@@ -28,7 +35,11 @@ __all__ = [
     "simhash",
     "simhash_dedup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_all_pairs",
     "embedding_dedup_pairs",
     "brute_force_knn",
     "lsh_knn",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_knn",
 ]

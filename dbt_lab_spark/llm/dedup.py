@@ -315,29 +315,33 @@ def ngram_jaccard_all_pairs(
     sh = _parallelize(df).select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
     )
-    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
-    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
-    a = ex.select(F.col(id_col).alias("id_a"), "__g")
-    b = ex.select(F.col(id_col).alias("id_b"), "__g")
+    # 64-bit shingle keys: the inverted-index shuffle moves longs, not
+    # ~20-byte strings (collision odds across ~1e6 distinct shingles are
+    # ~1e-8 — far below any float tolerance in play).  Set size rides
+    # along so the ratio prune needs no extra join.
+    ex = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__g"),
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__g")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__g")
+    # size-ratio prune BEFORE pair counting: J >= t implies
+    # t*max(|A|,|B|) <= min(|A|,|B|) — drops hopeless pairs pre-agg.
     shared = (
         a.join(b, on="__g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na") * threshold <= F.col("__nb"))
+            & (F.col("__nb") * threshold <= F.col("__na"))
+        )
+        .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    # sizes join: AQE broadcasts when |docs| is small, shuffles on id
-    # otherwise — don't force broadcast (sizes is corpus-cardinality).
-    out = (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = shared.withColumn(
+        "jaccard",
+        F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "jaccard")
 
 

@@ -285,6 +285,48 @@ FROM lang GROUP BY source, lang_pred
 """
 
 
+def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling fingerprints per document: window count +
+    min/max fingerprint (the winnowing selection primitives).  Exact
+    integer arithmetic — the oracle reproduces every hash bit-for-bit."""
+    from dbt_lab_spark.functions.text import rolling_hashes
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    rh = docs.select("doc_id", rolling_hashes("text", k=4).alias("rhs"))
+    return rh.select(
+        "doc_id",
+        F.size("rhs").alias("n_windows"),
+        F.array_min("rhs").alias("min_fp"),
+        F.array_max("rhs").alias("max_fp"),
+    )
+
+
+_SQL_ROLLING_FINGERPRINT = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), codes AS (
+  SELECT doc_id,
+         [COALESCE(CAST(list_sum([ascii(c) FOR c IN string_split(tok, '')]) AS BIGINT),
+                   CAST(0 AS BIGINT)) FOR tok IN t] AS cs
+  FROM toks
+), rh AS (
+  SELECT doc_id,
+         CASE WHEN len(cs) < 4
+              THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)]
+              ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+3]),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)
+                    FOR i IN generate_series(1, len(cs) - 3)]
+         END AS rhs
+  FROM codes
+)
+SELECT doc_id, CAST(len(rhs) AS INTEGER) AS n_windows,
+       list_min(rhs) AS min_fp, list_max(rhs) AS max_fp
+FROM rh
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -480,6 +522,12 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_minhash_pairs", _q_minhash_pairs, None, "minhash LSH near-dup"),
     QueryDef("q_simhash_pairs", _q_simhash_pairs, None, "simhash near-dup"),
     QueryDef("q_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD, "exact n-gram jaccard"),
+    QueryDef(
+        "q_rolling_fingerprint",
+        _q_rolling_fingerprint,
+        _SQL_ROLLING_FINGERPRINT,
+        "Rabin-Karp rolling hash",
+    ),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
     QueryDef("q_knn_ivf", _q_knn_ivf, None, "IVF approximate top-k"),
