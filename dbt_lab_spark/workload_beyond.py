@@ -167,6 +167,23 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-set: the surviving rows themselves (min doc_id
+    per content fingerprint) — the operator a pipeline actually applies
+    after q_dedup_exact's group summary."""
+    from dbt_lab_spark.llm.dedup import exact_dedup
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    return exact_dedup(docs).select("doc_id", "source")
+
+
+_SQL_DEDUP_KEEP = """
+SELECT doc_id, source FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (est_jaccard >= 0.5).
     Non-SQL-expressible (seeded xxhash banding) -> rows-only check;
@@ -519,6 +536,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_text_stats", _q_text_stats, _SQL_TEXT_STATS, "token/char stats"),
     QueryDef("q_lang_quality", _q_lang_quality, _SQL_LANG_QUALITY, "lang-id + quality score"),
     QueryDef("q_dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup groups"),
+    QueryDef("q_dedup_keep", _q_dedup_keep, _SQL_DEDUP_KEEP, "exact dedup keep-set"),
     QueryDef("q_minhash_pairs", _q_minhash_pairs, None, "minhash LSH near-dup"),
     QueryDef("q_simhash_pairs", _q_simhash_pairs, None, "simhash near-dup"),
     QueryDef("q_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD, "exact n-gram jaccard"),

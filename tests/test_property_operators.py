@@ -222,3 +222,76 @@ def test_salted_join_equals_plain_join(spark, seed):
     salted = {(r.k, r.payload, r.dim)
               for r in salted_join(big, small, key="k", salt_buckets=8).collect()}
     assert salted == plain and len(plain) > 1500
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_random_set_operations(spark, seed):
+    """Set ops vs DuckDB on two random frames with a shared schema:
+    UNION (distinct), UNION ALL, INTERSECT, EXCEPT."""
+    rng = random.Random(seed)
+    schema = [("a", "int"), ("b", "string")]
+    def frame(n):
+        rows = [tuple(_gen_value(rng, t) for _, t in schema) for _ in range(n)]
+        return rows
+    r1, r2 = frame(150), frame(150)
+    sdf1 = spark.createDataFrame(r1, "a int, b string")
+    sdf2 = spark.createDataFrame(r2, "a int, b string")
+    con = duckdb.connect()
+    con.register("t1", pd.DataFrame(r1, columns=["a", "b"]).astype({"a": "Int64"}))
+    con.register("t2", pd.DataFrame(r2, columns=["a", "b"]).astype({"a": "Int64"}))
+
+    from dbt_lab_spark.operators import except_distinct, intersect, union_all, union_distinct
+
+    cases = [
+        (union_distinct(sdf1, sdf2), "SELECT a, b FROM t1 UNION SELECT a, b FROM t2"),
+        (union_all(sdf1, sdf2), "SELECT a, b FROM t1 UNION ALL SELECT a, b FROM t2"),
+        (intersect(sdf1, sdf2), "SELECT a, b FROM t1 INTERSECT SELECT a, b FROM t2"),
+        (except_distinct(sdf1, sdf2), "SELECT a, b FROM t1 EXCEPT SELECT a, b FROM t2"),
+    ]
+    for sdf, sql in cases:
+        report = compare(sdf, con, sql)
+        assert report["ok"], (sql, report)
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_random_window_rank_and_running(spark, seed):
+    """Window functions vs DuckDB: row_number ranking and a cumulative
+    frame-spec sum over random groups."""
+    rng = random.Random(seed)
+    rows = [
+        (rng.randint(0, 5), i, rng.randint(-100, 100))
+        for i in range(300)
+    ]
+    sdf = spark.createDataFrame(rows, "g int, id long, v long")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "id", "v"]))
+
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.operators import ranked, running_agg, top_k_per_group
+
+    report = compare(
+        ranked(sdf, ["g"], ["v", "id"], [False, True], "row_number", "rn"),
+        con,
+        """SELECT g, id, v, CAST(ROW_NUMBER() OVER
+             (PARTITION BY g ORDER BY v DESC, id ASC) AS INT) AS rn FROM t""",
+    )
+    assert report["ok"], report
+
+    report = compare(
+        top_k_per_group(sdf, ["g"], ["v", "id"], 5, [False, True]),
+        con,
+        """SELECT g, id, v FROM (
+             SELECT g, id, v, ROW_NUMBER() OVER
+               (PARTITION BY g ORDER BY v DESC, id ASC) AS rn FROM t
+           ) WHERE rn <= 5""",
+    )
+    assert report["ok"], report
+
+    report = compare(
+        running_agg(sdf, ["g"], ["id"], F.sum("v"), "cum_v"),
+        con,
+        """SELECT g, id, v, SUM(v) OVER (PARTITION BY g ORDER BY id
+             ROWS UNBOUNDED PRECEDING) AS cum_v FROM t""",
+    )
+    assert report["ok"], report
