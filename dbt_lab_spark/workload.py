@@ -810,6 +810,55 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority) — all four grouping sets."""
+    from dbt_lab_spark.operators import cube
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return cube(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            AggSpec("count", "o_totalprice", "n_orders"),
+            AggSpec("sum", money("o_totalprice"), "sum_price"),
+        ],
+    )
+
+
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(o_totalprice) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column-key equi-join (the reference MergeJoin takes int[]
+    join columns, OperatorFactory.java:305-315): lineitem joined to its
+    own (orderkey, partkey) aggregate on BOTH keys."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"])
+    per = group_by(
+        li,
+        ["l_orderkey", "l_partkey"],
+        [AggSpec("count", "l_linenumber", "n_lines"), AggSpec("max", "l_quantity", "max_qty")],
+    )
+    out = join(li, per, on=["l_orderkey", "l_partkey"])
+    return out.select("l_orderkey", "l_partkey", "l_linenumber", "n_lines", "max_qty")
+
+
+_SQL_MULTIKEY_JOIN = """
+SELECT a.l_orderkey, a.l_partkey, a.l_linenumber, b.n_lines, b.max_qty
+FROM lineitem a
+JOIN (SELECT l_orderkey, l_partkey,
+             COUNT(l_linenumber) AS n_lines, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_orderkey, l_partkey) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey
+"""
+
+
 def _q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface (§2.8: the reference has only + - * /;
     the engine's scalar library is Spark's built-ins).  String, date and
@@ -948,6 +997,8 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_scalar_subquery", _q_scalar_subquery, _SQL_SCALAR_SUBQUERY, "scalar subquery"),
     QueryDef("q_arith_expr", _q_arith_expr, _SQL_ARITH_EXPR, "expression aggregates"),
     QueryDef("q_rollup", _q_rollup, _SQL_ROLLUP, "ROLLUP grouping sets"),
+    QueryDef("q_cube", _q_cube, _SQL_CUBE, "CUBE grouping sets"),
+    QueryDef("q_multikey_join", _q_multikey_join, _SQL_MULTIKEY_JOIN, "multi-column equi-join"),
     QueryDef("q_scalar_functions", _q_scalar_functions, _SQL_SCALAR_FUNCTIONS, "string/date/math"),
     QueryDef("q_moving_avg", _q_moving_avg, _SQL_MOVING_AVG, "window frame spec"),
     QueryDef("q_having_subquery", _q_having_subquery, _SQL_HAVING_SUBQUERY, "Q18 shape"),

@@ -109,6 +109,31 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (§2.8 upgrade): extract a typed field from
+    the events props JSON and aggregate it per event type."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "props"])
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -532,6 +557,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
+    QueryDef("q_json_extract", _q_json_extract, _SQL_JSON_EXTRACT, "JSON field extraction"),
     QueryDef("q_session_window", _q_session_window, _SQL_SESSION_WINDOW, "session_window op"),
     QueryDef("q_text_stats", _q_text_stats, _SQL_TEXT_STATS, "token/char stats"),
     QueryDef("q_lang_quality", _q_lang_quality, _SQL_LANG_QUALITY, "lang-id + quality score"),
