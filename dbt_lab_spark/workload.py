@@ -810,6 +810,70 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def _q_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / IN / IS NOT NULL predicates — absent from the reference
+    grammar (no tokens, parser/Token.java:20-42), declared as upgrades
+    in SURVEY.md §2.2."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders")
+    out = orders.filter(
+        F.col("o_orderpriority").like("1-%")
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").isNotNull()
+    )
+    return out.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+_SQL_LIKE_IN_NULL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderpriority LIKE '1-%'
+  AND o_orderstatus IN ('F', 'O')
+  AND o_totalprice IS NOT NULL
+"""
+
+
+def _q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the SQL entry point — Catalyst
+    decorrelates it to a semi-join (the reference handles correlation
+    with FilterCorrelated below an NLJ, OperatorFactory.java:209-217).
+    The identical string runs on both engines."""
+    from dbt_lab_spark.sql import SqlProcessor
+
+    proc = SqlProcessor(spark, Catalog(sf_dir))
+    return proc.process_query(_SQL_EXISTS_SUBQUERY)
+
+
+_SQL_EXISTS_SUBQUERY = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+"""
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / percentiles per group (§2.4 absences: the
+    reference has no percentiles).  Spark's exact percentile and
+    DuckDB's quantile_cont use the same linear interpolation."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT l_returnflag,
+       median(l_quantity) AS median_qty,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority) — all four grouping sets."""
     from dbt_lab_spark.operators import cube
@@ -998,6 +1062,9 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_arith_expr", _q_arith_expr, _SQL_ARITH_EXPR, "expression aggregates"),
     QueryDef("q_rollup", _q_rollup, _SQL_ROLLUP, "ROLLUP grouping sets"),
     QueryDef("q_cube", _q_cube, _SQL_CUBE, "CUBE grouping sets"),
+    QueryDef("q_like_in_null", _q_like_in_null, _SQL_LIKE_IN_NULL, "LIKE/IN/IS NULL"),
+    QueryDef("q_exists_subquery", _q_exists_subquery, _SQL_EXISTS_SUBQUERY, "correlated EXISTS"),
+    QueryDef("q_percentiles", _q_percentiles, _SQL_PERCENTILES, "exact median/percentiles"),
     QueryDef("q_multikey_join", _q_multikey_join, _SQL_MULTIKEY_JOIN, "multi-column equi-join"),
     QueryDef("q_scalar_functions", _q_scalar_functions, _SQL_SCALAR_FUNCTIONS, "string/date/math"),
     QueryDef("q_moving_avg", _q_moving_avg, _SQL_MOVING_AVG, "window frame spec"),

@@ -109,6 +109,39 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute window aggregate (streaming-native
+    window() run on the batch frame).  Every event lands in exactly 4
+    windows; the oracle expands them with an explicit 0..3 slide-offset
+    cross join — both engines align window starts to the epoch grid."""
+    from dbt_lab_spark.streaming.windows import sliding_window_agg
+
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["ts", "event_type", "value"])
+    ev = ev.withColumn("value", money("value"))
+    out = sliding_window_agg(ev, window="1 hour", slide="15 minutes", by="event_type")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+_SQL_SLIDING_WINDOW = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+           AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY window_start, event_type
+"""
+
+
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column functions (§2.8 upgrade): extract a typed field from
     the events props JSON and aggregate it per event type."""
@@ -557,6 +590,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
+    QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
     QueryDef("q_json_extract", _q_json_extract, _SQL_JSON_EXTRACT, "JSON field extraction"),
     QueryDef("q_session_window", _q_session_window, _SQL_SESSION_WINDOW, "session_window op"),
     QueryDef("q_text_stats", _q_text_stats, _SQL_TEXT_STATS, "token/char stats"),

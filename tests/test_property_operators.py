@@ -295,3 +295,20 @@ def test_random_window_rank_and_running(spark, seed):
              ROWS UNBOUNDED PRECEDING) AS cum_v FROM t""",
     )
     assert report["ok"], report
+
+
+def test_null_fails_all_predicates(spark):
+    """Reference NULL semantics (LowLevelPredicate.java:102-132): a NULL
+    operand fails every comparison — Spark's ternary logic agrees for
+    all six operators, which is why no shim exists in expr.py."""
+    from dbt_lab_spark.expr import compare
+
+    df = spark.createDataFrame([(None,), (5,)], "x int")
+    for op in ["=", "<>", "<", "<=", ">", ">="]:
+        got = [r.x for r in df.filter(compare("x", op, 5)).collect()]
+        assert None not in got, f"NULL passed predicate {op}"
+    # and NULL = NULL is not true either
+    df2 = spark.createDataFrame([(None, None)], "a int, b int")
+    from dbt_lab_spark.expr import column_compare
+
+    assert df2.filter(column_compare("a", "=", "b")).count() == 0
