@@ -72,27 +72,36 @@ def main() -> None:
     names = BENCH_NAMES[:5] + ["q_sort_ext"] + BENCH_NAMES[5:]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         build = builders[name]
-        materialize(build(spark, SF_DIR))  # warm-up (JIT, page cache)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(build(spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
+        try:
+            materialize(build(spark, SF_DIR))  # warm-up (JIT, page cache)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(build(spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(statistics.median(runs), 4)
         print(f"# {name}: {timings[name]:.3f}s (runs: {[round(r,3) for r in runs]})",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "bench_qs_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -75,20 +75,35 @@ def minhash_signatures(
     of seeded rehashes of the document's shingle hashes.
 
     Shape: explode shingles -> ONE string hash each -> a single
-    hash-aggregate pass computing all K minima (cheap long rehashes).
-    Partial aggregation collapses the shingle blow-up map-side, so the
-    shuffle carries |docs| x K longs regardless of document length —
-    the same scale shape as a distributed word count.  (A pure
-    array-expression variant hits Catalyst's CollapseProject duplicating
-    the shingle-hash array into all K min-expressions.)
+    hash-aggregate pass computing all K minima.  Partial aggregation
+    collapses the shingle blow-up map-side, so the shuffle carries
+    |docs| x K longs regardless of document length — the same scale
+    shape as a distributed word count.  (A pure array-expression
+    variant hits Catalyst's CollapseProject duplicating the
+    shingle-hash array into all K min-expressions.)
+
+    The K permutations are the classic universal family
+    (a_i*h + b_i) mod p over a 31-bit hash domain (p = 2^31-1, seeded
+    constants < p): products stay below 2^62, so the arithmetic is
+    exact under ANSI mode, and a mul+add+mod per element costs a
+    fraction of a per-element hash call.  31-bit minhash values lose
+    nothing here — ties across K independent permutations are what
+    matters, and P(tie per perm) is ~2^-31 per shingle pair.
     """
+    import random as _random
+
+    p31 = (1 << 31) - 1
+    rng = _random.Random(0xD5B7)
+    consts = [
+        (rng.randrange(1, p31), rng.randrange(p31)) for _ in range(num_hashes)
+    ]
     exploded = _parallelize(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(p31)).alias("__h"))
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(p31)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(consts)
         ]
     )
     return mins.select(
@@ -101,6 +116,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banding: hash each band of the signature to a
     bucket, self-join on (band, bucket).  Output: (id_a, id_b) with
@@ -108,6 +124,16 @@ def minhash_lsh_candidates(
 
     Scale shape: explode to B rows/doc, shuffle on the band bucket
     (short, well-distributed keys), join within buckets only.
+
+    `max_bucket_size` is the hot-bucket guard for corpus scale: a
+    degenerate bucket of B docs (boilerplate, empty docs) emits B²
+    pairs and one straggler task.  Buckets above the cap are dropped
+    BEFORE the self-join (one extra count aggregation on the same
+    shuffle key).  Recall note: members of a dropped bucket usually
+    still collide in another of the B bands; true near-dup pairs lost
+    this way are pairs agreeing ONLY in mega-buckets — at that bucket
+    size they are boilerplate, which is exactly what you de-prioritize
+    at 100 TB.  Default None preserves exact LSH semantics.
     """
     bands = signatures.select(
         F.col(id_col),
@@ -126,6 +152,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        bands = bands.join(
+            sizes.filter(F.col("__bsz") <= max_bucket_size).select("band", "bucket"),
+            on=["band", "bucket"],
+        )
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = left.join(right, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))

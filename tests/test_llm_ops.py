@@ -218,3 +218,22 @@ def test_ivf_probe_all_matches_brute_force(spark, planted_vectors):
         for r in ivf_knn(corpus, queries, cents, k=5, nprobe=4).collect()
     }
     assert ivf == exact
+
+
+def test_minhash_bucket_cap_is_subset_and_keeps_planted(spark, planted_docs):
+    """The hot-bucket guard only removes pairs (subset of uncapped) and,
+    at a sane cap, keeps the planted near-dups (their buckets are tiny)."""
+    sigs = minhash_signatures(planted_docs, num_hashes=64, shingle_k=3)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, num_bands=16, rows_per_band=4).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            sigs, num_bands=16, rows_per_band=4, max_bucket_size=10
+        ).collect()
+    }
+    assert capped <= uncapped
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= capped
