@@ -11,6 +11,8 @@ ngram | lsh_bucket), never a cross join.
   SimHash        64-bit weighted-projection hash, hamming<=T via band join
   n-gram Jaccard exact Jaccard on shingle sets for candidate pairs
   embedding      cosine near-dup via random-hyperplane LSH buckets
+  clusters       connected components over pairs (iterative min-label
+                 propagation) + dedup_apply (keep one per cluster)
 
 Everything is seeded/deterministic (xxhash64 with fixed salts).
 """
@@ -454,3 +456,79 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs.select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components + apply
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs by min-label propagation
+    — turns pairwise matches into dedup clusters (a near-dup of a
+    near-dup is the same document family even if the pair itself was
+    never emitted).
+
+    Iterative DataFrame algorithm (the engine's iterative-computation
+    surface): each round every vertex takes the min label among itself
+    and its neighbors; converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow, so typically 2-4.  Per round: one shuffle on
+    vertex id; lineage is truncated with localCheckpoint so plans don't
+    grow; convergence is checked with a count() action.  Returns
+    (id, component) where component = min id in the component.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+                (F.col("__nmin") < F.col("component")).alias("__changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_apply(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Apply near-dup pairs to a corpus: keep one representative (min
+    id) per duplicate cluster, pass rows with no duplicates through
+    untouched.  The end-to-end dedup step a training pipeline runs after
+    MinHash/SimHash candidate + verify stages."""
+    comps = connected_components(pairs, id_a, id_b)
+    drop = comps.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

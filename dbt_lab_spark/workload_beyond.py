@@ -242,6 +242,21 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
 """
 
 
+def _q_minhash_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH pairs → connected
+    components (iterative min-label propagation) → keep one doc per
+    duplicate cluster; surviving count per source.  Iterative → no SQL
+    oracle (rows-only); the CC algorithm is pin-tested against a python
+    union-find in tests/test_llm_ops.py."""
+    from dbt_lab_spark.llm.dedup import dedup_apply
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    pairs = minhash_dedup_pairs(docs, num_hashes=64, shingle_k=3, num_bands=16, threshold=0.5)
+    kept = dedup_apply(docs, pairs)
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (est_jaccard >= 0.5).
     Non-SQL-expressible (seeded xxhash banding) -> rows-only check;
@@ -598,6 +613,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup groups"),
     QueryDef("q_dedup_keep", _q_dedup_keep, _SQL_DEDUP_KEEP, "exact dedup keep-set"),
     QueryDef("q_minhash_pairs", _q_minhash_pairs, None, "minhash LSH near-dup"),
+    QueryDef("q_minhash_dedup_apply", _q_minhash_dedup_apply, None, "CC cluster dedup"),
     QueryDef("q_simhash_pairs", _q_simhash_pairs, None, "simhash near-dup"),
     QueryDef("q_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD, "exact n-gram jaccard"),
     QueryDef(

@@ -237,3 +237,54 @@ def test_minhash_bucket_cap_is_subset_and_keeps_planted(spark, planted_docs):
     assert capped <= uncapped
     planted = {(i, 100 + i) for i in range(20)}
     assert planted <= capped
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC label propagation vs a python union-find on a graph with
+    chains (transitive dups), a star, and isolated pairs."""
+    from dbt_lab_spark.llm.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> one component {1,2,3,4}
+        (10, 11), (10, 12), (10, 13),    # star
+        (20, 21),                        # pair
+        (30, 31), (31, 32), (30, 32),    # triangle
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_dedup_apply_keeps_one_per_cluster(spark, planted_docs):
+    """End-to-end: minhash pairs -> CC -> apply keeps exactly one doc
+    per planted near-dup pair and every unpaired doc."""
+    from dbt_lab_spark.llm.dedup import dedup_apply
+
+    pairs = minhash_dedup_pairs(
+        planted_docs, num_hashes=64, shingle_k=3, num_bands=16, threshold=0.5
+    )
+    kept = {r.doc_id for r in dedup_apply(planted_docs, pairs).collect()}
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    paired_ids = {x for ab in pair_rows for x in ab}
+    # every unpaired doc survives
+    all_ids = {r.doc_id for r in planted_docs.collect()}
+    assert (all_ids - paired_ids) <= kept
+    # planted originals survive, their copies don't (min-id representative)
+    for i in range(20):
+        if (i, 100 + i) in pair_rows:
+            assert i in kept and (100 + i) not in kept
