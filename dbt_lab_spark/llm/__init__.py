@@ -17,6 +17,8 @@ from dbt_lab_spark.llm.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_all_pairs,
     embedding_dedup_pairs,
+    connected_components,
+    dedup_apply,
 )
 from dbt_lab_spark.llm.similarity import (
     brute_force_knn,
@@ -37,6 +39,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_all_pairs",
     "embedding_dedup_pairs",
+    "connected_components",
+    "dedup_apply",
     "brute_force_knn",
     "lsh_knn",
     "ivf_centroids",

@@ -1,7 +1,9 @@
 """SparkSession factory.
 
-Defaults are chosen for correctness-vs-oracle first (UTC timestamps,
-ANSI off to match the reference's permissive arithmetic) and for scale
+Defaults are chosen for correctness-vs-oracle first (UTC timestamps;
+ANSI mode stays at Spark 4's default ON — the driver's gate runs a
+vanilla session, so the engine's expressions are written to be exact
+under ANSI, e.g. bounded-range minhash arithmetic) and for scale
 second (AQE on, skew-join handling on, sensible shuffle parallelism).
 
 On a real cluster the same builder works unchanged: master/memory come

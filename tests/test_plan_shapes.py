@@ -101,3 +101,20 @@ def test_semi_anti_join_shapes(spark, sf_medium):
     for name, frag in [("q_semi_join", "LeftSemi"), ("q_anti_join", "LeftAnti")]:
         plan = _plan(spark, sf_medium, name)
         assert frag in plan, f"{name}: {frag} missing\n{plan}"
+
+
+def test_tpch_q5_broadcasts_dims_shuffles_fact(spark, sf_medium):
+    """Q5 shape: the four dimension joins broadcast; only the
+    orders⋈lineitem fact join may shuffle rows."""
+    plan = _plan(spark, sf_medium, "q_tpch_q5")
+    assert _nodes(plan, "BroadcastHashJoin") >= 4, plan
+    fact_joins = _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin")
+    assert fact_joins <= 1, plan
+
+
+def test_ngram_jaccard_never_cartesian(spark, sf_medium):
+    """The exact all-pairs jaccard must stay a bucketed equi-join —
+    no cartesian/BNLJ anywhere in the plan."""
+    plan = _plan(spark, sf_medium, "q_ngram_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
