@@ -42,6 +42,8 @@ BENCH_NAMES = [
     "q_tpch_q10",
     "q_window_rank",
     "q_sessionize",
+    "q_asof_join",
+    "q_range_join",
     "q_session_window",
     "q_lang_quality",
     "q_minhash_pairs",

@@ -19,6 +19,8 @@ from dbt_lab_spark.operators.joins import (
     merge_join_hint,
     broadcast_join,
     salted_join,
+    asof_join,
+    range_join,
 )
 from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup, cube, AggSpec
 from dbt_lab_spark.operators.sort import sort, limit, top_k
@@ -29,6 +31,7 @@ from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_key
 __all__ = [
     "scan", "index_scan",
     "join", "cross_join", "theta_join", "merge_join_hint", "broadcast_join", "salted_join",
+    "asof_join", "range_join",
     "group_by", "grand_aggregate", "rollup", "cube", "AggSpec",
     "sort", "limit", "top_k",
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",

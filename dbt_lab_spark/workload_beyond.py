@@ -602,12 +602,96 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# time-series joins: as-of + banded range (capability upgrades, no
+# reference counterpart — SURVEY.md §2.3 lists equi/θ joins only)
+# ---------------------------------------------------------------------------
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event picks up the most recent
+    purchase at-or-before it by the same user.  Single shuffle on
+    user_id (union + ordered carry-forward), no range-join explosion —
+    the plan a native as-of operator would choose at 100 TB.  The right
+    side is pre-aggregated to unique (user_id, ts) so the matched value
+    is deterministic on both engines."""
+    from dbt_lab_spark.operators.joins import asof_join
+
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max(money("value")).cast("double").alias("last_purchase_value"))
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", "p_ts", direction="backward")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_ts").alias("last_purchase_ts"),
+        "last_purchase_value",
+    )
+
+
+_SQL_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts,
+         CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.p_ts AS last_purchase_ts,
+       p.last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: purchases within 1 hour AFTER each click
+    by the same user, aggregated per click.  The band becomes an
+    equi-join on (user_id, time-bin) with 2× left fan-out — no
+    BNLJ/cartesian (asserted by plan-shape test), so the plan survives
+    a 100× scale-up where a non-equi join would be quadratic per key."""
+    from dbt_lab_spark.operators.joins import range_join
+
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = range_join(clicks, purchases, "user_id", "ts", "p_ts", 0, 3_600_000)
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_purchases_1h"),
+        F.sum(money("value")).cast("double").alias("sum_value_1h"),
+    )
+
+
+_SQL_RANGE_JOIN = """
+SELECT c.event_id, c.user_id,
+       COUNT(*) AS n_purchases_1h,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND epoch_ms(p.ts) - epoch_ms(c.ts) BETWEEN 0 AND 3600000
+GROUP BY 1, 2
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
     QueryDef("q_json_extract", _q_json_extract, _SQL_JSON_EXTRACT, "JSON field extraction"),
     QueryDef("q_session_window", _q_session_window, _SQL_SESSION_WINDOW, "session_window op"),
+    QueryDef("q_asof_join", _q_asof_join, _SQL_ASOF_JOIN, "backward as-of join"),
+    QueryDef("q_range_join", _q_range_join, _SQL_RANGE_JOIN, "banded interval join"),
     QueryDef("q_text_stats", _q_text_stats, _SQL_TEXT_STATS, "token/char stats"),
     QueryDef("q_lang_quality", _q_lang_quality, _SQL_LANG_QUALITY, "lang-id + quality score"),
     QueryDef("q_dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup groups"),
