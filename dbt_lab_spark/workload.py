@@ -810,6 +810,205 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with at least one late-shipped lineitem (shipped >30 days after the
+    order date; the test schema has no commit/receipt dates).  The
+    EXISTS decorrelates to a left-semi hash join on l_orderkey with the
+    date comparison as a residual condition — one shuffle, no
+    per-order probe."""
+    cat = Catalog(sf_dir)
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        predicates=[
+            compare("o_orderdate", ">=", F.lit("1997-01-01").cast("timestamp")),
+            compare("o_orderdate", "<", F.lit("1997-04-01").cast("timestamp")),
+        ],
+    )
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_shipdate"])
+    late = orders.join(
+        li,
+        on=(orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts, keyed on
+    l_linestatus — the schema has no shipmode): conditional CASE-WHEN
+    aggregation over a large-large join; the year filter reaches the
+    lineitem scan."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderpriority"])
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_linestatus"],
+        predicates=[
+            compare("l_shipdate", ">=", F.lit("1997-01-01").cast("timestamp")),
+            compare("l_shipdate", "<", F.lit("1998-01-01").cast("timestamp")),
+        ],
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO parts.  part broadcasts; sums stay DECIMAL until the
+    final double division so the ratio is bit-identical across
+    engines."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_type"])
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"],
+        predicates=[
+            compare("l_shipdate", ">=", F.lit("1997-09-01").cast("timestamp")),
+            compare("l_shipdate", "<", F.lit("1997-10-01").cast("timestamp")),
+        ],
+    )
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    joined = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    zero = F.lit(0).cast("decimal(38,4)")  # rev's type under Spark's decimal rules
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total").cast("double")).alias(
+            "promo_revenue"
+        )
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    brand's ECONOMY parts whose quantity is below 20% of that part's
+    average.  The correlated AVG decorrelates to a per-part window
+    average after a broadcast join of the filtered part list — one
+    shuffle on l_partkey.  l_quantity is integral, so the average is
+    an exact double and the < comparison is order-independent."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(sf_dir)
+    part = scan(
+        spark,
+        cat,
+        "part",
+        ["p_partkey"],
+        predicates=[
+            compare("p_brand", "=", F.lit("Brand#2")),
+            compare("p_type", "=", F.lit("ECONOMY")),
+        ],
+    )
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    per_part = Window.partitionBy("l_partkey")
+    small = joined.withColumn("__avg_qty", F.avg("l_quantity").over(per_part)).filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg_qty")
+    )
+    return small.agg(
+        (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+_SQL_TPCH_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunction of three
+    brand/size/quantity conjunct groups over lineitem ⋈ part.  The OR
+    stays a single residual predicate on one broadcast hash join —
+    Catalyst pushes the per-side conjuncts it can derive; no plan
+    split into three unions."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_brand", "p_size"])
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    matched = joined.filter(
+        branch("Brand#1", 1, 10, 1, 20)
+        | branch("Brand#2", 5, 20, 10, 30)
+        | branch("Brand#3", 10, 40, 20, 40)
+    )
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    return matched.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+_SQL_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def _q_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE / IN / IS NOT NULL predicates — absent from the reference
     grammar (no tokens, parser/Token.java:20-42), declared as upgrades
@@ -1075,6 +1274,11 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_tpch_q5", _q_tpch_q5, _SQL_TPCH_Q5, "TPC-H Q5 shape"),
     QueryDef("q_tpch_q6", _q_tpch_q6, _SQL_TPCH_Q6, "TPC-H Q6"),
     QueryDef("q_tpch_q10", _q_tpch_q10, _SQL_TPCH_Q10, "TPC-H Q10 shape"),
+    QueryDef("q_tpch_q4", _q_tpch_q4, _SQL_TPCH_Q4, "TPC-H Q4 shape (EXISTS semi-join)"),
+    QueryDef("q_tpch_q12", _q_tpch_q12, _SQL_TPCH_Q12, "TPC-H Q12 shape (CASE-WHEN agg)"),
+    QueryDef("q_tpch_q14", _q_tpch_q14, _SQL_TPCH_Q14, "TPC-H Q14 (promo ratio)"),
+    QueryDef("q_tpch_q17", _q_tpch_q17, _SQL_TPCH_Q17, "TPC-H Q17 shape (correlated AVG)"),
+    QueryDef("q_tpch_q19", _q_tpch_q19, _SQL_TPCH_Q19, "TPC-H Q19 shape (OR-of-conjuncts)"),
 ]
 
 
