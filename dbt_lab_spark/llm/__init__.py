@@ -20,6 +20,13 @@ from dbt_lab_spark.llm.dedup import (
     connected_components,
     dedup_apply,
 )
+from dbt_lab_spark.llm.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_threshold,
+    stratified_hash_sample,
+    train_test_split,
+)
 from dbt_lab_spark.llm.similarity import (
     brute_force_knn,
     lsh_knn,
@@ -41,6 +48,11 @@ __all__ = [
     "embedding_dedup_pairs",
     "connected_components",
     "dedup_apply",
+    "hash_bucket",
+    "hash_sample",
+    "hash_threshold",
+    "stratified_hash_sample",
+    "train_test_split",
     "brute_force_knn",
     "lsh_knn",
     "ivf_centroids",

@@ -1,0 +1,91 @@
+"""Deterministic sampling for training-data pipelines.
+
+No reference counterpart (rimarin/dbt-lab has no sampling operators —
+SURVEY.md §2); this fills the training-pipeline gap the same way the
+dedup/similarity modules do.
+
+All sampling here is CONTENT-DETERMINISTIC, not RNG-based: a row's
+membership depends only on md5(key || salt), so
+  - the sample is reproducible across runs, engines, partitionings and
+    cluster sizes (Spark's `df.sample` is none of these — it is seeded
+    per-partition, so a repartition changes the sample);
+  - adding data never flips membership of existing rows (stable
+    incremental pipelines at 100 TB);
+  - independent draws come from different salts.
+
+Everything is built-in JVM expressions (md5 / substring / string
+compare) — no UDFs, no shuffle: sampling is a pure narrow filter that
+Catalyst pushes to the scan, so at any scale it costs one pass.
+
+The hex-threshold trick: the first 15 hex chars of md5 are uniform in
+[0, 16^15); for equal-length lowercase hex strings, lexicographic
+comparison == numeric comparison, so `prefix < hex(p * 16^15)` keeps
+a p-fraction — and the same literal works verbatim in any SQL engine
+with md5() (the DuckDB oracles use it term-for-term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 15  # 60 bits: exact in a long, far below FP issues
+_SPACE = 16**_PREFIX_LEN
+
+
+def hash_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P(md5-prefix < t) == fraction.
+    'g' sorts above every hex digit (fraction 1.0); '0'*15 admits
+    nothing (fraction 0.0)."""
+    if fraction <= 0.0:
+        return "0" * _PREFIX_LEN
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _SPACE), f"0{_PREFIX_LEN}x")
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """The 15-hex-char md5 prefix of (key || salt) — the uniform draw
+    every operator below compares against."""
+    key = F.col(key) if isinstance(key, str) else key
+    tagged = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+    return F.substring(F.md5(F.encode(tagged, "UTF-8")), 1, _PREFIX_LEN)
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic `fraction` of rows by key hash."""
+    return df.filter(hash_bucket(key, salt) < F.lit(hash_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    stratum: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones).  The per-stratum threshold is a
+    literal CASE — still a narrow pushed-down filter, no shuffle."""
+    stratum = F.col(stratum) if isinstance(stratum, str) else stratum
+    thresh: Column = F.lit(hash_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(stratum == value, F.lit(hash_threshold(frac))).otherwise(thresh)
+    return df.filter(hash_bucket(key, salt) < thresh)
+
+
+def train_test_split(
+    df: DataFrame,
+    key: Column | str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test assignment: rows whose draw falls below
+    `test_fraction` are 'test', the rest 'train'.  Stable under data
+    growth — a document keeps its split forever."""
+    is_test = hash_bucket(key, salt) < F.lit(hash_threshold(test_fraction))
+    return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))

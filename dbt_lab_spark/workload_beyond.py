@@ -684,6 +684,74 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling (training-pipeline ops; llm/sampling.py)
+# ---------------------------------------------------------------------------
+
+from dbt_lab_spark.llm.sampling import (  # noqa: E402
+    hash_sample,
+    hash_threshold,
+    stratified_hash_sample,
+    train_test_split,
+)
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of documents by doc_id hash — pure
+    narrow filter, membership independent of partitioning/engine (the
+    oracle applies the identical md5 threshold)."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(docs, "doc_id", 0.10)
+
+
+_SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '{hash_threshold(0.10)}'
+"""
+
+
+_STRATA = {"en": 0.1, "zh": 0.5, "es": 1.0}
+_STRATA_DEFAULT = 0.25
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (downsample dominant 'en',
+    keep all 'es'), aggregated to per-language counts."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "lang"])
+    out = stratified_hash_sample(docs, "doc_id", "lang", _STRATA, _STRATA_DEFAULT)
+    return out.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, COUNT(*) AS n_sampled FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+      CASE lang WHEN 'en' THEN '{hash_threshold(0.1)}'
+                WHEN 'zh' THEN '{hash_threshold(0.5)}'
+                WHEN 'es' THEN '{hash_threshold(1.0)}'
+                ELSE '{hash_threshold(_STRATA_DEFAULT)}' END
+GROUP BY lang
+"""
+
+
+def _q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test assignment by salted doc_id hash
+    — stable under data growth, reproducible across engines."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "lang"])
+    return train_test_split(docs, "doc_id", test_fraction=0.1).select("doc_id", "lang", "split")
+
+
+_SQL_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15)
+                 < '{hash_threshold(0.1)}'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -714,6 +782,16 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "q_embedding_neardup_lsh", _q_embedding_neardup_lsh, None, "LSH cosine pairs"
+    ),
+    QueryDef("q_hash_sample", _q_hash_sample, _SQL_HASH_SAMPLE, "deterministic 10% sample"),
+    QueryDef(
+        "q_stratified_sample",
+        _q_stratified_sample,
+        _SQL_STRATIFIED_SAMPLE,
+        "per-language deterministic sample",
+    ),
+    QueryDef(
+        "q_train_test_split", _q_train_test_split, _SQL_TRAIN_TEST_SPLIT, "90/10 split by hash"
     ),
     QueryDef("q_multimodal_features", _q_multimodal_features, None, "mapInPandas features"),
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),

@@ -1,0 +1,84 @@
+"""Deterministic hash sampling — the properties the training pipeline
+relies on: reproducibility under repartitioning (where df.sample
+fails), salt independence, stratified rates, stable splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.llm.sampling import (
+    hash_sample,
+    hash_threshold,
+    stratified_hash_sample,
+    train_test_split,
+)
+
+
+def _ids(df):
+    return {r["id"] for r in df.select("id").collect()}
+
+
+def test_fraction_accuracy_and_determinism(spark):
+    base = spark.range(20_000)
+    s1 = _ids(hash_sample(base, "id", 0.1))
+    assert 0.08 * 20_000 < len(s1) < 0.12 * 20_000
+    # identical under a different partitioning — df.sample would differ
+    s2 = _ids(hash_sample(base.repartition(13), "id", 0.1))
+    assert s1 == s2
+
+
+def test_membership_is_nested_across_fractions(spark):
+    """A row sampled at 5% is also sampled at 10% — thresholds nest, so
+    growing a sample never discards previously selected rows."""
+    base = spark.range(10_000)
+    assert _ids(hash_sample(base, "id", 0.05)) <= _ids(hash_sample(base, "id", 0.10))
+
+
+def test_salts_give_independent_draws(spark):
+    base = spark.range(20_000)
+    a = _ids(hash_sample(base, "id", 0.1, salt="a"))
+    b = _ids(hash_sample(base, "id", 0.1, salt="b"))
+    overlap = len(a & b) / 20_000
+    assert 0.002 < overlap < 0.03  # ~1% expected for independent 10% draws
+    assert a != b
+
+
+def test_stratified_rates_and_full_stratum(spark):
+    df = spark.range(30_000).withColumn(
+        "grp", F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")), (F.col("id") % 3 + 1).cast("int"))
+    )
+    out = stratified_hash_sample(df, "id", "grp", {"a": 0.1, "b": 1.0}, default_fraction=0.0)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("b") == 10_000  # fraction 1.0 keeps every row
+    assert "c" not in counts  # default 0.0 drops the stratum
+    assert 800 < counts.get("a", 0) < 1_200
+
+
+def test_train_test_split_partitions_exactly(spark):
+    base = spark.range(10_000)
+    out = train_test_split(base, "id", test_fraction=0.2)
+    n = out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    by = {r["split"]: r["n"] for r in n}
+    assert by["test"] + by["train"] == 10_000
+    assert 0.17 * 10_000 < by["test"] < 0.23 * 10_000
+    # stability: membership unchanged when new rows arrive
+    grown = train_test_split(spark.range(20_000), "id", test_fraction=0.2)
+    old = {r["id"]: r["split"] for r in out.collect()}
+    new = {r["id"]: r["split"] for r in grown.filter(F.col("id") < 10_000).collect()}
+    assert old == new
+
+
+def test_threshold_edges():
+    assert hash_threshold(0.0) == "0" * 15
+    assert hash_threshold(1.0) == "g"
+    assert hash_threshold(0.5) == "8" + "0" * 14
+
+
+def test_sampling_is_narrow_no_shuffle(spark):
+    plan = (
+        hash_sample(spark.range(1000), "id", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
