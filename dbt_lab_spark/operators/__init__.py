@@ -22,7 +22,7 @@ from dbt_lab_spark.operators.joins import (
     asof_join,
     range_join,
 )
-from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup, cube, AggSpec
+from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup, cube, pivot, unpivot, AggSpec
 from dbt_lab_spark.operators.sort import sort, limit, top_k
 from dbt_lab_spark.operators.setops import union_all, union_distinct, intersect, except_all, except_distinct
 from dbt_lab_spark.operators.window import ranked, top_k_per_group, windowed_agg, running_agg
@@ -32,7 +32,7 @@ __all__ = [
     "scan", "index_scan",
     "join", "cross_join", "theta_join", "merge_join_hint", "broadcast_join", "salted_join",
     "asof_join", "range_join",
-    "group_by", "grand_aggregate", "rollup", "cube", "AggSpec",
+    "group_by", "grand_aggregate", "rollup", "cube", "pivot", "unpivot", "AggSpec",
     "sort", "limit", "top_k",
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",
     "ranked", "top_k_per_group", "windowed_agg", "running_agg",

@@ -111,3 +111,37 @@ def cube(df: DataFrame, group_columns: Sequence[str], aggs: Sequence[AggSpec]) -
     """CUBE — beyond-reference upgrade."""
     _check_arithmetic(df, aggs)
     return df.cube(*group_columns).agg(*[s.to_column() for s in aggs])
+
+
+def pivot(
+    df: DataFrame,
+    group_columns: Sequence[str],
+    pivot_column: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """PIVOT — beyond-reference upgrade (no grouping sets or pivots in
+    the reference, SURVEY.md §2.4).  `pivot_values` is REQUIRED: an
+    explicit value list keeps the output schema static so Catalyst
+    skips the extra distinct-values job a dynamic pivot needs — at
+    100 TB that job is a full shuffle you don't want for a fixed
+    reporting dimension."""
+    return df.groupBy(*group_columns).pivot(pivot_column, list(pivot_values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame,
+    id_columns: Sequence[str],
+    value_columns: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """UNPIVOT / melt — wide→long via the native unpivot (no UDF, no
+    shuffle: a narrow 1→N row expansion).  Value columns must share a
+    common type; cast beforehand."""
+    return df.unpivot(
+        [F.col(c) for c in id_columns],
+        [F.col(c) for c in value_columns],
+        var_name,
+        value_name,
+    )

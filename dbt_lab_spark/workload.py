@@ -1009,6 +1009,55 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 """
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by status × priority, priorities as columns.
+    The explicit value list keeps the schema static (no distinct-values
+    pre-job).  Empty cells coalesce to 0 to match the CASE-WHEN
+    oracle."""
+    from dbt_lab_spark.operators import pivot
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderstatus", "o_orderpriority"])
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = pivot(orders, ["o_orderstatus"], "o_orderpriority", prios, F.count(F.lit(1)))
+    aliases = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in zip(prios, aliases)],
+    )
+
+
+_SQL_PIVOT = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_notspec,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: part metrics wide→long — narrow 1→N expansion,
+    no shuffle."""
+    from dbt_lab_spark.operators import unpivot
+
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_size", "p_retailprice"]).withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    return unpivot(part, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+_SQL_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+"""
+
+
 def _q_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE / IN / IS NOT NULL predicates — absent from the reference
     grammar (no tokens, parser/Token.java:20-42), declared as upgrades
@@ -1279,6 +1328,8 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_tpch_q14", _q_tpch_q14, _SQL_TPCH_Q14, "TPC-H Q14 (promo ratio)"),
     QueryDef("q_tpch_q17", _q_tpch_q17, _SQL_TPCH_Q17, "TPC-H Q17 shape (correlated AVG)"),
     QueryDef("q_tpch_q19", _q_tpch_q19, _SQL_TPCH_Q19, "TPC-H Q19 shape (OR-of-conjuncts)"),
+    QueryDef("q_pivot", _q_pivot, _SQL_PIVOT, "PIVOT status x priority"),
+    QueryDef("q_unpivot", _q_unpivot, _SQL_UNPIVOT, "UNPIVOT/melt part metrics"),
 ]
 
 

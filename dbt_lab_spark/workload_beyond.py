@@ -752,6 +752,46 @@ FROM documents
 """
 
 
+def _q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens across the corpus: explode(split()) — the lateral/
+    UDTF shape (reference has no table functions).  The explode is a
+    narrow op; one shuffle for the count, TakeOrderedAndProject for the
+    top-k.  Ties broken by token text for determinism."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["text"])
+    tokens = docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+    return (
+        tokens.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_SQL_WORD_COUNT = r"""
+SELECT token, COUNT(*) AS n
+FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS u(token)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++).  The
+    sketch is mergeable, so partial aggregation works map-side and the
+    shuffle carries fixed-size sketches, not values — THE way to count
+    distincts at 100 TB.  Estimates are engine-specific → no SQL
+    oracle; the pin test bounds the error vs exact NDV at 10%."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "user_id"])
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    )
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -783,6 +823,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_embedding_neardup_lsh", _q_embedding_neardup_lsh, None, "LSH cosine pairs"
     ),
+    QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
+    QueryDef("q_approx_ndv", _q_approx_ndv, None, "HLL approx distinct users"),
     QueryDef("q_hash_sample", _q_hash_sample, _SQL_HASH_SAMPLE, "deterministic 10% sample"),
     QueryDef(
         "q_stratified_sample",
