@@ -4,8 +4,12 @@ from dbt_lab_spark.streaming.windows import (
     session_window_agg,
     read_events_stream,
     run_stream_to_memory,
+    streaming_dedup,
 )
-from dbt_lab_spark.streaming.stateful import stateful_sessionize
+from dbt_lab_spark.streaming.stateful import (
+    stateful_sessionize,
+    stateful_sessionize_event_time,
+)
 
 __all__ = [
     "tumbling_window_agg",
@@ -13,5 +17,7 @@ __all__ = [
     "session_window_agg",
     "read_events_stream",
     "run_stream_to_memory",
+    "streaming_dedup",
     "stateful_sessionize",
+    "stateful_sessionize_event_time",
 ]

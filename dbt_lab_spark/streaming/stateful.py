@@ -14,10 +14,9 @@ exercise arbitrary-state plumbing (session_window can't express e.g.
 
 Scale posture: state is keyed by user_id — the shuffle key — and
 bounded by one open session per user; Arrow batches carry each group's
-events.  In production add an event-time timeout so idle users' last
-sessions close when the watermark passes (timeout handling is a no-op
-on the bounded test inputs, where the final session stays open by
-design).
+events.  `stateful_sessionize_event_time` adds the production-shape
+event-time timeout: idle users' open sessions close when the watermark
+passes last_ts + gap, keeping state bounded by ACTIVE users.
 """
 
 from __future__ import annotations
@@ -40,9 +39,30 @@ def _to_micros(ts: pd.Timestamp) -> int:
     return int(ts.value // 1_000)  # pandas stores nanos
 
 
-def _sessionizer(gap_ms: int):
+def _parse_gap_ms(gap: str) -> int:
+    unit_ms = {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}
+    qty, unit = gap.split()
+    return int(qty) * unit_ms[unit]
+
+
+def _sessionizer(gap_ms: int, event_time_timeout: bool = False):
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if event_time_timeout and state.hasTimedOut:
+            # watermark passed start+gap of the open session: close it
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(last, unit="us")],
+                        "n_events": [n],
+                        "sum_value": [total],
+                    }
+                )
+            return
         events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         if state.exists:
             start, last, n, total = state.get
@@ -61,6 +81,9 @@ def _sessionizer(gap_ms: int):
             else:
                 last, n, total = t, n + 1, total + v
         state.update((start, last, n, total))
+        if event_time_timeout and last is not None:
+            # close the open session once the watermark passes last+gap
+            state.setTimeoutTimestamp((last // 1_000) + gap_ms)
         if closed:
             yield pd.DataFrame(
                 {
@@ -85,13 +108,44 @@ def stateful_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    unit_ms = {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}
-    qty, unit = gap.split()
-    gap_ms = int(qty) * unit_ms[unit]
+    gap_ms = _parse_gap_ms(gap)
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionizer(gap_ms),
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_sessionize_event_time(
+    events: DataFrame, gap: str = "30 minutes", watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """`stateful_sessionize` plus an EVENT-TIME TIMEOUT: when the
+    watermark passes (last event + gap), the open session is closed and
+    emitted from the timeout callback — so idle users' final sessions
+    drain instead of sitting in state forever.  This is the
+    production-shape variant: state size stays bounded by ACTIVE users,
+    not all users ever seen (the difference between a capped and an
+    ever-growing state store on an unbounded stream).
+
+    Streaming-only (timeouts need a watermark; batch inputs should use
+    the session_window/lag-cumsum paths).  On a bounded input every
+    session whose (last_ts + gap) precedes the final watermark
+    (max_ts - delay) is emitted; only sessions still inside that
+    horizon stay open — the property the test pins.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _parse_gap_ms(gap)
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionizer(gap_ms, event_time_timeout=True),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -1058,6 +1058,53 @@ SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
 """
 
 
+def _q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates beyond the reference's five (SURVEY.md
+    §2.4): correlation, covariance, stddev/variance — all single-pass
+    mergeable co-moment aggregates (partial+final, no extra shuffle)."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    return li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        F.stddev_samp("l_extendedprice").alias("stddev_price"),
+        F.var_samp("l_discount").alias("var_discount"),
+    )
+
+
+_SQL_STATS_AGG = """
+SELECT corr(l_quantity, l_extendedprice) AS corr_qty_price,
+       covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+       stddev_samp(l_extendedprice) AS stddev_price,
+       var_samp(l_discount) AS var_discount
+FROM lineitem
+"""
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 20 fixed bins over a
+    literal [0, 500000) range.  Bucketing is a narrow projected
+    expression; one partial+final count — the scan-once histogram
+    shape.  Identical IEEE double arithmetic on both engines keeps bin
+    edges exact."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_totalprice"])
+    width = 500_000.0 / 20
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(width)), F.lit(19)).cast("int")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_SQL_HISTOGRAM = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS INTEGER) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 def _q_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE / IN / IS NOT NULL predicates — absent from the reference
     grammar (no tokens, parser/Token.java:20-42), declared as upgrades
@@ -1329,6 +1376,8 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_tpch_q17", _q_tpch_q17, _SQL_TPCH_Q17, "TPC-H Q17 shape (correlated AVG)"),
     QueryDef("q_tpch_q19", _q_tpch_q19, _SQL_TPCH_Q19, "TPC-H Q19 shape (OR-of-conjuncts)"),
     QueryDef("q_pivot", _q_pivot, _SQL_PIVOT, "PIVOT status x priority"),
+    QueryDef("q_stats_agg", _q_stats_agg, _SQL_STATS_AGG, "corr/covar/stddev/var"),
+    QueryDef("q_histogram", _q_histogram, _SQL_HISTOGRAM, "equi-width histogram"),
     QueryDef("q_unpivot", _q_unpivot, _SQL_UNPIVOT, "UNPIVOT/melt part metrics"),
 ]
 

@@ -792,6 +792,43 @@ def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: part-name pairs within edit distance 3,
+    blocked on the name's noun token so the candidate join is an
+    EQUI-join (no cartesian; at scale add more blocking keys — e.g.
+    length band or first-char — to shrink blocks further).  Exact
+    levenshtein on both engines → full value parity."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_name"])
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("__block"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("__block"),
+    )
+    pairs = a.join(b, on="__block").filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+_SQL_FUZZY_PAIRS = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -824,6 +861,7 @@ BEYOND_QUERIES: list[QueryDef] = [
         "q_embedding_neardup_lsh", _q_embedding_neardup_lsh, None, "LSH cosine pairs"
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
+    QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_approx_ndv", _q_approx_ndv, None, "HLL approx distinct users"),
     QueryDef("q_hash_sample", _q_hash_sample, _SQL_HASH_SAMPLE, "deterministic 10% sample"),
     QueryDef(

@@ -289,3 +289,89 @@ def test_streaming_parquet_sink_round_trip(spark, sf_medium, tmp_path):
     assert len(got) > 0
     for k, v in got.items():
         assert want[k] == v, (k, v, want[k])
+
+
+def test_streaming_dedup_matches_batch(spark, sf_medium):
+    """Streaming dropDuplicates over the events stream == batch distinct
+    on the same keys (first-occurrence-wins; key set identical)."""
+    from dbt_lab_spark.streaming import read_events_stream, streaming_dedup
+
+    cat = Catalog(sf_medium)
+    batch_keys = {
+        r["user_id"] for r in cat.table(spark, "events").select("user_id").distinct().collect()
+    }
+    stream = streaming_dedup(
+        read_events_stream(spark, sf_medium).select("user_id", "ts"), ["user_id"]
+    )
+    got = run_stream_to_memory(spark, stream, "t_dedup", output_mode="append")
+    keys = [r["user_id"] for r in got.collect()]
+    assert len(keys) == len(set(keys)) == len(batch_keys)
+    assert set(keys) == batch_keys
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, sf_medium):
+    """dropDuplicatesWithinWatermark: still no duplicates inside one
+    watermark window on the bounded input; every key appears."""
+    from dbt_lab_spark.streaming import read_events_stream, streaming_dedup
+
+    stream = streaming_dedup(
+        read_events_stream(spark, sf_medium).select("user_id", "ts"),
+        ["user_id"],
+        watermark="10 minutes",
+        within_watermark=True,
+    )
+    got = run_stream_to_memory(spark, stream, "t_dedup_wm", output_mode="append")
+    keys = [r["user_id"] for r in got.collect()]
+    cat = Catalog(sf_medium)
+    n_users = cat.table(spark, "events").select("user_id").distinct().count()
+    # single micro-batch: at least every key once, no more than once here
+    assert len(set(keys)) == n_users
+    assert len(keys) == len(set(keys))
+
+
+def test_stateful_sessionize_event_time_timeout_drains_idle(spark, sf_medium):
+    """Event-time-timeout variant: emits every NoTimeout-closed session
+    PLUS the open sessions whose (last_ts + gap) the final watermark
+    passed — state drains for idle users instead of growing forever."""
+    from dbt_lab_spark.streaming import (
+        read_events_stream,
+        stateful_sessionize_event_time,
+    )
+    from dbt_lab_spark.workload_beyond import _q_sessionize
+
+    stream = stateful_sessionize_event_time(
+        read_events_stream(spark, sf_medium).select("user_id", "ts", "value"),
+        gap="30 minutes",
+        watermark_delay="1 minute",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_et_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM t_et_sessions").collect()
+    }
+
+    batch = _q_sessionize(spark, sf_medium).collect()
+    max_ts = max(r.session_end for r in batch)
+    from datetime import timedelta
+
+    watermark = max_ts - timedelta(minutes=1)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if (r.session_end + timedelta(minutes=30)) <= watermark
+    }
+    # every session the watermark passed must be emitted; sessions still
+    # inside the horizon may stay open in state
+    assert want <= got, f"missing {len(want - got)} drained sessions"
+    extra = got - want
+    for u, s, e, n in extra:
+        assert (e + timedelta(minutes=30)) > watermark, (u, s, e)
