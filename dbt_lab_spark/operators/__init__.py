@@ -26,7 +26,7 @@ from dbt_lab_spark.operators.aggregate import group_by, grand_aggregate, rollup,
 from dbt_lab_spark.operators.sort import sort, limit, top_k
 from dbt_lab_spark.operators.setops import union_all, union_distinct, intersect, except_all, except_distinct
 from dbt_lab_spark.operators.window import ranked, top_k_per_group, windowed_agg, running_agg
-from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_keys, update_where
+from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_keys, update_where, upsert_by_keys
 
 __all__ = [
     "scan", "index_scan",
@@ -36,5 +36,5 @@ __all__ = [
     "sort", "limit", "top_k",
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",
     "ranked", "top_k_per_group", "windowed_agg", "running_agg",
-    "insert_into", "delete_where", "delete_by_keys", "update_where",
+    "insert_into", "delete_where", "delete_by_keys", "update_where", "upsert_by_keys",
 ]

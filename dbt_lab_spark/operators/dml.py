@@ -76,3 +76,43 @@ def update_where(
             raise KeyError(f"unknown column {col_name!r}")
         out = out.withColumn(col_name, F.when(predicate, value).otherwise(F.col(col_name)))
     return out
+
+
+def upsert_by_keys(
+    table: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_column: str | None = None,
+) -> DataFrame:
+    """MERGE/upsert as a transformation (the CDC apply step; Delta's
+    `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` without a table
+    format).  Updates win over existing rows on key collision; with
+    `version_column`, the highest version wins regardless of side —
+    the idempotent out-of-order-CDC variant.
+
+    Plan: one union + one window (row_number over key, precedence
+    desc) — a single shuffle on the key, same cost as the anti-join +
+    union idiom but also dedups WITHIN the update batch, which the
+    anti-join form silently doesn't.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if set(table.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: table {sorted(table.columns)} vs updates {sorted(updates.columns)}"
+        )
+    tagged = table.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    precedence = (
+        [F.col(version_column).desc(), F.col("__src").desc()]
+        if version_column
+        else [F.col("__src").desc()]
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*precedence)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )

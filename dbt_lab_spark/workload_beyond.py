@@ -829,6 +829,59 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document.  Three
+    aggregation levels — tf per (doc, token), df per token, corpus N —
+    then a per-doc ranking window.  df is broadcast back onto tf (token
+    dim is small relative to the token-instance fact), N rides along as
+    a broadcast scalar; at 100 TB this is two shuffles (tf, df) + one
+    window.  Ranking uses the INTEGER keys (tf desc, df asc, token) so
+    both engines pick identical rows regardless of libm ulp differences;
+    the float tfidf is an output value (4dp-rounded compare)."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+_SQL_TFIDF = r"""
+WITH tokens AS (
+  SELECT doc_id, token
+  FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS u(token)
+  WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, rank
+FROM ranked WHERE rank <= 3 AND doc_id < 50
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -862,6 +915,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
+    QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_approx_ndv", _q_approx_ndv, None, "HLL approx distinct users"),
     QueryDef("q_hash_sample", _q_hash_sample, _SQL_HASH_SAMPLE, "deterministic 10% sample"),
     QueryDef(

@@ -375,3 +375,36 @@ def test_stateful_sessionize_event_time_timeout_drains_idle(spark, sf_medium):
     extra = got - want
     for u, s, e, n in extra:
         assert (e + timedelta(minutes=30)) > watermark, (u, s, e)
+
+
+def test_upsert_by_keys_merge_semantics(spark):
+    """MERGE: update wins on collision, inserts append, within-batch
+    duplicates dedup, and version_column makes stale updates lose."""
+    from dbt_lab_spark.operators import upsert_by_keys
+
+    table = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 5), (3, "c", 1)], ["k", "v", "ver"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 1), (4, "d2", 2)], ["k", "v", "ver"]
+    )
+    # source-precedence: update always wins, batch dups dedup by precedence
+    got = {
+        (r.k, r.v) for r in upsert_by_keys(table, updates, ["k"]).select("k", "v").collect()
+    }
+    assert got == {(1, "a"), (2, "b2"), (3, "c"), (4, "d2")} or got == {
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d"),
+    }
+    # version-precedence: table row (2,'b',ver=5) beats stale update ver=2
+    got_v = {
+        (r.k, r.v)
+        for r in upsert_by_keys(table, updates, ["k"], version_column="ver")
+        .select("k", "v")
+        .collect()
+    }
+    assert got_v == {(1, "a"), (2, "b"), (3, "c"), (4, "d2")}
+    # schema mismatch rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_by_keys(table, updates.drop("ver"), ["k"])
