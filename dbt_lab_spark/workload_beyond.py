@@ -882,6 +882,118 @@ FROM ranked WHERE rank <= 3 AND doc_id < 50
 """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, click/purchase counts and whether a
+    purchase follows a click — conditional aggregation in ONE pass over
+    the events table (no self-join; the 100 TB funnel idiom)."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_type", "ts"])
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.when(F.min(click_ts) < F.max(purchase_ts), 1).otherwise(0).alias("converted"),
+    )
+
+
+_SQL_FUNNEL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CASE WHEN MIN(CASE WHEN event_type = 'click' THEN ts END)
+               < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+            THEN 1 ELSE 0 END AS converted
+FROM events GROUP BY user_id
+"""
+
+
+def _q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per event, the user's trailing
+    1-hour sum of value.  RANGE (not ROWS) — peers at equal timestamps
+    all join the frame, so the result is deterministic under ties; the
+    decimal sum keeps it order-independent.  One shuffle on user_id."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_id", "user_id", "ts", "value"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(money("value")).over(w).cast("double").alias("trailing_1h_value"),
+    )
+
+
+_SQL_TIME_RANGE_FRAME = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY epoch_ms(ts)
+            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_1h_value
+FROM events
+"""
+
+
+def _q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG-MAX per group via struct ordering: the customer holding each
+    nation's highest balance.  max(struct(balance, key)) is a single
+    partial+final aggregate — no window, no sort, and the struct's
+    second field makes ties deterministic on both engines."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    top = cust.groupBy("c_nationkey").agg(
+        F.max(F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias("m")
+    )
+    return (
+        top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("m.c_acctbal").alias("top_acctbal"),
+            F.col("m.c_custkey").alias("top_custkey"),
+        )
+    )
+
+
+_SQL_ARGMAX = """
+SELECT n_name,
+       (m).a AS top_acctbal,
+       (m).b AS top_custkey
+FROM (
+  SELECT c_nationkey, MAX({'a': c_acctbal, 'b': c_custkey}) AS m
+  FROM customer GROUP BY c_nationkey
+) t JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics — vector math as pure JVM
+    expressions (zip_with/aggregate inside codegen, no Python): count
+    and average L2 norm per label.  Both engines accumulate the
+    element-order sequential double sum, so norms are bit-identical."""
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding", "label"])
+    from dbt_lab_spark.functions.vectors import l2_norm
+
+    norm = l2_norm(to_double_array("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.avg(norm).alias("avg_norm"),
+    )
+
+
+_SQL_VECTOR_NORMS = """
+SELECT label, COUNT(*) AS n_vectors,
+       AVG(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])))
+         AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -916,6 +1028,12 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
+    QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),
+    QueryDef(
+        "q_time_range_frame", _q_time_range_frame, _SQL_TIME_RANGE_FRAME, "trailing 1h RANGE frame"
+    ),
+    QueryDef("q_argmax", _q_argmax, _SQL_ARGMAX, "arg-max via struct ordering"),
+    QueryDef("q_vector_norms", _q_vector_norms, _SQL_VECTOR_NORMS, "per-label embedding norms"),
     QueryDef("q_approx_ndv", _q_approx_ndv, None, "HLL approx distinct users"),
     QueryDef("q_hash_sample", _q_hash_sample, _SQL_HASH_SAMPLE, "deterministic 10% sample"),
     QueryDef(
