@@ -1105,6 +1105,67 @@ FROM orders GROUP BY 1
 """
 
 
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() indicators — the general
+    form behind rollup/cube (one Expand + one aggregate, no
+    multi-pass union of group-bys)."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderstatus", "o_orderpriority"])
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of customers by balance (tie-broken by custkey
+    so bucket assignment is engine-independent), aggregated per
+    (nation, quartile).  A global NTILE needs a total order (single
+    reducer for the window) — fine for dimension-sized inputs like
+    customer; for a 100 TB fact, bucket by approx-quantile boundaries
+    (percentile_approx) instead and skip the global sort."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(money("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+_SQL_NTILE = """
+WITH q AS (
+  SELECT c_nationkey, c_acctbal,
+         NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM q GROUP BY c_nationkey, quartile
+"""
+
+
 def _q_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE / IN / IS NOT NULL predicates — absent from the reference
     grammar (no tokens, parser/Token.java:20-42), declared as upgrades
@@ -1377,6 +1438,8 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_tpch_q19", _q_tpch_q19, _SQL_TPCH_Q19, "TPC-H Q19 shape (OR-of-conjuncts)"),
     QueryDef("q_pivot", _q_pivot, _SQL_PIVOT, "PIVOT status x priority"),
     QueryDef("q_stats_agg", _q_stats_agg, _SQL_STATS_AGG, "corr/covar/stddev/var"),
+    QueryDef("q_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS, "GROUPING SETS + flags"),
+    QueryDef("q_ntile", _q_ntile, _SQL_NTILE, "NTILE quartiles"),
     QueryDef("q_histogram", _q_histogram, _SQL_HISTOGRAM, "equi-width histogram"),
     QueryDef("q_unpivot", _q_unpivot, _SQL_UNPIVOT, "UNPIVOT/melt part metrics"),
 ]
