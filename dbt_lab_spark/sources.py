@@ -81,3 +81,25 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_columns: list[str],
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Write parquet with rows sorted WITHIN each file by
+    `sort_columns` — the data-layout half of predicate pushdown.
+
+    Parquet keeps min/max statistics per row group; on a randomly
+    ordered file every row group spans the whole value range, so a
+    selective filter prunes nothing.  Sorting within partitions makes
+    the row-group ranges narrow and disjoint, so point/range filters
+    skip most of the file at scan time (the poor man's clustered
+    index — what Delta's OPTIMIZE ZORDER generalizes to multiple
+    dimensions).  sortWithinPartitions is a per-partition local sort:
+    no shuffle; combine with repartition(col) first if you also want
+    range-disjoint FILES."""
+    df.sortWithinPartitions(*sort_columns).write.mode(mode).options(**options).parquet(path)

@@ -89,3 +89,44 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_medium, tmp_path):
         .count()
     )
     assert j.count() == want
+
+
+def test_write_sorted_narrows_row_group_stats(spark, sf_medium, tmp_path):
+    """Sorted layout → narrow, mostly disjoint row-group min/max ranges
+    (what makes parquet filter pushdown actually skip IO); unsorted
+    layout → every row group spans ~the full range."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.sources import write_sorted
+
+    cat = Catalog(sf_medium)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_extendedprice"]).repartition(4)
+
+    def spans(root):
+        out = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            # tiny row groups: force several per file for the stats check
+            for i in range(md.num_row_groups):
+                col = md.row_group(i).column(0)  # l_orderkey
+                out.append(col.statistics.max - col.statistics.min)
+        return out
+
+    unsorted_path, sorted_path = str(tmp_path / "u"), str(tmp_path / "s")
+    # small parquet blocks → several row groups per file for the check
+    block = str(64 * 1024)
+    li.write.mode("overwrite").option("parquet.block.size", block).parquet(unsorted_path)
+    write_sorted(li, sorted_path, ["l_orderkey"], **{"parquet.block.size": block})
+
+    full_range = (
+        li.agg(F.max("l_orderkey") - F.min("l_orderkey")).collect()[0][0]
+    )
+    u_spans, s_spans = spans(unsorted_path), spans(sorted_path)
+    assert len(u_spans) >= 4 and len(s_spans) >= 4
+    avg_u = sum(u_spans) / len(u_spans)
+    avg_s = sum(s_spans) / len(s_spans)
+    # unsorted row groups span nearly everything; sorted ones are narrow
+    assert avg_u > 0.5 * full_range, (avg_u, full_range)
+    assert avg_s < 0.5 * avg_u, (avg_s, avg_u)
