@@ -5,6 +5,7 @@ from dbt_lab_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
     streaming_dedup,
+    stream_stream_interval_join,
 )
 from dbt_lab_spark.streaming.stateful import (
     stateful_sessionize,
@@ -18,6 +19,7 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
     "streaming_dedup",
+    "stream_stream_interval_join",
     "stateful_sessionize",
     "stateful_sessionize_event_time",
 ]

@@ -135,3 +135,31 @@ def streaming_dedup(
     if within_watermark and events.isStreaming:
         return events.dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pairs with equal `key` where
+    `right_ts` ∈ [left_ts, left_ts + within].  Both sides carry
+    watermarks and the time bound is part of the join condition — that
+    pair is what lets Structured Streaming EVICT buffered rows once the
+    watermark passes them, so state stays bounded on an unbounded
+    stream (without the bound, both sides buffer forever).
+
+    Batch analogue: operators/joins.py range_join (same semantics,
+    bin-bucketed equi-join); the test drives both and compares."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, on=cond, how="inner")

@@ -994,6 +994,35 @@ FROM embeddings GROUP BY label
 """
 
 
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence analysis: counts of adjacent (prev → next)
+    event-type transitions across all users — LAG over the per-user
+    timeline (tie-broken by event_id), then one aggregate.  The
+    Markov-chain / funnel-step primitive: one shuffle on user_id, one
+    on the transition pair."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_id", "ts", "event_type"])
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+_SQL_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1029,6 +1058,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),
+    QueryDef("q_transitions", _q_transitions, _SQL_TRANSITIONS, "event-type transition counts"),
     QueryDef(
         "q_time_range_frame", _q_time_range_frame, _SQL_TIME_RANGE_FRAME, "trailing 1h RANGE frame"
     ),

@@ -408,3 +408,44 @@ def test_upsert_by_keys_merge_semantics(spark):
 
     with _pytest.raises(ValueError):
         upsert_by_keys(table, updates.drop("ver"), ["k"])
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_medium):
+    """Stream-stream interval join (clicks ⋈ purchases within 1h by
+    user) == the batch range_join on the same inputs.  The time bound
+    in the join condition is what lets streaming evict state."""
+    from dbt_lab_spark.operators.joins import range_join
+    from dbt_lab_spark.streaming import read_events_stream, stream_stream_interval_join
+
+    src = read_events_stream(spark, sf_medium)
+    clicks = src.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    stream = stream_stream_interval_join(
+        clicks, purchases, key="user_id", within="1 hour"
+    ).select("click_id", "purchase_id")
+    q = stream.writeStream.outputMode("append").format("memory").queryName("t_ssj").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM t_ssj").collect()}
+
+    cat = Catalog(sf_medium)
+    ev = cat.table(spark, "events")
+    bl = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    br = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in range_join(bl, br, "user_id", "ts", "p_ts", 0, 3_600_000).collect()
+    }
+    assert got == want and len(want) > 0
