@@ -118,3 +118,39 @@ def test_ngram_jaccard_never_cartesian(spark, sf_medium):
     plan = _plan(spark, sf_medium, "q_ngram_jaccard")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q19_single_broadcast_no_bnlj(spark, sf_medium):
+    """OR-of-conjuncts must stay ONE broadcast hash join with a residual
+    filter — not a BNLJ, not a 3-way union of joins."""
+    plan = _plan(spark, sf_medium, "q_tpch_q19")
+    assert _nodes(plan, "BroadcastHashJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _nodes(plan, "Union") == 0, plan
+
+
+def test_grouping_sets_single_expand(spark, sf_medium):
+    """GROUPING SETS = one Expand + one partial+final aggregate — not a
+    union of per-set group-bys."""
+    plan = _plan(spark, sf_medium, "q_grouping_sets")
+    assert _nodes(plan, "Expand") == 1, plan
+    assert _nodes(plan, "Union") == 0, plan
+    assert _nodes(plan, "HashAggregate") == 2, plan
+
+
+def test_argmax_aggregates_without_window(spark, sf_medium):
+    """max(struct(...)) arg-max is a partial+final aggregate with ONE
+    shuffle — no window.  (Catalyst picks SortAggregate because struct
+    ordering isn't hash-aggregable; the sorts are local pre-agg sorts
+    on the group key, not a global order.)"""
+    plan = _plan(spark, sf_medium, "q_argmax")
+    assert "Window" not in plan, plan
+    assert _nodes(plan, "SortAggregate") == 2, plan  # partial + final
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_time_range_frame_single_shuffle(spark, sf_medium):
+    """Trailing-1h RANGE frame: one exchange (user_id) + one window."""
+    plan = _plan(spark, sf_medium, "q_time_range_frame")
+    assert _nodes(plan, "Window") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
