@@ -46,6 +46,9 @@ BENCH_NAMES = [
     "q_range_join",
     "q_session_window",
     "q_lang_quality",
+    "q_word_count",
+    "q_tfidf",
+    "q_time_range_frame",
     "q_minhash_pairs",
     "q_ngram_jaccard",
     "q_knn_bruteforce",

@@ -1023,6 +1023,39 @@ GROUP BY prev_type, next_type
 """
 
 
+def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams via array higher-order functions:
+    transform(sequence(...)) builds each document's bigram list
+    JVM-side (no UDF), explode + count + TakeOrderedAndProject.  The
+    n-gram LM / collocation primitive."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["text"])
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+_SQL_BIGRAMS = r"""
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]) AS bigram
+  FROM (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents)
+  WHERE len(t) >= 2
+)
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1055,6 +1088,7 @@ BEYOND_QUERIES: list[QueryDef] = [
         "q_embedding_neardup_lsh", _q_embedding_neardup_lsh, None, "LSH cosine pairs"
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
+    QueryDef("q_bigrams", _q_bigrams, _SQL_BIGRAMS, "array HOF bigram counts"),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),
