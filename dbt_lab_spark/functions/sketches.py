@@ -1,0 +1,126 @@
+"""Frequency sketches: count-min sketch and heavy hitters.
+
+The reference has no sketch aggregates (SURVEY.md §2.8 absences); these
+are the streaming-algorithms counterpart of `approx_count_distinct`
+(HLL++) for the *frequency* question — "how often does item x occur"
+and "which items exceed an s-fraction of the stream" — answerable in
+O(depth x width) memory regardless of item cardinality.
+
+Spark-first design: the sketch is built with explode + one hash
+aggregate (JVM-side `xxhash64`, no UDF), so the shuffle carries at most
+``depth * width`` counter rows however large the input.  Partial
+aggregation makes each task combine its local counters map-side —
+exactly the per-node update/merge pattern of a distributed CMS
+(Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications", J. Algorithms 2005).
+
+Heavy hitters use the sketch only to *prune*: CMS estimates never
+undercount, so items whose estimate clears the threshold are a
+guaranteed superset of the true heavy hitters; one exact counting pass
+restricted to those candidates (a broadcast semi-join — at most k items
+can exceed 1/k of the total, plus collision noise) yields the exact
+answer deterministically.
+
+Scale honesty: for a ONE-SHOT batch heavy-hitter query, Spark's
+partial-aggregated groupBy is already near-optimal (the shuffle carries
+one row per distinct item per task), so the sketch does not beat plain
+SQL there.  Its value is (a) a bounded-size, broadcastable,
+MERGEABLE frequency summary — build once, answer any number of later
+point queries without rescanning; (b) union across datasets/days by
+adding counters; (c) streaming, where per-item state is unbounded but
+depth x width counters are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _buckets(item: Column, depth: int, width: int, seed: int) -> Column:
+    """Array of `depth` bucket ids for one item (row r uses a distinct
+    seeded xxhash64 — the standard d pairwise-independent hash rows)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda d: F.pmod(F.xxhash64(item, d + F.lit(seed)), F.lit(width)),
+    )
+
+
+def cms_build(
+    df: DataFrame, item: str | Column, *, depth: int = 5, width: int = 8192, seed: int = 42
+) -> DataFrame:
+    """Build a count-min sketch over `item` occurrences.
+
+    Returns the sketch as a sparse DataFrame (d, bucket, cnt) with at
+    most depth*width rows — collectable to the driver or broadcastable
+    no matter the input size.
+    """
+    it = F.col(item) if isinstance(item, str) else item
+    pos = F.posexplode(_buckets(it, depth, width, seed))
+    return (
+        df.select(pos.alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item: str | Column,
+    *,
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimated frequency for each row of `items` (column kept as
+    `item`): min over the d rows of the sketch counters.  Never
+    undercounts; overcounts by collision mass only.  The sketch side is
+    tiny, so the join broadcasts."""
+    it = F.col(item) if isinstance(item, str) else item
+    pos = F.posexplode(_buckets(F.col("item"), depth, width, seed))
+    probes = items.select(it.alias("item")).select("item", pos.alias("d", "bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item: str | Column,
+    *,
+    k: int,
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT items occurring at least 1/k of the time (n * k >= total,
+    integer arithmetic — no float threshold), found CMS-first:
+
+    1. sketch pass: depth*width counters, whatever the cardinality;
+    2. candidates: distinct items whose never-undercounting estimate
+       clears the threshold (superset guarantee, at most ~k + collisions);
+    3. verify pass: exact counts for candidate items only.
+
+    Returns (item, n) for the true heavy hitters.
+    """
+    it = F.col(item) if isinstance(item, str) else item
+    src = df.select(it.alias("item"))
+    sketch = cms_build(src, "item", depth=depth, width=width, seed=seed)
+    total = src.groupBy().agg(F.count("*").alias("total"))
+    cand = (
+        cms_estimate(sketch, src.distinct(), "item", depth=depth, width=width, seed=seed)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est") * k >= F.col("total"))
+        .select("item")
+    )
+    return (
+        src.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * k >= F.col("total"))
+        .select("item", "n")
+    )

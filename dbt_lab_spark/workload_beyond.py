@@ -1056,6 +1056,92 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def _q_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: per user, count
+    occurrences of the funnel pattern view -> click+ -> purchase over
+    the time-ordered event stream.  Spark-first: the per-user timeline
+    is reduced to a one-char-per-event string JVM-side (array_sort of
+    (ts, event_id, code) structs -> transform -> array_join; no UDF,
+    tie-broken by event_id), and the PATTERN clause becomes a regex
+    counted with regexp_count.  One shuffle on user_id; per-user state
+    is bounded by that user's event count (pre-sessionize first at
+    100 TB so each string is a session, not a lifetime).  Event-type
+    initials are distinct (v/c/p/s/e) so the mapping is faithful."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_id", "ts", "event_type"])
+    e = F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c"))
+    seq = (
+        ev.select("user_id", e.alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["c"]), ""
+            ).alias("seq")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("seq").cast("bigint").alias("n_events"),
+            F.regexp_count("seq", F.lit("vc+p")).cast("bigint").alias("n_funnels"),
+        )
+        .filter(F.col("n_funnels") > 0)
+        .orderBy("user_id")
+    )
+
+
+_SQL_SEQ_MATCH = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       length(seq) AS n_events,
+       len(regexp_extract_all(seq, 'vc+p')) AS n_funnels
+FROM seq
+WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
+ORDER BY user_id
+"""
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: corpus bigrams occurring at least 1/2000 of all
+    bigram occurrences — found count-min-sketch-first (candidates from
+    the never-undercounting CMS estimate, then an exact verify pass
+    over candidates only; see functions/sketches.py), so the result is
+    EXACT and matches the plain GROUP BY / HAVING oracle.  Integer
+    threshold arithmetic (n * k >= total), no float comparison."""
+    from dbt_lab_spark.functions.sketches import heavy_hitters
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["text"])
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    src = docs.filter(F.size(toks) >= 2).select(F.explode(bigrams).alias("bigram"))
+    return (
+        heavy_hitters(src, "bigram", k=2000)
+        .select(F.col("item").alias("bigram"), "n")
+        .orderBy("bigram")
+    )
+
+
+_SQL_HEAVY_HITTERS = r"""
+WITH b AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]) AS bigram
+  FROM (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents)
+  WHERE len(t) >= 2
+),
+c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram)
+SELECT bigram, n FROM c
+WHERE n * 2000 >= (SELECT CAST(SUM(n) AS BIGINT) FROM c)
+ORDER BY bigram
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1089,6 +1175,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
     QueryDef("q_bigrams", _q_bigrams, _SQL_BIGRAMS, "array HOF bigram counts"),
+    QueryDef("q_seq_match", _q_seq_match, _SQL_SEQ_MATCH, "regex sequence pattern per user"),
+    QueryDef("q_heavy_hitters", _q_heavy_hitters, _SQL_HEAVY_HITTERS, "CMS-pruned heavy hitters"),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),
