@@ -40,6 +40,10 @@ BENCH_NAMES = [
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q10",
+    "q_tpch_q7",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q21",
     "q_window_rank",
     "q_sessionize",
     "q_asof_join",

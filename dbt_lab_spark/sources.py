@@ -103,3 +103,66 @@ def write_sorted(
     no shuffle; combine with repartition(col) first if you also want
     range-disjoint FILES."""
     df.sortWithinPartitions(*sort_columns).write.mode(mode).options(**options).parquet(path)
+
+
+def zorder_key(buckets: Sequence, bits: int = 8):
+    """Interleave the bits of per-column bucket ids (each in
+    [0, 2**bits)) into one Z-value Column — round-robin bit
+    interleaving, so proximity in EVERY dimension maps to proximity in
+    the sort key.  Pure integer shift/mask expressions: JVM-side,
+    codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    ncols = len(buckets)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ncols + j)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    columns: Sequence[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Z-order-clustered parquet: the multi-dimensional generalization
+    of `write_sorted` (what Delta's OPTIMIZE ZORDER does).
+
+    A lexicographic sort narrows row-group min/max stats on the FIRST
+    column only — a filter on the second column still reads the whole
+    file.  Z-ordering buckets each column into 2**bits quantile-based
+    ranks, interleaves the rank bits into one Z-value, and range
+    partitions + locally sorts by it: row groups become small
+    hyper-rectangles, so selective filters on ANY of the clustered
+    columns skip most row groups.
+
+    Quantile (not min/max-uniform) bucket boundaries make the curve
+    robust to skew; the per-row bucket lookup is a counting scan of the
+    <=2**bits boundary array (F.filter/size — cheap next to parquet
+    decode, no shuffle beyond the final range partition)."""
+    from pyspark.sql import functions as F
+
+    nb = 2**bits
+    probs = [i / nb for i in range(1, nb)]
+    bucket_cols = []
+    for c in columns:
+        # deduped interior quantile boundaries (<= nb-1 of them)
+        bounds = sorted(set(df.approxQuantile(c, probs, 0.001)))
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bucket_cols.append(F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double"))))
+    z = df.withColumn("__z", zorder_key(bucket_cols, bits))
+    if num_files:
+        z = z.repartitionByRange(num_files, "__z")
+    (
+        z.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .options(**options)
+        .parquet(path)
+    )

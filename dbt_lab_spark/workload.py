@@ -1446,7 +1446,9 @@ CORE_QUERIES: list[QueryDef] = [
 
 
 def all_queries() -> list[QueryDef]:
-    """Full declared workload: core + events + text/dedup + vectors."""
+    """Full declared workload: core + TPC-H extras + events + text/dedup
+    + vectors."""
     from dbt_lab_spark.workload_beyond import BEYOND_QUERIES
+    from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
-    return CORE_QUERIES + BEYOND_QUERIES
+    return CORE_QUERIES + TPCH_EXTRA_QUERIES + BEYOND_QUERIES

@@ -1142,6 +1142,86 @@ ORDER BY bigram
 """
 
 
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composed pipeline a
+    data team actually runs, as ONE declarative plan Catalyst optimizes
+    whole: length filter -> exact dedup (min-id per content
+    fingerprint) -> deterministic 50% hash sample -> per-(lang, source)
+    doc/token accounting.  Every stage is an already-parity-tested
+    primitive, so the composition has a full SQL oracle.  Two shuffles
+    total (fingerprint group, final group); the sample is a narrow
+    filter (no shuffle, partition-independent)."""
+    from dbt_lab_spark.llm.dedup import exact_dedup
+    from dbt_lab_spark.llm.sampling import hash_sample
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source"])
+    kept = docs.filter(token_count("text") >= 20)
+    deduped = exact_dedup(kept, "text", "doc_id")
+    sampled = hash_sample(deduped, "doc_id", 0.5)
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _sql_corpus_prep() -> str:
+    from dbt_lab_spark.llm.sampling import hash_threshold
+
+    return rf"""
+WITH kept AS (
+  SELECT doc_id, text, lang, source
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+),
+deduped AS (
+  SELECT * FROM kept
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(text))
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '{hash_threshold(0.5)}'
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+FROM sampled GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling / last-observation-carried-forward: each event row
+    annotated with the user's most recent purchase value at that point
+    in the timeline — last(..., ignorenulls) over a running frame, the
+    sensor-data forward-fill primitive.  One shuffle on user_id."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+_SQL_GAP_FILL = """
+SELECT user_id, event_id, event_type,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1177,6 +1257,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_bigrams", _q_bigrams, _SQL_BIGRAMS, "array HOF bigram counts"),
     QueryDef("q_seq_match", _q_seq_match, _SQL_SEQ_MATCH, "regex sequence pattern per user"),
     QueryDef("q_heavy_hitters", _q_heavy_hitters, _SQL_HEAVY_HITTERS, "CMS-pruned heavy hitters"),
+    QueryDef("q_corpus_prep", _q_corpus_prep, _sql_corpus_prep(), "e2e corpus prep pipeline"),
+    QueryDef("q_gap_fill", _q_gap_fill, _SQL_GAP_FILL, "LOCF forward fill"),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),

@@ -1,0 +1,645 @@
+"""The remaining TPC-H query shapes (Q2, Q7, Q8, Q9, Q11, Q13, Q15,
+Q16, Q20, Q21, Q22), adapted to the driver's slimmed schema.
+
+The testdata has no `partsupp` table and no commit/receipt dates, so
+queries that need them keep their STRUCTURE (correlated-min subquery,
+nested IN chains, EXISTS + NOT-EXISTS self-joins, scalar-average
+threshold, anti-joined aggregates) with adapted semantics:
+
+  - `partsupp` is derived as the distinct (l_partkey, l_suppkey) pairs
+    actually traded, with MIN(l_extendedprice) standing in for
+    ps_supplycost (Q2/Q11/Q16/Q20);
+  - Q21's "kept waiting" date predicates become return-flag
+    predicates — identical multi-EXISTS self-join plan shape;
+  - Q22's phone-prefix country code becomes c_custkey % 7.
+
+Determinism follows the workload.py contract: money aggregates through
+DECIMAL(18,2), doubles only at the output boundary, every computed
+column aliased identically in both engines, ranked outputs tie-broken
+on unique keys.  Reference parity: the reference executes none of
+these (its grammar has no subqueries/outer joins, SURVEY.md §2.8);
+they are capability upgrades over OperatorFactory.java's plan menu.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.expr import compare, money
+from dbt_lab_spark.operators import broadcast_join, scan, sort, top_k
+from dbt_lab_spark.workload import QueryDef
+
+
+def _revenue() -> F.Column:
+    return money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q2: min-cost supplier per part (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for EUROPE suppliers and SMALL size-15 parts,
+    the supplier(s) whose derived supply cost equals the per-part
+    minimum.  The correlated MIN decorrelates to a window MIN over
+    p_partkey after the dimension joins — one shuffle on the derived
+    partsupp aggregate, dimensions broadcast."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.min(money("l_extendedprice")).alias("__cost"))
+    part = scan(
+        spark,
+        cat,
+        "part",
+        ["p_partkey"],
+        predicates=[compare("p_size", "=", F.lit(15)), compare("p_type", "=", "SMALL")],
+    )
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = scan(spark, cat, "region", predicates=[compare("r_name", "=", "EUROPE")])
+    eu = broadcast_join(
+        broadcast_join(supplier, nation, on=F.col("s_nationkey") == F.col("n_nationkey")),
+        region,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    cand = broadcast_join(ps, part, on=F.col("l_partkey") == F.col("p_partkey"))
+    cand = cand.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    best = cand.withColumn("__min_cost", F.min("__cost").over(w)).filter(
+        F.col("__cost") == F.col("__min_cost")
+    )
+    out = best.select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        F.col("__cost").cast("double").alias("supply_cost"),
+    )
+    return top_k(out, ["s_acctbal", "n_name", "s_name", "p_partkey"], 100,
+                 ascending=[False, True, True, True])
+
+
+_SQL_TPCH_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, CAST(cost AS DOUBLE) AS supply_cost
+FROM ps, part, eu
+WHERE ps.l_partkey = p_partkey AND ps.l_suppkey = eu.s_suppkey
+  AND p_size = 15 AND p_type = 'SMALL'
+  AND cost = (SELECT MIN(ps2.cost)
+              FROM ps ps2, eu eu2
+              WHERE ps2.l_partkey = ps.l_partkey AND ps2.l_suppkey = eu2.s_suppkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between NATION_1 and NATION_2
+    (both directions) per year.  Fact-fact join on orderkey shuffles;
+    customer/supplier/nation broadcast; the nation-pair disjunction is
+    evaluated after both broadcasts (Catalyst pushes each side's IN
+    (N1, N2) filter down into the broadcast build)."""
+    cat = Catalog(sf_dir)
+    n1 = ("NATION_1", "NATION_2")
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        predicates=[
+            compare("l_shipdate", ">=", F.lit("1996-01-01").cast("timestamp")),
+            compare("l_shipdate", "<", F.lit("1998-01-01").cast("timestamp")),
+        ],
+    )
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey"])
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    sn = scan(spark, cat, "nation", predicates=[F.col("n_name").isin(*n1)]).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = scan(spark, cat, "nation", predicates=[F.col("n_name").isin(*n1)]).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    fact = broadcast_join(fact, supplier, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    fact = broadcast_join(fact, customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    fact = broadcast_join(fact, sn, on=F.col("s_nationkey") == F.col("sn_key"))
+    fact = broadcast_join(fact, cn, on=F.col("c_nationkey") == F.col("cn_key"))
+    fact = fact.filter(
+        ((F.col("supp_nation") == n1[0]) & (F.col("cust_nation") == n1[1]))
+        | ((F.col("supp_nation") == n1[1]) & (F.col("cust_nation") == n1[0]))
+    )
+    return (
+        fact.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         {_SQL_REV} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of AMERICA's ECONOMY-part
+    order volume per year.  Numerator and denominator are exact
+    DECIMAL sums; the single double division at the output is
+    deterministic in both engines."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark, cat, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part = scan(
+        spark, cat, "part", ["p_partkey"], predicates=[compare("p_type", "=", "ECONOMY")]
+    )
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        predicates=[
+            compare("o_orderdate", ">=", F.lit("1996-01-01").cast("timestamp")),
+            compare("o_orderdate", "<", F.lit("1998-01-01").cast("timestamp")),
+        ],
+    )
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    cn = scan(spark, cat, "nation", ["n_nationkey", "n_regionkey"])
+    region = scan(spark, cat, "region", predicates=[compare("r_name", "=", "AMERICA")])
+    sn = scan(spark, cat, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    fact = broadcast_join(li, part, on=F.col("l_partkey") == F.col("p_partkey"))
+    fact = fact.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    fact = broadcast_join(fact, customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    fact = broadcast_join(fact, cn, on=F.col("c_nationkey") == F.col("n_nationkey"))
+    fact = broadcast_join(fact, region, on=F.col("n_regionkey") == F.col("r_regionkey"))
+    fact = broadcast_join(fact, supplier, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    fact = broadcast_join(fact, sn, on=F.col("s_nationkey") == F.col("sn_key"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = _revenue()
+    return (
+        fact.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_SQL_TPCH_Q8 = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         {_SQL_REV} AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-type profit
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue from parts named like '%gear%' per
+    supplier nation per year (profit less ps_supplycost in the
+    original; there is no partsupp so profit == discounted revenue).
+    part/supplier/nation broadcast; lineitem⋈orders shuffles."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark, cat, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part = scan(spark, cat, "part", ["p_partkey"], predicates=[F.col("p_name").like("%gear%")])
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderdate"])
+    fact = broadcast_join(li, part, on=F.col("l_partkey") == F.col("p_partkey"))
+    fact = broadcast_join(fact, supplier, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    fact = broadcast_join(fact, nation, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    fact = fact.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        fact.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SQL_TPCH_Q9 = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         {_SQL_REV} AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11: important stock (HAVING > scalar-subquery fraction of total)
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value for NATION_5 suppliers,
+    keeping parts above 1/10000 of the national total.  The scalar
+    total is a broadcast grand aggregate reused against the same
+    per-part aggregate — two aggregations over ONE shuffled pass."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = scan(spark, cat, "nation", predicates=[compare("n_name", "=", "NATION_5")])
+    nat_sup = broadcast_join(supplier, nation, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    fact = li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    val = money("l_extendedprice") * money("l_quantity")
+    per_part = fact.groupBy("l_partkey").agg(F.sum(val).alias("__value"))
+    total = per_part.groupBy().agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__value").cast("double") > F.col("__total").cast("double") * 0.0001)
+        .select("l_partkey", F.col("__value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_SQL_TPCH_Q11 = """
+WITH natval AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+FROM natval
+WHERE CAST(value AS DOUBLE) >
+      (SELECT CAST(SUM(value) AS DOUBLE) FROM natval) * 0.0001
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution (outer join + double aggregate)
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including
+    zero-order customers — left outer join, per-customer count, then a
+    count of counts.  Two shuffles (custkey, then c_count)."""
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey"])
+    orders = scan(
+        spark,
+        cat,
+        "orders",
+        ["o_orderkey", "o_custkey"],
+        predicates=[compare("o_orderpriority", "<>", "1-URGENT")],
+    )
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier (scalar MAX over a derived view)
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) whose 1998Q1 revenue equals the maximum.
+    Exact DECIMAL revenue makes the equality robust; the MAX is a
+    broadcast scalar against the same aggregate (view reuse)."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+        predicates=[
+            compare("l_shipdate", ">=", F.lit("1998-01-01").cast("timestamp")),
+            compare("l_shipdate", "<", F.lit("1998-04-01").cast("timestamp")),
+        ],
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("__rev"))
+    mx = revenue.groupBy().agg(F.max("__rev").alias("__max_rev"))
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    best = revenue.crossJoin(F.broadcast(mx)).filter(F.col("__rev") == F.col("__max_rev"))
+    out = broadcast_join(best, supplier, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    return out.select(
+        "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
+    ).orderBy("s_suppkey")
+
+
+_SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_SQL_REV}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16: supplier count per part attribute (NOT IN + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    non-Brand#1 parts in selected sizes, excluding negative-balance
+    suppliers (the complaints list) — NOT IN becomes a broadcast
+    anti-join; partsupp is the distinct traded pair set."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_suppkey"])
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = scan(
+        spark,
+        cat,
+        "part",
+        ["p_partkey", "p_brand", "p_type", "p_size"],
+        predicates=[
+            compare("p_brand", "<>", "Brand#1"),
+            F.col("p_size").isin([1, 9, 14, 19, 23, 36, 45, 49]),
+        ],
+    )
+    bad = scan(
+        spark, cat, "supplier", ["s_suppkey"], predicates=[compare("s_acctbal", "<", F.lit(0.0))]
+    )
+    cand = broadcast_join(ps, part, on=F.col("l_partkey") == F.col("p_partkey"))
+    cand = cand.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    return (
+        cand.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+WHERE p_partkey = ps.l_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20: nested-IN supplier qualification
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_7 suppliers who moved more than 50
+    units of 'small%' parts — the IN (... IN (...) HAVING) chain
+    becomes part-filter broadcast -> per-supplier aggregate ->
+    semi-join onto supplier."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey"], predicates=[F.col("p_name").like("small%")])
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    qualified = (
+        broadcast_join(li, part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = scan(spark, cat, "nation", predicates=[compare("n_name", "=", "NATION_7")])
+    nat_sup = broadcast_join(supplier, nation, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        nat_sup.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TPCH_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2)))
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21: EXISTS + NOT-EXISTS self-joins
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_0 suppliers whose returned ('R') lines
+    sit in finalized multi-supplier orders where NO other supplier had
+    a return — the original's EXISTS(l2) AND NOT EXISTS(l3) self-join
+    pair with return flags standing in for the missing receipt/commit
+    dates.  Both correlated quantifiers become one shuffled semi-join
+    and one anti-join on l_orderkey."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_suppkey"])
+    l1 = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_suppkey"],
+        predicates=[compare("l_returnflag", "=", "R")],
+    ).select(F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1"))
+    orders = scan(
+        spark, cat, "orders", ["o_orderkey"], predicates=[compare("o_orderstatus", "=", "F")]
+    )
+    supplier = scan(spark, cat, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = scan(spark, cat, "nation", predicates=[compare("n_name", "=", "NATION_0")])
+    nat_sup = broadcast_join(supplier, nation, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    base = l1.join(orders, F.col("o1") == F.col("o_orderkey"))
+    base = base.join(F.broadcast(nat_sup), F.col("s1") == F.col("s_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    base = base.join(
+        l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")), "left_semi"
+    )
+    l3 = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_suppkey"],
+        predicates=[compare("l_returnflag", "=", "R")],
+    ).select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    base = base.join(
+        l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")), "left_anti"
+    )
+    agg = base.groupBy("s_name").agg(F.count("*").alias("numwait"))
+    return top_k(agg, ["numwait", "s_name"], 20, ascending=[False, True])
+
+
+_SQL_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1, orders, supplier, nation
+WHERE l1.l_returnflag = 'R' AND l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  AND l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_0'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22: global-sales opportunity (scalar AVG + anti-join)
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    'country codes' (c_custkey % 7 stands in for the phone prefix) who
+    never ordered.  Scalar average broadcasts; NOT EXISTS(orders) is a
+    broadcast-able anti-join keyed on custkey."""
+    cat = Catalog(sf_dir)
+    codes = [1, 3, 5]
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"]).withColumn(
+        "cntrycode", F.col("c_custkey") % 7
+    )
+    pool = customer.filter(F.col("cntrycode").isin(codes))
+    avg_bal = (
+        pool.filter(F.col("c_acctbal") > 0)
+        .groupBy()
+        .agg(
+            (F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("__avg_bal")
+        )
+    )
+    orders = scan(spark, cat, "orders", ["o_custkey"])
+    out = (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        out.groupBy("cntrycode")
+        .agg(F.count("*").alias("numcust"), F.sum(money("c_acctbal")).cast("double").alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+_SQL_TPCH_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c_custkey % 7 AS cntrycode, c_custkey, c_acctbal
+  FROM customer WHERE c_custkey % 7 IN (1, 3, 5)
+) pool
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_custkey % 7 IN (1, 3, 5) AND c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+TPCH_EXTRA_QUERIES: list[QueryDef] = [
+    QueryDef("q_tpch_q2", _q_tpch_q2, _SQL_TPCH_Q2, "Q2 shape (correlated MIN)"),
+    QueryDef("q_tpch_q7", _q_tpch_q7, _SQL_TPCH_Q7, "Q7 shape (nation-pair volume)"),
+    QueryDef("q_tpch_q8", _q_tpch_q8, _SQL_TPCH_Q8, "Q8 shape (market share ratio)"),
+    QueryDef("q_tpch_q9", _q_tpch_q9, _SQL_TPCH_Q9, "Q9 shape (profit by nation/year)"),
+    QueryDef("q_tpch_q11", _q_tpch_q11, _SQL_TPCH_Q11, "Q11 shape (scalar-fraction HAVING)"),
+    QueryDef("q_tpch_q13", _q_tpch_q13, _SQL_TPCH_Q13, "Q13 (count distribution)"),
+    QueryDef("q_tpch_q15", _q_tpch_q15, _SQL_TPCH_Q15, "Q15 (scalar MAX view)"),
+    QueryDef("q_tpch_q16", _q_tpch_q16, _SQL_TPCH_Q16, "Q16 shape (NOT IN + count distinct)"),
+    QueryDef("q_tpch_q20", _q_tpch_q20, _SQL_TPCH_Q20, "Q20 shape (nested IN chain)"),
+    QueryDef("q_tpch_q21", _q_tpch_q21, _SQL_TPCH_Q21, "Q21 shape (EXISTS + NOT EXISTS)"),
+    QueryDef("q_tpch_q22", _q_tpch_q22, _SQL_TPCH_Q22, "Q22 shape (scalar AVG + anti-join)"),
+]

@@ -154,3 +154,52 @@ def test_time_range_frame_single_shuffle(spark, sf_medium):
     plan = _plan(spark, sf_medium, "q_time_range_frame")
     assert _nodes(plan, "Window") == 1, plan
     assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_medium):
+    """When a selective dim filter feeds a SHUFFLE join, Catalyst's
+    InjectRuntimeFilter plants a bloom-filter semi-filter on the fact
+    side (`might_contain` backed by bloom_filter_agg) — at 100 TB this
+    drops most fact rows BEFORE the join shuffle.  (With broadcast
+    joins the bloom is unnecessary, so we force shuffle to pin the
+    behavior.)"""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_medium}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_medium}/part.parquet").filter(
+            F.col("p_brand") == "Brand#23"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_tpch_q21_no_cartesian_single_shuffle(spark, sf_medium):
+    """Q21's EXISTS + NOT-EXISTS self-join pair must become plain
+    (semi/anti) hash joins — no BNLJ/cartesian — and one final
+    aggregate shuffle on s_name."""
+    plan = _plan(spark, sf_medium, "q_tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _nodes(plan, "HashAggregate") == 2, plan
+
+
+def test_tpch_q2_correlated_min_is_window(spark, sf_medium):
+    """Q2's correlated MIN subquery decorrelates to ONE window over
+    p_partkey on the already-joined candidates — not a second
+    aggregate-join of the whole derived partsupp."""
+    plan = _plan(spark, sf_medium, "q_tpch_q2")
+    assert _nodes(plan, "Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan

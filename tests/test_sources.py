@@ -130,3 +130,47 @@ def test_write_sorted_narrows_row_group_stats(spark, sf_medium, tmp_path):
     # unsorted row groups span nearly everything; sorted ones are narrow
     assert avg_u > 0.5 * full_range, (avg_u, full_range)
     assert avg_s < 0.5 * avg_u, (avg_s, avg_u)
+
+
+def test_zordered_layout_narrows_stats_on_both_columns(spark, sf_medium, tmp_path):
+    """Z-order clustering on (l_partkey, l_suppkey): row-group min/max
+    ranges shrink on BOTH columns, where a lexicographic sort narrows
+    only its leading column — the property that lets a filter on
+    EITHER column skip row groups at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.sources import write_sorted, write_zordered
+
+    cat = Catalog(sf_medium)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_suppkey"]).repartition(4)
+
+    def avg_spans(root):
+        spans = {0: [], 1: []}
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                for ci in (0, 1):
+                    st = md.row_group(i).column(ci).statistics
+                    spans[ci].append(st.max - st.min)
+        assert len(spans[0]) >= 8
+        return [sum(v) / len(v) for v in spans.values()]
+
+    block = str(32 * 1024)
+    lex_path, z_path = str(tmp_path / "lex"), str(tmp_path / "z")
+    write_sorted(li, lex_path, ["l_partkey", "l_suppkey"], **{"parquet.block.size": block})
+    write_zordered(li, z_path, ["l_partkey", "l_suppkey"], num_files=4,
+                   **{"parquet.block.size": block})
+
+    full = li.agg(
+        F.max("l_partkey") - F.min("l_partkey"), F.max("l_suppkey") - F.min("l_suppkey")
+    ).collect()[0]
+    lex, zo = avg_spans(lex_path), avg_spans(z_path)
+    # lexicographic: leading column narrow, second column ~full range
+    assert lex[0] < 0.2 * full[0], (lex, full)
+    assert lex[1] > 0.5 * full[1], (lex, full)
+    # z-order: BOTH columns substantially narrowed
+    assert zo[0] < 0.5 * full[0], (zo, full)
+    assert zo[1] < 0.5 * full[1], (zo, full)
