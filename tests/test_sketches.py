@@ -69,9 +69,6 @@ def test_heavy_hitters_exact_vs_ground_truth(spark, planted):
     df, truth = planted
     n = sum(truth.values())
     for k in (8, 50, 200):
-        got = {
-            r["item"]: r["n"]
-            for r in heavy_hitters(df, "item", k=k, depth=DEPTH, width=WIDTH, seed=SEED).collect()
-        }
+        got = {r["item"]: r["n"] for r in heavy_hitters(df, "item", k=k).collect()}
         want = {item: c for item, c in truth.items() if c * k >= n}
         assert got == want, f"k={k}"
