@@ -89,3 +89,26 @@ def train_test_split(
     growth — a document keeps its split forever."""
     is_test = hash_bucket(key, salt) < F.lit(hash_threshold(test_fraction))
     return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def kfold_assign(
+    df: DataFrame,
+    key: Column | str,
+    k: int = 5,
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment by content hash: fold i collects
+    the rows whose uniform draw lands in [i/k, (i+1)/k).
+
+    Same machinery as hash_sample — the fold is the count of interior
+    thresholds at or below the row's hex draw, i.e. k-1 string
+    comparisons, no shuffle, partition-independent, stable as data
+    grows (a row keeps its fold forever).  Cross-validation and
+    sharded-eval primitive."""
+    fold = F.lit(0)
+    for j in range(1, k):
+        fold = fold + F.when(
+            hash_bucket(key, salt) >= F.lit(hash_threshold(j / k)), 1
+        ).otherwise(0)
+    return df.withColumn(out_col, fold)

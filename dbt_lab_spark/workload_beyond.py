@@ -1215,6 +1215,109 @@ FROM events
 """
 
 
+def _q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface in one
+    query: rank, dense_rank, percent_rank, cume_dist, lag-with-default,
+    lead, first_value, nth_value — all over a single (custkey-
+    partitioned, price-desc, key-tie-broken) window, so Catalyst plans
+    ONE exchange + ONE Window node for all eight functions."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"),
+        F.first_value("o_totalprice").over(w).alias("top_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+_SQL_WINDOW_SUITE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist,
+       LAG(o_totalprice, 1, 0.0) OVER w AS prev_price,
+       LEAD(o_totalprice, 1, 0.0) OVER w AS next_price,
+       FIRST_VALUE(o_totalprice) OVER w AS top_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: most frequent order priority per
+    order status, ties broken toward the larger priority string —
+    count + arg-max over struct(n, priority), two partial-aggregated
+    shuffles, no window.  (Built-in mode() leaves ties undefined in
+    both engines; the struct arg-max pins them.)"""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderstatus", "o_orderpriority"])
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    m = counts.groupBy("o_orderstatus").agg(
+        F.max(F.struct(F.col("n"), F.col("o_orderpriority").alias("p"))).alias("m")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.col("m.p").alias("mode_priority"),
+        F.col("m.n").alias("n_orders"),
+    ).orderBy("o_orderstatus")
+
+
+_SQL_MODE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus,
+       (MAX({'n': n, 'p': o_orderpriority})).p AS mode_priority,
+       (MAX({'n': n, 'p': o_orderpriority})).n AS n_orders
+FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by content
+    hash (llm/sampling.py kfold_assign): narrow, shuffle-free, stable
+    as data grows.  Output: per-fold document and char accounting —
+    folds partition the corpus exactly."""
+    from dbt_lab_spark.llm.sampling import kfold_assign
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "n_chars"])
+    return (
+        kfold_assign(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("fold")
+    )
+
+
+def _sql_kfold() -> str:
+    from dbt_lab_spark.llm.sampling import hash_threshold
+
+    terms = " + ".join(
+        f"(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'fold'), 1, 15)"
+        f" >= '{hash_threshold(j / 5)}' THEN 1 ELSE 0 END)"
+        for j in range(1, 5)
+    )
+    return f"""
+SELECT ({terms}) AS fold,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY fold ORDER BY fold
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1252,6 +1355,9 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_heavy_hitters", _q_heavy_hitters, _SQL_HEAVY_HITTERS, "CMS-pruned heavy hitters"),
     QueryDef("q_corpus_prep", _q_corpus_prep, _sql_corpus_prep(), "e2e corpus prep pipeline"),
     QueryDef("q_gap_fill", _q_gap_fill, _SQL_GAP_FILL, "LOCF forward fill"),
+    QueryDef("q_window_suite", _q_window_suite, _SQL_WINDOW_SUITE, "8 window fns, one Window"),
+    QueryDef("q_mode", _q_mode, _SQL_MODE, "deterministic per-group mode"),
+    QueryDef("q_kfold", _q_kfold, _sql_kfold(), "5-fold CV assignment"),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),

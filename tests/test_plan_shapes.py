@@ -203,3 +203,12 @@ def test_tpch_q2_correlated_min_is_window(spark, sf_medium):
     plan = _plan(spark, sf_medium, "q_tpch_q2")
     assert _nodes(plan, "Window") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_window_suite_single_window_single_shuffle(spark, sf_medium):
+    """All eight ranking/navigation functions share one window spec —
+    the plan must contain ONE Window node and ONE exchange, not one
+    per function."""
+    plan = _plan(spark, sf_medium, "q_window_suite")
+    assert _nodes(plan, "Window") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan

@@ -82,3 +82,25 @@ def test_sampling_is_narrow_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_kfold_partitions_exactly_and_uniformly(spark, sf_medium):
+    """Folds are a PARTITION of the data (each row in exactly one fold,
+    folds 0..k-1) with ~1/k sizes, and assignment is repartition-
+    invariant (pure per-row function of the key)."""
+    from dbt_lab_spark.llm.sampling import kfold_assign
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet").select("doc_id")
+    k = 5
+    folds = kfold_assign(docs, "doc_id", k=k)
+    n = docs.count()
+    sizes = {r["fold"]: r["cnt"] for r in
+             folds.groupBy("fold").agg(F.count("*").alias("cnt")).collect()}
+    assert set(sizes) == set(range(k))
+    assert sum(sizes.values()) == n
+    for f, c in sizes.items():
+        assert abs(c - n / k) < 4 * (n ** 0.5), (f, c, n)
+    re = {r["doc_id"]: r["fold"] for r in
+          kfold_assign(docs.repartition(13), "doc_id", k=k).collect()}
+    orig = {r["doc_id"]: r["fold"] for r in folds.collect()}
+    assert re == orig
