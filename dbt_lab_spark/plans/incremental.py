@@ -79,16 +79,46 @@ def incremental_update(
     partial = partial_aggregate(batch, keys, measures)
     if os.path.exists(state_path):
         merged = merge_aggregates(spark.read.parquet(state_path), partial, keys, measures)
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(state_path) or ".", prefix=".inc_swap_")
-        out = os.path.join(tmp, "state")
-        merged.write.mode("overwrite").parquet(out)
-        old = state_path + ".__old"
-        os.rename(state_path, old)
-        os.rename(out, state_path)
-        shutil.rmtree(old)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _atomic_swap_write(merged, state_path)
     else:
         partial.write.mode("overwrite").parquet(state_path)
+
+
+def _atomic_swap_write(df: DataFrame, state_path: str) -> None:
+    """Materialize `df` beside `state_path`, then swap by rename —
+    readers never observe a half-written state, and the plan may read
+    the current state (the write lands in a different directory)."""
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(state_path) or ".", prefix=".inc_swap_")
+    out = os.path.join(tmp, "state")
+    df.write.mode("overwrite").parquet(out)
+    old = state_path + ".__old"
+    os.rename(state_path, old)
+    os.rename(out, state_path)
+    shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def cdc_apply(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    version_column: str | None = None,
+) -> None:
+    """Fold one CDC batch into the parquet state table by key upsert
+    (operators/dml.py upsert_by_keys) with atomic swap — the
+    foreachBatch body of a streaming MERGE pipeline.  With
+    `version_column` the application is idempotent and order-
+    independent across micro-batches (highest version wins), which is
+    what makes the streaming replay/recovery semantics exact."""
+    from dbt_lab_spark.operators.dml import upsert_by_keys
+
+    if os.path.exists(state_path):
+        merged = upsert_by_keys(spark.read.parquet(state_path), batch, keys, version_column)
+        _atomic_swap_write(merged, state_path)
+    else:
+        deduped = upsert_by_keys(batch.limit(0), batch, keys, version_column)
+        deduped.write.mode("overwrite").parquet(state_path)
 
 
 def read_state(

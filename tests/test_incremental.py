@@ -70,3 +70,64 @@ def test_incremental_new_keys_appear(spark, tmp_path):
 def test_non_decomposable_rejected():
     with pytest.raises(ValueError):
         Measure("m", "v", "median")
+
+
+def test_streaming_cdc_apply_foreachbatch(spark, tmp_path):
+    """End-to-end streaming MERGE: CDC rows arrive as files, a
+    foreachBatch sink folds each micro-batch into parquet state with
+    cdc_apply (versioned upsert + atomic swap).  The final state must
+    equal a single batch upsert of all updates — regardless of how the
+    stream chopped them into micro-batches (version wins, idempotent)."""
+    from pyspark.sql import types as T
+
+    from dbt_lab_spark.plans.incremental import cdc_apply
+    from dbt_lab_spark.operators.dml import upsert_by_keys
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    cdc_dir = str(tmp_path / "cdc")
+    state = str(tmp_path / "state")
+    base = [(i, f"base_{i}", 0) for i in range(20)]
+    updates = (
+        [(i, f"upd_a_{i}", 2) for i in range(0, 10)]          # update half
+        + [(i, f"upd_late_{i}", 1) for i in range(0, 5)]      # late, loses to ver 2
+        + [(i, f"new_{i}", 1) for i in range(20, 25)]         # inserts
+        + [(7, "dup_low", 1), (7, "dup_high", 3)]             # within-batch dup
+    )
+    spark.createDataFrame(base, schema).write.mode("overwrite").parquet(state)
+    # three separate files => multiple micro-batches with maxFilesPerTrigger=1
+    for i, chunk in enumerate([updates[:7], updates[7:14], updates[14:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(cdc_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdc_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: cdc_apply(spark, state, bdf, ["k"], version_column="ver")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(state).collect()}
+    want_df = upsert_by_keys(
+        spark.createDataFrame(base, schema),
+        spark.createDataFrame(updates, schema),
+        ["k"],
+        version_column="ver",
+    )
+    want = {r["k"]: (r["v"], r["ver"]) for r in want_df.collect()}
+    assert got == want
+    assert got[7] == ("dup_high", 3)
+    assert got[3] == ("upd_a_3", 2)
+    assert got[22] == ("new_22", 1)

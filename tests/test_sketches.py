@@ -72,3 +72,44 @@ def test_heavy_hitters_exact_vs_ground_truth(spark, planted):
         got = {r["item"]: r["n"] for r in heavy_hitters(df, "item", k=k).collect()}
         want = {item: c for item, c in truth.items() if c * k >= n}
         assert got == want, f"k={k}"
+
+
+def test_streaming_cms_equals_batch_cms(spark, planted, tmp_path):
+    """The CMS build is a standard streaming aggregation (explode +
+    groupBy counts): run it over the same rows as a file stream with
+    update-mode foreachBatch folding into counters, and the final
+    sketch equals the batch sketch — the mergeability that makes CMS
+    the right frequency summary for unbounded streams."""
+    import pyspark.sql.functions as F
+
+    df, _ = planted
+    src_dir = str(tmp_path / "src")
+    df.coalesce(4).write.mode("overwrite").parquet(src_dir)
+
+    batch_sketch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.read.parquet(src_dir), "item", depth=DEPTH, width=WIDTH, seed=SEED
+        ).collect()
+    }
+
+    acc: dict[tuple[int, int], int] = {}
+
+    def fold(bdf, bid):
+        for r in cms_build(bdf, "item", depth=DEPTH, width=WIDTH, seed=SEED).collect():
+            key = (r["d"], r["bucket"])
+            acc[key] = acc.get(key, 0) + r["cnt"]
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert acc == batch_sketch
