@@ -212,3 +212,43 @@ def test_window_suite_single_window_single_shuffle(spark, sf_medium):
     plan = _plan(spark, sf_medium, "q_window_suite")
     assert _nodes(plan, "Window") == 1, plan
     assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Planted 90%-one-key skew through a forced shuffle join: AQE must
+    replan the hot partition into splits (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed) — the runtime answer to skew that salting
+    handles statically.  Thresholds are lowered so the ~20 MB planted
+    skew registers; at production scale the defaults (256 MB) fire the
+    same way."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rng = random.Random(7)
+        big = spark.createDataFrame(
+            [(0 if rng.random() < 0.9 else rng.randint(1, 50), "x" * 100)
+             for _ in range(200_000)],
+            ["k", "pad"],
+        )
+        right = spark.createDataFrame([(i, f"r{i}") for i in range(51)], ["k", "v"])
+        j = big.join(right, "k").select(F.length("pad").alias("l"), "v")
+        list(j.toLocalIterator())  # run THIS QueryExecution to its final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
