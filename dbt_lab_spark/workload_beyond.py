@@ -1318,6 +1318,51 @@ FROM documents GROUP BY fold ORDER BY fold
 """
 
 
+def _q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function surface (§2.8 absences: the reference
+    has arithmetic only): calendar parts, ISO week, day arithmetic,
+    month-end, week truncation, day differences, epoch millis — every
+    expression mirrored term-for-term in the oracle, dialect
+    differences (DuckDB's 0-based dayofweek, BIGINT parts) normalized
+    on the oracle side."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_id", "ts"])
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.dayofweek("ts").alias("dow"),
+        F.weekofyear("ts").alias("wk"),
+        F.hour("ts").alias("hr"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day("ts").alias("eom"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk_start"),
+        F.datediff(d, F.lit("2020-01-01").cast("date")).alias("days_since"),
+        F.unix_millis("ts").alias("ems"),
+    )
+
+
+_SQL_DATETIME_FUNCTIONS = """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(quarter(ts) AS INT) AS q,
+       CAST(month(ts) AS INT) AS mo,
+       CAST(day(ts) AS INT) AS dom,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(weekofyear(ts) AS INT) AS wk,
+       CAST(hour(ts) AS INT) AS hr,
+       CAST(ts AS DATE) + 30 AS plus30,
+       last_day(CAST(ts AS DATE)) AS eom,
+       CAST(date_trunc('week', ts) AS DATE) AS wk_start,
+       CAST(datediff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+       epoch_ms(ts) AS ems
+FROM events
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1358,6 +1403,9 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_window_suite", _q_window_suite, _SQL_WINDOW_SUITE, "8 window fns, one Window"),
     QueryDef("q_mode", _q_mode, _SQL_MODE, "deterministic per-group mode"),
     QueryDef("q_kfold", _q_kfold, _sql_kfold(), "5-fold CV assignment"),
+    QueryDef(
+        "q_datetime_functions", _q_datetime_functions, _SQL_DATETIME_FUNCTIONS, "date/time surface"
+    ),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
     QueryDef("q_funnel", _q_funnel, _SQL_FUNNEL, "one-pass conversion funnel"),

@@ -174,3 +174,33 @@ def test_zordered_layout_narrows_stats_on_both_columns(spark, sf_medium, tmp_pat
     # z-order: BOTH columns substantially narrowed
     assert zo[0] < 0.5 * full[0], (zo, full)
     assert zo[1] < 0.5 * full[1], (zo, full)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_medium, tmp_path):
+    """A join against a filtered dimension must plant a runtime
+    dynamicpruning expression in the partitioned fact scan's
+    PartitionFilters — whole directories are skipped based on the
+    dim filter's RESULT, not just static predicates.  The static
+    directory-pruning case is covered by
+    test_partitioned_write_prunes_partitions; this is the join-driven
+    variant that matters for star schemas at scale."""
+    from dbt_lab_spark.sources import write_partitioned
+
+    fact_path = str(tmp_path / "fact")
+    orders = spark.read.parquet(f"{sf_medium}/orders.parquet")
+    write_partitioned(orders, fact_path, ["o_orderpriority"])
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "u"), ("2-HIGH", "h"), ("3-MEDIUM", "m"),
+         ("4-NOT SPECIFIED", "n"), ("5-LOW", "l")],
+        ["prio", "tag"],
+    ).filter(F.col("tag") == "u")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy("prio").agg(
+        F.count("*").alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "dynamicpruningexpression" in plan, plan
+    # and the result is correct: only the URGENT partition contributes
+    [(prio, n)] = [(r["prio"], r["n"]) for r in j.collect()]
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert (prio, n) == ("1-URGENT", want)
