@@ -1363,6 +1363,89 @@ FROM events
 """
 
 
+def _q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + null-handling scalar surface (§2.8 absences): case,
+    padding, substring, translate, split_part, concat_ws, reverse,
+    repeat, position, trim, ascii, nullif/coalesce, greatest/least —
+    every expression mirrored term-for-term in the oracle."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_name", "p_type", "p_brand", "p_size"])
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").cast("int").alias("ln"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "#").alias("rp"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("sp"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cw"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.repeat(F.col("p_brand"), 2).alias("rep2"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("pos_a"),
+        F.trim(F.col("p_name")).alias("trm"),
+        F.ascii(F.substring("p_name", 1, 1)).cast("int").alias("first_cp"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("SMALL")), F.lit("WAS_SMALL")).alias("nn"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("gr"),
+        F.least(F.col("p_size"), F.lit(25)).alias("ls"),
+    )
+
+
+_SQL_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       upper(p_name) AS up,
+       lower(p_type) AS lo,
+       CAST(length(p_name) AS INT) AS ln,
+       lpad(p_brand, 12, '*') AS lp,
+       rpad(p_brand, 12, '#') AS rp,
+       substr(p_name, 1, 5) AS sub,
+       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+       split_part(p_name, ' ', 1) AS sp,
+       concat_ws('|', p_brand, p_type) AS cw,
+       reverse(p_name) AS rev,
+       repeat(p_brand, 2) AS rep2,
+       CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+       trim(p_name) AS trm,
+       CAST(ascii(substr(p_name, 1, 1)) AS INT) AS first_cp,
+       coalesce(nullif(p_type, 'SMALL'), 'WAS_SMALL') AS nn,
+       greatest(p_size, 25) AS gr,
+       least(p_size, 25) AS ls
+FROM part
+"""
+
+
+def _q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: this engine keeps Spark 4's ANSI mode ON
+    (overflow/div-zero are errors, not silent wraps), so fallible
+    expressions go through try_* — try_divide returns NULL on a zero
+    divisor, which is exactly DuckDB's native `/` semantics.  Null
+    counting + min/max (order-independent) keep the compare exact."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    unit = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.lit(10.0))
+    per = li.select("l_returnflag", unit.alias("u"))
+    return per.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("u").isNull(), 1).otherwise(0)).cast("bigint").alias("n_div_zero"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+    )
+
+
+_SQL_TRY_ARITHMETIC = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+       MIN(u) AS min_u,
+       MAX(u) AS max_u
+FROM (SELECT l_returnflag,
+             l_extendedprice / (l_quantity - 10.0) AS u
+      FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1405,6 +1488,12 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_kfold", _q_kfold, _sql_kfold(), "5-fold CV assignment"),
     QueryDef(
         "q_datetime_functions", _q_datetime_functions, _SQL_DATETIME_FUNCTIONS, "date/time surface"
+    ),
+    QueryDef(
+        "q_string_functions", _q_string_functions, _SQL_STRING_FUNCTIONS, "string/null surface"
+    ),
+    QueryDef(
+        "q_try_arithmetic", _q_try_arithmetic, _SQL_TRY_ARITHMETIC, "ANSI-safe try_divide"
     ),
     QueryDef("q_fuzzy_pairs", _q_fuzzy_pairs, _SQL_FUZZY_PAIRS, "blocked levenshtein pairs"),
     QueryDef("q_tfidf", _q_tfidf, _SQL_TFIDF, "TF-IDF top-3 terms per doc"),
