@@ -1,0 +1,82 @@
+"""Coverage for exported operators not exercised elsewhere:
+index_scan, except_all (bag semantics), delete_where, windowed_agg,
+exact_dup_groups — planted-data pins with independent expectations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.operators import except_all, index_scan, windowed_agg
+from dbt_lab_spark.operators.dml import delete_where
+
+
+def test_index_scan_range_and_order(spark, sf_medium):
+    """IndexScan == pruned scan in key order: inclusive/exclusive bounds
+    and the one-sided degenerate case, rows back in key order."""
+    cat = Catalog(sf_medium)
+    full = sorted(
+        r["o_orderkey"]
+        for r in cat.table(spark, "orders").select("o_orderkey").collect()
+    )
+    got = [
+        r["o_orderkey"]
+        for r in index_scan(
+            spark, cat, "orders", "o_orderkey", 100, 500,
+            start_inclusive=True, stop_inclusive=False,
+        ).select("o_orderkey").collect()
+    ]
+    assert got == [k for k in full if 100 <= k < 500]
+    one_sided = [
+        r["o_orderkey"]
+        for r in index_scan(spark, cat, "orders", "o_orderkey", start_key=full[-1])
+        .select("o_orderkey")
+        .collect()
+    ]
+    assert one_sided == [full[-1]]
+
+
+def test_except_all_bag_semantics(spark):
+    """EXCEPT ALL keeps multiplicities (2 copies minus 1 copy = 1 left),
+    unlike EXCEPT DISTINCT."""
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["v"])
+    right = spark.createDataFrame([(1,), (3,), (4,)], ["v"])
+    got = sorted(r["v"] for r in except_all(left, right).collect())
+    assert got == [1, 2]
+
+
+def test_delete_where_rewrites_table(spark, sf_medium, tmp_path):
+    cat = Catalog(sf_medium)
+    src = str(tmp_path / "t")
+    cat.table(spark, "region").write.parquet(src)
+    delete_where(spark, src, F.col("r_name") == "ASIA")
+    names = sorted(r["r_name"] for r in spark.read.parquet(src).collect())
+    assert "ASIA" not in names and len(names) == 4
+
+
+def test_windowed_agg_matches_sql_over(spark, sf_medium):
+    cat = Catalog(sf_medium)
+    orders = cat.table(spark, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    got = windowed_agg(
+        orders, ["o_custkey"], ["o_orderkey"], F.max("o_totalprice"), "mx"
+    )
+    # running max must be >= the row's own price and non-decreasing per cust
+    rows = got.orderBy("o_custkey", "o_orderkey").collect()
+    prev = {}
+    for r in rows:
+        assert r["mx"] >= r["o_totalprice"]
+        if r["o_custkey"] in prev:
+            assert r["mx"] >= prev[r["o_custkey"]]
+        prev[r["o_custkey"]] = r["mx"]
+
+
+def test_exact_dup_groups_counts(spark):
+    from dbt_lab_spark.llm.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa"), (5, "ccc")],
+        ["doc_id", "text"],
+    )
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dup_groups(df).collect()}
+    assert got == {1: 3, 3: 1, 5: 1}
