@@ -191,3 +191,23 @@ def bigrams(text: str | Column) -> Column:
     return F.zip_with(
         F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), lambda a, b: F.concat_ws(" ", a, b)
     )
+
+
+def winnow(hashes: Column, w: int = 5) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): keep the minimum of every
+    window of w consecutive rolling hashes, deduplicated — a
+    position-robust fingerprint SET guaranteeing any match of at least
+    w + k - 1 tokens shares a fingerprint.  Density ~2/(w+1) of all
+    windows.
+
+    Built as a least()-chain of zip_with over shifted slices of the
+    hash array column (arguments, never lambda closures — see
+    shingles()).  Pass a MATERIALIZED column of rolling_hashes(), not
+    the raw expression, so the hash chain is computed once per row."""
+    n = F.size(hashes)
+    m = n - w + 1
+    out = F.slice(hashes, 1, m)
+    for j in range(1, w):
+        out = F.zip_with(out, F.slice(hashes, 1 + j, m), lambda a, b: F.least(a, b))
+    return F.when(n < w, F.array(F.array_min(hashes))).otherwise(F.array_distinct(out))

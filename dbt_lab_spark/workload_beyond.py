@@ -1446,6 +1446,64 @@ GROUP BY l_returnflag
 """
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (MOSS): distinct minima of every
+    5-window of Rabin-Karp hashes — the fingerprint set that guarantees
+    detection of shared runs of >= w+k-1 tokens at ~2/(w+1) density.
+    The hash array is materialized as a column FIRST so the winnow
+    least()-chain references it as an argument, computing the rolling
+    chain once per row.  Bit-exact across engines."""
+    from dbt_lab_spark.functions.text import rolling_hashes, winnow
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    rh = docs.select("doc_id", rolling_hashes("text", k=4).alias("rhs"))
+    fps = rh.select("doc_id", F.size("rhs").alias("n_windows"), winnow(F.col("rhs"), w=5).alias("fps"))
+    return fps.select(
+        "doc_id",
+        "n_windows",
+        F.size("fps").alias("n_fps"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+_SQL_WINNOW = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), codes AS (
+  SELECT doc_id,
+         [COALESCE(CAST(list_sum([ascii(c) FOR c IN string_split(tok, '')]) AS BIGINT),
+                   CAST(0 AS BIGINT)) FOR tok IN t] AS cs
+  FROM toks
+), rh AS (
+  SELECT doc_id,
+         CASE WHEN len(cs) < 4
+              THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)]
+              ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+3]),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)
+                    FOR i IN generate_series(1, len(cs) - 3)]
+         END AS rhs
+  FROM codes
+), win AS (
+  SELECT doc_id, CAST(len(rhs) AS INTEGER) AS n_windows,
+         CASE WHEN len(rhs) < 5 THEN [list_min(rhs)]
+              ELSE list_distinct([list_min(rhs[i:i+4])
+                                  FOR i IN generate_series(1, len(rhs) - 4)])
+         END AS fps
+  FROM rh
+)
+SELECT doc_id, n_windows,
+       CAST(len(fps) AS INTEGER) AS n_fps,
+       CAST(list_sum(fps) AS BIGINT) AS sum_fps,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM win
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1468,6 +1526,7 @@ BEYOND_QUERIES: list[QueryDef] = [
         _SQL_ROLLING_FINGERPRINT,
         "Rabin-Karp rolling hash",
     ),
+    QueryDef("q_winnow", _q_winnow, _SQL_WINNOW, "winnowed fingerprint sets"),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
     QueryDef("q_knn_ivf", _q_knn_ivf, None, "IVF approximate top-k"),

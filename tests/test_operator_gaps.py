@@ -80,3 +80,29 @@ def test_exact_dup_groups_counts(spark):
     )
     got = {r["keep_id"]: r["n_copies"] for r in exact_dup_groups(df).collect()}
     assert got == {1: 3, 3: 1, 5: 1}
+
+
+def test_winnow_guarantees_shared_fingerprint_on_overlap(spark):
+    """Winnowing's detection guarantee: two documents sharing a run of
+    at least w + k - 1 tokens share at least one selected fingerprint;
+    and the selection is much denser than 1 but sparser than every
+    window (~2/(w+1) density)."""
+    from dbt_lab_spark.functions.text import rolling_hashes, winnow
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    docs = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight " + shared + " nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rh = df.select("doc_id", rolling_hashes("text", k=4).alias("rhs"))
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in rh.select("doc_id", winnow(F.col("rhs"), w=5).alias("fps")).collect()
+    }
+    assert fps[1] & fps[2], "overlapping docs must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    n_windows = {r["doc_id"]: len(r["rhs"]) for r in rh.collect()}
+    for d in (1, 2, 3):
+        assert 1 <= len(fps[d]) < n_windows[d]
