@@ -34,3 +34,28 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity dot/(|a|*|b|) — the exact expression shape the
     DuckDB oracle mirrors (list_dot_product / sqrt*sqrt)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantization_error_int8(v: Column) -> Column:
+    """Per-component |x - dequant(quant_int8(x))| for min/max scalar
+    int8 quantization (the standard 4x embedding-storage compression):
+    q = clamp(floor((x - mn)/scale + 0.5), 0, 255), scale =
+    (mx - mn)/255.  floor(+0.5) pins rounding identically across
+    engines (round() half-cases differ); degenerate flat vectors get
+    scale 1 (error 0).  The per-vector min/max/scale are threaded
+    through array_repeat as zip_with ARGUMENTS — a lambda capture
+    would re-aggregate them per component (O(d^2)/row)."""
+    mn = F.array_min(v)
+    sc = F.when(F.array_max(v) == mn, F.lit(1.0)).otherwise(
+        (F.array_max(v) - mn) / F.lit(255.0)
+    )
+    n = F.size(v)
+    centered = F.zip_with(v, F.array_repeat(mn, n), lambda x, m: x - m)
+    resid = F.zip_with(
+        centered,
+        F.array_repeat(sc, n),
+        lambda y, s: F.abs(
+            y - s * F.least(F.greatest(F.floor(y / s + 0.5), F.lit(0.0)), F.lit(255.0))
+        ),
+    )
+    return resid

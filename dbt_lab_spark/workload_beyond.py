@@ -1504,6 +1504,53 @@ FROM win
 """
 
 
+def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8-quantization audit: per label, the worst and
+    total |x - dequant(quant(x))| reconstruction error across all
+    vectors — the go/no-go check before shipping 4x-compressed
+    embeddings.  All arithmetic mirrored term-for-term; max is
+    order-independent, the per-vector sum is a sequential fold in both
+    engines, and the cross-vector aggregate rounds at 4dp."""
+    from dbt_lab_spark.functions.vectors import quantization_error_int8, to_double_array
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "label", "embedding"])
+    errs = emb.select(
+        "label", quantization_error_int8(to_double_array("embedding")).alias("e")
+    )
+    per_vec = errs.select(
+        "label",
+        F.array_max("e").alias("vmax"),
+        F.aggregate("e", F.lit(0.0), lambda a, x: a + x).alias("vsum"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.max("vmax"), 6).alias("max_err"),
+        F.round(F.max("vsum"), 6).alias("max_sum_err"),
+    )
+
+
+_SQL_QUANTIZE_INT8 = """
+WITH base AS (
+  SELECT label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+), scaled AS (
+  SELECT label, v, list_min(v) AS mn,
+         CASE WHEN list_max(v) = list_min(v) THEN 1.0
+              ELSE (list_max(v) - list_min(v)) / 255.0 END AS sc
+  FROM base
+), errs AS (
+  SELECT label,
+         [abs((x - mn) - sc * least(greatest(floor((x - mn) / sc + 0.5), 0.0), 255.0))
+          FOR x IN v] AS e
+  FROM scaled
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(MAX(list_max(e)), 6) AS max_err,
+       round(MAX(list_reduce(list_prepend(0.0, e), (a, x) -> a + x)), 6) AS max_sum_err
+FROM errs GROUP BY label
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1527,6 +1574,7 @@ BEYOND_QUERIES: list[QueryDef] = [
         "Rabin-Karp rolling hash",
     ),
     QueryDef("q_winnow", _q_winnow, _SQL_WINNOW, "winnowed fingerprint sets"),
+    QueryDef("q_quantize_int8", _q_quantize_int8, _SQL_QUANTIZE_INT8, "int8 quantization audit"),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
     QueryDef("q_knn_ivf", _q_knn_ivf, None, "IVF approximate top-k"),

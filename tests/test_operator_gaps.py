@@ -106,3 +106,17 @@ def test_winnow_guarantees_shared_fingerprint_on_overlap(spark):
     n_windows = {r["doc_id"]: len(r["rhs"]) for r in rh.collect()}
     for d in (1, 2, 3):
         assert 1 <= len(fps[d]) < n_windows[d]
+
+
+def test_quantization_error_bounded_by_half_scale(spark, sf_medium):
+    """int8 min/max quantization error is at most scale/2 = (mx-mn)/510
+    per component — the bound that makes 4x compression safe."""
+    from dbt_lab_spark.functions.vectors import quantization_error_int8, to_double_array
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet").limit(500)
+    v = to_double_array("embedding")
+    checked = emb.select(
+        F.array_max(quantization_error_int8(v)).alias("worst"),
+        ((F.array_max(v) - F.array_min(v)) / 510.0 + 1e-12).alias("bound"),
+    )
+    assert checked.filter(F.col("worst") > F.col("bound")).count() == 0
