@@ -1551,6 +1551,68 @@ FROM errs GROUP BY label
 """
 
 
+def _q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over token arrays: membership, position,
+    distinct, sort, slice, reverse, concat — dialect differences
+    normalized (DuckDB list_position yields NULL for absent vs Spark's
+    0; list slicing is 1-based inclusive)."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = docs.select("doc_id", toks.alias("t"))
+    return t.select(
+        "doc_id",
+        F.array_contains("t", "the").alias("has_the"),
+        F.array_position(F.col("t"), "the").cast("bigint").alias("pos_the"),
+        F.size(F.array_distinct("t")).cast("int").alias("n_distinct"),
+        F.element_at(F.sort_array("t"), 1).alias("first_sorted"),
+        F.concat_ws(" ", F.slice(F.col("t"), 2, 3)).alias("mid3"),
+        F.element_at(F.reverse(F.col("t")), 1).alias("last_tok"),
+        F.size(F.concat(F.col("t"), F.col("t"))).cast("int").alias("n_doubled"),
+    )
+
+
+_SQL_ARRAY_FUNCTIONS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       list_contains(t, 'the') AS has_the,
+       CAST(COALESCE(list_position(t, 'the'), 0) AS BIGINT) AS pos_the,
+       CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+       list_sort(t)[1] AS first_sorted,
+       array_to_string(t[2:4], ' ') AS mid3,
+       list_reverse(t)[1] AS last_tok,
+       CAST(len(t || t) AS INT) AS n_doubled
+FROM t
+"""
+
+
+def _q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: group extraction, global replace, match
+    predicate, non-overlapping count — DuckDB's regexp_replace needs
+    the explicit 'g' flag to match Spark's replace-all default."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_name"])
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"^[sb]").alias("starts_sb"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]+")).cast("int").alias("n_vowel_runs"),
+    )
+
+
+_SQL_REGEX_FUNCTIONS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_name, '^[sb]') AS starts_sb,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS n_vowel_runs
+FROM part
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1575,6 +1637,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_winnow", _q_winnow, _SQL_WINNOW, "winnowed fingerprint sets"),
     QueryDef("q_quantize_int8", _q_quantize_int8, _SQL_QUANTIZE_INT8, "int8 quantization audit"),
+    QueryDef("q_array_functions", _q_array_functions, _SQL_ARRAY_FUNCTIONS, "array surface"),
+    QueryDef("q_regex_functions", _q_regex_functions, _SQL_REGEX_FUNCTIONS, "regex surface"),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
     QueryDef("q_knn_ivf", _q_knn_ivf, None, "IVF approximate top-k"),
