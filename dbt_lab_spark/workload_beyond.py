@@ -1613,6 +1613,130 @@ FROM part
 """
 
 
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows (size 32,
+    stride 16) as ROWS — the context-window prep step before embedding.
+    Shape: explode a chunk-index sequence, then ONE slice per chunk row
+    (the token array rides along with the exploded row; no lambda
+    closures, no re-tokenization).  Narrow + explode only: no shuffle
+    until the final per-doc accounting."""
+    cat = Catalog(sf_dir)
+    size, stride = 32, 16
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - size) / F.lit(stride)) + 1, F.lit(1)).cast("int")
+    t = docs.select("doc_id", toks.alias("t"), F.posexplode(F.sequence(F.lit(0), n_chunks - 1)))
+    chunks = t.select(
+        "doc_id",
+        F.col("pos").alias("chunk_idx"),
+        F.slice(F.col("t"), F.col("pos") * stride + 1, size).alias("chunk"),
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.size("chunk")).cast("bigint").alias("sum_chunk_tokens"),
+        F.min(F.concat_ws(" ", F.slice(F.col("chunk"), 1, 3))).alias("min_chunk_head"),
+    )
+
+
+_SQL_TEXT_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil((len(t) - 32) / 16.0) AS INTEGER) + 1, 1) AS nc
+  FROM t
+), chunks AS (
+  SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_idx, t
+  FROM idx
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(len(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 32])) AS BIGINT)
+         AS sum_chunk_tokens,
+       MIN(array_to_string(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 3], ' '))
+         AS min_chunk_head
+FROM chunks GROUP BY doc_id
+"""
+
+
+def _q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_DISC (smallest value whose cume_dist >= p) per
+    group — Spark has only the continuous/approx forms built in, so
+    this is the decorrelated window shape: row_number + count over the
+    group, then one conditional MIN per percentile in a single
+    aggregate.  Thresholds compare as INTEGER rationals
+    (rn * den >= num * n), never p*n in floating point — ceil(0.9*n)
+    is off by one whenever 0.9*n lands epsilon above an integer."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_extendedprice"])
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", F.monotonically_increasing_id())
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    def disc(num: int, den: int, alias: str):
+        return F.min(
+            F.when(F.col("rn") * den >= F.lit(num) * F.col("n"), F.col("l_extendedprice"))
+        ).alias(alias)
+    return ranked.groupBy("l_returnflag").agg(
+        disc(1, 2, "p50_disc"), disc(9, 10, "p90_disc"), disc(99, 100, "p99_disc")
+    )
+
+
+_SQL_PERCENTILE_DISC = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN rn * 2 >= 1 * n THEN l_extendedprice END) AS p50_disc,
+       MIN(CASE WHEN rn * 10 >= 9 * n THEN l_extendedprice END) AS p90_disc,
+       MIN(CASE WHEN rn * 100 >= 99 * n THEN l_extendedprice END) AS p99_disc
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+def _q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface (absent in the reference's type system,
+    SURVEY.md §1.2): per-user event-type histogram as map<string,long>
+    built with map_from_entries over collect_list, then key lookups and
+    cardinality.  Lookups are order-free, so the non-deterministic
+    collect_list order doesn't leak.  (DuckDB's m[key] yields a list —
+    unwrapped with [1] in the oracle.)"""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_type"])
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.element_at("m", F.lit("error")), F.lit(0)).alias("n_error"),
+        F.size("m").cast("int").alias("n_types"),
+    )
+
+
+_SQL_MAP_FUNCTIONS = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type
+), m AS (
+  SELECT user_id, map_from_entries(list({'k': event_type, 'v': n})) AS m
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       CAST(COALESCE(m['purchase'][1], 0) AS BIGINT) AS n_purchase,
+       CAST(COALESCE(m['error'][1], 0) AS BIGINT) AS n_error,
+       CAST(cardinality(m) AS INT) AS n_types
+FROM m
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1639,6 +1763,11 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_quantize_int8", _q_quantize_int8, _SQL_QUANTIZE_INT8, "int8 quantization audit"),
     QueryDef("q_array_functions", _q_array_functions, _SQL_ARRAY_FUNCTIONS, "array surface"),
     QueryDef("q_regex_functions", _q_regex_functions, _SQL_REGEX_FUNCTIONS, "regex surface"),
+    QueryDef("q_text_chunks", _q_text_chunks, _SQL_TEXT_CHUNKS, "RAG chunking windows"),
+    QueryDef(
+        "q_percentile_disc", _q_percentile_disc, _SQL_PERCENTILE_DISC, "exact PERCENTILE_DISC"
+    ),
+    QueryDef("q_map_functions", _q_map_functions, _SQL_MAP_FUNCTIONS, "map-typed surface"),
     QueryDef("q_knn_bruteforce", _q_knn_bruteforce, _SQL_KNN_BRUTEFORCE, "exact cosine top-k"),
     QueryDef("q_knn_lsh", _q_knn_lsh, None, "LSH approximate top-k"),
     QueryDef("q_knn_ivf", _q_knn_ivf, None, "IVF approximate top-k"),
