@@ -120,3 +120,53 @@ def test_quantization_error_bounded_by_half_scale(spark, sf_medium):
         ((F.array_max(v) - F.array_min(v)) / 510.0 + 1e-12).alias("bound"),
     )
     assert checked.filter(F.col("worst") > F.col("bound")).count() == 0
+
+
+def test_python_udtf_chunker_matches_native(spark, sf_small):
+    """Python UDTF = the 'bring your own table function' extension
+    surface (the reference's custom-HadoopOperator analogue,
+    SURVEY.md §2.10).  A UDTF chunker must emit exactly the rows of
+    the native explode+slice chunker — same windows, same truncation.
+    The UDTF is the flexibility path; the native form is the fast
+    path (JVM-side, no Python crossing)."""
+    from pyspark.sql.functions import udtf
+
+    size, stride = 32, 16
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.lower().strip().split()
+            i = idx = 0
+            while True:
+                yield idx, " ".join(toks[i : i + size])
+                if i + size >= len(toks):
+                    break
+                i += stride
+                idx += 1
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "text")
+    via_udtf = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk"]
+        for r in docs.lateralJoin(Chunker(F.col("text").outer()))
+        .select("doc_id", "chunk_idx", "chunk")
+        .collect()
+    }
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - size) / F.lit(stride)) + 1, F.lit(1)).cast("int")
+    t = docs.select(
+        "doc_id", toks.alias("t"), F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    native = {
+        (r["doc_id"], r["pos"]): r["chunk"]
+        for r in t.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("pos") * stride + 1, size)).alias(
+                "chunk"
+            ),
+        ).collect()
+    }
+    assert via_udtf == native
