@@ -57,6 +57,10 @@ BENCH_NAMES = [
     "q_heavy_hitters",
     "q_corpus_prep",
     "q_gap_fill",
+    "q_window_suite",
+    "q_text_chunks",
+    "q_winnow",
+    "q_quantize_int8",
     "q_minhash_pairs",
     "q_ngram_jaccard",
     "q_knn_bruteforce",
