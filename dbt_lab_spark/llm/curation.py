@@ -1,0 +1,223 @@
+"""Corpus-curation operators for training-data pipelines: PII
+redaction, repetition (boilerplate) statistics, benchmark
+decontamination, epoch-weighted domain mixing, and sequence packing.
+
+No reference counterpart (rimarin/dbt-lab is a pure query engine —
+SURVEY.md §2); these fill the same training-pipeline gap as
+llm/dedup.py and llm/sampling.py, and follow the same design rules:
+
+- Pure JVM Column expressions wherever possible — no Python UDFs in
+  the hot path; everything is a narrow map stage until the final
+  aggregate, so each operator costs one scan at 100 TB.
+- Content-deterministic decisions (md5-hash thresholds from
+  llm/sampling.py), never RNG — reproducible across runs, engines,
+  partitionings and data growth.
+- Engine-portable semantics: every function here is mirrored
+  term-for-term by a DuckDB oracle in workload_beyond.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.llm.sampling import hash_bucket, hash_threshold
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative patterns chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): character classes + bounded quantifiers
+# only, no backreferences or lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+_REDACTIONS: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace every email / phone match with a typed placeholder.
+    Chained regexp_replace — single codegen'd projection, no shuffle.
+    """
+    out = F.col(text) if isinstance(text, str) else text
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-row match counts for audit aggregates (how much PII a
+    source contains — the go/no-go signal before a source enters the
+    training mix)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(t, F.lit(PHONE_RE)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate statistics (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element in an array column — the
+    per-document 'top token' numerator of Gopher's repetition filters
+    — computed as the longest equal-run of the sorted array in ONE
+    aggregate() pass (no explode, no shuffle: stays a narrow map
+    stage per document, which is what makes the corpus-level
+    repetition scan a single pass at 100 TB).
+
+    Pass a materialized column, not a raw expression: the fold lambda
+    references its accumulator/element arguments only, so there is no
+    captured-expression re-evaluation (see functions/text.py
+    shingles() for the gotcha).  Empty arrays yield 0."""
+    s = F.array_sort(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Find training documents that overlap an evaluation/benchmark
+    set: any distinct k-token shingle shared between a train doc and
+    an eval doc is a contamination hit (the standard n-gram-overlap
+    decontamination used for pretraining corpora; k=8..13 typical).
+
+    Returns (train_id, eval_id, n_shared) for pairs sharing at least
+    `min_shared` distinct shingles.  Plan: shingle -> array_distinct
+    -> explode -> equi-join on a 16-hex md5 shingle key -> count.
+    The join key is a hash, not the raw shingle string, so the
+    shuffle carries 16 bytes per gram instead of the gram text; both
+    engines compute the same md5 so the DuckDB oracle matches
+    exactly.  The eval side is small in practice — Catalyst broadcasts
+    it (AQE) and the scan of the train side stays shuffle-free."""
+    from dbt_lab_spark.functions.text import shingles
+
+    def exploded(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("__g"),
+        ).select(out_id, F.substring(F.md5(F.encode(F.col("__g"), "UTF-8")), 1, 16).alias("__gh"))
+
+    tr = exploded(train, "train_id")
+    ev = exploded(eval_set, "eval_id")
+    pairs = (
+        tr.join(ev, "__gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+# ---------------------------------------------------------------------------
+# Epoch-weighted domain mixing
+# ---------------------------------------------------------------------------
+
+
+def mix_epochs(
+    df: DataFrame,
+    key: Column | str,
+    stratum: Column | str,
+    epochs: dict[str, float],
+    salt: str = "mix",
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a target domain mixture as row repetition: a
+    stratum with epochs=2.5 contributes every document twice plus a
+    deterministic half of them a third time (the Pile/Dolma
+    'sampling weight as epoch count' convention).
+
+    floor(epochs) full copies for every row; the fractional part is
+    an md5-threshold draw (llm/sampling.py) so the extra-copy set is
+    reproducible and stable as data grows.  Unlisted strata get 0
+    epochs (dropped).  Implementation is filter + explode(sequence)
+    — a narrow map stage, no shuffle, no RNG.  The explicit
+    `n_copies >= 1` filter matters: Spark's sequence(1, 0) would
+    generate a DESCENDING [1, 0] rather than an empty array."""
+    key = F.col(key) if isinstance(key, str) else key
+    stratum = F.col(stratum) if isinstance(stratum, str) else stratum
+
+    n_full: Column = F.lit(0)
+    thresh: Column = F.lit(hash_threshold(0.0))
+    for value, e in sorted(epochs.items()):
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {e} for {value!r}")
+        n_full = F.when(stratum == value, F.lit(int(math.floor(e)))).otherwise(n_full)
+        thresh = F.when(
+            stratum == value, F.lit(hash_threshold(e - math.floor(e)))
+        ).otherwise(thresh)
+
+    extra = F.when(hash_bucket(key, salt) < thresh, 1).otherwise(0)
+    n_copies = (n_full + extra).alias("__n_copies")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    pack_id = floor(running_token_count_before_this_doc / budget)
+    within each partition's deterministic order.  A document belongs
+    to the pack in which it STARTS (documents may straddle a pack
+    boundary — the concatenate-then-chunk convention used by GPT-style
+    pretraining loaders, which is what keeps the assignment a pure
+    prefix-sum instead of a sequential first-fit bin-pack).
+
+    One window (= one shuffle on partition_col); integer-exact bin
+    arithmetic `(c - c % B) / B` — never floor(c / B) through double
+    division, which can be off by one ulp at exact boundaries."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    pack = ((cum_before - cum_before % budget) / budget).cast("long")
+    return df.withColumn(out_col, pack)

@@ -1737,6 +1737,297 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation: PII redaction, repetition filters, decontamination,
+# domain mixing, sequence packing (llm/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction audit per source: plant deterministic emails
+    (doc_id%3==0) and phone numbers (doc_id%5==0) into the text, then
+    redact with llm/curation.py patterns and report match counts and
+    characters removed.  Planting from doc_id keeps the query
+    self-contained on the shared tables while exercising the real
+    redaction path; one narrow projection + one aggregate."""
+    from dbt_lab_spark.llm.curation import pii_counts, redact_pii
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.withColumn("aug", aug).withColumn("red", redact_pii(F.col("aug")))
+    counts = pii_counts(F.col("aug"))
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(counts["n_emails"]).cast("long").alias("n_emails"),
+        F.sum(counts["n_phones"]).cast("long").alias("n_phones"),
+        F.sum(F.length("aug") - F.length("red")).cast("long").alias("chars_removed"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from dbt_lab_spark.llm.curation import EMAIL_RE, PHONE_RE
+
+    sql = r"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS a
+  FROM documents
+), red AS (
+  SELECT source, a,
+         regexp_replace(regexp_replace(a, '@EMAIL@', '<EMAIL>', 'g'),
+                        '@PHONE@', '<PHONE>', 'g') AS r
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(a, '@EMAIL@'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(a, '@PHONE@'))) AS BIGINT) AS n_phones,
+       CAST(SUM(length(a) - length(r)) AS BIGINT) AS chars_removed
+FROM red GROUP BY source
+"""
+    return sql.replace("@EMAIL@", EMAIL_RE).replace("@PHONE@", PHONE_RE)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate statistics per language:
+    corpus-level duplicate-token fraction, duplicate-bigram fraction,
+    top-token mass, and the count of documents over a 0.5 per-doc
+    duplicate-token threshold.  Everything is computed from per-doc
+    array expressions (array_distinct / zip_with / one aggregate()
+    run-length pass — see curation.max_multiplicity), so the whole
+    scan is a single narrow map stage + one aggregate: no explode, no
+    per-token shuffle, which is the difference between one pass and a
+    token-cardinality shuffle at 100 TB.  Ratios are single double
+    divisions of exact integer sums — bit-identical cross-engine."""
+    from dbt_lab_spark.llm.curation import max_multiplicity
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    toked = docs.select(
+        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    bg = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per_doc = toked.select(
+        "lang",
+        n.alias("nt"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+        max_multiplicity(F.col("toks")).alias("top"),
+        F.size(bg).alias("nb"),
+        F.size(F.array_distinct(bg)).alias("ndb"),
+    )
+    flagged = F.when(
+        F.lit(1.0) - F.col("nd").cast("double") / F.col("nt") > 0.5, 1
+    ).otherwise(0)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged).cast("long").alias("n_flagged"),
+        (F.lit(1.0) - F.sum("nd").cast("double") / F.sum("nt")).alias("dup_token_frac"),
+        (F.lit(1.0) - F.sum("ndb").cast("double") / F.sum("nb")).alias("dup_bigram_frac"),
+        (F.sum("top").cast("double") / F.sum("nt")).alias("top_token_frac"),
+    )
+
+
+_SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), per_doc AS (
+  SELECT lang,
+         len(t) AS nt,
+         len(list_distinct(t)) AS nd,
+         list_max([len(list_filter(t, x -> x = u)) FOR u IN list_distinct(t)]) AS top,
+         CASE WHEN len(t) < 2 THEN 0
+              ELSE len(t) - 1 END AS nb,
+         CASE WHEN len(t) < 2 THEN 0
+              ELSE len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                      FOR i IN generate_series(1, len(t)-1)])) END AS ndb
+  FROM toks
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(1.0 AS DOUBLE) - CAST(nd AS DOUBLE) / nt > CAST(0.5 AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(1.0 AS DOUBLE) - CAST(SUM(nd) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) AS dup_token_frac,
+       CAST(1.0 AS DOUBLE) - CAST(SUM(ndb) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE) AS dup_bigram_frac,
+       CAST(SUM(top) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) AS top_token_frac
+FROM per_doc GROUP BY lang
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id%97==0 stand in as
+    the held-out eval set; report, per eval doc, how many training
+    docs share at least one distinct 8-token shingle with it and the
+    total/max shared-gram counts (llm/curation.decontamination_pairs:
+    shingle -> md5-key equi-join -> count; the eval side broadcasts)."""
+    from dbt_lab_spark.llm.curation import decontamination_pairs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    pairs = decontamination_pairs(tr, ev, k=8, min_shared=1)
+    return pairs.groupBy("eval_id").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum("n_shared").cast("long").alias("n_shared_ngrams"),
+        F.max("n_shared").alias("max_shared"),
+    )
+
+
+_SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t)-7)]
+         END) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, substr(md5(g), 1, 16) AS gh
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+), pairs AS (
+  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+  FROM ex tr JOIN ex ev ON tr.gh = ev.gh
+  WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0
+  GROUP BY 1, 2
+)
+SELECT eval_id,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(n_shared) AS BIGINT) AS n_shared_ngrams,
+       CAST(MAX(n_shared) AS BIGINT) AS max_shared
+FROM pairs GROUP BY eval_id
+"""
+
+
+_MIX_EPOCHS: dict[str, float] = {f"src{i}": (2.0, 1.5, 1.0, 0.3)[i % 4] for i in range(20)}
+
+
+def _q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted domain mixing: materialize a target mixture
+    (source src{i} gets 2.0/1.5/1.0/0.3 epochs by i%4) as
+    deterministic row repetition (llm/curation.mix_epochs — full
+    copies + md5-threshold fractional copies, narrow explode, no
+    RNG), then audit rows-out / docs-kept / max-epoch per source."""
+    from dbt_lab_spark.llm.curation import mix_epochs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source"])
+    mixed = mix_epochs(docs, "doc_id", "source", _MIX_EPOCHS)
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_rows_out"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
+def _sql_mix_epochs() -> str:
+    import math as _math
+
+    from dbt_lab_spark.llm.sampling import hash_threshold
+
+    full_arms = " ".join(
+        f"WHEN '{s}' THEN {int(_math.floor(e))}" for s, e in sorted(_MIX_EPOCHS.items())
+    )
+    thr_arms = " ".join(
+        f"WHEN '{s}' THEN '{hash_threshold(e - _math.floor(e))}'"
+        for s, e in sorted(_MIX_EPOCHS.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE source {full_arms} ELSE 0 END)
+         + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15)
+                      < (CASE source {thr_arms} ELSE '000000000000000' END)
+                 THEN 1 ELSE 0 END) AS nc
+  FROM documents
+), mixed AS (
+  SELECT source, doc_id, CAST(unnest(generate_series(1, nc)) AS INTEGER) AS epoch
+  FROM base WHERE nc >= 1
+)
+SELECT source,
+       COUNT(*) AS n_rows_out,
+       COUNT(DISTINCT doc_id) AS n_docs_kept,
+       MAX(epoch) AS max_epoch
+FROM mixed GROUP BY source
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining loaders: BPE-ish token counts
+    per doc, then pack_id = floor(prefix-sum-before / 2048) within
+    each language ordered by doc_id (llm/curation.pack_sequences —
+    one window shuffle, integer-exact bin arithmetic), audited as
+    docs/tokens/doc-range per pack.  At 100 TB the partition key
+    would be (lang, shard) to keep windows bounded; the prefix-sum
+    assignment is what keeps packing parallel at all — first-fit
+    bin-packing is inherently sequential."""
+    from dbt_lab_spark.llm.curation import pack_sequences
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    toked = docs.select(
+        "doc_id", "lang", bpe_ish_token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(toked, "lang", "doc_id", "n_tokens", budget=2048)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(list_sum([CAST(ceil(length(w) / 4.0) AS INTEGER)
+                        FOR w IN string_split_regex(trim(text), '\s+')]) AS INTEGER) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS c
+  FROM tok
+), packed AS (
+  SELECT lang, doc_id, n_tokens, CAST((c - c % 2048) / 2048 AS BIGINT) AS pack_id FROM cum
+)
+SELECT lang, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed GROUP BY lang, pack_id
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -1817,4 +2108,13 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_multimodal_features", _q_multimodal_features, None, "mapInPandas features"),
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
+    QueryDef("q_pii_redact", _q_pii_redact, _sql_pii_redact(), "PII redaction audit"),
+    QueryDef("q_repetition", _q_repetition, _SQL_REPETITION, "Gopher repetition stats"),
+    QueryDef(
+        "q_decontaminate", _q_decontaminate, _SQL_DECONTAMINATE, "8-gram eval decontamination"
+    ),
+    QueryDef("q_mix_epochs", _q_mix_epochs, _sql_mix_epochs(), "epoch-weighted domain mix"),
+    QueryDef(
+        "q_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES, "2048-token sequence packing"
+    ),
 ]

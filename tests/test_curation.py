@@ -1,0 +1,125 @@
+"""Pin tests for llm/curation.py: planted-data checks that don't
+depend on the shared tables (the registry parity tests in
+test_oracle_parity.py cover the cross-engine gate)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.llm.curation import (
+    decontamination_pairs,
+    max_multiplicity,
+    mix_epochs,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+)
+
+
+def test_redact_pii_planted_strings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@mail.example.org today"),
+            (2, "call +1-555-0042 or +1-555-9999 now"),
+            (3, "no pii here at all"),
+            (4, "both bob@x.io and +1-555-0000"),
+        ],
+        "id int, text string",
+    )
+    counts = pii_counts("text")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            counts["n_emails"].alias("ne"),
+            counts["n_phones"].alias("np"),
+        ).collect()
+    }
+    assert rows[1]["red"] == "write to <EMAIL> today"
+    assert (rows[1]["ne"], rows[1]["np"]) == (1, 0)
+    assert rows[2]["red"] == "call <PHONE> or <PHONE> now"
+    assert (rows[2]["ne"], rows[2]["np"]) == (0, 2)
+    assert rows[3]["red"] == "no pii here at all"
+    assert rows[4]["red"] == "both <EMAIL> and <PHONE>"
+    assert (rows[4]["ne"], rows[4]["np"]) == (1, 1)
+
+
+def test_max_multiplicity_counts_most_frequent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "c", "a"]),
+            (2, ["x"]),
+            (3, []),
+            (4, ["t", "t", "t", "t"]),
+        ],
+        "id int, arr array<string>",
+    )
+    got = {r["id"]: r["m"] for r in df.select("id", max_multiplicity(F.col("arr")).alias("m")).collect()}
+    assert got == {1: 3, 2: 1, 3: 0, 4: 4}
+
+
+def _hex_prefix(key: str, salt: str) -> str:
+    return hashlib.md5((key + salt).encode()).hexdigest()[:15]
+
+
+def test_mix_epochs_matches_python_recomputation(spark):
+    epochs = {"a": 2.5, "b": 1.0, "c": 0.4}  # 'd' unlisted -> dropped
+    df = spark.createDataFrame(
+        [(i, "abcd"[i % 4]) for i in range(200)], "doc_id long, src string"
+    )
+    out = mix_epochs(df, "doc_id", "src", epochs).groupBy("doc_id", "src").count().collect()
+    got = {(r["doc_id"], r["src"]): r["count"] for r in out}
+
+    space = 16**15
+    expected = {}
+    for i in range(200):
+        s = "abcd"[i % 4]
+        e = epochs.get(s, 0.0)
+        n = int(math.floor(e))
+        frac = e - math.floor(e)
+        if frac > 0 and _hex_prefix(str(i), "mix") < format(int(frac * space), "015x"):
+            n += 1
+        if n >= 1:
+            expected[(i, s)] = n
+    assert got == expected
+    # fractional arm actually fires both ways at this size
+    a_counts = {k: v for k, v in expected.items() if k[1] == "a"}
+    assert {2, 3} == set(a_counts.values())
+
+
+def test_pack_sequences_prefix_sum_assignment(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 60), (2, "x", 50), (3, "x", 10), (4, "x", 100), (5, "y", 250)],
+        "doc_id long, part string, tok int",
+    )
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, "part", "doc_id", "tok", budget=100).collect()
+    }
+    # cumulative-before: 0, 60, 110, 120 -> packs 0, 0, 1, 1; y starts at 0
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_decontamination_detects_planted_overlap(spark):
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix junk {shared} suffix junk words"),
+            (2, "totally different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"{shared} trailing eval tokens"), (101, "unrelated eval doc text entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in decontamination_pairs(train, ev, k=8).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] >= 1
+    assert all(t == 1 and e == 100 for t, e in pairs)
