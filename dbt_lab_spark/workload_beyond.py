@@ -2028,6 +2028,110 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-percentile quality filtering (the FineWeb-style 'drop
+    the worst quartile' step): compute the exact p25 quality threshold
+    as a rank statistic (min q with 4*row_number >= n — integer-exact,
+    no interpolated-percentile cross-engine ulp risk), broadcast the
+    1-row threshold, keep docs at or above it.  The global row_number
+    sort is the exact small-N path; at 100 TB swap the threshold
+    subquery for percentile_approx (mergeable KLL sketch, no global
+    sort) — the broadcast-filter shape is unchanged."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("q"))
+    n_df = scored.agg(F.count("*").alias("n"))
+    ranked = scored.select("doc_id", "q").withColumn(
+        "rn", F.row_number().over(Window.orderBy("q", "doc_id"))
+    )
+    thresh = (
+        ranked.crossJoin(F.broadcast(n_df))
+        .filter(4 * F.col("rn") >= F.col("n"))
+        .agg(F.min("q").alias("t"))
+    )
+    kept = scored.crossJoin(F.broadcast(thresh)).filter(F.col("q") >= F.col("t"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("q").alias("min_q_kept"),
+        F.sum(F.col("q").cast("decimal(18,4)")).cast("double").alias("sum_q_kept"),
+    )
+
+
+_SQL_QUALITY_FILTER = r"""
+WITH raw AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         trim(text) AS t
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_intersect(toks,
+              ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this','be','are','was'])) AS DOUBLE) AS stop_hits
+  FROM raw
+), per_doc AS (
+  SELECT doc_id, lang,
+         round(CAST(0.3 AS DOUBLE) * least(n_chars / 200.0, 1.0)
+             + CAST(0.3 AS DOUBLE) * (n_alpha / greatest(n_chars, 1.0))
+             + CAST(0.2 AS DOUBLE) * least(stop_hits / 3.0, 1.0)
+             + CAST(0.2 AS DOUBLE) * (CASE WHEN n_chars / greatest(n_tok, 1.0) >= 3.0
+                                            AND n_chars / greatest(n_tok, 1.0) <= 12.0
+                                           THEN CAST(1.0 AS DOUBLE)
+                                           ELSE CAST(0.3 AS DOUBLE) END), 4) AS q
+  FROM feats
+), n AS (
+  SELECT COUNT(*) AS n FROM per_doc
+), ranked AS (
+  SELECT q, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn FROM per_doc
+), t AS (
+  SELECT MIN(q) AS t FROM ranked, n WHERE 4 * rn >= n
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       MIN(q) AS min_q_kept,
+       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_q_kept
+FROM per_doc, t WHERE q >= t GROUP BY lang
+"""
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-host crawl cap): keep at most
+    20 docs per source, chosen by deterministic md5-hash order (a
+    stable uniform subsample — the same doc set survives data growth
+    and repartitioning), audited as kept-count + kept-id checksum.
+    One window shuffle on source; heavy-host skew splits under AQE."""
+    from dbt_lab_spark.llm.sampling import hash_bucket
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source"])
+    w = Window.partitionBy("source").orderBy("hb", "doc_id")
+    ranked = docs.withColumn("hb", hash_bucket("doc_id", "cap")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = ranked.filter(F.col("rn") <= 20)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+    )
+
+
+_SQL_SOURCE_CAP = """
+WITH h AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15) AS hb
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hb, doc_id) AS rn
+  FROM h
+)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+FROM ranked WHERE rn <= 20 GROUP BY source
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -2117,4 +2221,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES, "2048-token sequence packing"
     ),
+    QueryDef(
+        "q_quality_filter", _q_quality_filter, _SQL_QUALITY_FILTER, "p25 quality threshold filter"
+    ),
+    QueryDef("q_source_cap", _q_source_cap, _SQL_SOURCE_CAP, "per-source doc cap (hash order)"),
 ]

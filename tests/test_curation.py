@@ -104,6 +104,39 @@ def test_pack_sequences_prefix_sum_assignment(spark):
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
 
 
+def test_source_cap_matches_python_hash_order(spark):
+    from dbt_lab_spark.llm.sampling import hash_bucket
+
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("hb", "doc_id")
+    kept = (
+        df.withColumn("hb", hash_bucket("doc_id", "cap"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    got = {(r["source"], r["doc_id"]) for r in kept.collect()}
+
+    expected = set()
+    for s in ("s0", "s1", "s2"):
+        ids = [i for i in range(90) if f"s{i % 3}" == s]
+        ranked = sorted(ids, key=lambda i: (_hex_prefix(str(i), "cap"), i))
+        expected |= {(s, i) for i in ranked[:5]}
+    assert got == expected
+
+
+def test_quality_filter_drops_about_a_quartile(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_quality_filter"](spark, "/root/testdata/sf0.01")
+    total_kept = sum(r["n_kept"] for r in df.collect())
+    from dbt_lab_spark.catalog import Catalog
+
+    n = Catalog("/root/testdata/sf0.01").table(spark, "documents").count()
+    assert 0.70 * n <= total_kept <= 0.80 * n
+
+
 def test_decontamination_detects_planted_overlap(spark):
     shared = "one two three four five six seven eight"
     train = spark.createDataFrame(
