@@ -64,6 +64,13 @@ BENCH_NAMES = [
     "q_minhash_pairs",
     "q_ngram_jaccard",
     "q_knn_bruteforce",
+    "q_pii_redact",
+    "q_repetition",
+    "q_decontaminate",
+    "q_mix_epochs",
+    "q_pack_sequences",
+    "q_quality_filter",
+    "q_source_cap",
 ]
 
 

@@ -2132,6 +2132,147 @@ FROM ranked WHERE rn <= 20 GROUP BY source
 """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: docs with doc_id%10==9 play the new
+    batch, the rest the existing corpus.  A new doc survives iff its
+    md5 fingerprint is absent from the corpus AND it is the first
+    occurrence within its batch (window keep-first).  Per-source
+    audit: batch size, corpus-dup count, kept count.  The corpus side
+    reduces to distinct fingerprints before the join — at 100 TB
+    that's the difference between joining a fingerprint index and
+    re-shuffling the corpus text."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 != 9).select(fingerprint("text").alias("fp")).distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    marked = new.join(corpus_fp.withColumn("in_corpus", F.lit(1)), "fp", "left")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = marked.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_corpus"),
+        F.sum(
+            F.when(F.col("in_corpus").isNull() & (F.col("rn") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 9
+), new_batch AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id % 10 = 9
+), marked AS (
+  SELECT n.doc_id, n.source, n.fp,
+         CASE WHEN c.fp IS NOT NULL THEN 1 END AS in_corpus,
+         ROW_NUMBER() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn
+  FROM new_batch n LEFT JOIN corpus c ON n.fp = c.fp
+)
+SELECT source,
+       COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN in_corpus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+       CAST(SUM(CASE WHEN in_corpus IS NULL AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM marked GROUP BY source
+"""
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the ISO week of their first
+    event; for each (cohort_week, weeks_since_cohort) count distinct
+    active users.  First-event lookup is a tiny per-user aggregate
+    broadcast back onto the event stream; the week offset is exact
+    integer day arithmetic ((d - d%7)/7, never floor of a double)."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "ts"])
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    joined = ev.join(F.broadcast(firsts), "user_id")
+    d = F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+    offset = ((d - d % 7) / 7).cast("int")
+    return (
+        joined.withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+_SQL_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+), joined AS (
+  SELECT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) AS d
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week,
+       CAST((d - d % 7) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM joined GROUP BY 1, 2
+"""
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the ANALYZE/statistics surface as a
+    query): one pass over orders computing per-column row count, null
+    count, and exact NDV, pivoted to one row per column.  Spark plans
+    the multi-distinct aggregate as a single Expand — one scan, not
+    one scan per column."""
+    cat = Catalog(sf_dir)
+    orders = scan(
+        spark, cat, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+            for x in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+                F.countDistinct(c).alias(f"ndv_{c}"),
+            )
+        ],
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"ndv_{c}").alias("ndv"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(structs).alias("s")).select("s.*")
+
+
+_SQL_PROFILE = """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_null, COUNT(DISTINCT o_orderkey) AS ndv
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority)
+FROM orders
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -2225,4 +2366,12 @@ BEYOND_QUERIES: list[QueryDef] = [
         "q_quality_filter", _q_quality_filter, _SQL_QUALITY_FILTER, "p25 quality threshold filter"
     ),
     QueryDef("q_source_cap", _q_source_cap, _SQL_SOURCE_CAP, "per-source doc cap (hash order)"),
+    QueryDef(
+        "q_incremental_dedup",
+        _q_incremental_dedup,
+        _SQL_INCREMENTAL_DEDUP,
+        "new-batch dedup vs corpus fingerprints",
+    ),
+    QueryDef("q_retention", _q_retention, _SQL_RETENTION, "weekly cohort retention"),
+    QueryDef("q_profile", _q_profile, _SQL_PROFILE, "per-column profiling (null/NDV)"),
 ]

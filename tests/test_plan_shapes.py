@@ -252,3 +252,40 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_medium):
+    """The 1%-sized eval side of the decontamination join must
+    broadcast — the train-side shingle stream never shuffles (at
+    100 TB the train side is the corpus; shuffling it on gram hash
+    would dominate the job)."""
+    plan = _plan(spark, sf_medium, "q_decontaminate")
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_mix_epochs_is_narrow_until_audit_agg(spark, sf_medium):
+    """mix_epochs itself (filter + explode) must add no exchange; the
+    only shuffles in the audit query belong to the final distinct
+    aggregate."""
+    plan = _plan(spark, sf_medium, "q_mix_epochs")
+    assert _nodes(plan, "Generate") == 1, plan  # the explode
+    # count(distinct doc_id) plans as two-phase agg: <= 2 exchanges total
+    assert _nodes(plan, "Exchange") <= 2, plan
+
+
+def test_quality_filter_threshold_broadcasts(spark, sf_medium):
+    """The 1-row p25 threshold joins the corpus via broadcast — the
+    scored corpus itself is never shuffled for the filter step."""
+    plan = _plan(spark, sf_medium, "q_quality_filter")
+    assert _nodes(plan, "BroadcastNestedLoopJoin") >= 1, plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_pii_redact_single_scan_single_exchange(spark, sf_medium):
+    """Redaction is a pure narrow projection: scan -> project ->
+    partial agg -> exchange -> final agg.  One scan, one exchange."""
+    plan = _plan(spark, sf_medium, "q_pii_redact")
+    assert _nodes(plan, "Scan parquet") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "HashAggregate") == 2, plan
