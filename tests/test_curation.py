@@ -137,6 +137,61 @@ def test_quality_filter_drops_about_a_quartile(spark):
     assert 0.70 * n <= total_kept <= 0.80 * n
 
 
+def test_max_multiplicity_matches_counter_on_random_arrays(spark):
+    import collections
+    import random
+
+    rng = random.Random(20260813)
+    rows = []
+    for i in range(300):
+        arr = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 3)))
+               for _ in range(rng.randint(0, 30))]
+        rows.append((i, arr))
+    df = spark.createDataFrame(rows, "id int, arr array<string>")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", max_multiplicity(F.col("arr")).alias("m")).collect()
+    }
+    for i, arr in rows:
+        expected = max(collections.Counter(arr).values()) if arr else 0
+        assert got[i] == expected, (i, arr)
+
+
+def test_redact_pii_is_idempotent_on_random_text(spark):
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "x@y.io", "+1-555-0000", "a.b%c@d-e.org", "gamma"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    twice = df.select(
+        "id",
+        redact_pii("text").alias("once"),
+        redact_pii(redact_pii("text")).alias("twice"),
+    )
+    assert twice.filter(F.col("once") != F.col("twice")).count() == 0
+
+
+def test_pack_sequences_matches_python_prefix_sum_on_random_input(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice(["p", "q"]), rng.randint(0, 400)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, part string, tok int")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, "part", "doc_id", "tok", budget=512).collect()
+    }
+    for part in ("p", "q"):
+        cum = 0
+        for i, p, tok in rows:  # rows are already in doc_id order
+            if p != part:
+                continue
+            assert got[i] == cum // 512, (i, cum)
+            cum += tok
+
+
 def test_decontamination_detects_planted_overlap(spark):
     shared = "one two three four five six seven eight"
     train = spark.createDataFrame(
