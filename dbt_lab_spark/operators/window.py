@@ -75,3 +75,38 @@ def running_agg(
     lo = Window.unboundedPreceding if preceding is None else -preceding
     spec = _spec(partition_by, order_by, ascending).rowsBetween(lo, Window.currentRow)
     return df.withColumn(alias, agg.over(spec))
+
+
+def ntile_approx(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    out_col: str = "bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distribution bucketing WITHOUT a global sort — the 100 TB path
+    for NTILE (exact NTILE needs a single total order, i.e. one
+    executor sees every row; see q_ntile).  Computes k-1 approximate
+    quantile cuts (percentile_approx — a mergeable KLL-style sketch,
+    so the shuffle carries sketches, not rows), broadcasts the 1-row
+    cut array, and assigns bucket = 1 + #cuts strictly below the
+    value as an array fold.  Buckets are value-monotone and sized
+    n/k ± the sketch error; ties land in one bucket (unlike exact
+    NTILE, which splits ties to equalize counts).
+    """
+    fracs = [i / k for i in range(1, k)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, F.array(*[F.lit(f) for f in fracs]), accuracy).alias(
+            "__cuts"
+        )
+    )
+    v = F.col(value_col)
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(v > c, 1).otherwise(0),
+        )
+    ).cast("int")
+    return df.crossJoin(F.broadcast(cuts)).withColumn(out_col, bucket).drop("__cuts")

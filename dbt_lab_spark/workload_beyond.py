@@ -2273,6 +2273,70 @@ FROM orders
 """
 
 
+def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection: count events more
+    than 3 sample standard deviations from their type's mean.  The
+    group stats come from ONE partial+final aggregate over exact
+    DECIMAL sums (order-independent — never stddev_samp over raw
+    doubles, whose float summation order differs per partitioning),
+    then broadcast-join back onto the stream; mean/variance are
+    derived in double with the identical expression the oracle uses,
+    so the 3-sigma comparison is bit-deterministic cross-engine."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "value"])
+    dec = money("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("sum_x"),
+        F.sum(dec * dec).alias("sum_x2"),
+    )
+    mean = F.col("sum_x").cast("double") / F.col("n")
+    var = (
+        F.col("sum_x2").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_x").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    enriched = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "__mean", mean
+    ).withColumn("__sd", F.sqrt(var))
+    return enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("__mean").alias("mean_value"),
+        F.max("__sd").alias("sd_value"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("__mean")) > 3 * F.col("__sd"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+_SQL_ZSCORE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_x,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sum_x2
+  FROM events GROUP BY event_type
+), derived AS (
+  SELECT event_type, n,
+         CAST(sum_x AS DOUBLE) / n AS m,
+         sqrt((CAST(sum_x2 AS DOUBLE) - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) / n)
+              / (n - 1)) AS sd
+  FROM stats
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       MAX(d.m) AS mean_value,
+       MAX(d.sd) AS sd_value,
+       CAST(SUM(CASE WHEN abs(e.value - d.m) > 3 * d.sd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM events e JOIN derived d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -2374,4 +2438,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_retention", _q_retention, _SQL_RETENTION, "weekly cohort retention"),
     QueryDef("q_profile", _q_profile, _SQL_PROFILE, "per-column profiling (null/NDV)"),
+    QueryDef(
+        "q_zscore_outliers", _q_zscore_outliers, _SQL_ZSCORE_OUTLIERS, "3-sigma outlier counts"
+    ),
 ]

@@ -170,3 +170,36 @@ def test_python_udtf_chunker_matches_native(spark, sf_small):
         ).collect()
     }
     assert via_udtf == native
+
+
+def test_ntile_approx_buckets_without_global_sort(spark, sf_medium):
+    """ntile_approx: value-monotone buckets sized ~n/k from a sketch +
+    broadcast — and crucially NO Window / no global sort of the data
+    in the plan (that single-total-order is exactly what exact NTILE
+    can't avoid at 100 TB)."""
+    from dbt_lab_spark.operators.window import ntile_approx
+
+    cat = Catalog(sf_medium)
+    li = cat.table(spark, "lineitem").select("l_extendedprice")
+    k = 10
+    bucketed = ntile_approx(li, "l_extendedprice", k=k, accuracy=10_000)
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Window" not in plan, plan
+
+    stats = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r["bucket"] for r in stats] == list(range(1, k + 1))
+    n_total = sum(r["n"] for r in stats)
+    for r in stats:
+        assert abs(r["n"] - n_total / k) <= 0.2 * n_total / k, stats
+    for prev, nxt in zip(stats, stats[1:]):
+        assert prev["hi"] <= nxt["lo"], stats
