@@ -71,6 +71,10 @@ BENCH_NAMES = [
     "q_pack_sequences",
     "q_quality_filter",
     "q_source_cap",
+    "q_incremental_dedup",
+    "q_retention",
+    "q_profile",
+    "q_zscore_outliers",
 ]
 
 
