@@ -2337,6 +2337,143 @@ GROUP BY e.event_type
 """
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, composing the full operator set in
+    the order a production pretraining pipeline runs them:
+
+      1. gate: predicted-English, quality >= 0.5, per-doc duplicate-
+         token fraction <= 0.5 (all narrow array expressions);
+      2. exact dedup keep-first on the md5 fingerprint (one window);
+      3. PII plant (deterministic, from doc_id) + redaction;
+      4. per-source cap of 50 by md5-hash order (one window);
+      5. audit aggregate per source: kept docs, BPE-ish tokens of the
+         redacted text, characters redacted.
+
+    Three shuffles total (fingerprint window, source window, final
+    agg — the last two share the source partitioning).  Every stage
+    is mirrored term-for-term in the oracle."""
+    from dbt_lab_spark.llm.curation import redact_pii
+    from dbt_lab_spark.llm.sampling import hash_bucket
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    gated = docs.filter(
+        (quality_score("text") >= 0.5)
+        & (lang_id("text") == "en")
+        & (dup_frac <= 0.5)
+    )
+    w_fp = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    deduped = gated.withColumn("__rn", F.row_number().over(w_fp)).filter(
+        F.col("__rn") == 1
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = deduped.withColumn("aug", aug).withColumn("red", redact_pii(F.col("aug")))
+    w_cap = Window.partitionBy("source").orderBy("hb", "doc_id")
+    capped = (
+        redacted.withColumn("hb", hash_bucket("doc_id", "cap"))
+        .withColumn("__cn", F.row_number().over(w_cap))
+        .filter(F.col("__cn") <= 50)
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("red"))).cast("long").alias("sum_bpe_tokens"),
+        F.sum(F.length("aug") - F.length("red")).cast("long").alias("chars_removed"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from dbt_lab_spark.llm.curation import EMAIL_RE, PHONE_RE
+
+    sql = r"""
+WITH raw AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         trim(text) AS t
+  FROM documents
+), feats AS (
+  SELECT doc_id, source, text, toks,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_intersect(toks,
+              ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this','be','are','was'])) AS DOUBLE) AS stop_hits,
+         len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+         len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s_de,
+         len(list_intersect(toks, ['le','la','les','et','est','une','pour','dans','que','des'])) AS s_fr,
+         len(list_intersect(toks, ['el','la','los','y','es','una','para','en','que','por'])) AS s_es
+  FROM raw
+), gated AS (
+  SELECT doc_id, source, text
+  FROM feats
+  WHERE round(CAST(0.3 AS DOUBLE) * least(n_chars / 200.0, 1.0)
+            + CAST(0.3 AS DOUBLE) * (n_alpha / greatest(n_chars, 1.0))
+            + CAST(0.2 AS DOUBLE) * least(stop_hits / 3.0, 1.0)
+            + CAST(0.2 AS DOUBLE) * (CASE WHEN n_chars / greatest(n_tok, 1.0) >= 3.0
+                                           AND n_chars / greatest(n_tok, 1.0) <= 12.0
+                                          THEN CAST(1.0 AS DOUBLE)
+                                          ELSE CAST(0.3 AS DOUBLE) END), 4)
+          >= CAST(0.5 AS DOUBLE)
+    AND s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+    AND CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          <= CAST(0.5 AS DOUBLE)
+), deduped AS (
+  SELECT doc_id, source, text
+  FROM (SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated)
+  WHERE rn = 1
+), planted AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS aug
+  FROM deduped
+), red AS (
+  SELECT doc_id, source, aug,
+         regexp_replace(regexp_replace(aug, '@EMAIL@', '<EMAIL>', 'g'),
+                        '@PHONE@', '<PHONE>', 'g') AS r
+  FROM planted
+), capped AS (
+  SELECT doc_id, source, aug, r
+  FROM (SELECT doc_id, source, aug, r,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15),
+                                           doc_id) AS cn
+        FROM red)
+  WHERE cn <= 50
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(list_sum([CAST(ceil(length(w) / 4.0) AS INTEGER)
+                               FOR w IN string_split_regex(trim(r), '\s+')]) AS INTEGER))
+            AS BIGINT) AS sum_bpe_tokens,
+       CAST(SUM(length(aug) - length(r)) AS BIGINT) AS chars_removed
+FROM capped GROUP BY source
+"""
+    return sql.replace("@EMAIL@", EMAIL_RE).replace("@PHONE@", PHONE_RE)
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -2440,5 +2577,11 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_profile", _q_profile, _SQL_PROFILE, "per-column profiling (null/NDV)"),
     QueryDef(
         "q_zscore_outliers", _q_zscore_outliers, _SQL_ZSCORE_OUTLIERS, "3-sigma outlier counts"
+    ),
+    QueryDef(
+        "q_curation_pipeline",
+        _q_curation_pipeline,
+        _sql_curation_pipeline(),
+        "e2e curation: gate/dedup/redact/cap",
     ),
 ]

@@ -211,3 +211,46 @@ def test_decontamination_detects_planted_overlap(spark):
     }
     assert (1, 100) in pairs and pairs[(1, 100)] >= 1
     assert all(t == 1 and e == 100 for t, e in pairs)
+
+
+def test_streaming_pii_redaction_matches_batch(spark, tmp_path):
+    """Redaction is a stateless narrow projection, so the identical
+    Column expression runs unchanged under Structured Streaming —
+    streamed output rows must equal the batch transform exactly."""
+    from dbt_lab_spark.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    cat = Catalog(sf)
+    batch_docs = cat.table(spark, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" mail u"), F.col("doc_id").cast("string"), F.lit("@ex.org")),
+        ).otherwise(F.lit("")),
+    )
+
+    def transform(df):
+        return df.select("doc_id", redact_pii(planted).alias("red"))
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["red"]) for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    want = {(r["doc_id"], r["red"]) for r in transform(batch_docs).collect()}
+    assert got == want and len(got) > 0
+    assert any("<EMAIL>" in red for _, red in got)
