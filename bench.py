@@ -75,6 +75,9 @@ BENCH_NAMES = [
     "q_retention",
     "q_profile",
     "q_zscore_outliers",
+    "q_curation_pipeline",
+    "q_debounce",
+    "q_share_of_total",
 ]
 
 

@@ -2474,6 +2474,86 @@ FROM capped GROUP BY source
     return sql.replace("@EMAIL@", EMAIL_RE).replace("@PHONE@", PHONE_RE)
 
 
+def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: drop events landing within 1 s of the
+    previous event of the same (user, type) — the standard lag-based
+    SQL debounce (each event compares to the previous RAW event, the
+    form that stays one window pass; the keep-chain variant where
+    events compare to the previous KEPT event is inherently
+    sequential per key and needs applyInPandasWithState — see
+    streaming/stateful.py for that machinery).  Exact epoch-millis
+    integer comparison; one shuffle."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_id", "user_id", "event_type", "ts"])
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    kept = F.when(gap.isNull() | (gap > 1000), 1).otherwise(0)
+    return ev.withColumn("__k", kept).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("__k").cast("long").alias("n_kept"),
+    )
+
+
+_SQL_DEBOUNCE = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1000
+              THEN 1 ELSE 0 END AS k
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS n_kept
+FROM flagged GROUP BY event_type
+"""
+
+
+def _q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's share of global order
+    revenue.  Two-level aggregate + broadcast of the 1-row grand
+    total — NOT an unpartitioned window over the fact rows, which
+    would funnel every row through one task at 100 TB.  Decimal-exact
+    sums; the share is one double division of identical operands."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    )
+    grand = per_nation.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per_nation.crossJoin(F.broadcast(grand))
+        .select(
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("rev_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+                "rev_share"
+            ),
+        )
+    )
+
+
+_SQL_SHARE_OF_TOTAL = """
+WITH per_nation AS (
+  SELECT n.n_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), grand AS (
+  SELECT SUM(rev_dec) AS total_dec FROM per_nation
+)
+SELECT n_name,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS rev_share
+FROM per_nation, grand
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
@@ -2583,5 +2663,9 @@ BEYOND_QUERIES: list[QueryDef] = [
         _q_curation_pipeline,
         _sql_curation_pipeline(),
         "e2e curation: gate/dedup/redact/cap",
+    ),
+    QueryDef("q_debounce", _q_debounce, _SQL_DEBOUNCE, "1s lag-based event debounce"),
+    QueryDef(
+        "q_share_of_total", _q_share_of_total, _SQL_SHARE_OF_TOTAL, "revenue share per nation"
     ),
 ]
