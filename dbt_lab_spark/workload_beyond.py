@@ -794,38 +794,57 @@ def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching: part-name pairs within edit distance 3,
-    blocked on the name's noun token so the candidate join is an
-    EQUI-join (no cartesian; at scale add more blocking keys — e.g.
-    length band or first-char — to shrink blocks further).  Exact
+    """Fuzzy string matching (record linkage): DISTINCT part names
+    within edit distance 3, blocked on the noun token, with the row
+    multiplicities each name pair represents.
+
+    Scale shape: aggregate to distinct values FIRST (the value domain
+    grows far slower than the fact table — here 64 names over 20k rows
+    at sf0.1), run the quadratic levenshtein verify on the distinct-
+    value table only, and carry counts instead of row pairs.  The
+    earlier row-level form emitted ~|block|^2 ROWS (11M at sf0.1,
+    ~1.1B at sf1) — quadratic OUTPUT no algorithm survives; pair_rows
+    preserves that information as one integer per name pair.  Exact
     levenshtein on both engines → full value parity."""
     cat = Catalog(sf_dir)
     part = scan(spark, cat, "part", ["p_partkey", "p_name"])
-    a = part.select(
-        F.col("p_partkey").alias("key_a"),
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_rows"))
+    a = names.select(
         F.col("p_name").alias("name_a"),
+        F.col("n_rows").alias("rows_a"),
         F.split(F.col("p_name"), " ").getItem(1).alias("__block"),
     )
-    b = part.select(
-        F.col("p_partkey").alias("key_b"),
+    b = names.select(
         F.col("p_name").alias("name_b"),
+        F.col("n_rows").alias("rows_b"),
         F.split(F.col("p_name"), " ").getItem(1).alias("__block"),
     )
-    pairs = a.join(b, on="__block").filter(F.col("key_a") < F.col("key_b"))
+    pairs = a.join(b, on="__block").filter(F.col("name_a") < F.col("name_b"))
     return (
         pairs.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 3)
-        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+        .select(
+            "name_a",
+            "name_b",
+            "edit_dist",
+            "rows_a",
+            "rows_b",
+            (F.col("rows_a") * F.col("rows_b")).alias("pair_rows"),
+        )
     )
 
 
 _SQL_FUZZY_PAIRS = """
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       a.p_name AS name_a, b.p_name AS name_b,
-       levenshtein(a.p_name, b.p_name) AS edit_dist
-FROM part a JOIN part b
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       a.n_rows AS rows_a, b.n_rows AS rows_b,
+       a.n_rows * b.n_rows AS pair_rows
+FROM names a JOIN names b
   ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
- AND a.p_partkey < b.p_partkey
+ AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
