@@ -101,6 +101,12 @@ def main() -> None:
     builders = {q.name: q.build for q in all_queries()}
     builders["q_sort_ext"] = _q_sort_ext
     names = BENCH_NAMES[:5] + ["q_sort_ext"] + BENCH_NAMES[5:]
+    # Dev-loop subsetting: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    # queries.  Unset (the driver's invocation) runs the full set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
