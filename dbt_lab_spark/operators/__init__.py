@@ -27,6 +27,7 @@ from dbt_lab_spark.operators.sort import sort, limit, top_k
 from dbt_lab_spark.operators.setops import union_all, union_distinct, intersect, except_all, except_distinct
 from dbt_lab_spark.operators.window import ranked, top_k_per_group, windowed_agg, running_agg
 from dbt_lab_spark.operators.dml import insert_into, delete_where, delete_by_keys, update_where, upsert_by_keys
+from dbt_lab_spark.operators.observe import observed
 
 __all__ = [
     "scan", "index_scan",
@@ -37,4 +38,5 @@ __all__ = [
     "union_all", "union_distinct", "intersect", "except_all", "except_distinct",
     "ranked", "top_k_per_group", "windowed_agg", "running_agg",
     "insert_into", "delete_where", "delete_by_keys", "update_where", "upsert_by_keys",
+    "observed",
 ]
