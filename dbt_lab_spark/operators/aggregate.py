@@ -100,17 +100,37 @@ def grand_aggregate(df: DataFrame, aggs: Sequence[AggSpec]) -> DataFrame:
     return group_by(df, [], aggs)
 
 
-def rollup(df: DataFrame, group_columns: Sequence[str], aggs: Sequence[AggSpec]) -> DataFrame:
+def _grouping_flag_columns(group_columns: Sequence[str]) -> list[Column]:
+    """GROUPING() indicator per group column (0 = grouped, 1 = rolled up).
+    Disambiguates a rolled-up NULL from a data NULL, so multi-set results
+    stay representation-robust across engines."""
+    return [F.grouping(c).cast("int").alias(f"g_{c}") for c in group_columns]
+
+
+def rollup(
+    df: DataFrame,
+    group_columns: Sequence[str],
+    aggs: Sequence[AggSpec],
+    grouping_flags: bool = False,
+) -> DataFrame:
     """ROLLUP — beyond-reference upgrade (reference has no grouping sets,
-    SURVEY.md §2.4 absences)."""
+    SURVEY.md §2.4 absences).  `grouping_flags=True` appends one
+    GROUPING() indicator column per group column."""
     _check_arithmetic(df, aggs)
-    return df.rollup(*group_columns).agg(*[s.to_column() for s in aggs])
+    flags = _grouping_flag_columns(group_columns) if grouping_flags else []
+    return df.rollup(*group_columns).agg(*flags, *[s.to_column() for s in aggs])
 
 
-def cube(df: DataFrame, group_columns: Sequence[str], aggs: Sequence[AggSpec]) -> DataFrame:
+def cube(
+    df: DataFrame,
+    group_columns: Sequence[str],
+    aggs: Sequence[AggSpec],
+    grouping_flags: bool = False,
+) -> DataFrame:
     """CUBE — beyond-reference upgrade."""
     _check_arithmetic(df, aggs)
-    return df.cube(*group_columns).agg(*[s.to_column() for s in aggs])
+    flags = _grouping_flag_columns(group_columns) if grouping_flags else []
+    return df.cube(*group_columns).agg(*flags, *[s.to_column() for s in aggs])
 
 
 def pivot(

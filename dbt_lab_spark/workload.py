@@ -586,26 +586,33 @@ ORDER BY l_returnflag, l_linestatus
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) — grouping-sets upgrade
-    (reference has none, SURVEY.md §2.4 absences).  Decimal sums stay
-    decimal end-to-end (both engines collect exact Decimal)."""
+    (reference has none, SURVEY.md §2.4 absences).  GROUPING() flags
+    disambiguate rolled-up NULL keys and the decimal sum goes through
+    the _dsum double-cast canonicalization like every other money
+    aggregate (r1 gate: raw decimal sums hash-mismatched vs DuckDB
+    despite identical values)."""
     from dbt_lab_spark.operators import rollup
 
     cat = Catalog(sf_dir)
     li = scan(spark, cat, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    return rollup(
+    out = rollup(
         li,
         ["l_returnflag", "l_linestatus"],
         [
             AggSpec("count", "l_quantity", "n_items"),
             AggSpec("sum", money("l_quantity"), "sum_qty"),
         ],
+        grouping_flags=True,
     )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
 _SQL_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_l_returnflag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_l_linestatus,
        COUNT(l_quantity) AS n_items,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -1231,25 +1238,31 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (orderstatus, orderpriority) — all four grouping sets."""
+    """CUBE over (orderstatus, orderpriority) — all four grouping sets.
+    GROUPING() flags + double-cast sum for cross-engine hash parity
+    (see _q_rollup)."""
     from dbt_lab_spark.operators import cube
 
     cat = Catalog(sf_dir)
     orders = scan(spark, cat, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
-    return cube(
+    out = cube(
         orders,
         ["o_orderstatus", "o_orderpriority"],
         [
             AggSpec("count", "o_totalprice", "n_orders"),
             AggSpec("sum", money("o_totalprice"), "sum_price"),
         ],
+        grouping_flags=True,
     )
+    return out.withColumn("sum_price", F.col("sum_price").cast("double"))
 
 
 _SQL_CUBE = """
 SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_o_orderpriority,
        COUNT(o_totalprice) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
