@@ -141,15 +141,25 @@ class Catalog:
             # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
             # rejects; read it as raw nanos and truncate to micros (the
             # same truncation DuckDB applies), keeping the declared
-            # TimestampType at the catalog boundary.
+            # TimestampType at the catalog boundary.  The legacy conf is
+            # scoped set/restore: it is captured into the scan at plan
+            # creation, so restoring it immediately does not affect this
+            # read but keeps later parquet reads in the session unchanged.
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            raw = T.StructType(
-                [
-                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-                    for f in SCHEMAS[name].fields
-                ]
-            )
-            df = spark.read.schema(raw).parquet(self.path(name))
+            try:
+                raw = T.StructType(
+                    [
+                        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                        for f in SCHEMAS[name].fields
+                    ]
+                )
+                df = spark.read.schema(raw).parquet(self.path(name))
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
             from pyspark.sql import functions as F
 
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

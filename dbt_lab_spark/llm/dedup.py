@@ -392,6 +392,7 @@ def embedding_dedup_pairs(
     num_planes: int = 12,
     num_tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -403,9 +404,20 @@ def embedding_dedup_pairs(
     both axes.  Exact cosine verification follows on the deduplicated
     candidate set.  Scale shape: explode to `num_tables` rows/vector,
     shuffle on (table, bucket), join within buckets only — no cross join.
+
+    ``dim`` defaults to the first vector's length (one tiny LIMIT-1
+    job).  Vectors of a different length are dropped before bucketing —
+    a zip_with over a mismatched length null-pads, every plane dot goes
+    NULL, and all keys would collapse into one quadratic bucket.
     """
     v = to_double_array(vec_col)
-    dim = 64  # driver embeddings are 64-dim; projections derived per index
+    if dim is None:
+        first = df.select(F.size(v).alias("d")).filter(F.col("d").isNotNull()).limit(1).collect()
+        if not first:
+            dim = 1  # empty input: any dim yields an empty result
+        else:
+            dim = int(first[0]["d"])
+    df = df.filter(F.size(v) == dim)
 
     # Deterministic pseudo-random plane p[t][j][i] from xxhash64(seed,t,j,i),
     # mapped to [-1, 1).  Stays JVM-side via transform over the vector.

@@ -210,8 +210,22 @@ def salted_join(
     handles sort-merge cases, but salting is the deterministic fix when
     the small side fits a replication factor.  Columns returned match a
     plain join (salt dropped).
+
+    Only ``inner``/``left`` are supported: with right/full outer joins,
+    unmatched small-side rows would surface once per salt bucket.  The
+    salt is derived from the large side's row content (xxhash64), not
+    rand() — deterministic under task retry, so recomputed partitions
+    produce identical results.
     """
-    salted_large = large.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer small-side rows would duplicate across salt buckets"
+        )
+    salted_large = large.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets)).cast("int"),
+    )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

@@ -40,8 +40,21 @@ def _to_micros(ts: pd.Timestamp) -> int:
 
 
 def _parse_gap_ms(gap: str) -> int:
-    unit_ms = {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}
+    unit_ms = {
+        "second": 1_000,
+        "seconds": 1_000,
+        "minute": 60_000,
+        "minutes": 60_000,
+        "hour": 3_600_000,
+        "hours": 3_600_000,
+        "day": 86_400_000,
+        "days": 86_400_000,
+    }
     qty, unit = gap.split()
+    if unit not in unit_ms:
+        raise ValueError(
+            f"unsupported gap unit {unit!r} in {gap!r}; one of {sorted(set(unit_ms))}"
+        )
     return int(qty) * unit_ms[unit]
 
 
