@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -99,6 +100,20 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLE_NAMES = tuple(SCHEMAS)
 
 
+@lru_cache(maxsize=64)
+def events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts in the parquet footer ('ns'/'us'/...).
+
+    Footer-only read, driver-side, cached per path.  Spark cannot read
+    TIMESTAMP(NANOS) without the legacy long conf, while applying that
+    nanos workaround to micros data shrinks every timestamp 1000x — so
+    the unit must be sniffed, never assumed."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    return getattr(t, "unit", "us")
+
+
 @dataclass
 class ColumnStats:
     """Per-column statistics (ColumnStatistics.java:21-31: low/high key +
@@ -137,14 +152,14 @@ class Catalog:
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         if name not in SCHEMAS:
             raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-        if name == "events":
-            # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-            # rejects; read it as raw nanos and truncate to micros (the
-            # same truncation DuckDB applies), keeping the declared
-            # TimestampType at the catalog boundary.  The legacy conf is
-            # scoped set/restore: it is captured into the scan at plan
-            # creation, so restoring it immediately does not affect this
-            # read but keeps later parquet reads in the session unchanged.
+        if name == "events" and events_ts_unit(self.path(name)) == "ns":
+            # TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
+            # read it as raw nanos and truncate to micros (the same
+            # truncation DuckDB applies), keeping the declared
+            # TimestampType at the catalog boundary.  The unit is
+            # detected from the parquet footer — driver datasets have
+            # shipped both ns and us over time, and assuming one
+            # silently corrupts timestamps by 1000x on the other.
             prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             try:

@@ -1,0 +1,276 @@
+"""Deterministic pure-Python/NumPy media codecs for the multimodal path.
+
+No image/audio libraries exist in this container, so the "real decode"
+half of `llm/multimodal.py` is implemented here from the public file
+format specifications directly:
+
+- BMP  (Windows BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB)
+- PPM  (Netpbm P6 binary, maxval <= 255) and PGM (P5)
+- WAV  (RIFF/WAVE, PCM 16-bit or 8-bit)
+
+These cover the classic *uncompressed* interchange formats end-to-end;
+compressed codecs (JPEG/PNG/MP3/H.264) are detected by magic and
+rejected with a clearly-marked NotImplementedError, since a faithful
+entropy decoder is out of scope for this container.  Swapping in
+PIL/ffmpeg later replaces only the per-format branch in
+`decode_payload` — the Spark plumbing in multimodal.py is unchanged.
+
+Matching encoders exist so tests can pin decode output against bytes
+built from known pixel/sample arrays (round-trip identity).
+
+Reference capability evidence: the reference's extension surface for
+custom bulk operators over opaque tuples,
+`minidbs-core/src/de/tuberlin/dima/minidb/mapred/qexec/BulkProcessingOperator.java:57-65`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB only)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP
+    (bottom-up rows, 4-byte row padding, as the format requires)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pixels[y, :, ::-1]  # RGB -> BGR
+        body += row.tobytes() + pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BI_RGB BMP into HxWx3 uint8 RGB.
+
+    Handles bottom-up (positive height) and top-down (negative height)
+    row order and per-row 4-byte padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported (24/32 only)")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    nchan = bpp // 8
+    row_bytes = (w * nchan + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=off)
+    rows = raw.reshape(h, row_bytes)[:, : w * nchan].reshape(h, w, nchan)
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
+# Netpbm: PPM (P6) / PGM (P5)
+# ---------------------------------------------------------------------------
+
+
+def _pnm_header(payload: bytes) -> tuple[list[int], int]:
+    """Parse a PNM header (magic already checked): returns
+    ([width, height, maxval], offset_of_raster).  Handles '#' comments
+    and arbitrary whitespace, per the Netpbm spec."""
+    vals: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i] not in (10, 13):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval precedes the raster
+    if len(vals) != 3:
+        raise ValueError("truncated PNM header")
+    return vals, i
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as binary PPM (P6, maxval 255)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) into HxWx3 uint8 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    (w, h, maxval), off = _pnm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+    return raw.reshape(h, w, 3).copy()
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Decode a binary PGM (P5) into HxW uint8 grayscale."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    (w, h, maxval), off = _pnm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM not supported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
+    return raw.reshape(h, w).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 samples (1-D mono or (n, channels)) as PCM WAV."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nchan = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * nchan * 2
+    fmt = struct.pack("<HHIIHH", 1, nchan, sample_rate, byte_rate, nchan * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV: returns (sample_rate, (n, channels) int16 array).
+    Walks RIFF chunks, so extra chunks (LIST/fact) are tolerated.
+    8-bit PCM is widened to int16; non-PCM formats are rejected."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    sample_rate = nchan = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, nchan, sample_rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1:
+                raise NotImplementedError(f"non-PCM WAV (format {audio_fmt}) not supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported (8/16 only)")
+    arr = arr[: (len(arr) // nchan) * nchan].reshape(-1, nchan)
+    return sample_rate, arr
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + deterministic features
+# ---------------------------------------------------------------------------
+
+_COMPRESSED_MAGIC = {
+    b"\xff\xd8\xff": "jpeg",
+    b"\x89PNG": "png",
+    b"GIF8": "gif",
+    b"ID3": "mp3",
+    b"\xff\xfb": "mp3",
+    b"OggS": "ogg",
+    b"\x1aE\xdf\xa3": "webm/mkv",
+}
+
+
+def detect_format(payload: bytes) -> str:
+    """Classify a payload by magic bytes.  Returns one of
+    bmp/ppm/pgm/wav, a compressed-codec name, or 'unknown'."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    for magic, name in _COMPRESSED_MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def image_feature(rgb: np.ndarray) -> list[float]:
+    """Deterministic 8-dim image feature: normalized 8-bin luminance
+    histogram (integer BT.601 luma, so the result is platform-exact)."""
+    if rgb.ndim == 2:  # grayscale
+        luma = rgb.astype(np.int32)
+    else:
+        r = rgb[:, :, 0].astype(np.int32)
+        g = rgb[:, :, 1].astype(np.int32)
+        b = rgb[:, :, 2].astype(np.int32)
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+    hist = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
+    total = float(luma.size) or 1.0
+    return [float(h) / total for h in hist]
+
+
+def audio_feature(sample_rate: int, samples: np.ndarray) -> list[float]:
+    """Deterministic 8-dim audio feature: normalized 8-bin histogram of
+    absolute amplitude (int16 domain, exact integer bucketing)."""
+    mono = samples.astype(np.int32).mean(axis=1).astype(np.int32)
+    buckets = np.minimum(np.abs(mono) >> 12, 7)
+    hist = np.bincount(buckets, minlength=8)[:8]
+    total = float(mono.size) or 1.0
+    return [float(h) / total for h in hist]
+
+
+def decode_payload(payload: bytes) -> list[float]:
+    """Real decode dispatch: magic-sniff, decode, featurize.
+
+    Raises NotImplementedError for compressed codecs (no entropy
+    decoders in this container — the clearly-marked remaining stub) and
+    for byte strings that match no known container format."""
+    fmt = detect_format(bytes(payload))
+    if fmt == "bmp":
+        return image_feature(decode_bmp(payload))
+    if fmt == "ppm":
+        return image_feature(decode_ppm(payload))
+    if fmt == "pgm":
+        return image_feature(decode_pgm(payload))
+    if fmt == "wav":
+        return audio_feature(*decode_wav(payload))
+    raise NotImplementedError(
+        f"no codec for payload format '{fmt}' in this container "
+        "(uncompressed BMP/PPM/PGM/WAV are decoded natively; "
+        "JPEG/PNG/MP3/... need an external codec library)"
+    )

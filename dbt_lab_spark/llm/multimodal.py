@@ -4,11 +4,14 @@ mapInPandas.
 
 The Spark-side machinery here is REAL and tested: schemas, batch
 iteration, partition sizing, and the UDF signatures are exactly what a
-production pipeline uses.  Only the innermost decode step is stubbed
-(`decode_image` raises NotImplementedError unless a deterministic fake
-is requested) because no image/audio codec libraries exist in this
-container — swap `_decode_image_bytes` for a PIL/ffmpeg call and
-nothing else changes.
+production pipeline uses.  The innermost decode step is real too for
+uncompressed interchange formats: `llm/codecs.py` parses BMP, PPM/PGM
+and PCM WAV from the public format specs in pure Python/NumPy, so
+`extract_features(fake_decode=False)` runs end-to-end on real bytes.
+Only compressed codecs (JPEG/PNG/MP3/...) remain behind a
+clearly-marked NotImplementedError — no entropy decoders ship in this
+container; swapping in PIL/ffmpeg replaces one branch in
+`codecs.decode_payload` and nothing else changes.
 
 Scale posture: media bytes never leave their partition (mapInPandas is
 a map-only operator); batch size is bounded via
@@ -59,19 +62,47 @@ def make_fake_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
-    """Innermost decode step.  STUB: real decoding needs an image codec
-    library not present in this container."""
+    """Innermost decode step.  fake=True keeps the original test seam
+    (payload-byte histogram, works on arbitrary bytes); fake=False runs
+    the real format-sniffing decoders in llm/codecs.py (BMP/PPM/PGM/WAV
+    natively; compressed codecs raise NotImplementedError)."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec library (e.g. PIL); "
-            "pass fake=True for the deterministic stand-in"
-        )
+        from dbt_lab_spark.llm.codecs import decode_payload
+
+        return decode_payload(payload)
     # Deterministic fake 'feature': 8-bin byte histogram, normalized.
     hist = [0] * 8
     for b in payload:
         hist[b >> 5] += 1
     total = float(len(payload)) or 1.0
     return [h / total for h in hist]
+
+
+def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic asset table whose payloads are REAL encoded media
+    bytes (BMP / PPM / PCM-WAV built by llm/codecs.py encoders), for
+    exercising the fake_decode=False path end-to-end."""
+    import numpy as np
+
+    from dbt_lab_spark.llm import codecs
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        kind = i % 3
+        if kind == 0:
+            w, h = 16 + i % 9, 12 + i % 7  # odd widths exercise BMP row padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image", codecs.encode_bmp(px), w, h, 0))
+        elif kind == 1:
+            w, h = 20 + i % 5, 15 + i % 4
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image", codecs.encode_ppm(px), w, h, 0))
+        else:
+            n_samp = 800 + 16 * (i % 11)
+            samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int16)
+            rows.append((i, "audio", codecs.encode_wav(samples, 16000), 0, 0, n_samp * 1000 // 16000))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
 def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:

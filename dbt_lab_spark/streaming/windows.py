@@ -25,11 +25,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     local smoke path; a production source would be Kafka with the same
     downstream plan).
 
-    The nanos timestamp forces the same long->micros conversion the
-    batch catalog applies.
+    The ts unit is sniffed from the parquet footer (catalog.events_ts_unit):
+    nanos data needs the legacy long read + truncation, micros data reads
+    directly with the declared schema.
     """
+    import os
+
     import pyspark.sql.types as T
 
+    from dbt_lab_spark.catalog import events_ts_unit
+
+    # File streaming sources need a directory; the driver data is one
+    # file per table, so stream the directory with a glob filter.
+    if events_ts_unit(os.path.join(sf_dir, "events.parquet")) != "ns":
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = T.StructType(
         [
@@ -37,8 +50,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in SCHEMAS["events"].fields
         ]
     )
-    # File streaming sources need a directory; the driver data is one
-    # file per table, so stream the directory with a glob filter.
     stream = (
         spark.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet")

@@ -599,6 +599,24 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: payloads are genuine BMP/PPM/PCM-WAV bytes and
+    fake_decode=False routes through llm/codecs.py format parsers inside
+    the Arrow mapInPandas — no stub anywhere on this path.  Features are
+    normalized 8-bin luminance/amplitude histograms, so per-media sums
+    of the first bin are deterministic.  Rows-only check (media decode
+    is not SQL-expressible); exact bytes are pin-tested in tests/."""
+    from dbt_lab_spark.llm.multimodal import extract_features, make_real_assets
+
+    assets = make_real_assets(spark, n=48)
+    feats = extract_features(assets, fake_decode=False)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.round(F.sum(F.element_at("feature", 1)), 4).alias("sum_f0"),
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (sequence+explode, JVM-side) — one row
     per sampled frame timestamp, counted per asset.  Rows-only check."""
@@ -2659,6 +2677,12 @@ BEYOND_QUERIES: list[QueryDef] = [
         "q_train_test_split", _q_train_test_split, _SQL_TRAIN_TEST_SPLIT, "90/10 split by hash"
     ),
     QueryDef("q_multimodal_features", _q_multimodal_features, None, "mapInPandas features"),
+    QueryDef(
+        "q_multimodal_real_decode",
+        _q_multimodal_real_decode,
+        None,
+        "real BMP/PPM/WAV decode via codecs.py",
+    ),
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
     QueryDef("q_pii_redact", _q_pii_redact, _sql_pii_redact(), "PII redaction audit"),
     QueryDef("q_repetition", _q_repetition, _SQL_REPETITION, "Gopher repetition stats"),

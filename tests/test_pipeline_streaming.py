@@ -274,6 +274,19 @@ def test_streaming_parquet_sink_round_trip(spark, sf_medium, tmp_path):
     )
     try:
         q.processAllAvailable()
+        # Append mode emits expired windows in a NO-DATA micro-batch
+        # that fires after the watermark advances; processAllAvailable
+        # only waits for *data* batches, so poll until the async
+        # no-data batch lands in the sink (flaked under load otherwise).
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            files = [p for p in (tmp_path / "sink").glob("part-*") if p.stat().st_size > 0]
+            if files and spark.read.parquet(out_dir).count() > 0:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
     sunk = spark.read.parquet(out_dir)
