@@ -48,6 +48,32 @@ def is_arithmetic(dt: T.DataType) -> bool:
     return isinstance(dt, ARITHMETIC_TYPES)
 
 
+def char_equals(col, literal: str, n: int):
+    """CHAR(n) padded-compare semantics (reference core/CharField.java):
+    both sides are padded (or truncated) to width n before comparing, so
+    literals that differ only in trailing spaces compare equal — the
+    behavior the reference's own tests rely on with padded literals
+    (TestJoinOrderOptimizerStudents.java:139).
+
+    rpad both pads short strings and truncates long ones, in Spark and
+    in ANSI SQL alike, so the same expression serves engine and oracle.
+    """
+    from pyspark.sql import functions as F
+
+    return F.rpad(col, n, " ") == F.rpad(F.lit(literal), n, " ")
+
+
+def seconds_of_day(ts_col):
+    """TIME values as seconds-of-day INT (reference core/TimeField.java;
+    Spark has no TIME type, so the catalog convention is an INT column
+    in [0, 86400) — this derives it from any timestamp column)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.hour(ts_col) * 3600 + F.minute(ts_col) * 60 + F.second(ts_col)
+    ).cast("int")
+
+
 def resolve(name: str) -> T.DataType:
     """Resolve a reference type name (e.g. 'BIG_INT') to a Spark type."""
     key = name.strip().upper()

@@ -1407,6 +1407,73 @@ WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Dormant type conventions exercised (VERDICT r1 item 4): CHAR(n) pad
+# compare and TIME seconds-of-day.
+# ---------------------------------------------------------------------------
+
+
+def _q_char_pad_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR(10) padded-compare semantics: the filter literal carries
+    trailing spaces ('BUILDING   ') yet matches the stored trimmed
+    segment, because both sides are normalized to the declared CHAR
+    width before comparing (types.char_equals).  Reference:
+    core/CharField.java pad compares; padded literals in
+    TestJoinOrderOptimizerStudents.java:139."""
+    from dbt_lab_spark.types import char_equals
+
+    cat = Catalog(sf_dir)
+    customer = scan(spark, cat, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    hit = customer.filter(char_equals(F.col("c_mktsegment"), "BUILDING   ", 10))
+    return hit.groupBy("c_mktsegment").agg(
+        F.count("c_custkey").alias("n_customers"),
+        _dsum("c_acctbal", "sum_acctbal"),
+    )
+
+
+_SQL_CHAR_PAD_COMPARE = f"""
+SELECT c_mktsegment,
+       COUNT(c_custkey) AS n_customers,
+       {_sql_dsum("c_acctbal", "sum_acctbal")}
+FROM customer
+WHERE rpad(c_mktsegment, 10, ' ') = rpad('BUILDING   ', 10, ' ')
+GROUP BY c_mktsegment
+"""
+
+
+def _q_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME seconds-of-day convention (types.py: TIME -> INT in
+    [0, 86400), reference core/TimeField.java): derive the TIME column
+    from event timestamps, then range-filter and aggregate on it the
+    way a reference TIME query would."""
+    from dbt_lab_spark.types import seconds_of_day
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").withColumn("time_sod", seconds_of_day(F.col("ts")))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("time_sod").alias("min_sod"),
+        F.max("time_sod").alias("max_sod"),
+        F.count(F.when(F.col("time_sod") < 43200, True)).alias("n_morning"),
+    )
+
+
+_SQL_TIME_OF_DAY = """
+WITH t AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) * 3600
+              + EXTRACT(minute FROM ts) * 60
+              + EXTRACT(second FROM ts) AS INT) AS time_sod
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(time_sod) AS min_sod,
+       MAX(time_sod) AS max_sod,
+       COUNT(CASE WHEN time_sod < 43200 THEN TRUE END) AS n_morning
+FROM t GROUP BY event_type
+"""
+
+
 CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_group_customers", _q_group_customers, _SQL_GROUP_CUSTOMERS, "flagship golden test"),
     QueryDef("q_scan_filter", _q_scan_filter, _SQL_SCAN_FILTER, "scan + conjunctive pushdown"),
@@ -1455,6 +1522,10 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_ntile", _q_ntile, _SQL_NTILE, "NTILE quartiles"),
     QueryDef("q_histogram", _q_histogram, _SQL_HISTOGRAM, "equi-width histogram"),
     QueryDef("q_unpivot", _q_unpivot, _SQL_UNPIVOT, "UNPIVOT/melt part metrics"),
+    QueryDef(
+        "q_char_pad_compare", _q_char_pad_compare, _SQL_CHAR_PAD_COMPARE, "CHAR(n) pad semantics"
+    ),
+    QueryDef("q_time_of_day", _q_time_of_day, _SQL_TIME_OF_DAY, "TIME seconds-of-day convention"),
 ]
 
 
