@@ -1474,6 +1474,34 @@ FROM t GROUP BY event_type
 """
 
 
+def _q_sql_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-grammar strict mode: the query text below is legal in
+    the reference's own SQL subset (double-quoted literal, alias-
+    qualified columns, AND-only conjunctions, alias-HAVING) and runs
+    through the strict tokenizer/parser/compiler (dbt_lab_spark.parser)
+    rather than spark.sql.  Grammar: parser/Token.java:20-42,
+    SelectQuery.java:284-293."""
+    from dbt_lab_spark.parser import StrictSqlProcessor
+
+    strict = StrictSqlProcessor(spark, Catalog(sf_dir))
+    return strict.process_query(
+        "SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers, "
+        "MIN(c.c_acctbal) AS min_bal, MAX(c.c_acctbal) AS max_bal "
+        "FROM customer c, nation n "
+        'WHERE c.c_nationkey = n.n_nationkey AND c.c_mktsegment = "BUILDING" '
+        "GROUP BY n.n_name HAVING n_customers > 1 ORDER BY nation"
+    )
+
+
+_SQL_SQL_STRICT = """
+SELECT n_name AS nation, COUNT(c_custkey) AS n_customers,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM customer, nation
+WHERE c_nationkey = n_nationkey AND c_mktsegment = 'BUILDING'
+GROUP BY n_name HAVING COUNT(c_custkey) > 1 ORDER BY nation
+"""
+
+
 CORE_QUERIES: list[QueryDef] = [
     QueryDef("q_group_customers", _q_group_customers, _SQL_GROUP_CUSTOMERS, "flagship golden test"),
     QueryDef("q_scan_filter", _q_scan_filter, _SQL_SCAN_FILTER, "scan + conjunctive pushdown"),
@@ -1526,6 +1554,7 @@ CORE_QUERIES: list[QueryDef] = [
         "q_char_pad_compare", _q_char_pad_compare, _SQL_CHAR_PAD_COMPARE, "CHAR(n) pad semantics"
     ),
     QueryDef("q_time_of_day", _q_time_of_day, _SQL_TIME_OF_DAY, "TIME seconds-of-day convention"),
+    QueryDef("q_sql_strict", _q_sql_strict, _SQL_SQL_STRICT, "strict reference-grammar entry"),
 ]
 
 
