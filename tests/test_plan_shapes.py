@@ -289,3 +289,64 @@ def test_pii_redact_single_scan_single_exchange(spark, sf_medium):
     assert _nodes(plan, "Scan parquet") == 1, plan
     assert _nodes(plan, "Exchange") == 1, plan
     assert _nodes(plan, "HashAggregate") == 2, plan
+
+
+def test_star_schema_dpp_and_bloom_fire_together(spark, tmp_path):
+    """Pins the 100x-scale plan for the canonical star-schema layout at
+    sf0.1: a partitioned fact joined to (a) a filtered dim on the
+    PARTITION column — must plant a dynamicpruningexpression so whole
+    directories are skipped at runtime — and (b) a selective dim on a
+    NON-partition key under a forced shuffle join — must plant a
+    runtime bloom semi-filter (might_contain / bloom_filter_agg) that
+    drops fact rows before the join shuffle.  Both firing in ONE plan
+    is the property that matters for 100 TB star queries; each is
+    covered individually elsewhere (test_sources.py DPP,
+    test_runtime_bloom_filter_prunes_fact_side)."""
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.sources import write_partitioned
+
+    sf_large = "/root/testdata/sf0.1"
+    fact_path = str(tmp_path / "fact_orders")
+    orders = spark.read.parquet(f"{sf_large}/orders.parquet")
+    write_partitioned(orders, fact_path, ["o_orderpriority"])
+    fact = spark.read.parquet(fact_path)
+
+    prio_dim = spark.createDataFrame(
+        [("1-URGENT", "u"), ("2-HIGH", "h"), ("3-MEDIUM", "m"),
+         ("4-NOT SPECIFIED", "n"), ("5-LOW", "l")],
+        ["prio", "tag"],
+    ).filter(F.col("tag") == "u")
+    cust = spark.read.parquet(f"{sf_large}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            fact.join(prio_dim, fact.o_orderpriority == prio_dim.prio)
+            .join(cust, fact.o_custkey == cust.c_custkey)
+            .groupBy("prio")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "dynamicpruningexpression" in plan, plan
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # and the plan still produces the right answer
+        [(prio, n)] = [(r["prio"], r["n"]) for r in j.collect()]
+        want = (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .count()
+        )
+        assert (prio, n) == ("1-URGENT", want)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
