@@ -480,6 +480,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs by min-label propagation
     — turns pairwise matches into dedup clusters (a near-dup of a
@@ -487,12 +488,22 @@ def connected_components(
     never emitted).
 
     Iterative DataFrame algorithm (the engine's iterative-computation
-    surface): each round every vertex takes the min label among itself
-    and its neighbors; converges in O(cluster diameter) rounds — near-dup
-    clusters are shallow, so typically 2-4.  Per round: one shuffle on
-    vertex id; lineage is truncated with localCheckpoint so plans don't
-    grow; convergence is checked with a count() action.  Returns
-    (id, component) where component = min id in the component.
+    surface).  Each round does (1) min-label exchange with neighbors and
+    (2) a pointer-jumping shortcut (component := component's component,
+    i.e. path halving), so convergence is O(log diameter) rounds rather
+    than O(diameter) — a 1000-link duplicate chain converges in ~10
+    rounds instead of silently hitting the iteration cap.  Per round:
+    two key shuffles; lineage is truncated with localCheckpoint so plans
+    don't grow; convergence is checked with a count() action on the
+    same pass.
+
+    Iteration/checkpoint policy (scale contract): `max_iter` bounds
+    wall-clock; with the shortcut step, max_iter=20 covers any diameter
+    up to ~2^20, far beyond real near-dup clusters.  If the cap is
+    still hit without convergence, a RuntimeError is raised rather than
+    returning silently-partial clusters (set strict=False to accept
+    best-effort labels).  Returns (id, component) where component = min
+    id in the component.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -504,13 +515,14 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("component").alias("__nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
                 "id",
@@ -520,11 +532,36 @@ def connected_components(
                 (F.col("__nmin") < F.col("component")).alias("__changed"),
             )
         )
+        # pointer-jumping shortcut (path halving): follow the current
+        # label one hop — component := label(component).  Turns linear
+        # chains into O(log diameter) convergence.
+        parents = stepped.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
+        new_labels = (
+            stepped.join(parents, stepped.component == parents.__pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__pcomp"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.col("__changed") | (F.col("__pcomp") < F.col("component"))
+                ).alias("__changed"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "raise max_iter (each round squares the reachable chain length) "
+            "or pass strict=False for best-effort labels"
+        )
     return labels
 
 

@@ -270,6 +270,39 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A 200-link duplicate chain has diameter 200 — plain min-label
+    propagation would need 200 rounds and silently return partial
+    clusters at max_iter=20.  The pointer-jumping shortcut must
+    converge within the default cap and label every node with the
+    chain head."""
+    from dbt_lab_spark.llm.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_strict_raises_on_cap(spark):
+    """With an artificially tiny iteration budget the strict default
+    must raise instead of returning partial labels; strict=False
+    returns best-effort."""
+    import pytest
+
+    from dbt_lab_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2).collect()
+    best_effort = connected_components(pairs, max_iter=2, strict=False)
+    assert best_effort.count() == 65
+
+
 def test_dedup_apply_keeps_one_per_cluster(spark, planted_docs):
     """End-to-end: minhash pairs -> CC -> apply keeps exactly one doc
     per planted near-dup pair and every unpaired doc."""
