@@ -53,6 +53,20 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source (columnar, predicate-pushdown-capable like parquet).
+    Schema optional: ORC footers carry exact types, but a declared
+    schema enforces the catalog contract just as the parquet path does."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — same pushdown/pruning properties as parquet; useful
+    for interop with Hive/Trino estates that standardize on ORC."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
 ) -> None:

@@ -35,6 +35,22 @@ def test_csv_json_round_trip_matches_parquet(spark, sf_medium, tmp_path):
     assert _rows(read_json(spark, json_path, schema)) == _rows(nation)
 
 
+def test_orc_round_trip_and_pushdown(spark, sf_medium, tmp_path):
+    """ORC round-trips exactly and pushes filters to the scan, same as
+    parquet (the Hive/Trino-interop columnar format)."""
+    from dbt_lab_spark.sources import read_orc, write_orc
+
+    cat = Catalog(sf_medium)
+    orders = cat.table(spark, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert _rows(back) == _rows(orders)
+    q = read_orc(spark, path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = q._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PushedFilters: [" in plan and "o_orderpriority" in plan, plan
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_medium, tmp_path):
     cat = Catalog(sf_medium)
     orders = cat.table(spark, "orders").withColumn(
