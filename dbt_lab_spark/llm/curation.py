@@ -221,3 +221,98 @@ def pack_sequences(
     cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
     pack = ((cum_before - cum_before % budget) / budget).cast("long")
     return df.withColumn(out_col, pack)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality score (perplexity proxy) + token-distribution drift
+# ---------------------------------------------------------------------------
+
+
+def _tokens(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
+    """Explode whitespace tokens (lowercased, trimmed); empty docs emit
+    no rows.  The word-count shape: narrow explode, everything after it
+    aggregates on the token key."""
+    return df.select(
+        *extra_cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def lm_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean log-probability of each
+    document's tokens under a corpus-trained add-one-smoothed unigram
+    LM.  The cheap stand-in for 'score with a small LM and drop the
+    tail' (CCNet / Gopher-style corpus filtering) that stays entirely
+    JVM-side.
+
+    ln P(tok) = ln((count(tok) + 1) / (total_tokens + vocab_size));
+    score(doc) = ROUND(AVG over its tokens, 4).  Higher = more typical
+    text; gibberish and rare-token soup score low.
+
+    Scale shape: token frequency is one word-count aggregate; scoring
+    joins the exploded tokens back to frequencies on the token key —
+    both shuffles are on well-distributed keys, and the (N, V) totals
+    travel as a broadcast single row.  No Python, no collect.
+    """
+    toks = _tokens(df, text_col, id_col)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = freq.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    probs = freq.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("__c") + F.lit(1.0)) / (F.col("__n") + F.col("__v"))).alias("__lnp"),
+    )
+    return (
+        toks.join(probs, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("__lnp"), 4).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def token_kl_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Token-distribution drift per slice: KL(P_slice || P_corpus) with
+    add-one smoothing over the corpus vocabulary, summed over tokens
+    present in the slice.  The standard data-quality check that a
+    source/domain hasn't drifted from the mixture it was sampled into
+    (and the per-domain divergence used to debug mixing weights).
+
+    p = (c_slice + 1) / (n_slice + V);  q = (c_corpus + 1) / (N + V);
+    kl = ROUND(SUM(p * ln(p / q)), 4) over the slice's tokens.
+
+    Scale shape: two token-key aggregates (per-slice and global) joined
+    on the token key, then one small per-slice sum — word-count
+    economics throughout; slice/corpus totals broadcast as single rows.
+    """
+    toks = _tokens(df, text_col, by)
+    slice_counts = toks.groupBy(by, "tok").agg(F.count(F.lit(1)).alias("__cs"))
+    slice_totals = slice_counts.groupBy(by).agg(F.sum("__cs").alias("__ns"))
+    corpus_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cc"))
+    corpus_totals = corpus_counts.agg(
+        F.sum("__cc").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    joined = (
+        slice_counts.join(slice_totals, on=by)
+        .join(corpus_counts, on="tok")
+        .crossJoin(F.broadcast(corpus_totals))
+    )
+    p = (F.col("__cs") + F.lit(1.0)) / (F.col("__ns") + F.col("__v"))
+    q = (F.col("__cc") + F.lit(1.0)) / (F.col("__n") + F.col("__v"))
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_drift"),
+            F.max("__ns").alias("n_tokens"),
+        )
+    )

@@ -581,3 +581,74 @@ def dedup_apply(
         F.col("id").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster-partitioned exact cosine)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int = 16,
+    threshold: float = 0.97,
+    iters: int = 3,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): partition embeddings with spherical k-means, then
+    compare cosine ONLY within a cluster — the all-pairs comparison is
+    bounded by the largest cluster, never the corpus.
+
+    Versus the hyperplane-LSH variant (embedding_dedup_pairs): k-means
+    adapts bucket boundaries to the data's density, which is the
+    published choice for semantic dedup of training corpora; LSH gives
+    probabilistic guarantees independent of the distribution.  Both are
+    bucketed joins — the scale posture is identical.
+
+    Limitations (documented, inherent to the method): pairs straddling a
+    cluster boundary are missed; exact duplicates are always caught
+    (identical vectors always co-assign).  At 100 TB pick num_clusters ~
+    corpus/5000 so per-cluster self-joins stay bounded, and persist the
+    assignment bucketed by cluster.
+    """
+    from dbt_lab_spark.llm.similarity import ivf_assign, ivf_centroids
+
+    dim = len(df.select(vec_col).first()[0])
+    cents = ivf_centroids(df, num_clusters, iters, vec_col, id_col, dim)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"), F.col("__cv").alias("__va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"), F.col("__cv").alias("__vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            # vectors are L2-normalized by ivf_assign, so dot == cosine
+            "cosine",
+            F.aggregate(
+                F.zip_with("__va", "__vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cosine")
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int = 16,
+    threshold: float = 0.97,
+) -> DataFrame:
+    """End-to-end semantic dedup: pairs -> connected components -> keep
+    the min-id representative of each semantic cluster."""
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, num_clusters, threshold)
+    return dedup_apply(df, pairs, id_col=id_col)

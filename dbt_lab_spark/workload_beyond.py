@@ -599,6 +599,76 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-doc mean token log-prob
+    under a corpus-trained add-one unigram LM (llm/curation.py
+    lm_quality_score) — the CCNet/Gopher-style 'score with a small LM,
+    drop the tail' pre-filter, entirely JVM-side."""
+    from dbt_lab_spark.llm.curation import lm_quality_score
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    return lm_quality_score(docs)
+
+
+_SQL_LM_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), t AS (SELECT * FROM toks WHERE tok <> ''),
+freq AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+probs AS (SELECT tok, ln((c + 1.0) / (n + v)) AS lnp FROM freq, tot)
+SELECT doc_id, ROUND(AVG(lnp), 4) AS lm_score, COUNT(*) AS n_tokens
+FROM t JOIN probs USING (tok) GROUP BY doc_id
+"""
+
+
+def _q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(source || corpus) with
+    add-one smoothing (llm/curation.py token_kl_drift) — the mixture-
+    debugging metric for domain weights."""
+    from dbt_lab_spark.llm.curation import token_kl_drift
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "text"])
+    return token_kl_drift(docs)
+
+
+_SQL_KL_DRIFT = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), t AS (SELECT * FROM toks WHERE tok <> ''),
+sc AS (SELECT source, tok, COUNT(*) AS cs FROM t GROUP BY source, tok),
+st AS (SELECT source, SUM(cs) AS ns FROM sc GROUP BY source),
+cc AS (SELECT tok, COUNT(*) AS ccnt FROM t GROUP BY tok),
+ct AS (SELECT CAST(SUM(ccnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM cc)
+SELECT source,
+       ROUND(SUM(((cs + 1.0) / (ns + v)) *
+                 ln(((cs + 1.0) / (ns + v)) / ((ccnt + 1.0) / (n + v)))), 4) AS kl_drift,
+       CAST(MAX(ns) AS BIGINT) AS n_tokens
+FROM sc JOIN st USING (source) JOIN cc USING (tok), ct
+GROUP BY source
+"""
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table:
+    spherical k-means partition -> within-cluster exact cosine ->
+    connected components -> keep min-id representative; summarized per
+    label.  k-means is iterative (not SQL-expressible) -> rows-only
+    check; recall/behavior pinned in tests."""
+    from dbt_lab_spark.llm.dedup import semantic_dedup_keep
+
+    cat = Catalog(sf_dir)
+    emb = cat.table(spark, "embeddings")
+    kept = semantic_dedup_keep(emb, num_clusters=8, threshold=0.995)
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("vec_id").alias("min_id")
+    )
+
+
 def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode path: payloads are genuine BMP/PPM/PCM-WAV bytes and
     fake_decode=False routes through llm/codecs.py format parsers inside
@@ -2607,6 +2677,9 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_asof_join", _q_asof_join, _SQL_ASOF_JOIN, "backward as-of join"),
     QueryDef("q_range_join", _q_range_join, _SQL_RANGE_JOIN, "banded interval join"),
     QueryDef("q_text_stats", _q_text_stats, _SQL_TEXT_STATS, "token/char stats"),
+    QueryDef("q_lm_quality", _q_lm_quality, _SQL_LM_QUALITY, "unigram-LM perplexity proxy"),
+    QueryDef("q_kl_drift", _q_kl_drift, _SQL_KL_DRIFT, "per-source token KL drift"),
+    QueryDef("q_semantic_dedup", _q_semantic_dedup, None, "SemDeDup k-means cosine dedup"),
     QueryDef("q_lang_quality", _q_lang_quality, _SQL_LANG_QUALITY, "lang-id + quality score"),
     QueryDef("q_dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup groups"),
     QueryDef("q_dedup_keep", _q_dedup_keep, _SQL_DEDUP_KEEP, "exact dedup keep-set"),

@@ -321,3 +321,63 @@ def test_dedup_apply_keeps_one_per_cluster(spark, planted_docs):
     for i in range(20):
         if (i, 100 + i) in pair_rows:
             assert i in kept and (100 + i) not in kept
+
+
+def test_lm_quality_score_pinned(spark):
+    """Hand-computed add-one unigram LM on a 3-doc corpus."""
+    import math
+
+    from dbt_lab_spark.llm.curation import lm_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["lm_score"], r["n_tokens"])
+           for r in lm_quality_score(docs).collect()}
+    # corpus tokens: a=3, b=2 -> N=5, V=2
+    lp_a = math.log((3 + 1) / (5 + 2))
+    lp_b = math.log((2 + 1) / (5 + 2))
+    assert got[1] == (round((2 * lp_a + lp_b) / 3, 4), 3)
+    assert got[2] == (round((lp_a + lp_b) / 2, 4), 2)
+    assert 3 not in got  # empty doc emits no tokens
+
+
+def test_token_kl_drift_orders_sources_by_divergence(spark):
+    """A slice with the corpus-typical distribution scores lower KL than
+    a slice of rare-token soup."""
+    from dbt_lab_spark.llm.curation import token_kl_drift
+
+    rows = [("typical", "the cat sat on the mat")] * 10 + [
+        ("drifted", "zyx qwv jkl pqr zzz xxx")
+    ] * 2
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r["kl_drift"] for r in token_kl_drift(docs).collect()}
+    assert got["drifted"] > got["typical"] >= 0.0
+
+
+def test_semantic_dedup_catches_planted_duplicates(spark):
+    """Identical vectors always co-assign to one k-means cluster, so
+    planted exact duplicates must always be caught; well-separated
+    distinct vectors must never pair at a high threshold."""
+    from dbt_lab_spark.llm.dedup import semantic_dedup_keep, semantic_dedup_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=16)
+        v = (v / np.linalg.norm(v)).tolist()
+        rows.append((i, v))
+    # plant duplicates: ids 100..109 duplicate ids 0..9 exactly
+    for i in range(10):
+        rows.append((100 + i, rows[i][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(emb, num_clusters=4, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 100 + i) for i in range(10)} <= got
+    # random 16-dim unit vectors essentially never hit cosine>=0.999
+    assert got == {(i, 100 + i) for i in range(10)}
+    kept = semantic_dedup_keep(emb, num_clusters=4, threshold=0.999)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert len(ids) == 60 and all(100 + i not in ids for i in range(10))
