@@ -78,6 +78,12 @@ BENCH_NAMES = [
     "q_curation_pipeline",
     "q_debounce",
     "q_share_of_total",
+    # r2 additions (BASELINE.md r2 marks)
+    "q_lm_quality",
+    "q_kl_drift",
+    "q_semantic_dedup",
+    "q_sql_strict",
+    "q_multimodal_real_decode",
 ]
 
 
