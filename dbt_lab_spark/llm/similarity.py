@@ -181,7 +181,13 @@ def ivf_centroids(
     aggregation, independent of corpus size.  Only C×dim floats ever
     reach the driver per iteration.
     """
-    vecs = corpus.select((F.col(id_col) % num_centroids).alias("__c"), _normalized(vec_col).alias("__v"))
+    # One persisted copy of (id, vec) feeds every Lloyd iteration —
+    # without it each iteration re-scans the source.  At cluster scale
+    # this is the difference between one corpus read and iters of them.
+    src = corpus.select(id_col, vec_col).persist()
+    vecs = src.select(
+        (F.col(id_col) % num_centroids).alias("__c"), _normalized(vec_col).alias("__v")
+    )
 
     def recompute(assigned: DataFrame) -> list[list[float]]:
         sums = (
@@ -200,13 +206,17 @@ def ivf_centroids(
             out.append([x / n for x in c])
         return out
 
-    centroids = recompute(vecs)
-    for _ in range(iters):
-        sims = F.array(*[_sim_to_centroid(F.col("__v"), c) for c in centroids])
-        assigned = vecs.select(
-            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("__c"), "__v"
-        )
-        centroids = recompute(assigned)
+    try:
+        centroids = recompute(vecs)
+        for _ in range(iters):
+            # vectorized argmax assignment (see ivf_assign) — one Arrow
+            # pass per iteration, plan size independent of C
+            assigned = ivf_assign(src, centroids, vec_col, id_col).select(
+                F.col("cluster").alias("__c"), F.col("__cv").alias("__v")
+            )
+            centroids = recompute(assigned)
+    finally:
+        src.unpersist()
     return centroids
 
 
@@ -218,14 +228,51 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid — the inverted
     file.  Map-only (no shuffle); persist/bucket the result by `cluster`
-    so probes prune at the storage layer."""
-    v = _normalized(vec_col)
-    sims = F.array(*[_sim_to_centroid(v, c) for c in centroids])
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        v.alias("__cv"),
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
+    so probes prune at the storage layer.
+
+    Implementation: Arrow-batched mapInPandas doing one NumPy matmul
+    (batch x dim) @ (dim x C) per batch.  The Column-expression
+    alternative (an array of per-centroid zip_with/aggregate dots) is
+    interpreted — higher-order lambdas never enter whole-stage codegen —
+    and its expression tree grows with C, so it stops being viable
+    around C~100 and is ~10x slower even at C=8.  The matmul path is
+    C-speed per batch and C-independent in plan size: the shape that
+    holds at 4096 clusters on 100 TB.  Ties argmax to the first maximal
+    cluster, deterministically.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, dim), unit-norm
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("__cv", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
     )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            mn = m / norms[:, None]
+            cl = np.argmax(mn @ cents.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].astype("int64"),
+                    "__cv": [row.tolist() for row in mn],
+                    "cluster": cl,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
 
 
 def ivf_knn(
