@@ -124,11 +124,7 @@ def lsh_knn(
         .select("query_id", "neighbor_id", "__qv", "__cv")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-    )
+    scored = _score_pairs_vectorized(cand)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -148,6 +144,50 @@ def _sim_to_centroid(v: Column, centroid: list[float]) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _score_pairs_vectorized(cand: DataFrame) -> DataFrame:
+    """Score candidate pairs (query_id, neighbor_id, __qv, __cv) ->
+    (query_id, neighbor_id, cosine) with one NumPy einsum per Arrow
+    batch.  Row-at-a-time zip_with/aggregate cosines are interpreted
+    (no codegen for lambda bodies) — ~10x slower on wide candidate
+    sets.  Used by the rows-only ANN paths; the oracle-checked exact
+    query keeps the expression form whose float fold order DuckDB
+    mirrors bit-for-bit."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["__qv"].tolist(), dtype=np.float64)
+            b = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            na[na == 0.0] = 1.0
+            nb[nb == 0.0] = 1.0
+            cos = np.einsum("ij,ij->i", a, b) / (na * nb)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": cos,
+                }
+            )
+
+    return cand.select("query_id", "neighbor_id", "__qv", "__cv").mapInPandas(_score, schema)
 
 
 def _normalized(vec_col: str) -> Column:
@@ -314,12 +354,10 @@ def ivf_knn(
         qv.alias("__qv"),
         F.explode(F.transform(ranked_clusters, lambda x: x["cluster"])).alias("cluster"),
     )
-    scored = inv.join(F.broadcast(qb), on="cluster").select(
-        "query_id",
-        "neighbor_id",
-        F.aggregate(
-            F.zip_with("__qv", "__cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ).alias("cosine"),
+    scored = _score_pairs_vectorized(
+        inv.join(F.broadcast(qb), on="cluster").select(
+            "query_id", "neighbor_id", "__qv", "__cv"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
