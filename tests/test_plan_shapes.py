@@ -350,3 +350,68 @@ def test_star_schema_dpp_and_bloom_fire_together(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_cbo_join_reorder_with_statistics(spark, sf_medium):
+    """The reference's flagship optimizer assignment is cost-based join
+    ordering from catalogue statistics (TestJoinOrderOptimizerStudents).
+    Spark-first counterpart: ANALYZE feeds CBO, and a deliberately
+    bad-ordered 3-table join (fact x fact first, dimension last) is
+    re-ordered so the selective dimension reaches the fact before the
+    fact-fact join.  Asserted on the optimized plan's join tree: with
+    CBO + stats the nation dim must NOT be the outermost (last) join
+    when written last."""
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.catalog import Catalog
+
+    cat = Catalog(sf_medium)
+    cat.analyze(spark, ("nation", "customer", "orders"))
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # written order: orders JOIN customer (fact x fact), THEN the
+        # 1-row-filtered nation — the worst order; CBO should push the
+        # selective dimension down
+        q = spark.sql(
+            """
+            SELECT n.n_name, COUNT(*) AS cnt
+            FROM dbt_lab.orders o
+            JOIN dbt_lab.customer c ON o.o_custkey = c.c_custkey
+            JOIN dbt_lab.nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY n.n_name
+            """
+        )
+        optimized = q._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        # in the optimized tree, the nation scan must appear before
+        # (deeper than) the orders scan: nation+customer join first,
+        # then the result joins orders.  Plan text lists join children
+        # top-down, so nation's relation line must come before orders'.
+        first_nation = optimized.find("dbt_lab.nation[")
+        first_orders = optimized.find("dbt_lab.orders[")
+        assert first_nation != -1 and first_orders != -1
+        assert first_nation < first_orders, optimized
+        # and the result is correct
+        rows = q.collect()
+        want = (
+            cat.table(spark, "orders")
+            .join(
+                cat.table(spark, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                cat.table(spark, "nation").filter(F.col("n_name") == "NATION_7"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .count()
+        )
+        assert rows[0]["cnt"] == want and want > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
