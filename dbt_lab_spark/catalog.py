@@ -236,17 +236,33 @@ class Catalog:
 
         ANALYZE only attaches statistics to catalog tables (temp views
         are rejected), so SQL that wants CBO join reordering should query
-        `<schema>.<name>`.  The events table is excluded: its
-        TIMESTAMP(NANOS) column needs the read-side rewrite in table().
+        `<schema>.<name>`.  The events table is excluded only when the
+        drop ships TIMESTAMP(NANOS) (needs the read-side rewrite in
+        table(), which a plain catalog table can't express).
         """
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
         for name in names:
-            if name == "events":
+            if name == "events" and events_ts_unit(self.path(name)) == "ns":
+                # TIMESTAMP(NANOS) needs the read-side rewrite in
+                # table(); a plain catalog table can't express it.
+                # Micros/millis drops register like any other table.
                 continue
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS {schema}.{name} "
                 f"USING parquet LOCATION '{self.path(name)}'"
             )
-            spark.sql(
-                f"ANALYZE TABLE {schema}.{name} COMPUTE STATISTICS FOR ALL COLUMNS"
-            )
+            # ANALYZE FOR COLUMNS rejects complex types (arrays/maps/
+            # structs, e.g. embeddings.embedding) — restrict to the
+            # simple columns; table-level stats still cover the rest.
+            simple = [
+                f.name
+                for f in SCHEMAS[name].fields
+                if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if simple:
+                spark.sql(
+                    f"ANALYZE TABLE {schema}.{name} COMPUTE STATISTICS "
+                    f"FOR COLUMNS {', '.join(simple)}"
+                )
+            else:
+                spark.sql(f"ANALYZE TABLE {schema}.{name} COMPUTE STATISTICS")
