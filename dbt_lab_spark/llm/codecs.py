@@ -7,13 +7,14 @@ format specifications directly:
 - BMP  (Windows BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB)
 - PPM  (Netpbm P6 binary, maxval <= 255) and PGM (P5)
 - WAV  (RIFF/WAVE, PCM 16-bit or 8-bit)
+- PNG  (RFC 2083: stdlib zlib inflate + full filter reconstruction —
+  a REAL compressed codec, 8-bit gray/RGB/RGBA, non-interlaced)
 
-These cover the classic *uncompressed* interchange formats end-to-end;
-compressed codecs (JPEG/PNG/MP3/H.264) are detected by magic and
-rejected with a clearly-marked NotImplementedError, since a faithful
-entropy decoder is out of scope for this container.  Swapping in
-PIL/ffmpeg later replaces only the per-format branch in
-`decode_payload` — the Spark plumbing in multimodal.py is unchanged.
+Codecs whose entropy coding has no stdlib support (JPEG/MP3/H.264) are
+detected by magic and rejected with a clearly-marked
+NotImplementedError.  Swapping in PIL/ffmpeg later replaces only the
+per-format branch in `decode_payload` — the Spark plumbing in
+multimodal.py is unchanged.
 
 Matching encoders exist so tests can pin decode output against bytes
 built from known pixel/sample arrays (round-trip identity).
@@ -198,12 +199,122 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (RFC 2083): zlib inflate is in the Python stdlib, so a real
+# compressed-codec decode needs no external libraries — chunk walk,
+# IDAT inflate, per-scanline unfilter.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB as a minimal truecolor PNG (filter 0,
+    one IDAT chunk)."""
+    import struct as _struct
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + tag
+            + body
+            + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / RGBA /
+    gray+alpha) into HxWx3 uint8 RGB.  Full filter support (None / Sub /
+    Up / Average / Paeth, RFC 2083 §6); palette/16-bit/interlaced
+    variants are rejected with a clear error."""
+    import struct as _struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(payload)
+    w = h = bitdepth = color = interlace = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (clen,) = _struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + clen]
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _comp, _filt, interlace = _struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + clen
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8:
+        raise NotImplementedError(f"{bitdepth}-bit PNG not supported (8 only)")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} (palette?) not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    rec = line[x] + a
+                elif ftype == 3:
+                    rec = line[x] + ((a + b) >> 1)
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec = line[x] + pred
+                cur[x] = rec  # uint8 wraps mod 256, per spec
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha -> replicate gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB or RGBA->RGB
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + deterministic features
 # ---------------------------------------------------------------------------
 
 _COMPRESSED_MAGIC = {
     b"\xff\xd8\xff": "jpeg",
-    b"\x89PNG": "png",
     b"GIF8": "gif",
     b"ID3": "mp3",
     b"\xff\xfb": "mp3",
@@ -215,6 +326,8 @@ _COMPRESSED_MAGIC = {
 def detect_format(payload: bytes) -> str:
     """Classify a payload by magic bytes.  Returns one of
     bmp/ppm/pgm/wav, a compressed-codec name, or 'unknown'."""
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -261,6 +374,8 @@ def decode_payload(payload: bytes) -> list[float]:
     decoders in this container — the clearly-marked remaining stub) and
     for byte strings that match no known container format."""
     fmt = detect_format(bytes(payload))
+    if fmt == "png":
+        return image_feature(decode_png(payload))
     if fmt == "bmp":
         return image_feature(decode_bmp(payload))
     if fmt == "ppm":
@@ -271,6 +386,6 @@ def decode_payload(payload: bytes) -> list[float]:
         return audio_feature(*decode_wav(payload))
     raise NotImplementedError(
         f"no codec for payload format '{fmt}' in this container "
-        "(uncompressed BMP/PPM/PGM/WAV are decoded natively; "
-        "JPEG/PNG/MP3/... need an external codec library)"
+        "(BMP/PPM/PGM/WAV/PNG are decoded natively; "
+        "JPEG/MP3/... need an external codec library)"
     )

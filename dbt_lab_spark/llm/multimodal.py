@@ -4,14 +4,15 @@ mapInPandas.
 
 The Spark-side machinery here is REAL and tested: schemas, batch
 iteration, partition sizing, and the UDF signatures are exactly what a
-production pipeline uses.  The innermost decode step is real too for
-uncompressed interchange formats: `llm/codecs.py` parses BMP, PPM/PGM
-and PCM WAV from the public format specs in pure Python/NumPy, so
+production pipeline uses.  The innermost decode step is real too:
+`llm/codecs.py` parses BMP, PPM/PGM, PCM WAV and PNG (stdlib-zlib
+inflate + filter reconstruction — a genuine compressed codec) from the
+public format specs in pure Python/NumPy, so
 `extract_features(fake_decode=False)` runs end-to-end on real bytes.
-Only compressed codecs (JPEG/PNG/MP3/...) remain behind a
-clearly-marked NotImplementedError — no entropy decoders ship in this
-container; swapping in PIL/ffmpeg replaces one branch in
-`codecs.decode_payload` and nothing else changes.
+Only codecs whose entropy coding has no stdlib support (JPEG/MP3/...)
+remain behind a clearly-marked NotImplementedError; swapping in
+PIL/ffmpeg replaces one branch in `codecs.decode_payload` and nothing
+else changes.
 
 Scale posture: media bytes never leave their partition (mapInPandas is
 a map-only operator); batch size is bounded via
@@ -89,7 +90,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
-        kind = i % 3
+        kind = i % 4
         if kind == 0:
             w, h = 16 + i % 9, 12 + i % 7  # odd widths exercise BMP row padding
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -98,6 +99,10 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
             w, h = 20 + i % 5, 15 + i % 4
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             rows.append((i, "image", codecs.encode_ppm(px), w, h, 0))
+        elif kind == 2:
+            w, h = 12 + i % 6, 10 + i % 5
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image", codecs.encode_png(px), w, h, 0))
         else:
             n_samp = 800 + 16 * (i % 11)
             samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int16)

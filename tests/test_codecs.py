@@ -108,8 +108,96 @@ def test_compressed_formats_rejected_clearly():
 
 def test_detect_format():
     assert codecs.detect_format(b"BM" + b"\x00" * 16) == "bmp"
-    assert codecs.detect_format(b"\x89PNG\r\n") == "png"
+    assert codecs.detect_format(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
     assert codecs.detect_format(b"RIFF\x00\x00\x00\x00WAVE") == "wav"
+
+
+def test_png_round_trip():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+    # and it routes through the real-decode dispatch
+    feat = codecs.decode_payload(codecs.encode_png(px))
+    assert feat == codecs.image_feature(px)
+
+
+def test_png_all_filter_types():
+    """Hand-build a PNG whose five scanlines use filters 0-4 — the
+    decoder must reconstruct each per RFC 2083 §6."""
+    import struct as _struct
+    import zlib
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = px.shape
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = px[y].reshape(-1)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) % 256
+        raw += bytes([ftype]) + bytes(line.astype(np.uint8))
+        prev = cur
+    def chunk(tag, body):
+        return _struct.pack(">I", len(body)) + tag + body + _struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(payload), px)
+
+
+def test_png_grayscale_and_rgba():
+    import struct as _struct
+    import zlib
+
+    def chunk(tag, body):
+        return _struct.pack(">I", len(body)) + tag + body + _struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    gray = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(payload)
+    assert out.shape == (2, 2, 3) and np.array_equal(out[:, :, 0], gray)
+
+    rgba = np.dstack([gray, gray, gray, np.full((2, 2), 7, np.uint8)]).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(payload)
+    assert out.shape == (2, 2, 3) and np.array_equal(out[:, :, 1], gray)
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +212,7 @@ def test_extract_features_real_decode(spark):
     by_id = {r["asset_id"]: r for r in feats}
     # cross-check one image asset against a driver-side decode
     local = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
-    for aid in (0, 1, 2):  # one BMP, one PPM, one WAV by construction
+    for aid in (0, 1, 2, 3):  # BMP, PPM, PNG, WAV by construction
         expected = codecs.decode_payload(local[aid])
         assert by_id[aid]["feature"] == pytest.approx(expected)
         assert by_id[aid]["n_bytes"] == len(local[aid])
