@@ -462,3 +462,36 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_medium):
         for r in range_join(bl, br, "user_id", "ts", "p_ts", 0, 3_600_000).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_multimodal_real_decode_streaming_matches_batch(spark, tmp_path):
+    """extract_features(fake_decode=False) is a map-only mapInPandas —
+    it must run unchanged under readStream and produce the same
+    features as the batch pass over the same asset files."""
+    from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA, extract_features, make_real_assets
+
+    assets = make_real_assets(spark, n=16)
+    path = str(tmp_path / "assets")
+    assets.write.parquet(path)
+    batch = {
+        r["asset_id"]: r["feature"]
+        for r in extract_features(spark.read.schema(ASSET_SCHEMA).parquet(path),
+                                  fake_decode=False).collect()
+    }
+    stream = spark.readStream.schema(ASSET_SCHEMA).parquet(path)
+    q = (
+        extract_features(stream, fake_decode=False)
+        .writeStream.format("memory")
+        .queryName("mm_decode")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["asset_id"]: r["feature"]
+            for r in spark.sql("SELECT * FROM mm_decode").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 16
