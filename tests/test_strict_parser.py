@@ -215,3 +215,62 @@ def test_strict_rejects_sum_on_string(spark):
         strict.process_query(
             "SELECT SUM(c.c_name) AS s FROM customer c GROUP BY c.c_nationkey"
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# property: random reference-grammar queries == equivalent spark.sql
+# ---------------------------------------------------------------------------
+
+
+def test_random_reference_queries_match_spark_sql(spark):
+    """Generate reference-grammar SELECTs over nation/region/customer
+    (random projections, filters, optional group-by aggregation) and
+    check the strict compiler's results equal the same query run
+    through spark.sql on registered views."""
+    import random
+
+    cat = Catalog(SF)
+    strict = StrictSqlProcessor(spark, cat)
+    cat.register_views(spark)
+    rng = random.Random(2024)
+
+    numeric = {"customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+               "nation": ["n_nationkey", "n_regionkey"],
+               "region": ["r_regionkey"]}
+    group = {"customer": "c_nationkey", "nation": "n_regionkey", "region": "r_regionkey"}
+    ops = ["=", "<>", ">", "<", ">=", "<="]
+
+    for trial in range(12):
+        table = rng.choice(list(numeric))
+        t = table[0]
+        cols = numeric[table]
+        fcol = rng.choice(cols)
+        op = rng.choice(ops)
+        lit = rng.choice([0, 3, 10, 500])
+        where = f"{t}.{fcol} {op} {lit}"
+        where_sql = f"{fcol} {op} {lit}"
+        if rng.random() < 0.5:
+            c2 = rng.choice(cols)
+            where += f" AND {t}.{c2} >= 0"
+            where_sql += f" AND {c2} >= 0"
+        if rng.random() < 0.5:
+            g = group[table]
+            agg_col = rng.choice(cols)
+            strict_sql = (
+                f"SELECT {t}.{g} AS k, COUNT({t}.{agg_col}) AS n, "
+                f"MIN({t}.{agg_col}) AS lo, MAX({t}.{agg_col}) AS hi "
+                f"FROM {table} {t} WHERE {where} GROUP BY {t}.{g}"
+            )
+            ref_sql = (
+                f"SELECT {g} AS k, COUNT({agg_col}) AS n, "
+                f"MIN({agg_col}) AS lo, MAX({agg_col}) AS hi "
+                f"FROM {table} WHERE {where_sql} GROUP BY {g}"
+            )
+        else:
+            proj = rng.sample(cols, min(2, len(cols)))
+            sel = ", ".join(f"{t}.{c} AS {c}" for c in proj)
+            strict_sql = f"SELECT {sel} FROM {table} {t} WHERE {where}"
+            ref_sql = f"SELECT {', '.join(proj)} FROM {table} WHERE {where_sql}"
+        got = sorted(tuple(r) for r in strict.process_query(strict_sql).collect())
+        want = sorted(tuple(r) for r in spark.sql(ref_sql).collect())
+        assert got == want, (trial, strict_sql)
