@@ -214,47 +214,85 @@ def ivf_centroids(
     Lloyd iterations.
 
     Deterministic init (cluster = id % C means) — no RNG, so results are
-    reproducible run-to-run.  Each iteration is one DataFrame job:
-    assign (map-side argmax against broadcast-literal centroids) →
-    per-dimension mean via explode + groupBy — shuffle rows are
-    (cluster, dim) partial sums, i.e. C×dim per partition after partial
-    aggregation, independent of corpus size.  Only C×dim floats ever
-    reach the driver per iteration.
+    reproducible run-to-run.  Each Lloyd iteration is ONE map-only job:
+    an Arrow batch computes the argmax assignment (NumPy matmul, same
+    math as ivf_assign) AND the per-cluster partial sums/counts for its
+    batch, so only num_partitions x C x dim floats travel to the driver,
+    which does the final reduce + spherical re-normalization.  No
+    shuffle at all in the training loop — the canonical distributed
+    k-means shape (map-side sufficient statistics, tiny driver reduce).
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     # One persisted copy of (id, vec) feeds every Lloyd iteration —
     # without it each iteration re-scans the source.  At cluster scale
     # this is the difference between one corpus read and iters of them.
     src = corpus.select(id_col, vec_col).persist()
-    vecs = src.select(
-        (F.col(id_col) % num_centroids).alias("__c"), _normalized(vec_col).alias("__v")
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
     )
 
-    def recompute(assigned: DataFrame) -> list[list[float]]:
-        sums = (
-            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("__c", "__d")
-            .agg(F.avg("__x").alias("__m"))
-            .collect()
-        )
-        cents = [[0.0] * dim for _ in range(num_centroids)]
-        for r in sums:
-            cents[r["__c"]][r["__d"]] = r["__m"]
-        # re-normalize (spherical k-means keeps centroids on the sphere)
-        out = []
-        for c in cents:
-            n = sum(x * x for x in c) ** 0.5 or 1.0
-            out.append([x / n for x in c])
-        return out
+    def sufficient_stats(cents: np.ndarray | None) -> list[list[float]]:
+        """One pass: assign each batch (argmax vs cents; id % C when
+        cents is None) and emit per-cluster (count, sum-vector)
+        partials; reduce on the driver and re-normalize."""
+
+        def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # accumulate across ALL batches of the partition and emit
+            # one partial per cluster: the driver reduce is bounded by
+            # num_partitions x C x dim, not num_batches x C x dim.
+            # (For C x dim large enough that even that bound hurts,
+            # switch the reduce to a treeAggregate-style two-level agg.)
+            psums = np.zeros((num_centroids, dim), dtype=np.float64)
+            pcounts = np.zeros(num_centroids, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0.0] = 1.0
+                mn = m / norms[:, None]
+                if cents is None:
+                    cl = (pdf[id_col].to_numpy() % num_centroids).astype("int64")
+                else:
+                    cl = np.argmax(mn @ cents.T, axis=1)
+                np.add.at(psums, cl, mn)
+                np.add.at(pcounts, cl, 1)
+            hit = np.nonzero(pcounts)[0]
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "cluster": hit.astype("int32"),
+                        "n": pcounts[hit],
+                        "s": [psums[c].tolist() for c in hit],
+                    }
+                )
+
+        rows = src.mapInPandas(_stats, partial_schema).collect()
+        sums = np.zeros((num_centroids, dim), dtype=np.float64)
+        counts = np.zeros(num_centroids, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["n"]
+        counts[counts == 0] = 1
+        means = sums / counts[:, None]
+        nrm = np.linalg.norm(means, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        return (means / nrm[:, None]).tolist()
 
     try:
-        centroids = recompute(vecs)
+        centroids = sufficient_stats(None)
         for _ in range(iters):
-            # vectorized argmax assignment (see ivf_assign) — one Arrow
-            # pass per iteration, plan size independent of C
-            assigned = ivf_assign(src, centroids, vec_col, id_col).select(
-                F.col("cluster").alias("__c"), F.col("__cv").alias("__v")
-            )
-            centroids = recompute(assigned)
+            centroids = sufficient_stats(np.asarray(centroids, dtype=np.float64))
     finally:
         src.unpersist()
     return centroids
