@@ -9,6 +9,8 @@ format specifications directly:
 - WAV  (RIFF/WAVE, PCM 16-bit or 8-bit)
 - PNG  (RFC 2083: stdlib zlib inflate + full filter reconstruction —
   a REAL compressed codec, 8-bit gray/RGB/RGBA, non-interlaced)
+- GIF  (87a/89a: LZW implemented from the spec — variable-width codes,
+  LSB-first packing, 12-bit cap; single-frame, palette -> RGB)
 
 Codecs whose entropy coding has no stdlib support (JPEG/MP3/H.264) are
 detected by magic and rejected with a clearly-marked
@@ -310,12 +312,164 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): LZW decompression implemented from the spec in pure
+# Python — variable-width codes, LSB-first packing, 12-bit cap.
+# Single-frame, non-interlaced; palette lookup yields RGB.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: codes are packed LSB-first, width grows from
+    min_code_size+1 up to 12 bits; CLEAR resets the table."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        byte = bitpos >> 3
+        window = int.from_bytes(data[byte : byte + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table, next_code, code_size = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code} > next {next_code})")
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB as GIF89a with a 256-color palette built
+    from the image's distinct colors (must be <= 256).  The LZW stream
+    uses the clear-before-every-symbol form — valid per spec, trivially
+    correct, and fine for test fixtures."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_gif expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports at most 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(2, len(colors))))))
+    table_size = 1 << bits
+    palette = np.zeros((table_size, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    # bit-pack: CLEAR, sym, CLEAR, sym, ..., EOI (fixed code width)
+    acc = bitlen = 0
+    stream = bytearray()
+    def put(code: int):
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    put(clear)
+    for s in idx:
+        put(int(s))
+        put(clear)
+    put(eoi)
+    if bitlen:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])  # GCT flag + size
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a single-frame, non-interlaced GIF into HxWx3 uint8 RGB
+    (global or local color table; extension blocks skipped)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=i).reshape(n, 3)
+        i += n * 3
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, i + 1)
+            ipacked = payload[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=i).reshape(n, 3)
+                i += n * 3
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while payload[i] != 0:
+                ln = payload[i]
+                data += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            indices = _lzw_decode(bytes(data), min_code)
+            if len(indices) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            px = table[np.asarray(indices[: iw * ih], dtype=np.int64)].reshape(ih, iw, 3)
+            return np.ascontiguousarray(px)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + deterministic features
 # ---------------------------------------------------------------------------
 
 _COMPRESSED_MAGIC = {
     b"\xff\xd8\xff": "jpeg",
-    b"GIF8": "gif",
     b"ID3": "mp3",
     b"\xff\xfb": "mp3",
     b"OggS": "ogg",
@@ -334,6 +488,8 @@ def detect_format(payload: bytes) -> str:
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     for magic, name in _COMPRESSED_MAGIC.items():
@@ -382,10 +538,12 @@ def decode_payload(payload: bytes) -> list[float]:
         return image_feature(decode_ppm(payload))
     if fmt == "pgm":
         return image_feature(decode_pgm(payload))
+    if fmt == "gif":
+        return image_feature(decode_gif(payload))
     if fmt == "wav":
         return audio_feature(*decode_wav(payload))
     raise NotImplementedError(
         f"no codec for payload format '{fmt}' in this container "
-        "(BMP/PPM/PGM/WAV/PNG are decoded natively; "
+        "(BMP/PPM/PGM/WAV/PNG/GIF are decoded natively; "
         "JPEG/MP3/... need an external codec library)"
     )

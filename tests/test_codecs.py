@@ -220,3 +220,32 @@ def test_extract_features_real_decode(spark):
     for r in feats:
         assert len(r["feature"]) == 8
         assert sum(r["feature"]) == pytest.approx(1.0)
+
+
+def test_gif_round_trip():
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(50, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 50, size=(8, 14))]
+    payload = codecs.encode_gif(px)
+    assert codecs.detect_format(payload) == "gif"
+    assert np.array_equal(codecs.decode_gif(payload), px)
+    assert codecs.decode_payload(payload) == codecs.image_feature(px)
+
+
+def test_gif_lzw_growing_codes():
+    """A gradient image produces a real growing-code LZW stream when
+    re-encoded by the spec-shaped encoder; the decoder must also handle
+    extension blocks before the image descriptor."""
+    # 4x64 gradient: 64 distinct colors -> 6-bit palette, long runs
+    grad = np.stack([np.arange(64, dtype=np.uint8)] * 4)
+    px = np.dstack([grad * 4, grad * 2, grad]).astype(np.uint8)
+    payload = codecs.encode_gif(px)
+    # splice a graphic-control extension between LSD+GCT and the image
+    # descriptor (0x21 0xf9 4 bytes 0x00).  The descriptor offset is
+    # structural: 13 header bytes + 3*2^(gct_size_bits+1) palette bytes
+    # (searching for 0x2c would false-match palette bytes).
+    gct_bits = (payload[10] & 0x07) + 1
+    desc_at = 13 + 3 * (1 << gct_bits)
+    assert payload[desc_at] == 0x2C
+    spliced = payload[:desc_at] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + payload[desc_at:]
+    assert np.array_equal(codecs.decode_gif(spliced), px)
