@@ -101,17 +101,27 @@ TABLE_NAMES = tuple(SCHEMAS)
 
 
 @lru_cache(maxsize=64)
-def events_ts_unit(path: str) -> str:
-    """Physical unit of events.ts in the parquet footer ('ns'/'us'/...).
-
-    Footer-only read, driver-side, cached per path.  Spark cannot read
-    TIMESTAMP(NANOS) without the legacy long conf, while applying that
-    nanos workaround to micros data shrinks every timestamp 1000x — so
-    the unit must be sniffed, never assumed."""
+def _events_ts_unit_cached(path: str, mtime_ns: int, size: int) -> str:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(path).field("ts").type
     return getattr(t, "unit", "us")
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts in the parquet footer ('ns'/'us'/...).
+
+    Footer-only read, driver-side, cached per (path, mtime, size) so a
+    regenerated file at the same path with a different unit is re-sniffed
+    rather than silently served stale (a stale unit corrupts every
+    timestamp 1000x).  Spark cannot read TIMESTAMP(NANOS) without the
+    legacy long conf, while applying that nanos workaround to micros data
+    shrinks every timestamp 1000x — so the unit must be sniffed, never
+    assumed."""
+    import os
+
+    st = os.stat(path)
+    return _events_ts_unit_cached(path, st.st_mtime_ns, st.st_size)
 
 
 @dataclass

@@ -281,24 +281,42 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 1 + stride
         if ftype == 0:  # None
             cur = line
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up (array add: uint8 wraps mod 256, per spec)
             cur = line + prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    rec = line[x] + a
-                elif ftype == 3:
-                    rec = line[x] + ((a + b) >> 1)
-                else:
-                    c = int(prev[x - channels]) if x >= channels else 0
+        elif ftype == 1:
+            # Sub: cur[x] = line[x] + cur[x-channels] is a per-channel-lane
+            # prefix sum; cumsum with a uint8 accumulator wraps mod 256
+            # exactly as the spec requires — no Python loop.
+            cur = np.cumsum(
+                line.reshape(w, channels), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype in (3, 4):
+            # Average/Paeth depend on the reconstructed LEFT pixel, so the
+            # scan is inherently sequential in x — but only per PIXEL GROUP:
+            # all `channels` lanes advance together with int16 vector math
+            # (channels x fewer iterations than per-byte, and no uint8
+            # scalar-overflow warnings).
+            g = line.reshape(w, channels).astype(np.int16)
+            pv = prev.reshape(w, channels).astype(np.int16)
+            rec = np.zeros((w, channels), dtype=np.int16)
+            a = np.zeros(channels, dtype=np.int16)  # left (reconstructed)
+            if ftype == 3:  # Average
+                for x in range(w):
+                    a = (g[x] + ((a + pv[x]) >> 1)) & 0xFF
+                    rec[x] = a
+            else:  # Paeth
+                c = np.zeros(channels, dtype=np.int16)  # upper-left
+                for x in range(w):
+                    b = pv[x]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec = line[x] + pred
-                cur[x] = rec  # uint8 wraps mod 256, per spec
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    a = (g[x] + pred) & 0xFF
+                    rec[x] = a
+                    c = b
+            cur = rec.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = cur

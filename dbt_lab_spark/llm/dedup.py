@@ -613,9 +613,20 @@ def semantic_dedup_pairs(
     corpus/5000 so per-cluster self-joins stay bounded, and persist the
     assignment bucketed by cluster.
     """
-    from dbt_lab_spark.llm.similarity import ivf_assign, ivf_centroids
+    from dbt_lab_spark.llm.similarity import (
+        _score_pairs_vectorized,
+        ivf_assign,
+        ivf_centroids,
+    )
 
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None:
+        # Empty corpus: no pairs by definition; avoid a None-subscript
+        # crash and skip the k-means jobs entirely.
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(probe[0])
     cents = ivf_centroids(df, num_clusters, iters, vec_col, id_col, dim)
     assigned = ivf_assign(df, cents, vec_col, id_col)
     a = assigned.select(
@@ -624,21 +635,27 @@ def semantic_dedup_pairs(
     b = assigned.select(
         F.col("neighbor_id").alias("id_b"), F.col("__cv").alias("__vb"), "cluster"
     )
-    pairs = (
+    cand = (
         a.join(b, on="cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            # vectors are L2-normalized by ivf_assign, so dot == cosine
-            "cosine",
-            F.aggregate(
-                F.zip_with("__va", "__vb", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("__va").alias("__qv"),
+            F.col("__vb").alias("__cv"),
         )
-        .filter(F.col("cosine") >= threshold)
     )
-    return pairs.select("id_a", "id_b", "cosine")
+    # Arrow-batched NumPy einsum per batch: interpreted zip_with/aggregate
+    # lambdas never enter whole-stage codegen and measured ~10x slower on
+    # wide candidate sets (see _score_pairs_vectorized).  Vectors are
+    # L2-normalized by ivf_assign, so the scorer's re-normalization is a
+    # no-op and dot == cosine.
+    scored = _score_pairs_vectorized(cand)
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine",
+    )
 
 
 def semantic_dedup_keep(

@@ -311,9 +311,9 @@ class Parser:
                 q.having.append(self.parse_predicate(having=True))
         if self.accept("ORDER"):
             self.expect("BY")
-            q.order_by.append(self.parse_order_col())
+            q.order_by.append(self.parse_order_col(q.select))
             while self.accept("COMMA"):
-                q.order_by.append(self.parse_order_col())
+                q.order_by.append(self.parse_order_col(q.select))
         # Clause validity: HAVING implies GROUP BY (SelectQuery.java:284-293
         # javadoc; see module docstring for the code/javadoc discrepancy).
         if q.having and not q.group_by:
@@ -358,11 +358,25 @@ class Parser:
         t2 = self.expect("IDENT")
         return ColumnRef(t1.text, t2.text)
 
-    def parse_order_col(self) -> OrderCol:
-        alias = self.expect("IDENT").text
-        # optionally alias.column form for direct column ordering
+    def parse_order_col(self, select: list[OutputCol]) -> OrderCol:
+        t1 = self.expect("IDENT")
+        # ORDER BY references OUTPUT columns (OrderColumn.java).  The
+        # alias.column form must resolve to a select-list entry whose
+        # expression is exactly that ColumnRef — silently rebinding to
+        # whichever output column shares the bare name could order by a
+        # different table's column.
         if self.accept("PERIOD"):
-            alias = self.expect("IDENT").text
+            t2 = self.expect("IDENT")
+            ref = ColumnRef(t1.text, t2.text)
+            matches = [oc for oc in select if oc.agg is None and oc.expr == ref]
+            if not matches:
+                raise ParseError(
+                    self.sql, t1.pos,
+                    f"ORDER BY {t1.text}.{t2.text} does not name an output column",
+                )
+            alias = matches[0].alias
+        else:
+            alias = t1.text
         d = self.accept("ASC") or self.accept("DESC")
         return OrderCol(alias, d.kind if d else "ASC")
 
