@@ -117,10 +117,17 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
 
 def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipped revenue between NATION_1 and NATION_2
-    (both directions) per year.  Fact-fact join on orderkey shuffles;
-    customer/supplier/nation broadcast; the nation-pair disjunction is
-    evaluated after both broadcasts (Catalyst pushes each side's IN
-    (N1, N2) filter down into the broadcast build)."""
+    (both directions) per year.
+
+    Join order matters here more than in any other bench query: the
+    nation IN (N1, N2) predicates are applied to EACH FACT SIDE (via
+    broadcast supplier/customer dimension joins) BEFORE the fact-fact
+    orderkey join, so both shuffle inputs carry only ~2/|nation| of
+    their rows.  Joining lineitem x orders first and filtering after
+    shuffles the full fact tables — ~12x more shuffle bytes at any
+    scale.  AQE then usually converts the shrunken orderkey join to a
+    broadcast join at runtime; at 100 TB it stays a shuffle join over
+    8% of the data, which is exactly the right fallback."""
     cat = Catalog(sf_dir)
     n1 = ("NATION_1", "NATION_2")
     li = scan(
@@ -142,11 +149,13 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = scan(spark, cat, "nation", predicates=[F.col("n_name").isin(*n1)]).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    # Semi-filtering dimension joins FIRST (inner ⋈ a nation-filtered
+    # build side drops non-matching fact rows before any wide shuffle).
+    nat_sup = broadcast_join(supplier, sn, on=F.col("s_nationkey") == F.col("sn_key"))
+    li = li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    nat_cust = broadcast_join(customer, cn, on=F.col("c_nationkey") == F.col("cn_key"))
+    orders = orders.join(F.broadcast(nat_cust), F.col("o_custkey") == F.col("c_custkey"))
     fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-    fact = broadcast_join(fact, supplier, on=F.col("l_suppkey") == F.col("s_suppkey"))
-    fact = broadcast_join(fact, customer, on=F.col("o_custkey") == F.col("c_custkey"))
-    fact = broadcast_join(fact, sn, on=F.col("s_nationkey") == F.col("sn_key"))
-    fact = broadcast_join(fact, cn, on=F.col("c_nationkey") == F.col("cn_key"))
     fact = fact.filter(
         ((F.col("supp_nation") == n1[0]) & (F.col("cust_nation") == n1[1]))
         | ((F.col("supp_nation") == n1[1]) & (F.col("cust_nation") == n1[0]))
@@ -264,7 +273,14 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: revenue from parts named like '%gear%' per
     supplier nation per year (profit less ps_supplycost in the
     original; there is no partsupp so profit == discounted revenue).
-    part/supplier/nation broadcast; lineitem⋈orders shuffles."""
+
+    part/supplier/nation broadcast onto lineitem first: the part LIKE
+    filter keeps ~13% of parts, so the orderkey join's lineitem side
+    arrives pre-shrunk and AQE converts it to a broadcast join at this
+    SF.  A pre-aggregation to (l_orderkey, nation) before the orders
+    join was measured and REJECTED: lineitems for one part-filtered
+    order almost never share a supplier nation (76.5k -> 75.7k rows at
+    sf0.1), so the extra shuffle buys nothing at any scale."""
     cat = Catalog(sf_dir)
     li = scan(
         spark, cat, "lineitem",
@@ -348,8 +364,14 @@ ORDER BY part_value DESC, l_partkey
 
 def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: distribution of orders-per-customer including
-    zero-order customers — left outer join, per-customer count, then a
-    count of counts.  Two shuffles (custkey, then c_count)."""
+    zero-order customers.
+
+    Orders are aggregated to one (o_custkey, count) row per customer
+    BEFORE touching the customer table — COUNT is decomposable, so the
+    map-side partial agg reduces the custkey shuffle to distinct keys,
+    and the subsequent left join runs customers x per-customer-counts
+    (both |customer|-sized) instead of customers x orders.  Null counts
+    from the outer join are the zero-order customers."""
     cat = Catalog(sf_dir)
     customer = scan(spark, cat, "customer", ["c_custkey"])
     orders = scan(
@@ -359,11 +381,10 @@ def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey"],
         predicates=[compare("o_orderpriority", "<>", "1-URGENT")],
     )
-    per_cust = (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    cnt = orders.groupBy("o_custkey").agg(F.count("o_orderkey").alias("__n"))
+    per_cust = customer.join(
+        cnt, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))

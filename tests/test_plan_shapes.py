@@ -415,3 +415,52 @@ def test_cbo_join_reorder_with_statistics(spark, sf_medium):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q7_nation_filters_below_orderkey_join(spark, sf_medium):
+    """Q7's scale property: both inputs of the lineitem⋈orders shuffle
+    join are already nation-filtered (supplier/customer dimension joins
+    broadcast BELOW it), so the wide join moves ~2/|nation| of each
+    fact.  In the optimized tree (printed top-down) the orderkey join
+    must therefore have a nation relation under BOTH children, and the
+    dimension joins are all broadcast."""
+    import re
+
+    df = _QUERIES["q_tpch_q7"](spark, sf_medium)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    m = re.search(r"l_orderkey#\d+L = o_orderkey#\d+L", optimized)
+    assert m, optimized
+    # two nation-filtered broadcast joins live under the orderkey join:
+    # each side's nation IN-filter appears in its subtree (top-down print)
+    subtree = optimized[m.start():]
+    assert len(re.findall(r"n_name#\d+ IN \(NATION_1,NATION_2\)", subtree)) == 2, optimized
+    plan = _formatted(df)
+    assert _nodes(plan, "BroadcastHashJoin") >= 4, plan
+    fact_joins = _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin")
+    assert fact_joins <= 1, plan
+
+
+def test_tpch_q9_part_filter_broadcast_prunes_fact(spark, sf_medium):
+    """Q9: the %gear% part filter reaches its scan and joins lineitem
+    via broadcast (pre-shrinking the orderkey join's lineitem side);
+    at most the single fact-fact join shuffles."""
+    plan = _plan(spark, sf_medium, "q_tpch_q9")
+    assert "StringContains(p_name,gear)" in plan, plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 3, plan
+    fact_joins = _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin")
+    assert fact_joins <= 1, plan
+
+
+def test_tpch_q13_aggregates_orders_below_join(spark, sf_medium):
+    """Q13: orders collapse to per-custkey counts BEFORE the customer
+    join — the optimized tree has the o_custkey aggregate UNDER the
+    join node, so the join runs |customer| x |customers-with-orders|
+    instead of |customer| x |orders|."""
+    import re
+
+    df = _QUERIES["q_tpch_q13"](spark, sf_medium)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    join_m = re.search(r"Join LeftOuter", optimized)
+    agg_m = re.search(r"Aggregate \[o_custkey#\d+L\]", optimized)
+    assert join_m and agg_m, optimized
+    assert agg_m.start() > join_m.start(), optimized
