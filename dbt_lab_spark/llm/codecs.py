@@ -11,9 +11,13 @@ format specifications directly:
   a REAL compressed codec, 8-bit gray/RGB/RGBA, non-interlaced)
 - GIF  (87a/89a: LZW implemented from the spec — variable-width codes,
   LSB-first packing, 12-bit cap; single-frame, palette -> RGB)
+- JPEG (ITU-T T.81 baseline sequential: Huffman entropy coding, 8x8
+  DCT, YCbCr, generic sampling factors incl. 4:2:0, restart markers;
+  encoder uses the Annex K tables — full entropy codec, no stdlib
+  support leaned on)
 
-Codecs whose entropy coding has no stdlib support (JPEG/MP3/H.264) are
-detected by magic and rejected with a clearly-marked
+Codecs whose decode remains out of scope (MP3/H.264/progressive JPEG)
+are detected by magic and rejected with a clearly-marked
 NotImplementedError.  Swapping in PIL/ffmpeg later replaces only the
 per-format branch in `decode_payload` — the Spark plumbing in
 multimodal.py is unchanged.
@@ -483,11 +487,574 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT): Huffman entropy coding,
+# 8x8 DCT, and YCbCr conversion implemented from the spec in NumPy.
+# Encoder: JFIF 4:4:4 or 4:2:0, standard Annex K quant/Huffman tables.
+# Decoder: baseline SOF0, generic sampling factors, restart markers;
+# progressive (SOF2) / arithmetic / 12-bit are rejected with a clear
+# NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Standard 8x8 zigzag scan order (T.81 Figure 5), generated by the
+    diagonal walk so no 64-entry literal can carry a typo."""
+    idx, x, y = [], 0, 0
+    for _ in range(64):
+        idx.append(y * 8 + x)
+        if (x + y) % 2 == 0:  # heading up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x, y = x + 1, y - 1
+        else:  # heading down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x, y = x - 1, y + 1
+    return np.array(idx, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+# Annex K.1 quantization tables (luminance / chrominance).
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II basis: forward F = D @ f @ D.T, inverse
+    f = D.T @ F @ D."""
+    n = np.arange(8)
+    d = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    d *= np.sqrt(2.0 / 8.0)
+    d[0, :] = np.sqrt(1.0 / 8.0)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1-100 -> per-entry scaled table in 1..255."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 Annex C): symbol -> (code,
+    length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def marker(self, m: int) -> None:
+        """Emit a raw marker (no stuffing), byte-aligned."""
+        self.align()
+        self.buf += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _mag_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter,
+    coeffs: np.ndarray,
+    dc_pred: int,
+    dc_tbl: dict[int, tuple[int, int]],
+    ac_tbl: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one quantized 8x8 block (zigzag domain).  Returns
+    the new DC predictor."""
+    zz = coeffs.reshape(64)[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - dc_pred
+    s = _mag_category(diff)
+    code, length = dc_tbl[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            bw.put(*ac_tbl[0x00])  # EOB
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_tbl[0xF0])  # ZRL
+            run -= 16
+        s = _mag_category(v)
+        code, length = ac_tbl[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def _component_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shift, 2D-DCT, and quantize a (H8, W8) plane into an
+    (nblocks_y, nblocks_x, 8, 8) int array — fully vectorized via one
+    einsum over all blocks."""
+    h8, w8 = plane.shape
+    blocks = plane.reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    shifted = blocks.astype(np.float64) - 128.0
+    freq = np.einsum("ij,bcjk,lk->bcil", _DCT, shifted, _DCT)
+    return np.round(freq / qtab).astype(np.int64)
+
+
+def _pad_to(img: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    py = (-h) % mult_y
+    px = (-w) % mult_x
+    if py or px:
+        img = np.pad(img, ((0, py), (0, px)) + ((0, 0),) * (img.ndim - 2), mode="edge")
+    return img
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as baseline JFIF JPEG (Annex K
+    tables scaled by `quality`; 4:4:4, or 4:2:0 when `subsample`;
+    RSTn markers every `restart_interval` MCUs when nonzero)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    if subsample:  # 4:2:0 — chroma halved both ways, Y blocks 2x2 per MCU
+        hy, vy = 2, 2
+        ymcu = _pad_to(y[:, :, None], 16, 16)[:, :, 0]
+        # chroma: average 2x2 pixel groups of the 16-padded plane
+        cbp = _pad_to(cb[:, :, None], 16, 16)[:, :, 0]
+        crp = _pad_to(cr[:, :, None], 16, 16)[:, :, 0]
+        cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        hy, vy = 1, 1
+        ymcu = _pad_to(y[:, :, None], 8, 8)[:, :, 0]
+        cbs = _pad_to(cb[:, :, None], 8, 8)[:, :, 0]
+        crs = _pad_to(cr[:, :, None], 8, 8)[:, :, 0]
+
+    yq = _component_blocks(ymcu, qy)
+    cbq = _component_blocks(cbs, qc)
+    crq = _component_blocks(crs, qc)
+
+    dc_y = _huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_y = _huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]  # Y, Cb, Cr DC predictors
+    mcus_y = cbq.shape[0]
+    mcus_x = cbq.shape[1]
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.marker(0xD0 + (mcu_count // restart_interval - 1) % 8)
+                preds = [0, 0, 0]
+            mcu_count += 1
+            for by in range(vy):
+                for bx in range(hy):
+                    preds[0] = _encode_block(
+                        bw, yq[my * vy + by, mx * hy + bx], preds[0], dc_y, ac_y
+                    )
+            preds[1] = _encode_block(bw, cbq[my, mx], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, crq[my, mx], preds[2], dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in table.reshape(64)[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qy) + dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hy << 4) | vy, 0])  # Y
+    sof += bytes([2, 0x11, 1])  # Cb
+    sof += bytes([3, 0x11, 1])  # Cr
+    out += seg(0xFFC0, sof)
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += struct.pack(">H", 0xFFD9)  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over an entropy-coded segment with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker reached mid-scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume an expected RSTn marker and byte-align."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _huffman_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for canonical T.81 tables."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit, 1 or 3
+    components, any sampling factors, optional restart markers) into
+    HxWx3 uint8 RGB.  Progressive (SOF2), arithmetic coding, 12-bit
+    precision, and hierarchical modes raise NotImplementedError."""
+    data = payload
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart_interval = 0
+    pos = 2
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=i + 1)
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = zz
+                qtabs[tid] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htabs[(cls, tid)] = _huffman_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "q": qid}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
+                "lossless/hierarchical) not supported — baseline SOF0 only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(cc for cc in comps if cc["id"] == cid)
+                scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or h is None:
+        raise ValueError("JPEG missing SOS/SOF")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in scan_comps:
+        bw_ = mcus_x * c["h"] * 8
+        bh_ = mcus_y * c["v"] * 8
+        planes[c["id"]] = np.zeros((bh_ // 8, bw_ // 8, 8, 8), dtype=np.int64)
+
+    br = _BitReader(data, scan_pos)
+    preds = {c["id"]: 0 for c in scan_comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                preds = {c["id"]: 0 for c in scan_comps}
+            try:
+                for c in scan_comps:
+                    dct = htabs[(0, c["dc"])]
+                    act = htabs[(1, c["ac"])]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = _read_symbol(br, dct)
+                            diff = _extend(br.read_bits(s), s) if s else 0
+                            preds[c["id"]] += diff
+                            zz[0] = preds[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _read_symbol(br, act)
+                                r_, s_ = rs >> 4, rs & 0x0F
+                                if s_ == 0:
+                                    if r_ == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r_
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                zz[k] = _extend(br.read_bits(s_), s_)
+                                k += 1
+                            block = np.zeros(64, dtype=np.int64)
+                            block[_ZIGZAG] = zz
+                            planes[c["id"]][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ] = block.reshape(8, 8)
+            except _RestartMarker:
+                # tolerate encoders that emit RST without DRI bookkeeping
+                br.align_restart()
+                preds = {c["id"]: 0 for c in scan_comps}
+            mcu_count += 1
+
+    out_planes = {}
+    for c in scan_comps:
+        q = qtabs[c["q"]].astype(np.float64)
+        blocks = planes[c["id"]].astype(np.float64) * q
+        spatial = np.einsum("ji,bcjk,kl->bcil", _DCT, blocks, _DCT)
+        nby, nbx = spatial.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+        # upsample to full MCU resolution by sampling-factor replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes[c["id"]] = plane[:h, :w]
+
+    if len(scan_comps) == 1:
+        y = np.clip(out_planes[scan_comps[0]["id"]], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    ids = [c["id"] for c in scan_comps]
+    y, cb, cr = (out_planes[i] for i in ids[:3])
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + deterministic features
 # ---------------------------------------------------------------------------
 
 _COMPRESSED_MAGIC = {
-    b"\xff\xd8\xff": "jpeg",
     b"ID3": "mp3",
     b"\xff\xfb": "mp3",
     b"OggS": "ogg",
@@ -508,6 +1075,8 @@ def detect_format(payload: bytes) -> str:
         return "pgm"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     for magic, name in _COMPRESSED_MAGIC.items():
@@ -558,10 +1127,12 @@ def decode_payload(payload: bytes) -> list[float]:
         return image_feature(decode_pgm(payload))
     if fmt == "gif":
         return image_feature(decode_gif(payload))
+    if fmt == "jpeg":
+        return image_feature(decode_jpeg(payload))
     if fmt == "wav":
         return audio_feature(*decode_wav(payload))
     raise NotImplementedError(
         f"no codec for payload format '{fmt}' in this container "
-        "(BMP/PPM/PGM/WAV/PNG/GIF are decoded natively; "
-        "JPEG/MP3/... need an external codec library)"
+        "(BMP/PPM/PGM/WAV/PNG/GIF/JPEG are decoded natively; "
+        "MP3/... need an external codec library)"
     )

@@ -81,7 +81,8 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
 
 def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic asset table whose payloads are REAL encoded media
-    bytes (BMP / PPM / PCM-WAV built by llm/codecs.py encoders), for
+    bytes — BMP / PPM / PNG / GIF / baseline-JPEG (4:2:0) / PCM-WAV,
+    all built by llm/codecs.py's spec-implemented encoders — for
     exercising the fake_decode=False path end-to-end."""
     import numpy as np
 
@@ -90,7 +91,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
-        kind = i % 4
+        kind = i % 6
         if kind == 0:
             w, h = 16 + i % 9, 12 + i % 7  # odd widths exercise BMP row padding
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -103,6 +104,17 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
             w, h = 12 + i % 6, 10 + i % 5
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             rows.append((i, "image", codecs.encode_png(px), w, h, 0))
+        elif kind == 3:
+            # GIF needs <=256 distinct colors: quantized random palette
+            w, h = 14 + i % 5, 11 + i % 4
+            px = (rng.integers(0, 8, size=(h, w, 3), dtype=np.uint8) * 32).astype(np.uint8)
+            rows.append((i, "image", codecs.encode_gif(px), w, h, 0))
+        elif kind == 4:
+            w, h = 18 + i % 7, 13 + i % 6  # odd dims exercise MCU padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append(
+                (i, "image", codecs.encode_jpeg(px, quality=90, subsample=i % 2 == 0), w, h, 0)
+            )
         else:
             n_samp = 800 + 16 * (i % 11)
             samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int16)

@@ -683,12 +683,14 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode path: payloads are genuine BMP/PPM/PCM-WAV bytes and
+    """REAL decode path: payloads are genuine BMP / PPM / PNG / GIF /
+    baseline-JPEG (4:2:0 and 4:4:4) / PCM-WAV bytes and
     fake_decode=False routes through llm/codecs.py format parsers inside
-    the Arrow mapInPandas — no stub anywhere on this path.  Features are
-    normalized 8-bin luminance/amplitude histograms, so per-media sums
-    of the first bin are deterministic.  Rows-only check (media decode
-    is not SQL-expressible); exact bytes are pin-tested in tests/."""
+    the Arrow mapInPandas — no stub anywhere on this path, including the
+    JPEG Huffman+DCT entropy decode.  Features are normalized 8-bin
+    luminance/amplitude histograms, so per-media sums of the first bin
+    are deterministic.  Rows-only check (media decode is not
+    SQL-expressible); exact bytes are pin-tested in tests/."""
     from dbt_lab_spark.llm.multimodal import extract_features, make_real_assets
 
     assets = make_real_assets(spark, n=48)

