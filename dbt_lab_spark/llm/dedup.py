@@ -332,6 +332,7 @@ def ngram_jaccard_all_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold via the inverted-index
     count trick: any qualifying pair shares a shingle, and because the
@@ -342,8 +343,22 @@ def ngram_jaccard_all_pairs(
     Scale shape: shuffle 1 = explode + join on shingle (the inverted
     index); shuffle 2 = count per (id_a, id_b) with map-side partial
     aggregation collapsing hot shingles' repeats.  Set sizes broadcast.
-    Common-shingle skew still bounds this (hot shingles emit quadratic
-    pairs) — at corpus scale feed candidates from MinHash-LSH into
+
+    `max_doc_freq` bounds common-shingle skew, the one thing that can
+    blow this up (a shingle in k docs emits k^2 candidate pairs — on a
+    boilerplate-heavy corpus one hot shingle alone is quadratic):
+    shingles appearing in more than `max_doc_freq` docs are dropped
+    from the INVERTED INDEX ONLY, capping per-shingle pair emission at
+    max_doc_freq^2 (and hot shingles number at most
+    total_postings/max_doc_freq, so their id set broadcasts).
+    Surviving candidates are then re-verified EXACTLY on the full
+    shingle arrays (array_intersect — hot shingles still count toward
+    the reported Jaccard), so every returned value is exact; the only
+    possible loss is a pair whose shared shingles are ALL hot, which at
+    threshold t requires >= t/(1+t)*(|A|+|B|) distinct shingles each in
+    > max_doc_freq docs — vanishingly unlikely off boilerplate, and
+    boilerplate is what the cap is for.  Default None = fully exact.
+    At corpus scale feed candidates from MinHash-LSH into
     ngram_jaccard_pairs instead; this operator is the exact baseline.
     """
     sh = _parallelize(df).select(
@@ -358,19 +373,30 @@ def ngram_jaccard_all_pairs(
         F.size("__sh").alias("__n"),
         F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__g"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__g")
+        )
+        ex = ex.join(F.broadcast(hot), on="__g", how="left_anti")
     a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__g")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__g")
     # size-ratio prune BEFORE pair counting: J >= t implies
     # t*max(|A|,|B|) <= min(|A|,|B|) — drops hopeless pairs pre-agg.
-    shared = (
-        a.join(b, on="__g")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("__na") * threshold <= F.col("__nb"))
-            & (F.col("__nb") * threshold <= F.col("__na"))
-        )
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    joined = a.join(b, on="__g").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("__na") * threshold <= F.col("__nb"))
+        & (F.col("__nb") * threshold <= F.col("__na"))
+    )
+    if max_doc_freq is not None:
+        # capped index undercounts |A ∩ B| by the dropped hot shingles,
+        # so candidates are re-verified exactly on the full arrays
+        cand = joined.select("id_a", "id_b").distinct()
+        return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, threshold)
+    shared = joined.groupBy("id_a", "id_b", "__na", "__nb").agg(
+        F.count(F.lit(1)).alias("__c")
     )
     out = shared.withColumn(
         "jaccard",

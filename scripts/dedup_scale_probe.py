@@ -129,6 +129,43 @@ def probe(spark: SparkSession, label: str, path: str, cap: int | None) -> dict:
     return rep
 
 
+def probe_jaccard_skew(spark: SparkSession) -> None:
+    """Hot-shingle stressor for exact n-gram jaccard (VERDICT r2 item
+    4): a boilerplate-heavy corpus (every 5th doc shares one 12-word
+    header => every header shingle sits in ~n/5 docs).  Measures
+    candidate-pair volume and wall time capped vs uncapped; the capped
+    bound is max_doc_freq^2 pairs per shingle, corpus-independent."""
+    from dbt_lab_spark.llm.dedup import ngram_jaccard_all_pairs
+
+    for every in (5, 2):
+        docs = (
+            spark.read.parquet(f"{SF01}/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % every == 0,
+                    F.concat(
+                        F.lit("standard legal boilerplate header applies all rights "
+                              "reserved terms conditions "),
+                        F.col("text"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        )
+        n = docs.count()
+        log(f"jaccard skew corpus: {n} docs, {n // every} sharing a 12-word header "
+            f"(~{10 * (n // every) ** 2 // 2 / 1e6:.0f}M uncapped index pair-rows)")
+        for cap in (None, 100):
+            t0 = time.time()
+            out = ngram_jaccard_all_pairs(
+                docs, shingle_k=3, threshold=0.5, max_doc_freq=cap
+            )
+            n_pairs = out.count()
+            log(f"  ngram_jaccard cap={str(cap):5s} pairs={n_pairs:>7} "
+                f"t={time.time() - t0:7.2f}s")
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -158,6 +195,8 @@ def main() -> None:
         f"pairs x{r1c['pairs'] / max(r01c['pairs'], 1):.1f}, t_cc x{r1c['t_cc'] / max(r01c['t_cc'], 1e-9):.1f}")
     log(f"growth (uncapped): docs x10 -> t_pairs x{r1u['t_pairs'] / max(r01u['t_pairs'], 1e-9):.1f}, "
         f"pairs x{r1u['pairs'] / max(r01u['pairs'], 1):.1f}")
+    log("")
+    probe_jaccard_skew(spark)
     log("DONE")
 
 

@@ -381,3 +381,37 @@ def test_semantic_dedup_catches_planted_duplicates(spark):
     kept = semantic_dedup_keep(emb, num_clusters=4, threshold=0.999)
     ids = {r["vec_id"] for r in kept.collect()}
     assert len(ids) == 60 and all(100 + i not in ids for i in range(10))
+
+
+def test_ngram_jaccard_hot_shingle_cap_keeps_exactness(spark):
+    """max_doc_freq drops boilerplate shingles from the inverted index
+    but re-verifies candidates on the full arrays: on a corpus where
+    every doc shares a boilerplate header, the capped result must equal
+    the uncapped result pair-for-pair WITH identical (exact) jaccard
+    values — the near-dup pairs share plenty of rare shingles."""
+    from dbt_lab_spark.llm.dedup import ngram_jaccard_all_pairs
+
+    rng = random.Random(77)
+    boiler = "terms of service apply to all content herein"
+    rows = []
+    for i in range(60):
+        rows.append((i, boiler + " " + _doc(rng, 40)))
+    for i in range(10):  # near-dups of the first 10
+        rows.append((100 + i, _edit(rng, rows[i][1], 2)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_all_pairs(docs, shingle_k=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_all_pairs(
+            docs, shingle_k=3, threshold=0.5, max_doc_freq=20
+        ).collect()
+    }
+    assert set(capped) == set(exact), (set(exact) ^ set(capped))
+    for k, v in capped.items():
+        assert math.isclose(v, exact[k]), (k, v, exact[k])
+    # the planted pairs are all found
+    assert {(i, 100 + i) for i in range(10)} <= set(capped)
