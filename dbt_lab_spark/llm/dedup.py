@@ -501,12 +501,24 @@ def embedding_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _checkpointer(df: DataFrame, checkpoint_dir: str | None):
+    """Return a lineage-truncation function: localCheckpoint (fast,
+    executor-memory blocks) when no dir is given, reliable checkpoint
+    (durable files under `checkpoint_dir`) when one is."""
+    if checkpoint_dir is None:
+        return lambda d: d.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda d: d.checkpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
     strict: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs by min-label propagation
     — turns pairwise matches into dedup clusters (a near-dup of a
@@ -530,16 +542,25 @@ def connected_components(
     returning silently-partial clusters (set strict=False to accept
     best-effort labels).  Returns (id, component) where component = min
     id in the component.
+
+    Executor-loss contract: by default rounds are truncated with
+    localCheckpoint — blocks live in executor memory, so losing an
+    executor mid-iteration loses blocks that have NO lineage to rebuild
+    from and fails the job.  Pass `checkpoint_dir=` (an HDFS/object
+    store path on a real cluster) to switch every round to a RELIABLE
+    checkpoint: round state is written to durable files, and executor
+    loss only re-reads them.  The per-round write is O(|labels|) — the
+    right trade on any long-running 100 TB dedup job.
     """
+    ckpt = _checkpointer(pairs, checkpoint_dir)
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    edges = edges.distinct().localCheckpoint(eager=True)
-    labels = (
+    edges = ckpt(edges.distinct())
+    labels = ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -576,7 +597,7 @@ def connected_components(
                 ).alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = ckpt(new_labels)
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -209,6 +209,7 @@ def ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer: spherical k-means via distributed
     Lloyd iterations.
@@ -221,6 +222,15 @@ def ivf_centroids(
     which does the final reduce + spherical re-normalization.  No
     shuffle at all in the training loop — the canonical distributed
     k-means shape (map-side sufficient statistics, tiny driver reduce).
+
+    Executor-loss contract: the loop state (centroids) is driver-side,
+    so iterations themselves survive executor loss; the exposure is the
+    persisted (id, vec) projection — lost cached blocks are recomputed
+    through the corpus's full lineage, which can be arbitrarily
+    expensive for a derived frame.  Pass `checkpoint_dir=` to replace
+    the cache with a RELIABLE checkpoint (one durable materialization
+    of the projection; every iteration and any recovery reads those
+    files instead of recomputing upstream).
     """
     from collections.abc import Iterator
 
@@ -231,7 +241,12 @@ def ivf_centroids(
     # One persisted copy of (id, vec) feeds every Lloyd iteration —
     # without it each iteration re-scans the source.  At cluster scale
     # this is the difference between one corpus read and iters of them.
-    src = corpus.select(id_col, vec_col).persist()
+    persisted = checkpoint_dir is None
+    if persisted:
+        src = corpus.select(id_col, vec_col).persist()
+    else:
+        corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        src = corpus.select(id_col, vec_col).checkpoint(eager=True)
 
     partial_schema = T.StructType(
         [
@@ -294,7 +309,8 @@ def ivf_centroids(
         for _ in range(iters):
             centroids = sufficient_stats(np.asarray(centroids, dtype=np.float64))
     finally:
-        src.unpersist()
+        if persisted:
+            src.unpersist()
     return centroids
 
 

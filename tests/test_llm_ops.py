@@ -415,3 +415,42 @@ def test_ngram_jaccard_hot_shingle_cap_keeps_exactness(spark):
         assert math.isclose(v, exact[k]), (k, v, exact[k])
     # the planted pairs are all found
     assert {(i, 100 + i) for i in range(10)} <= set(capped)
+
+
+def test_reliable_checkpoint_paths(spark, tmp_path, planted_vectors):
+    """checkpoint_dir= switches connected_components rounds and the
+    ivf_centroids source cache from executor-memory localCheckpoint/
+    persist to RELIABLE checkpoints: results must be identical to the
+    default path and durable checkpoint files must actually appear
+    under the directory (the executor-loss recovery source)."""
+    import os
+
+    from dbt_lab_spark.llm.dedup import connected_components
+    from dbt_lab_spark.llm.similarity import ivf_centroids
+
+    cc_dir = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    base = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    reliable = {
+        (r.id, r.component)
+        for r in connected_components(pairs, checkpoint_dir=cc_dir).collect()
+    }
+    assert reliable == base
+    ckpt_files = [
+        os.path.join(dp, f) for dp, _, fns in os.walk(cc_dir) for f in fns
+    ]
+    assert ckpt_files, "no reliable checkpoint files written"
+
+    ivf_dir = str(tmp_path / "ivf_ckpt")
+    cents_default = ivf_centroids(planted_vectors, num_centroids=4, iters=2)
+    cents_reliable = ivf_centroids(
+        planted_vectors, num_centroids=4, iters=2, checkpoint_dir=ivf_dir
+    )
+    assert cents_reliable == cents_default
+    ivf_files = [
+        os.path.join(dp, f) for dp, _, fns in os.walk(ivf_dir) for f in fns
+    ]
+    assert ivf_files, "no reliable checkpoint files written for ivf source"
