@@ -66,12 +66,30 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
+def _base_hash(col: str, base_hash: str) -> Column:
+    """31-bit-domain base hash of a string column.
+
+    'xxhash64' (default): fastest, JVM-side, Spark-specific.
+    'md5': standard MD5 truncated to 15 hex chars (60 bits) — bit-exact
+    reproducible by ANY engine with an md5() (DuckDB included), which
+    is what upgrades the minhash family from rows-only checks to full
+    value-hash oracles.
+    """
+    p31 = (1 << 31) - 1
+    if base_hash == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(p31))
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(p31)
+    raise ValueError(f"unknown base_hash {base_hash!r} (xxhash64|md5)")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: array of `num_hashes` min-values
     of seeded rehashes of the document's shingle hashes.
@@ -101,7 +119,7 @@ def minhash_signatures(
     ]
     exploded = _parallelize(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s")
-    ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(p31)).alias("__h"))
+    ).select(F.col(id_col), _base_hash("__s", base_hash).alias("__h"))
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(p31)).alias(f"__m{i}")
@@ -119,6 +137,7 @@ def minhash_lsh_candidates(
     num_bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs via banding: hash each band of the signature to a
     bucket, self-join on (band, bucket).  Output: (id_a, id_b) with
@@ -137,22 +156,18 @@ def minhash_lsh_candidates(
     size they are boilerplate, which is exactly what you de-prioritize
     at 100 TB.  Default None preserves exact LSH semantics.
     """
+    def band_key(b: int) -> Column:
+        cols = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if base_hash == "md5":
+            # oracle-replicable bucket: md5 of 'v0|v1|...|b'
+            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(str(b))))
+        return F.xxhash64(*cols, F.lit(b))  # long keys (production default)
+
     bands = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col("signature")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                        F.lit(b),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[band_key(b) for b in range(num_bands)])).alias(
+            "band", "bucket"
+        ),
     )
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -174,17 +189,24 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     num_bands: int = 16,
     threshold: float = 0.7,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs: MinHash LSH candidates verified by
     estimated Jaccard (signature agreement rate) >= threshold.
-    Returns (id_a, id_b, est_jaccard)."""
+    Returns (id_a, id_b, est_jaccard).
+
+    base_hash='md5' makes every stage (shingle hash, permutations, band
+    buckets) bit-exact reproducible in plain SQL by any md5-capable
+    engine — the DuckDB-oracle-checkable variant; 'xxhash64' is the
+    faster production default."""
     rows_per_band = num_hashes // num_bands
     # minhash_signatures ends in a groupBy(id) exchange: that shuffle
     # boundary parallelizes downstream work even for single-file input
     # and lets ReusedExchange share the signatures across the three
     # consumers below (candidates + both verify sides).
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, base_hash)
+    cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band,
+                                  base_hash=base_hash)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     verified = (
@@ -205,17 +227,33 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document: sign-sum of per-token hash bits.
 
     Shape: explode tokens -> xxhash64 -> ONE hash-aggregate pass with 64
     per-bit +/-1 sums (partial aggregation collapses the token blow-up
     map-side, so the shuffle carries |docs| x 64 ints regardless of
     document length) -> sign vector packed into a signed bigint.
+
+    base_hash='md5' draws bits from md5's first 60 bits instead of
+    xxhash64 (bits <= 60 then) — every stage becomes plain-SQL
+    reproducible, the DuckDB-oracle-checkable variant.
     """
+    if base_hash == "md5" and bits > 60:
+        raise ValueError("md5 base hash provides 60 usable bits")
     toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+    if base_hash == "md5":
+        h = F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("__tok")
     hashed = _parallelize(df).select(F.col(id_col), toks).select(
-        F.col(id_col), F.xxhash64("__tok").alias("__h")
+        F.col(id_col), h.alias("__h")
     )
     bit_sums = hashed.groupBy(id_col).agg(
         *[

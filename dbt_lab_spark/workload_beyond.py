@@ -542,6 +542,266 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# oracle-checkable LSH variants (VERDICT r2 item 6): same algorithms as
+# the xxhash64/runtime-hash production paths above, with every hash
+# basis swapped for something ANY engine reproduces in plain SQL —
+# md5 (minhash, simhash) or a rational literal formula (hyperplanes).
+# The driver's DuckDB gate can therefore hash-match the FULL banding /
+# bit-packing / bucket-join algebra, not just count rows.
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on an md5 hash basis: 16 universal-
+    family permutations of md5-derived 31-bit shingle hashes, 4 bands x
+    4 rows with md5 band buckets, est_jaccard >= 0.7.  Algorithmically
+    identical to q_minhash_pairs (same shingling, same (a*h+b) mod p
+    permutations, same banding join) — only the base hash differs, so
+    the DuckDB oracle recomputes every signature bit-exactly."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(
+        docs, num_hashes=16, shingle_k=3, num_bands=4, threshold=0.7, base_hash="md5"
+    )
+
+
+def _sql_minhash_md5() -> str:
+    import random as _random
+
+    p31 = (1 << 31) - 1
+    rng = _random.Random(0xD5B7)  # same stream as minhash_signatures
+    consts = [(rng.randrange(1, p31), rng.randrange(p31)) for _ in range(16)]
+    # md5 hex (15 chars = 60 bits) -> integer, with exact bigint
+    # place-value literals (power() would round above 2^53)
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', m[{i}:{i}]) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    sig_cols = ", ".join(
+        f"MIN((h * {a} + {b}) % {p31}) AS s{i}" for i, (a, b) in enumerate(consts)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"CAST(s{b * 4 + r} AS VARCHAR)" for r in range(4))
+        + f" || '|' || '{b}') AS bucket FROM sig"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+         END AS s
+  FROM toks
+), hx AS (
+  SELECT doc_id, md5(g.g) AS m FROM sh, unnest(s) AS g(g)
+), hv AS (
+  SELECT doc_id, ({hex_to_int}) % {p31} AS h FROM hx
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+), est AS (
+  SELECT id_a, id_b, ({agree}) / 16.0 AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+            JOIN sig sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+"""
+
+
+_SIMHASH_MD5_BITS = 32
+
+
+def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on an md5 bit basis: 32-bit fingerprints
+    from md5-derived token bits, two 16-bit pigeonhole bands, hamming
+    <= 3 verification over band-join candidates.  Same sign-sum /
+    bit-pack / band-join algebra as q_simhash_pairs; md5 bits make the
+    DuckDB oracle recompute the fingerprints exactly.  (Both engines
+    apply the same band rule, so the candidate set — and thus the
+    result — matches even where pigeonhole recall < 1.)"""
+    from dbt_lab_spark.llm.dedup import simhash
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    sh = simhash(docs, bits=_SIMHASH_MD5_BITS, base_hash="md5")
+    lo = F.col("simhash").bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF))
+    bands = sh.select(
+        "doc_id", "simhash", F.lit(0).alias("band"), lo.alias("bv")
+    ).union(sh.select("doc_id", "simhash", F.lit(1).alias("band"), hi.alias("bv")))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("__sa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("__sb"), "band", "bv"
+    )
+    pairs = (
+        a.join(b, on=["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _sql_simhash_md5() -> str:
+    bits = _SIMHASH_MD5_BITS
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', m[{i}:{i}]) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), hx AS (
+  SELECT doc_id, md5(tok) AS m FROM toks
+), hv AS (
+  SELECT doc_id, ({hex_to_int}) AS h FROM hx
+), bsum AS (
+  SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {pack} AS sh FROM bsum
+), bands AS (
+  SELECT doc_id, sh, 0 AS band, sh & 65535 AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, sh, 1 AS band, (sh >> 16) & 65535 AS bv FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                           AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+_LIT_TABLES, _LIT_PLANES = 2, 8
+
+
+def _lit_coef(t: int, j: int):
+    """Plane coefficient c(t, j, i) = ((3 + 73i + 179j + 283t) mod 21
+    - 10) / 10 — a rational literal formula both engines evaluate
+    identically in exact integer arithmetic before ONE double division.
+    Returns a function of the 0-based element index column."""
+    off = 3 + 179 * j + 283 * t
+    return lambda i: ((F.lit(off) + i * 73) % 21 - 10).cast("double") / 10.0
+
+
+def _q_embedding_neardup_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with LITERAL-formula planes: the
+    same bucket-join + exact-cosine-verify shape as
+    q_embedding_neardup_lsh, but plane coefficients come from a
+    rational literal formula instead of runtime xxhash64 — so the
+    DuckDB oracle reproduces bucketing AND verification end-to-end.
+    2 tables x 8 sign bits; cosine >= 0.4 verification (the result is
+    a recall-bounded subset of q_embedding_neardup's exact pairs)."""
+    from dbt_lab_spark.functions.vectors import dot, l2_norm
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    v = to_double_array("embedding")
+
+    def plane_dot(t: int, j: int) -> F.Column:
+        c = _lit_coef(t, j)
+        return F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), lambda x, i: x * c(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(t: int) -> F.Column:
+        return F.concat_ws(
+            "",
+            *[
+                F.when(plane_dot(t, j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(_LIT_PLANES)
+            ],
+        )
+
+    bucketed = emb.select(
+        F.col("vec_id"),
+        v.alias("__v"),
+        F.posexplode(F.array(*[bucket(t) for t in range(_LIT_TABLES)])).alias(
+            "__table", "__bucket"
+        ),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "__table", "__bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "__table", "__bucket"
+    )
+    cand = (
+        a.join(b, on=["__table", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        dot(F.col("__va"), F.col("__vb"))
+        / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
+    )
+    return scored.filter(F.col("cosine") >= 0.4).select("id_a", "id_b", "cosine")
+
+
+def _sql_embedding_neardup_lit() -> str:
+    def bucket_sql(t: int) -> str:
+        signs = " || ".join(
+            "CASE WHEN list_sum([e[i] * ((("
+            + str(3 + 179 * j + 283 * t)
+            + " + (i-1)*73) % 21 - 10) / 10.0) FOR i IN generate_series(1, len(e))]) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for j in range(_LIT_PLANES)
+        )
+        return signs
+
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {bucket_sql(t)} AS bucket FROM v"
+        for t in range(_LIT_TABLES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+  {tables}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.e AS ea, b2.e AS eb
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id
+), scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea, eb) /
+         (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) AS cosine
+  FROM cand
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming-native session windows (batch path of streaming/windows.py)
 # ---------------------------------------------------------------------------
 
@@ -2725,6 +2985,18 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "q_embedding_neardup_lsh", _q_embedding_neardup_lsh, None, "LSH cosine pairs"
+    ),
+    QueryDef(
+        "q_minhash_md5", _q_minhash_md5, _sql_minhash_md5(),
+        "oracle-checkable md5 minhash+LSH banding",
+    ),
+    QueryDef(
+        "q_simhash_md5", _q_simhash_md5, _sql_simhash_md5(),
+        "oracle-checkable md5 simhash band join",
+    ),
+    QueryDef(
+        "q_embedding_neardup_lit", _q_embedding_neardup_lit, _sql_embedding_neardup_lit(),
+        "oracle-checkable literal-plane LSH cosine pairs",
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
     QueryDef("q_bigrams", _q_bigrams, _SQL_BIGRAMS, "array HOF bigram counts"),
