@@ -159,3 +159,176 @@ def sample_frames(assets: DataFrame, every_ms: int = 5000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image transforms (decode -> resize/crop -> re-encode) and audio
+# spectral features — the bytes -> tensor -> bytes stages of a training
+# pipeline, run as Arrow-batched mapInPandas over real decoded pixels.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),  # re-encoded PPM raster
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def _bilinear_resize(img, oh: int, ow: int):
+    """Deterministic bilinear resample (half-pixel-center convention,
+    edge clamp) of an HxWxC uint8 array to (oh, ow).  Vectorized: two
+    gathers + three lerps, no Python pixel loop."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    im = img.astype(np.float64)
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _center_crop(img, ch: int, cw: int):
+    """Center crop (pad-free: callers resize first if smaller)."""
+    h, w, _ = img.shape
+    y = max(0, (h - ch) // 2)
+    x = max(0, (w - cw) // 2)
+    return img[y : y + min(ch, h), x : x + min(cw, w)]
+
+
+def transform_images(
+    assets: DataFrame,
+    width: int = 24,
+    height: int = 24,
+    crop: float = 1.0,
+) -> DataFrame:
+    """Decode image payloads (real codecs: BMP/PPM/PNG/GIF/JPEG/...),
+    optionally center-crop to `crop` fraction, bilinear-resize to
+    (height, width), and re-encode as PPM — the canonical
+    bytes -> tensor -> bytes normalization stage before training.
+
+    Shape: one Arrow mapInPandas (map-only; payloads never cross a
+    partition boundary); non-image rows are dropped by a JVM-side
+    filter before any Python runs."""
+
+    def _transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dbt_lab_spark.llm import codecs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                fmt = codecs.detect_format(bytes(payload))
+                decode = {
+                    "bmp": codecs.decode_bmp,
+                    "ppm": codecs.decode_ppm,
+                    "pgm": lambda p: np.repeat(
+                        codecs.decode_pgm(p)[:, :, None], 3, axis=2
+                    ),
+                    "png": codecs.decode_png,
+                    "gif": codecs.decode_gif,
+                    "jpeg": codecs.decode_jpeg,
+                }.get(fmt)
+                if decode is None:
+                    continue  # undecodable format: skip, don't poison the batch
+                img = decode(bytes(payload))
+                if crop < 1.0:
+                    h, w, _ = img.shape
+                    img = _center_crop(
+                        img, max(1, int(h * crop)), max(1, int(w * crop))
+                    )
+                resized = _bilinear_resize(img, height, width)
+                luma = (
+                    299 * resized[:, :, 0].astype(np.int64)
+                    + 587 * resized[:, :, 1].astype(np.int64)
+                    + 114 * resized[:, :, 2].astype(np.int64)
+                ) // 1000
+                out_rows.append(
+                    (
+                        int(aid),
+                        width,
+                        height,
+                        codecs.encode_ppm(resized),
+                        float(luma.mean()),
+                    )
+                )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["asset_id", "out_w", "out_h", "payload", "mean_luma"],
+                )
+
+    images = assets.filter(F.col("media_type") == "image").select("asset_id", "payload")
+    return images.mapInPandas(_transform, RESIZED_SCHEMA)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def audio_spectral_features(
+    assets: DataFrame, n_fft: int = 256, hop: int = 128, bands: int = 8
+) -> DataFrame:
+    """STFT band-energy features for audio payloads: decode PCM WAV,
+    frame with a Hann window, rfft each frame (NumPy), pool |X|^2 into
+    `bands` equal frequency bands, normalize to sum 1 — a deterministic
+    stand-in for any mel-scale frontend, with the identical Spark
+    plumbing (map-only Arrow batches, no shuffle)."""
+
+    def _spectral(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dbt_lab_spark.llm import codecs
+
+        win = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if codecs.detect_format(bytes(payload)) != "wav":
+                    continue
+                _, samples = codecs.decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = (len(mono) - n_fft) // hop + 1
+                if n <= 0:
+                    continue
+                if win is None:
+                    win = np.hanning(n_fft)
+                idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+                frames = mono[idx] * win
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                nbins = power.shape[1]
+                edges = np.linspace(0, nbins, bands + 1).astype(np.int64)
+                energy = np.array(
+                    [power[:, edges[b] : edges[b + 1]].sum() for b in range(bands)]
+                )
+                total = energy.sum() or 1.0
+                out_rows.append((int(aid), int(n), (energy / total).tolist()))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows, columns=["asset_id", "n_frames", "band_energy"]
+                )
+
+    audio = assets.filter(F.col("media_type") == "audio").select("asset_id", "payload")
+    return audio.mapInPandas(_spectral, SPECTRAL_SCHEMA)

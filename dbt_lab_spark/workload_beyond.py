@@ -962,6 +962,42 @@ def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image normalization stage: real decode (all six codecs) ->
+    center-crop 90% -> bilinear resize to 24x24 -> PPM re-encode,
+    aggregated per output shape.  Rows-only check (pixel resampling is
+    not SQL-expressible); resize math is pin-tested against manual
+    interpolation in tests/."""
+    from dbt_lab_spark.llm.multimodal import make_real_assets, transform_images
+
+    assets = make_real_assets(spark, n=48)
+    out = transform_images(assets, width=24, height=24, crop=0.9)
+    return out.groupBy("out_w", "out_h").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+    )
+
+
+def _q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio STFT band energies over real PCM-WAV payloads, rolled up
+    to corpus level.  Rows-only check (FFT is not SQL-expressible);
+    band placement is pin-tested with pure sine tones in tests/."""
+    from dbt_lab_spark.llm.multimodal import audio_spectral_features, make_real_assets
+
+    assets = make_real_assets(spark, n=48)
+    feats = audio_spectral_features(assets)
+    return feats.select(
+        F.lit("audio").alias("media_type"),
+        F.col("n_frames"),
+        F.round(F.element_at("band_energy", 1), 6).alias("e_low"),
+    ).groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_frames").alias("total_frames"),
+        F.round(F.sum("e_low"), 4).alias("sum_low_band"),
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (sequence+explode, JVM-side) — one row
     per sampled frame timestamp, counted per asset.  Rows-only check."""
@@ -3044,6 +3080,8 @@ BEYOND_QUERIES: list[QueryDef] = [
         "real BMP/PPM/WAV decode via codecs.py",
     ),
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
+    QueryDef("q_image_resize", _q_image_resize, None, "decode+crop+bilinear resize+re-encode"),
+    QueryDef("q_audio_spectrogram", _q_audio_spectrogram, None, "STFT band energies over WAV"),
     QueryDef("q_pii_redact", _q_pii_redact, _sql_pii_redact(), "PII redaction audit"),
     QueryDef("q_repetition", _q_repetition, _SQL_REPETITION, "Gopher repetition stats"),
     QueryDef(

@@ -340,3 +340,70 @@ def test_jpeg_decode_payload_dispatch():
     # feature approximates the source image's luminance histogram
     src = codecs.image_feature(img)
     assert max(abs(a - b) for a, b in zip(feat, src)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# image transforms + audio spectral features
+# ---------------------------------------------------------------------------
+
+
+def test_bilinear_resize_pinned_math():
+    """2x2 -> 4x4 bilinear with half-pixel centers: corners replicate
+    (edge clamp) and interior points are exact 1/4-3/4 lerps; identity
+    resize returns the image unchanged."""
+    from dbt_lab_spark.llm.multimodal import _bilinear_resize
+
+    img = np.array([[[0], [100]], [[200], [40]]], dtype=np.uint8).repeat(3, axis=2)
+    out = _bilinear_resize(img, 4, 4)
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 100
+    assert out[3, 0, 0] == 200 and out[3, 3, 0] == 40
+    # out pixel (1,1) maps to src (0.25, 0.25): top = lerp(0,100,.25) = 25,
+    # bottom = lerp(200,40,.25) = 160, lerp(25,160,.25) = 58.75 -> 59
+    assert out[1, 1, 0] == 59, out[:, :, 0].tolist()
+    ident = _bilinear_resize(img, 2, 2)
+    assert np.array_equal(ident, img)
+
+
+def test_center_crop_and_transform_images(spark):
+    from dbt_lab_spark.llm.multimodal import (
+        _center_crop,
+        make_real_assets,
+        transform_images,
+    )
+
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    c = _center_crop(img, 4, 4)
+    assert c.shape == (4, 4, 3)
+    assert np.array_equal(c, img[1:5, 2:6])
+
+    assets = make_real_assets(spark, n=24)
+    out = transform_images(assets, width=24, height=24, crop=0.9).collect()
+    # 24 assets rotate bmp/ppm/png/gif/jpeg/wav: 20 images, 4 audio
+    assert len(out) == 20
+    for r in out:
+        assert (r["out_w"], r["out_h"]) == (24, 24)
+        decoded = codecs.decode_ppm(bytes(r["payload"]))
+        assert decoded.shape == (24, 24, 3)
+        assert 0.0 <= r["mean_luma"] <= 255.0
+
+
+def test_audio_spectral_features_sine_band(spark):
+    """A pure sine at 0.3*Nyquist must concentrate its energy in band
+    floor(0.3*8)=2 of 8 — pins the STFT band placement end-to-end
+    through Spark."""
+    from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA, audio_spectral_features
+
+    sr = 16000
+    t = np.arange(4000)
+    freq = 0.3 * (sr / 2)
+    sine = (20000 * np.sin(2 * np.pi * freq * t / sr)).astype(np.int16)
+    payload = codecs.encode_wav(sine, sr)
+    assets = spark.createDataFrame(
+        [(0, "audio", payload, 0, 0, 250)], ASSET_SCHEMA
+    )
+    rows = audio_spectral_features(assets).collect()
+    assert len(rows) == 1
+    be = rows[0]["band_energy"]
+    assert len(be) == 8
+    assert abs(sum(be) - 1.0) < 1e-9
+    assert be[2] > 0.95, be
