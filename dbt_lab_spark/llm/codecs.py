@@ -11,13 +11,15 @@ format specifications directly:
   a REAL compressed codec, 8-bit gray/RGB/RGBA, non-interlaced)
 - GIF  (87a/89a: LZW implemented from the spec — variable-width codes,
   LSB-first packing, 12-bit cap; single-frame, palette -> RGB)
-- JPEG (ITU-T T.81 baseline sequential: Huffman entropy coding, 8x8
-  DCT, YCbCr, generic sampling factors incl. 4:2:0, restart markers;
-  encoder uses the Annex K tables — full entropy codec, no stdlib
-  support leaned on)
+- JPEG (ITU-T T.81: Huffman entropy coding, 8x8 DCT, YCbCr, generic
+  sampling factors incl. 4:2:0, restart markers — BOTH baseline
+  sequential (SOF0) and progressive (SOF2) with spectral selection,
+  successive approximation, and EOB-run/correction-bit refinement
+  scans; encoders for both framings use the Annex K tables — full
+  entropy codec, no stdlib support leaned on)
 
-Codecs whose decode remains out of scope (MP3/H.264/progressive JPEG)
-are detected by magic and rejected with a clearly-marked
+Codecs whose decode remains out of scope (MP3/H.264/arithmetic-coded
+JPEG) are detected and rejected with a clearly-marked
 NotImplementedError.  Swapping in PIL/ffmpeg later replaces only the
 per-format branch in `decode_payload` — the Spark plumbing in
 multimodal.py is unchanged.
@@ -814,6 +816,194 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as PROGRESSIVE JPEG (SOF2,
+    4:4:4): spectral selection (DC scan, then per-component AC bands
+    1-5 and 6-63) combined with one level of successive approximation
+    on both DC and AC (first scans at Al=1, refinement scans at Ah=1,
+    Al=0) — exercising every scan kind §G defines.  Decodes to the
+    IDENTICAL pixels as the baseline encoding of the same input (same
+    quant tables, same coefficients, different framing)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    planes = {
+        1: 0.299 * r + 0.587 * g + 0.114 * b,
+        2: -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        3: 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    }
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    quant = {1: qy, 2: qc, 3: qc}
+    # quantized coefficients in zigzag order per component
+    zz = {}
+    for cid, plane in planes.items():
+        padded = _pad_to(plane[:, :, None], 8, 8)[:, :, 0]
+        blocks = _component_blocks(padded, quant[cid])
+        nby, nbx = blocks.shape[:2]
+        zz[cid] = blocks.reshape(nby, nbx, 64)[:, :, :]
+        zz[cid] = np.take(zz[cid].reshape(nby, nbx, 64), _ZIGZAG, axis=2)
+    nby, nbx = zz[1].shape[:2]
+
+    dc_tbl = {1: _huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              2: _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+              3: _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)}
+    ac_tbl = {1: _huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+              2: _huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+              3: _huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int, scan: bytes) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, dc_id, ac_id in comp_specs:
+            body += bytes([cid, (dc_id << 4) | ac_id])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body) + scan
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(v) for v in qy.reshape(64)[_ZIGZAG]))
+    out += seg(0xFFDB, bytes([1]) + bytes(int(v) for v in qc.reshape(64)[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    for cls, tid, bits_, vals_ in [
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]:
+        out += seg(0xFFC4, bytes([(cls << 4) | tid] + bits_ + vals_))
+
+    # scan 1: interleaved DC first, Al=1
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(nby):
+        for mx in range(nbx):
+            for cid in (1, 2, 3):
+                dc = int(zz[cid][my, mx, 0]) >> 1  # point transform (arith shift)
+                diff = dc - preds[cid]
+                preds[cid] = dc
+                s = _mag_category(diff)
+                code, length = dc_tbl[cid][s]
+                bw.put(code, length)
+                if s:
+                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1, bw.flush())
+
+    # scan 2: interleaved DC refinement (Ah=1, Al=0): one raw bit/block
+    bw = _BitWriter()
+    for my in range(nby):
+        for mx in range(nbx):
+            for cid in (1, 2, 3):
+                bw.put(int(zz[cid][my, mx, 0]) & 1, 1)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0, bw.flush())
+
+    # scans 3..: per component, AC band splits at Al=1 then refinements
+    tid = {1: 0, 2: 1, 3: 1}
+    for cid in (1, 2, 3):
+        for ss_, se_ in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for my in range(nby):
+                for mx in range(nbx):
+                    _enc_ac_band(bw, zz[cid][my, mx], ac_tbl[cid], 1, ss_, se_)
+            out += sos([(cid, 0, tid[cid])], ss_, se_, 0, 1, bw.flush())
+    for cid in (1, 2, 3):
+        for ss_, se_ in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for my in range(nby):
+                for mx in range(nbx):
+                    _enc_ac_band_refine(bw, zz[cid][my, mx], ac_tbl[cid], 0, ss_, se_)
+            out += sos([(cid, 0, tid[cid])], ss_, se_, 1, 0, bw.flush())
+
+    out += struct.pack(">H", 0xFFD9)
+    return bytes(out)
+
+
+def _enc_ac_band(bw: _BitWriter, zz: np.ndarray, ac_tbl: dict, al: int,
+                 ss: int, se: int) -> None:
+    """AC-first encoding restricted to the band [ss, se]."""
+    run = 0
+    wrote_any = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_tbl[0xF0])
+            run -= 16
+        s = _mag_category(v)
+        code, length = ac_tbl[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        wrote_any = True
+    if run > 0 or not wrote_any:
+        bw.put(*ac_tbl[0x00])
+
+
+def _enc_ac_band_refine(bw: _BitWriter, zz: np.ndarray, ac_tbl: dict, al: int,
+                        ss: int, se: int) -> None:
+    """AC-refinement encoding restricted to the band [ss, se].
+
+    Correction-bit placement mirrors the DECODER's cursor exactly: the
+    decoder reads a correction bit each time its advance loop passes a
+    nonzero-history coefficient, and a ZRL advance stops at the 17th
+    zero-history position — so corrections interleave with the skip
+    spans rather than accumulating globally (flushing every buffered
+    bit after the first ZRL desynchronizes any run > 16 that crosses a
+    correction, which random chroma blocks hit readily)."""
+    t = [0] * 64
+    for k in range(ss, se + 1):
+        t[k] = abs(int(zz[k])) >> al
+    pos = ss  # the decoder's cursor
+
+    def advance_to(stop: int) -> None:
+        """Emit corrections for nonzero-history coefficients the
+        decoder passes while its cursor moves to `stop` (exclusive)."""
+        nonlocal pos
+        while pos < stop:
+            if t[pos] >= 2:
+                bw.put(t[pos] & 1, 1)
+            pos += 1
+
+    for nk in range(ss, se + 1):
+        if t[nk] != 1:  # not newly significant at this precision
+            continue
+        r = sum(1 for j in range(pos, nk) if t[j] == 0)
+        while r > 15:
+            bw.put(*ac_tbl[0xF0])
+            # decoder: consume 16 zero-history slots plus every
+            # nonzero-history slot until the NEXT zero-history slot
+            zeros = 0
+            while pos <= se:
+                if t[pos] >= 2:
+                    bw.put(t[pos] & 1, 1)
+                    pos += 1
+                elif zeros < 16:
+                    zeros += 1
+                    pos += 1
+                else:
+                    break
+            r -= 16
+        code, length = ac_tbl[(r << 4) | 1]
+        bw.put(code, length)
+        bw.put(1 if int(zz[nk]) > 0 else 0, 1)
+        advance_to(nk)  # corrections within the r-zero span
+        pos = nk + 1
+    if pos <= se:  # decoder still expects a symbol: EOB + tail corrections
+        bw.put(*ac_tbl[0x00])
+        advance_to(se + 1)
+
+
 class _BitReader:
     """MSB-first reader over an entropy-coded segment with 0xFF00
     unstuffing; stops at any non-RST marker."""
@@ -892,11 +1082,131 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next true marker (skips
+    stuffed 0xFF00 and RSTn)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_block_scan(
+    br: _BitReader,
+    zz: np.ndarray,
+    comp: dict,
+    preds: dict,
+    state: dict,
+    htabs: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Entropy-decode one block's contribution for one scan (T.81 §F/§G)
+    into the zigzag-domain coefficient vector `zz` (in place).
+
+    Handles every scan kind through the same path: baseline (ss=0,
+    se=63, ah=al=0), progressive DC first/refine, and progressive AC
+    first/refine with EOB runs.  `state['eobrun']` carries the AC
+    end-of-band run across blocks within a scan."""
+    if ss == 0:
+        if ah == 0:  # DC first (or baseline)
+            s = _read_symbol(br, htabs[(0, comp["dc"])])
+            diff = _extend(br.read_bits(s), s) if s else 0
+            preds[comp["id"]] += diff
+            zz[0] = preds[comp["id"]] << al
+        else:  # DC refinement: one bit per block
+            if br.read_bit():
+                zz[0] |= 1 << al  # two's-complement |= works for negatives
+        if se == 0:
+            return
+        k = 1
+    else:
+        k = ss
+    act = htabs[(1, comp["ac"])]
+    p1, m1 = 1 << al, -1 << al
+    if ah == 0:  # AC first (baseline AC is the al=0, eobrun<=0 case)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                # EOBn: this block ends; r extra bits give the run length
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overrun")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (§G.1.2.3, libjpeg decode_mcu_AC_refine shape):
+    # correction bits ride along for every nonzero-history coefficient
+    # the scan passes — including inside ZRL skips and EOB runs.
+    def correct(kk: int) -> None:
+        if br.read_bit() and (zz[kk] & p1) == 0:
+            zz[kk] += p1 if zz[kk] > 0 else m1
+
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0 and r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            if s == 0:  # ZRL: skip 16 zero-history positions
+                target, val = 16, 0
+            else:  # s == 1: a newly significant +-1<<al after r zeros
+                val = p1 if br.read_bit() else m1
+                target = r
+            while k <= se:
+                if zz[k]:
+                    correct(k)
+                    k += 1
+                else:
+                    if target == 0:
+                        break
+                    target -= 1
+                    k += 1
+            if s and k <= se:
+                zz[k] = val
+                k += 1
+    else:
+        state["eobrun"] -= 1
+    # EOB-run tail: remaining nonzero-history coefficients of this
+    # block still receive correction bits
+    while k <= se:
+        if zz[k]:
+            correct(k)
+        k += 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit, 1 or 3
-    components, any sampling factors, optional restart markers) into
-    HxWx3 uint8 RGB.  Progressive (SOF2), arithmetic coding, 12-bit
-    precision, and hierarchical modes raise NotImplementedError."""
+    """Decode a baseline (SOF0) or progressive (SOF2) Huffman JPEG —
+    8-bit, 1 or 3 components, any sampling factors, restart markers,
+    multi-scan spectral selection and successive approximation — into
+    HxWx3 uint8 RGB.  Arithmetic coding, 12-bit precision, lossless and
+    hierarchical modes raise NotImplementedError.
+
+    Structure: every scan (baseline has one, progressive many) entropy-
+    decodes into per-component zigzag coefficient arrays; dequantize +
+    IDCT + upsample happen once at the end — the T.81 §G model."""
     data = payload
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -906,9 +1216,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h = w = None
     restart_interval = 0
     pos = 2
-    scan_pos = None
-    scan_comps: list[dict] = []
-    while pos < len(data):
+    scans: list[dict] = []
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -926,9 +1235,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 prec, tid = body[i] >> 4, body[i] & 0x0F
                 if prec != 0:
                     raise NotImplementedError("16-bit quant tables not supported")
-                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=i + 1)
+                zzt = np.frombuffer(body, dtype=np.uint8, count=64, offset=i + 1)
                 tab = np.zeros(64, dtype=np.int64)
-                tab[_ZIGZAG] = zz
+                tab[_ZIGZAG] = zzt
                 qtabs[tid] = tab.reshape(8, 8)
                 i += 65
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -940,21 +1249,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(cls, tid)] = _huffman_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             comps = []
             for c in range(ncomp):
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "q": qid}
-                )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "q": qid})
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "lossless/hierarchical) not supported — baseline SOF0 only"
+                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic/lossless/"
+                "hierarchical) not supported — SOF0 baseline + SOF2 "
+                "progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -965,78 +1273,102 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(cc for cc in comps if cc["id"] == cid)
                 scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
-            scan_pos = pos + 2 + seglen
-            break
+            ss_, se_, a_ = body[1 + 2 * ns : 4 + 2 * ns]
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss_,
+                    "se": se_,
+                    "ah": a_ >> 4,
+                    "al": a_ & 0x0F,
+                    "start": pos + 2 + seglen,
+                    "htabs": dict(htabs),  # tables as defined at scan time
+                    "dri": restart_interval,
+                }
+            )
+            pos = _skip_entropy(data, pos + 2 + seglen)
+            continue
         pos += 2 + seglen
-    if scan_pos is None or h is None:
+    if not scans or h is None:
         raise ValueError("JPEG missing SOS/SOF")
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    for c in scan_comps:
-        bw_ = mcus_x * c["h"] * 8
-        bh_ = mcus_y * c["v"] * 8
-        planes[c["id"]] = np.zeros((bh_ // 8, bw_ // 8, 8, 8), dtype=np.int64)
+    # zigzag-domain coefficient store, MCU-padded grid per component
+    coefs = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
 
-    br = _BitReader(data, scan_pos)
-    preds = {c["id"]: 0 for c in scan_comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+    for scan in scans:
+        br = _BitReader(data, scan["start"])
+        preds = {c["id"]: 0 for c in scan["comps"]}
+        state = {"eobrun": 0}
+        ss_, se_, ah_, al_ = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        stabs = scan["htabs"]
+        dri = scan["dri"]
+
+        def maybe_restart(unit: int) -> None:
+            if dri and unit and unit % dri == 0:
                 br.align_restart()
-                preds = {c["id"]: 0 for c in scan_comps}
-            try:
-                for c in scan_comps:
-                    dct = htabs[(0, c["dc"])]
-                    act = htabs[(1, c["ac"])]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = np.zeros(64, dtype=np.int64)
-                            s = _read_symbol(br, dct)
-                            diff = _extend(br.read_bits(s), s) if s else 0
-                            preds[c["id"]] += diff
-                            zz[0] = preds[c["id"]]
-                            k = 1
-                            while k < 64:
-                                rs = _read_symbol(br, act)
-                                r_, s_ = rs >> 4, rs & 0x0F
-                                if s_ == 0:
-                                    if r_ == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += r_
-                                if k > 63:
-                                    raise ValueError("AC index overrun")
-                                zz[k] = _extend(br.read_bits(s_), s_)
-                                k += 1
-                            block = np.zeros(64, dtype=np.int64)
-                            block[_ZIGZAG] = zz
-                            planes[c["id"]][
-                                my * c["v"] + by, mx * c["h"] + bx
-                            ] = block.reshape(8, 8)
-            except _RestartMarker:
-                # tolerate encoders that emit RST without DRI bookkeeping
-                br.align_restart()
-                preds = {c["id"]: 0 for c in scan_comps}
-            mcu_count += 1
+                for key in preds:
+                    preds[key] = 0
+                state["eobrun"] = 0
+
+        try:
+            if len(scan["comps"]) > 1:  # interleaved: MCU order
+                unit = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart(unit)
+                        unit += 1
+                        for c in scan["comps"]:
+                            arr = coefs[c["id"]]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    _decode_block_scan(
+                                        br, arr[my * c["v"] + by, mx * c["h"] + bx],
+                                        c, preds, state, stabs, ss_, se_, ah_, al_,
+                                    )
+            else:  # noninterleaved: the component's own (unpadded) grid
+                c = scan["comps"][0]
+                comp_w = -(-w * c["h"] // hmax)
+                comp_h = -(-h * c["v"] // vmax)
+                nbx = -(-comp_w // 8)
+                nby = -(-comp_h // 8)
+                arr = coefs[c["id"]]
+                unit = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        maybe_restart(unit)
+                        unit += 1
+                        _decode_block_scan(
+                            br, arr[by, bx], c, preds, state, stabs,
+                            ss_, se_, ah_, al_,
+                        )
+        except _RestartMarker:
+            # tolerate encoders that emit RST without DRI bookkeeping
+            br.align_restart()
 
     out_planes = {}
-    for c in scan_comps:
-        q = qtabs[c["q"]].astype(np.float64)
-        blocks = planes[c["id"]].astype(np.float64) * q
+    for c in comps:
+        q = qtabs[c["q"]].astype(np.float64).reshape(64)
+        # zz index k holds natural position _ZIGZAG[k] -> its quant step
+        zz_arr = coefs[c["id"]].astype(np.float64) * q[_ZIGZAG][None, None, :]
+        nby, nbx = zz_arr.shape[:2]
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = zz_arr
+        blocks = nat.reshape(nby, nbx, 8, 8)
         spatial = np.einsum("ji,bcjk,kl->bcil", _DCT, blocks, _DCT)
-        nby, nbx = spatial.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
         # upsample to full MCU resolution by sampling-factor replication
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out_planes[c["id"]] = plane[:h, :w]
+    scan_comps = comps
 
     if len(scan_comps) == 1:
         y = np.clip(out_planes[scan_comps[0]["id"]], 0, 255).astype(np.uint8)

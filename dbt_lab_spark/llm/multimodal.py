@@ -81,7 +81,7 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
 
 def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic asset table whose payloads are REAL encoded media
-    bytes — BMP / PPM / PNG / GIF / baseline-JPEG (4:2:0) / PCM-WAV,
+    bytes — BMP / PPM / PNG / GIF / JPEG (baseline 4:2:0/4:4:4 and progressive) / PCM-WAV,
     all built by llm/codecs.py's spec-implemented encoders — for
     exercising the fake_decode=False path end-to-end."""
     import numpy as np
@@ -112,9 +112,11 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
         elif kind == 4:
             w, h = 18 + i % 7, 13 + i % 6  # odd dims exercise MCU padding
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            rows.append(
-                (i, "image", codecs.encode_jpeg(px, quality=90, subsample=i % 2 == 0), w, h, 0)
-            )
+            if i % 4 == 0:  # progressive framing in the rotation too
+                payload = codecs.encode_jpeg_progressive(px, quality=90)
+            else:
+                payload = codecs.encode_jpeg(px, quality=90, subsample=i % 2 == 0)
+            rows.append((i, "image", payload, w, h, 0))
         else:
             n_samp = 800 + 16 * (i % 11)
             samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int16)

@@ -320,14 +320,32 @@ def test_jpeg_restart_markers_do_not_change_pixels():
     assert np.array_equal(withri, base420)
 
 
-def test_jpeg_progressive_rejected():
-    """SOF2 (progressive) must raise the clearly-marked
+def test_jpeg_progressive_equals_baseline_pixels():
+    """Progressive (SOF2: spectral selection + successive approximation
+    on DC and AC) carries the SAME quantized coefficients as baseline,
+    only framed differently — decode must be bit-identical to the
+    baseline encoding of the same input, including at odd dimensions
+    and on noise."""
+    for img in (_gradient(41, 53), _gradient(16, 16)):
+        for q in (95, 50):
+            base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+            prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(prog, base)
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(noise, quality=85))
+    prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(noise, quality=85))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_arithmetic_rejected():
+    """Arithmetic-coded JPEG (SOF9) must raise the clearly-marked
     NotImplementedError, not mis-decode."""
     img = _gradient(16, 16)
     payload = bytearray(codecs.encode_jpeg(img))
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF"):
+    payload[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         codecs.decode_jpeg(bytes(payload))
 
 
