@@ -962,6 +962,33 @@ def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization end-to-end: train 60 merges on the corpus's
+    word counts (distributed count, |vocab|-bounded driver training),
+    then encode every document map-only with broadcast merge ranks.
+    Output: per-source word/BPE-token totals and compression ratio.
+    Rows-only check (iterative merge training is not SQL-expressible);
+    merge order and encoding are pin-tested in tests/."""
+    from dbt_lab_spark.llm.tokenizer import bpe_encode, train_bpe
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    merges = train_bpe(docs, num_merges=60, min_freq=2)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"), 4
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image normalization stage: real decode (all six codecs) ->
     center-crop 90% -> bilinear resize to 24x24 -> PPM re-encode,
@@ -3080,6 +3107,7 @@ BEYOND_QUERIES: list[QueryDef] = [
         "real BMP/PPM/WAV decode via codecs.py",
     ),
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
+    QueryDef("q_bpe_tokens", _q_bpe_tokens, None, "BPE train+encode compression per source"),
     QueryDef("q_image_resize", _q_image_resize, None, "decode+crop+bilinear resize+re-encode"),
     QueryDef("q_audio_spectrogram", _q_audio_spectrogram, None, "STFT band energies over WAV"),
     QueryDef("q_pii_redact", _q_pii_redact, _sql_pii_redact(), "PII redaction audit"),

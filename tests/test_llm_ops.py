@@ -454,3 +454,56 @@ def test_reliable_checkpoint_paths(spark, tmp_path, planted_vectors):
         os.path.join(dp, f) for dp, _, fns in os.walk(ivf_dir) for f in fns
     ]
     assert ivf_files, "no reliable checkpoint files written for ivf source"
+
+
+def test_bpe_train_hand_computed(spark):
+    """BPE merge order on a tiny corpus, hand-computed: corpus
+    'ab ab ab abc' -> pair (a,b) freq 4 merges first; then (ab,c)
+    freq 1 is below min_freq=2 and training stops."""
+    from dbt_lab_spark.llm.tokenizer import train_bpe, train_bpe_from_counts
+
+    merges = train_bpe_from_counts({"ab": 3, "abc": 1}, num_merges=5, min_freq=2)
+    assert merges == [("a", "b")]
+    # deterministic tie-break: 'xy' and 'xz' both freq 2 -> lexicographic
+    merges = train_bpe_from_counts({"xy": 2, "xz": 2}, num_merges=1, min_freq=2)
+    assert merges == [("x", "y")]
+    # end-to-end through Spark word counting
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "ab abc")], "doc_id long, text string"
+    )
+    assert train_bpe(docs, num_merges=5, min_freq=2) == [("a", "b")]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    """Encoding must apply the LOWEST-rank merge first (standard BPE):
+    with merges [(a,b), (ab,c)], 'abc' -> ['abc'], 'abd' -> ['ab','d'],
+    'xyz' (no merges) -> 3 single chars."""
+    from dbt_lab_spark.llm.tokenizer import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "abc abd xyz"), (1, "abc abc")], "doc_id long, text string"
+    )
+    merges = [("a", "b"), ("ab", "c")]
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert rows[0]["n_words"] == 3
+    assert rows[0]["n_bpe_tokens"] == 1 + 2 + 3
+    assert rows[0]["tokens_head"] == ["abc", "ab", "d", "x", "y", "z"]
+    assert rows[1]["n_bpe_tokens"] == 2
+
+
+def test_bpe_compresses_real_corpus(spark, sf_small):
+    """Trained merges must strictly compress the corpus they were
+    trained on (tokens < characters) and more merges compress more."""
+    from dbt_lab_spark.llm.tokenizer import bpe_encode, train_bpe
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    m20 = train_bpe(docs, num_merges=20)
+    m80 = train_bpe(docs, num_merges=80)
+    assert len(m80) > len(m20)
+    assert m80[: len(m20)] == m20  # merge list is a deterministic prefix chain
+    t20 = bpe_encode(docs, m20).agg({"n_bpe_tokens": "sum"}).collect()[0][0]
+    t80 = bpe_encode(docs, m80).agg({"n_bpe_tokens": "sum"}).collect()[0][0]
+    n_chars = docs.select(
+        F.sum(F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")))
+    ).collect()[0][0]
+    assert t80 < t20 < n_chars
