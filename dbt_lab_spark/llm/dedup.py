@@ -443,6 +443,43 @@ def ngram_jaccard_all_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token SPANS — substring-level exact
+    dedup in the spirit of Lee et al. 2022 (arXiv:2107.06499:
+    deduplicating repeated passages, not whole documents).  Every
+    `span_tokens`-token window is Rabin-Karp fingerprinted
+    (functions/text.rolling_hashes — exact integer arithmetic, so the
+    DuckDB oracle reproduces every hash); spans appearing in >=
+    `min_docs` distinct documents are reported with occurrence counts.
+
+    Scale shape: explode to one row per window, ONE hash-aggregate
+    shuffle on the span fingerprint with map-side partial aggregation —
+    the distributed word-count shape; output is bounded by the number
+    of *duplicated* spans.  Downstream, a pipeline joins these
+    fingerprints back to cut or mask the repeated passages."""
+    from dbt_lab_spark.functions.text import rolling_hashes
+
+    rh = _parallelize(df).select(
+        F.col(id_col),
+        F.explode(rolling_hashes(text_col, k=span_tokens)).alias("fp"),
+    )
+    return (
+        rh.groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -425,6 +425,45 @@ FROM rh
 """
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 8-token spans across documents (substring-level exact
+    dedup, Lee et al. 2022 shape): Rabin-Karp window fingerprints ->
+    one span-fp aggregate -> spans in >= 2 distinct docs.  Exact
+    integer hashes, so the oracle recomputes every span bit-for-bit."""
+    from dbt_lab_spark.llm.dedup import dup_spans
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    return dup_spans(docs, span_tokens=8, min_docs=2)
+
+
+_SQL_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), codes AS (
+  SELECT doc_id,
+         [COALESCE(CAST(list_sum([ascii(c) FOR c IN string_split(tok, '')]) AS BIGINT),
+                   CAST(0 AS BIGINT)) FOR tok IN t] AS cs
+  FROM toks
+), rh AS (
+  SELECT doc_id,
+         CASE WHEN len(cs) < 8
+              THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)]
+              ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)
+                    FOR i IN generate_series(1, len(cs) - 7)]
+         END AS rhs
+  FROM codes
+), ex AS (
+  SELECT doc_id, unnest(rhs) AS fp FROM rh
+)
+SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS min_doc_id
+FROM ex GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -3108,6 +3147,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
     QueryDef("q_bpe_tokens", _q_bpe_tokens, None, "BPE train+encode compression per source"),
+    QueryDef("q_dup_spans", _q_dup_spans, _SQL_DUP_SPANS, "cross-doc duplicated token spans"),
     QueryDef("q_image_resize", _q_image_resize, None, "decode+crop+bilinear resize+re-encode"),
     QueryDef("q_audio_spectrogram", _q_audio_spectrogram, None, "STFT band energies over WAV"),
     QueryDef("q_pii_redact", _q_pii_redact, _sql_pii_redact(), "PII redaction audit"),

@@ -507,3 +507,26 @@ def test_bpe_compresses_real_corpus(spark, sf_small):
         F.sum(F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")))
     ).collect()[0][0]
     assert t80 < t20 < n_chars
+
+
+def test_dup_spans_finds_planted_passage(spark):
+    """A 10-token passage planted into 3 of 40 docs must surface all
+    its 8-token windows with n_docs == 3; unique text yields none."""
+    from dbt_lab_spark.llm.dedup import dup_spans
+
+    rng = random.Random(5)
+    passage = " ".join(rng.choice(WORDS) for _ in range(10))
+    rows = []
+    for i in range(40):
+        body = _doc(rng, 30)
+        if i in (3, 17, 29):
+            body = body + " " + passage
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_spans(docs, span_tokens=8, min_docs=2).collect()
+    # the planted passage contributes 10-8+1 = 3 windows in 3 docs
+    planted = [r for r in out if r["n_docs"] >= 3]
+    assert len(planted) >= 3, out
+    for r in planted:
+        assert r["n_occurrences"] >= r["n_docs"]
+        assert r["min_doc_id"] == 3
