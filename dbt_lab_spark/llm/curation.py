@@ -316,3 +316,87 @@ def token_kl_drift(
             F.max("__ns").alias("n_tokens"),
         )
     )
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l3: float = 0.5,
+    l2: float = 0.3,
+    l1: float = 0.2,
+) -> DataFrame:
+    """Interpolated trigram-LM quality score — the higher-order upgrade
+    of lm_quality_score, one rung below 'score with a 5-gram KenLM'
+    (CCNet, arXiv:1911.00359):
+
+      P(w3 | w1 w2) = l3 * c(w1w2w3)/c(w1w2)
+                    + l2 * c(w2w3)/c(w2)
+                    + l1 * (c(w3)+1)/(N+V)      (add-one floor)
+
+    score(doc) = ROUND(AVG ln P over the doc's trigrams, 4); docs with
+    fewer than 3 tokens emit no row (no trigram evidence).  The
+    conditional ML terms can be zero-free by construction (every
+    observed trigram's prefix was observed), so only the unigram floor
+    needs smoothing.
+
+    Scale shape: three n-gram count tables, each a word-count-shaped
+    aggregate bounded by corpus n-gram vocabulary; scoring joins the
+    exploded trigram stream to them on n-gram keys (well-distributed
+    equi-joins), and the (N, V) totals broadcast.  No Python anywhere.
+    """
+    from dbt_lab_spark.functions.text import shingles
+
+    toks = _tokens(df, text_col, id_col)
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
+    totals = uni.agg(F.sum("__cu").alias("__n"), F.count(F.lit(1)).alias("__v"))
+    # bigrams via shingles(2) so every n-gram level shares ONE
+    # tokenization (trimmed, whitespace-split) and the stream's context
+    # keys join exactly
+    bi = (
+        df.select(F.explode(shingles(text_col, 2)).alias("bg"))
+        .filter(F.size(F.split(F.col("bg"), " ")) == 2)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    tri = (
+        df.select(F.explode(shingles(text_col, 3)).alias("tg"))
+        .filter(F.size(F.split(F.col("tg"), " ")) == 3)  # drop short-doc fallback shingle
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    # per-doc trigram stream with its four context keys
+    stream = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, 3)).alias("tg"))
+        .filter(F.size(F.split(F.col("tg"), " ")) == 3)
+        .select(
+            id_col,
+            "tg",
+            F.concat_ws(" ", F.slice(F.split(F.col("tg"), " "), 1, 2)).alias("bg_ctx"),
+            F.concat_ws(" ", F.slice(F.split(F.col("tg"), " "), 2, 2)).alias("bg"),
+            F.element_at(F.split(F.col("tg"), " "), 2).alias("uni_ctx"),
+            F.element_at(F.split(F.col("tg"), " "), 3).alias("tok"),
+        )
+    )
+    bi_ctx = bi.select(F.col("bg").alias("bg_ctx"), F.col("__cb").alias("__cbctx"))
+    uni_ctx = uni.select(F.col("tok").alias("uni_ctx"), F.col("__cu").alias("__cuctx"))
+    scored = (
+        stream.join(tri, on="tg")
+        .join(bi_ctx, on="bg_ctx")
+        .join(bi, on="bg")
+        .join(uni_ctx, on="uni_ctx")
+        .join(uni, on="tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                F.lit(l3) * F.col("__ct") / F.col("__cbctx")
+                + F.lit(l2) * F.col("__cb") / F.col("__cuctx")
+                + F.lit(l1) * (F.col("__cu") + F.lit(1.0)) / (F.col("__n") + F.col("__v"))
+            ).alias("__lnp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lnp"), 4).alias("trigram_lm_score"),
+        F.count(F.lit(1)).alias("n_trigrams"),
+    )

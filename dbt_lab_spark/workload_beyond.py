@@ -425,6 +425,79 @@ FROM rh
 """
 
 
+def _q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM quality score per source: corpus-trained
+    tri/bi/uni count tables, per-trigram interpolated log-prob, doc
+    mean, source rollup.  Every term is exact-count arithmetic plus
+    ln(), mirrored term-for-term in the oracle."""
+    from dbt_lab_spark.llm.curation import trigram_lm_score
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    scored = trigram_lm_score(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("trigram_lm_score"), 4).alias("avg_lm_score"),
+            F.sum("n_trigrams").alias("total_trigrams"),
+        )
+    )
+
+
+_SQL_TRIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), uni AS (
+  SELECT tok, COUNT(*) AS cu FROM (
+    SELECT unnest(t) AS tok FROM toks
+  ) WHERE tok <> '' GROUP BY tok
+), totals AS (
+  SELECT SUM(cu) AS n, COUNT(*) AS v FROM uni
+), bi AS (
+  SELECT bg, COUNT(*) AS cb FROM (
+    SELECT unnest([array_to_string(t[i:i+1], ' ')
+                   FOR i IN generate_series(1, len(t) - 1)]) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY bg
+), stream AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+2], ' ')
+                 FOR i IN generate_series(1, len(t) - 2)]) AS tg,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 FOR i IN generate_series(1, len(t) - 2)]) AS bg_ctx,
+         unnest([array_to_string(t[i+1:i+2], ' ')
+                 FOR i IN generate_series(1, len(t) - 2)]) AS bg,
+         unnest([t[i+1] FOR i IN generate_series(1, len(t) - 2)]) AS uni_ctx,
+         unnest([t[i+2] FOR i IN generate_series(1, len(t) - 2)]) AS tok
+  FROM toks WHERE len(t) >= 3
+), tri AS (
+  SELECT tg, COUNT(*) AS ct FROM stream GROUP BY tg
+), scored AS (
+  SELECT s.doc_id,
+         ln(0.5 * tri.ct / bc.cb
+          + 0.3 * b.cb / uc.cu
+          + 0.2 * (u.cu + 1.0) / (totals.n + totals.v)) AS lnp
+  FROM stream s
+  JOIN tri ON s.tg = tri.tg
+  JOIN bi bc ON s.bg_ctx = bc.bg
+  JOIN bi b ON s.bg = b.bg
+  JOIN uni uc ON s.uni_ctx = uc.tok
+  JOIN uni u ON s.tok = u.tok
+  CROSS JOIN totals
+), per_doc AS (
+  SELECT doc_id, ROUND(AVG(lnp), 4) AS trigram_lm_score, COUNT(*) AS n_trigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(trigram_lm_score), 4) AS avg_lm_score,
+       SUM(n_trigrams) AS total_trigrams
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY source
+"""
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated 8-token spans across documents (substring-level exact
     dedup, Lee et al. 2022 shape): Rabin-Karp window fingerprints ->
@@ -3148,6 +3221,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_frame_sample", _q_frame_sample, None, "video frame sampling"),
     QueryDef("q_bpe_tokens", _q_bpe_tokens, None, "BPE train+encode compression per source"),
     QueryDef("q_dup_spans", _q_dup_spans, _SQL_DUP_SPANS, "cross-doc duplicated token spans"),
+    QueryDef("q_trigram_lm", _q_trigram_lm, _SQL_TRIGRAM_LM, "interpolated trigram-LM scores"),
     QueryDef("q_image_resize", _q_image_resize, None, "decode+crop+bilinear resize+re-encode"),
     QueryDef("q_audio_spectrogram", _q_audio_spectrogram, None, "STFT band energies over WAV"),
     QueryDef("q_pii_redact", _q_pii_redact, _sql_pii_redact(), "PII redaction audit"),

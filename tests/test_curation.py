@@ -254,3 +254,25 @@ def test_streaming_pii_redaction_matches_batch(spark, tmp_path):
     want = {(r["doc_id"], r["red"]) for r in transform(batch_docs).collect()}
     assert got == want and len(got) > 0
     assert any("<EMAIL>" in red for _, red in got)
+
+
+def test_trigram_lm_score_hand_computed(spark):
+    """Two docs of 'a b c' and one 'a b d': for doc0's trigram 'a b c',
+    c(abc)=2, c(ab)=3, c(bc)=2, c(b)=3, c(c)=2, N=9, V=4 ->
+    P = .5*(2/3) + .3*(2/3) + .2*(3/13); higher-count trigram scores
+    above the singleton 'a b d'."""
+    import math as m
+
+    from dbt_lab_spark.llm.curation import trigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in trigram_lm_score(docs).collect()}
+    expect0 = round(m.log(0.5 * (2 / 3) + 0.3 * (2 / 3) + 0.2 * (3 / 13)), 4)
+    expect2 = round(m.log(0.5 * (1 / 3) + 0.3 * (1 / 3) + 0.2 * (2 / 13)), 4)
+    assert rows[0]["trigram_lm_score"] == expect0
+    assert rows[1]["trigram_lm_score"] == expect0
+    assert rows[2]["trigram_lm_score"] == expect2
+    assert rows[0]["trigram_lm_score"] > rows[2]["trigram_lm_score"]
+    assert all(r["n_trigrams"] == 1 for r in rows.values())
