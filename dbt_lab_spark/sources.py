@@ -180,3 +180,77 @@ def write_zordered(
         .options(**options)
         .parquet(path)
     )
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Load a directory of media files as an asset table via Spark's
+    binaryFile source — the canonical ingestion path for an image/audio
+    corpus laid out as files (one row per file: path, length, payload).
+
+    Output matches llm/multimodal.ASSET_SCHEMA's core columns:
+    (asset_id, media_type, payload) with media_type sniffed from magic
+    bytes JVM-side-adjacent (a tiny mapInPandas over the already-read
+    payloads — the bytes never move twice), asset_id = dense hash of
+    the file path (stable across re-listing order).
+
+    Scale posture: binaryFile splits by FILE (one task per file, bounded
+    by spark.sql.files.maxPartitionBytes for grouping small files), so
+    a 100 TB corpus of small images parallelizes by file count;
+    `max_bytes` pushes a length filter into the source
+    (pathGlobFilter/length pruning happens at listing time, before any
+    payload read).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dbt_lab_spark.llm.codecs import detect_format
+
+        kind = {
+            "bmp": "image", "ppm": "image", "pgm": "image", "png": "image",
+            "gif": "image", "jpeg": "image", "wav": "audio", "mp3": "audio",
+            "ogg": "audio", "webm/mkv": "video",
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "path": pdf["path"],
+                    "media_type": [
+                        kind.get(detect_format(bytes(p)), "unknown")
+                        for p in pdf["content"]
+                    ],
+                    "n_bytes": pdf["length"],
+                    "payload": pdf["content"],
+                }
+            )
+
+    return df.select(
+        F.xxhash64("path").alias("asset_id"), "path", "length", "content"
+    ).mapInPandas(_classify, out_schema)

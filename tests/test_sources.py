@@ -220,3 +220,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_medium, tmp_pat
     [(prio, n)] = [(r["prio"], r["n"]) for r in j.collect()]
     want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert (prio, n) == ("1-URGENT", want)
+
+
+def test_read_media_dir_binaryfile_ingestion(spark, tmp_path):
+    """binaryFile ingestion: a directory of real encoded media files
+    loads into the asset shape with magic-sniffed media types, glob
+    and size pushdown work, and the payloads decode end-to-end through
+    the real codec path."""
+    import numpy as np
+
+    from dbt_lab_spark.llm import codecs
+    from dbt_lab_spark.sources import read_media_dir
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    (tmp_path / "a.jpg").write_bytes(codecs.encode_jpeg(img))
+    (tmp_path / "b.png").write_bytes(codecs.encode_png(img))
+    (tmp_path / "c.wav").write_bytes(
+        codecs.encode_wav(rng.integers(-1000, 1000, size=400, dtype=np.int16))
+    )
+    (tmp_path / "junk.txt").write_bytes(b"not a media file")
+
+    assets = read_media_dir(spark, str(tmp_path))
+    rows = assets.collect()
+    types = sorted(r["media_type"] for r in rows)
+    assert types == ["audio", "image", "image", "unknown"]
+    assert len({r["asset_id"] for r in rows}) == 4  # distinct stable ids
+
+    # media-only + decode end-to-end: every payload featurizes
+    media = assets.filter(assets.media_type != "unknown")
+    feats = [
+        codecs.decode_payload(bytes(r["payload"])) for r in media.collect()
+    ]
+    assert all(len(f) == 8 and abs(sum(f) - 1.0) < 1e-9 for f in feats)
+
+    # pushdown: glob filter and size cap
+    assert read_media_dir(spark, str(tmp_path), glob="*.png").count() == 1
+    small = read_media_dir(spark, str(tmp_path), max_bytes=50).count()
+    assert small >= 1  # the txt file at least
