@@ -880,6 +880,105 @@ def _q_embedding_neardup_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cosine") >= 0.4).select("id_a", "id_b", "cosine")
 
 
+def _q_knn_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH approximate top-10 with LITERAL-formula hyperplanes — the
+    oracle-checkable variant of q_knn_lsh: both sides bucket on the
+    same rational-literal sign bits, candidates join within buckets,
+    exact cosine + deterministic rank.  The DuckDB oracle reproduces
+    bucketing, scoring, and ranking end-to-end."""
+    from dbt_lab_spark.functions.vectors import dot, l2_norm
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    v = to_double_array("embedding")
+
+    def plane_dot(t: int, j: int) -> F.Column:
+        c = _lit_coef(t, j)
+        return F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), lambda x, i: x * c(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(t: int) -> F.Column:
+        return F.concat_ws(
+            "",
+            *[
+                F.when(plane_dot(t, j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(_LIT_PLANES)
+            ],
+        )
+
+    def with_buckets(df: DataFrame, idc: str, out_id: str, vout: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id),
+            v.alias(vout),
+            F.posexplode(F.array(*[bucket(t) for t in range(_LIT_TABLES)])).alias(
+                "__table", "__bucket"
+            ),
+        )
+
+    cb = with_buckets(emb.filter(F.col("vec_id") >= 5), "vec_id", "neighbor_id", "__cv")
+    qb = with_buckets(emb.filter(F.col("vec_id") < 5), "vec_id", "query_id", "__qv")
+    cand = (
+        cb.join(qb, on=["__table", "__bucket"])
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv"))
+        / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sql_knn_lit() -> str:
+    def bucket_sql(t: int) -> str:
+        return " || ".join(
+            "CASE WHEN list_sum([e[i] * ((("
+            + str(3 + 179 * j + 283 * t)
+            + " + (i-1)*73) % 21 - 10) / 10.0) FOR i IN generate_series(1, len(e))]) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for j in range(_LIT_PLANES)
+        )
+
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {bucket_sql(t)} AS bucket FROM v"
+        for t in range(_LIT_TABLES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+  {tables}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  q.e AS qv, c.e AS cv
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM cand
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _sql_embedding_neardup_lit() -> str:
     def bucket_sql(t: int) -> str:
         signs = " || ".join(
@@ -3172,6 +3271,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_embedding_neardup_lit", _q_embedding_neardup_lit, _sql_embedding_neardup_lit(),
         "oracle-checkable literal-plane LSH cosine pairs",
+    ),
+    QueryDef(
+        "q_knn_lit", _q_knn_lit, _sql_knn_lit(),
+        "oracle-checkable literal-plane LSH top-k",
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
     QueryDef("q_bigrams", _q_bigrams, _SQL_BIGRAMS, "array HOF bigram counts"),
