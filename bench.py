@@ -84,6 +84,11 @@ BENCH_NAMES = [
     "q_semantic_dedup",
     "q_sql_strict",
     "q_multimodal_real_decode",
+    # r3 additions (BASELINE.md r3 marks)
+    "q_dup_spans",
+    "q_trigram_lm",
+    "q_bpe_tokens",
+    "q_image_resize",
 ]
 
 
