@@ -731,24 +731,29 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
 """
 
 
-_SIMHASH_MD5_BITS = 32
+_SIMHASH_MD5_BITS = 60
 
 
 def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on an md5 bit basis: 32-bit fingerprints
-    from md5-derived token bits, two 16-bit pigeonhole bands, hamming
+    """SimHash near-dup pairs on an md5 bit basis: 60-bit fingerprints
+    from md5-derived token bits, two 30-bit pigeonhole bands, hamming
     <= 3 verification over band-join candidates.  Same sign-sum /
     bit-pack / band-join algebra as q_simhash_pairs; md5 bits make the
     DuckDB oracle recompute the fingerprints exactly.  (Both engines
     apply the same band rule, so the candidate set — and thus the
-    result — matches even where pigeonhole recall < 1.)"""
+    result — matches even where pigeonhole recall < 1.)  60 bits, not
+    32: same-vocabulary documents correlate low-order fingerprints, and
+    16-bit bands band-collide quadratically at scale (the r3 scaling
+    audit measured 92x output for 10x docs); 30-bit bands collide only
+    for genuinely similar documents, restoring ~linear output."""
     from dbt_lab_spark.llm.dedup import simhash
 
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["doc_id", "text"])
     sh = simhash(docs, bits=_SIMHASH_MD5_BITS, base_hash="md5")
-    lo = F.col("simhash").bitwiseAND(F.lit(0xFFFF))
-    hi = F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF))
+    half_mask = (1 << (_SIMHASH_MD5_BITS // 2)) - 1
+    lo = F.col("simhash").bitwiseAND(F.lit(half_mask))
+    hi = F.shiftright(F.col("simhash"), _SIMHASH_MD5_BITS // 2).bitwiseAND(F.lit(half_mask))
     bands = sh.select(
         "doc_id", "simhash", F.lit(0).alias("band"), lo.alias("bv")
     ).union(sh.select("doc_id", "simhash", F.lit(1).alias("band"), hi.alias("bv")))
@@ -784,6 +789,8 @@ def _sql_simhash_md5() -> str:
     pack = " + ".join(
         f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
+    half = bits // 2
+    half_mask = (1 << half) - 1
     return rf"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -797,9 +804,9 @@ WITH toks AS (
 ), sig AS (
   SELECT doc_id, {pack} AS sh FROM bsum
 ), bands AS (
-  SELECT doc_id, sh, 0 AS band, sh & 65535 AS bv FROM sig
+  SELECT doc_id, sh, 0 AS band, sh & {half_mask} AS bv FROM sig
   UNION ALL
-  SELECT doc_id, sh, 1 AS band, (sh >> 16) & 65535 AS bv FROM sig
+  SELECT doc_id, sh, 1 AS band, (sh >> {half}) & {half_mask} AS bv FROM sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
   FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
