@@ -449,6 +449,7 @@ def dup_spans(
     id_col: str = "doc_id",
     span_tokens: int = 8,
     min_docs: int = 2,
+    winnow_w: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated token SPANS — substring-level exact
     dedup in the spirit of Lee et al. 2022 (arXiv:2107.06499:
@@ -461,13 +462,24 @@ def dup_spans(
     Scale shape: explode to one row per window, ONE hash-aggregate
     shuffle on the span fingerprint with map-side partial aggregation —
     the distributed word-count shape; output is bounded by the number
-    of *duplicated* spans.  Downstream, a pipeline joins these
-    fingerprints back to cut or mask the repeated passages."""
-    from dbt_lab_spark.functions.text import rolling_hashes
+    of *duplicated* spans.  The shuffle carries ~16 bytes per token
+    (every window's (fp, doc_id)) — linear and uniformly keyed, but
+    ~2-3x the corpus text bytes.  `winnow_w` is the scale lever: keep
+    only each w-window's MINIMUM fingerprint (Schleimer et al. MOSS
+    winnowing, functions/text.winnow), cutting the shuffle ~w/2x while
+    GUARANTEEING any shared run of >= span_tokens + w - 1 tokens still
+    collides on at least one selected fingerprint.  Under winnowing,
+    n_occurrences counts selected windows (a lower bound), and spans
+    shorter than the guarantee can be missed; the exact default is the
+    audit baseline.  Downstream, a pipeline joins these fingerprints
+    back to cut or mask the repeated passages."""
+    from dbt_lab_spark.functions.text import rolling_hashes, winnow
 
+    hashes = rolling_hashes(text_col, k=span_tokens)
+    if winnow_w is not None:
+        hashes = winnow(hashes, w=winnow_w)
     rh = _parallelize(df).select(
-        F.col(id_col),
-        F.explode(rolling_hashes(text_col, k=span_tokens)).alias("fp"),
+        F.col(id_col), F.explode(hashes).alias("fp")
     )
     return (
         rh.groupBy("fp")

@@ -530,3 +530,27 @@ def test_dup_spans_finds_planted_passage(spark):
     for r in planted:
         assert r["n_occurrences"] >= r["n_docs"]
         assert r["min_doc_id"] == 3
+
+
+def test_dup_spans_winnowed_keeps_long_passage_guarantee(spark):
+    """The winnowed scale path must still catch a shared passage of
+    >= span + w - 1 tokens (the MOSS guarantee) while emitting far
+    fewer fingerprint rows than the exact path."""
+    from dbt_lab_spark.llm.dedup import dup_spans
+
+    rng = random.Random(9)
+    passage = " ".join(rng.choice(WORDS) for _ in range(16))  # 16 >= 8+5-1
+    rows = []
+    for i in range(30):
+        body = _doc(rng, 30)
+        if i in (2, 11):
+            body = body + " " + passage
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = dup_spans(docs, span_tokens=8, min_docs=2)
+    winnowed = dup_spans(docs, span_tokens=8, min_docs=2, winnow_w=5)
+    shared_w = {r["fp"] for r in winnowed.collect()}
+    assert shared_w, "winnowed path missed the planted long passage"
+    # winnowed fingerprints are a subset of the exact duplicated spans
+    shared_e = {r["fp"] for r in exact.collect()}
+    assert shared_w <= shared_e
