@@ -17,6 +17,10 @@ format specifications directly:
   successive approximation, and EOB-run/correction-bit refinement
   scans; encoders for both framings use the Annex K tables — full
   entropy codec, no stdlib support leaned on)
+- FLAC (RFC 9639: lossless compressed audio — frames, all four stereo
+  decorrelation modes, CONSTANT/VERBATIM/FIXED/LPC subframes,
+  partitioned Rice residuals with escapes, CRC-8/CRC-16/MD5
+  verification; the format speech corpora actually ship in)
 
 Codecs whose decode remains out of scope (MP3/H.264/arithmetic-coded
 JPEG) are detected and rejected with a clearly-marked
@@ -1383,6 +1387,619 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# FLAC (RFC 9639): lossless compressed audio, implemented from the spec.
+# Speech corpora (LibriSpeech, MLS, ...) ship as FLAC, so this is the
+# compressed-audio format a real training-data pipeline actually meets.
+#
+# Decoder supports: STREAMINFO + metadata-block walk, fixed-blocksize
+# frames, all four channel assignments (independent, left/side,
+# right/side, mid/side), subframe types CONSTANT / VERBATIM / FIXED
+# (orders 0-4) / LPC (orders 1-32), wasted bits, partitioned Rice
+# residuals (both 4-bit and 5-bit parameter widths, escape partitions),
+# CRC-8 header and CRC-16 frame verification, and the STREAMINFO MD5
+# check.  Encoder emits constant/fixed/LPC subframes (Levinson-Durbin
+# LPC behind a flag) in any channel mode, so every decode path is
+# exercisable by round-trip.  Lossless codec => round-trip pins are
+# bit-exact, unlike the RMSE bounds JPEG needs.
+# ---------------------------------------------------------------------------
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer (no byte stuffing — FLAC is not JPEG)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, nbits: int) -> None:
+        self.write(value & ((1 << nbits) - 1), nbits)
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits terminated by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader over a byte string."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bytepos = pos
+        self.bitpos = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        while nbits > 0:
+            if self.bytepos >= len(self.data):
+                raise ValueError("FLAC bitstream exhausted")
+            avail = 8 - self.bitpos
+            take = min(nbits, avail)
+            byte = self.data[self.bytepos]
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bitpos += take
+            if self.bitpos == 8:
+                self.bitpos = 0
+                self.bytepos += 1
+            nbits -= take
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if v >= 1 << (nbits - 1):
+            v -= 1 << nbits
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.bytepos += 1
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC
+    frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 with polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the
+    FLAC whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number for frame/sample indices."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | ((n >> shift) & ((1 << (7 - nbytes)) - 1)))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _utf8_decode(br: "_FlacBitReader") -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        cont = br.read(8)
+        if cont & 0xC0 != 0x80:
+            raise ValueError("bad FLAC coded number continuation byte")
+        n = (n << 6) | (cont & 0x3F)
+    return n
+
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _zigzag_u(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, res.astype(np.int64) << 1, ((-res.astype(np.int64)) << 1) - 1)
+
+
+def _rice_param_for(resid: np.ndarray) -> int:
+    """Pick the Rice parameter from the mean folded magnitude."""
+    if resid.size == 0:
+        return 0
+    mean = int(_zigzag_u(resid).mean())
+    k = 0
+    while (1 << (k + 1)) <= mean and k < 30:
+        k += 1
+    return k  # >= 15 makes the encoder emit an escape partition
+
+
+def _write_rice_partition(bw: _FlacBitWriter, resid: np.ndarray, k: int) -> None:
+    for u in _zigzag_u(resid):
+        bw.write_unary(int(u) >> k)
+        bw.write(int(u), k)
+
+
+def _residual_fixed(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _lpc_coeffs(x: np.ndarray, order: int, precision: int = 14):
+    """Levinson-Durbin on the autocorrelation, then coefficient
+    quantization to `precision` bits with a common shift.  Returns
+    (qcoeffs list, shift) or None when the signal is degenerate."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    if n <= order:
+        return None
+    ac = np.array([np.dot(xf[: n - lag], xf[lag:]) for lag in range(order + 1)])
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1 - k * k
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if cmax == 0 or not np.isfinite(cmax):
+        return None
+    shift = precision - 1
+    while (cmax * (1 << shift)) >= (1 << (precision - 1)) and shift > 0:
+        shift -= 1
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    return [int(v) for v in q], shift
+
+
+def _lpc_residual(x: np.ndarray, q: list[int], shift: int) -> np.ndarray:
+    xi = x.astype(np.int64)
+    order = len(q)
+    qa = np.array(q, dtype=np.int64)
+    # prediction for sample t: sum(q[j] * x[t-1-j]) >> shift
+    preds = np.zeros(len(xi) - order, dtype=np.int64)
+    for j in range(order):
+        preds += qa[j] * xi[order - 1 - j : len(xi) - 1 - j]
+    return xi[order:] - (preds >> shift)
+
+
+def _encode_subframe(bw: _FlacBitWriter, x: np.ndarray, bps: int, use_lpc: bool) -> None:
+    """Write one subframe: constant when flat, else best of fixed 0-4
+    (and order-8 LPC when enabled) by summed folded residual size."""
+    xi = x.astype(np.int64)
+    if np.all(xi == xi[0]):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(int(xi[0]), bps)
+        return
+    best = None  # (cost, kind, order, resid, extra)
+    for order in range(5):
+        if len(xi) <= order:
+            break
+        resid = _residual_fixed(xi, order)
+        cost = int(_zigzag_u(resid).sum())
+        if best is None or cost < best[0]:
+            best = (cost, "fixed", order, resid, None)
+    if use_lpc and len(xi) > 8:
+        lp = _lpc_coeffs(xi, 8)
+        if lp is not None:
+            q, shift = lp
+            resid = _lpc_residual(xi, q, shift)
+            cost = int(_zigzag_u(resid).sum())
+            if cost < best[0]:
+                best = (cost, "lpc", len(q), resid, (q, shift))
+    _, kind, order, resid, extra = best
+    bw.write(0, 1)
+    if kind == "fixed":
+        bw.write(0b001000 | order, 6)
+    else:
+        bw.write(0b100000 | (order - 1), 6)
+    bw.write(0, 1)  # no wasted bits
+    for w in xi[:order]:
+        bw.write_signed(int(w), bps)
+    if kind == "lpc":
+        q, shift = extra
+        bw.write(14 - 1, 4)  # precision-1
+        bw.write_signed(shift, 5)
+        for c in q:
+            bw.write_signed(c, 14)
+    # residual: method 0 (4-bit Rice), partition order 0
+    k = _rice_param_for(resid)
+    bw.write(0b00, 2)
+    bw.write(0, 4)  # partition order 0
+    if k >= 15:  # escape: raw residuals
+        bw.write(0b1111, 4)
+        rb = max(1, int(np.abs(resid).max()).bit_length() + 1) if resid.size else 1
+        rb = min(rb, 31)
+        bw.write(rb, 5)
+        for r in resid:
+            bw.write_signed(int(r), rb)
+    else:
+        bw.write(k, 4)
+        _write_rice_partition(bw, resid, k)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    block_size: int = 4096,
+    channel_mode: str = "auto",
+    use_lpc: bool = False,
+) -> bytes:
+    """Encode int16 samples (1-D mono or (n, channels)) as FLAC.
+
+    channel_mode (stereo only): 'indep', 'ls' (left/side), 'rs'
+    (right/side), 'ms' (mid/side), or 'auto' (cheapest per frame by
+    summed folded side-channel magnitude).  Lossless: decode_flac
+    returns the exact input samples."""
+    import hashlib
+
+    if samples.dtype != np.int16:
+        raise ValueError("encode_flac expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nchan = samples.shape
+    if nchan > 8:
+        raise ValueError("FLAC supports at most 8 channels")
+    if channel_mode != "indep" and channel_mode != "auto" and nchan != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO: last-block flag + type 0, length 34
+    si = _FlacBitWriter()
+    si.write(block_size, 16)  # min blocksize
+    si.write(block_size, 16)  # max blocksize
+    si.write(0, 24)  # min framesize unknown
+    si.write(0, 24)  # max framesize unknown
+    si.write(sample_rate, 20)
+    si.write(nchan - 1, 3)
+    si.write(16 - 1, 5)
+    si.write(n, 36)
+    sib = si.bytes() + md5
+    out += bytes([0x80]) + len(sib).to_bytes(3, "big") + sib
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = samples[start : start + block_size]
+        bs = len(blk)
+        mode = "indep" if nchan != 2 else channel_mode
+        if mode == "auto" and nchan == 2:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side_cost = int(_zigzag_u(np.diff(left - right)).sum()) if bs > 1 else 0
+            ind_cost = (
+                int(_zigzag_u(np.diff(left)).sum()) + int(_zigzag_u(np.diff(right)).sum())
+                if bs > 1
+                else 1
+            )
+            mode = "ms" if side_cost * 2 < ind_cost else "indep"
+        elif mode == "auto":
+            mode = "indep"
+
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy
+        if bs == block_size and block_size == 4096:
+            hdr.write(0b1100, 4)
+            bs_tail = None
+        else:
+            hdr.write(0b0111, 4)  # 16-bit blocksize-1 at header end
+            bs_tail = bs - 1
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        chan_code = {
+            "indep": nchan - 1,
+            "ls": 0b1000,
+            "rs": 0b1001,
+            "ms": 0b1010,
+        }[mode]
+        hdr.write(chan_code, 4)
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        hb = bytearray(hdr.bytes())
+        hb += _utf8_code(frame_no)
+        if bs_tail is not None:
+            hb += bytes([bs_tail >> 8, bs_tail & 0xFF])
+        hb.append(_crc8(bytes(hb)))
+
+        body = _FlacBitWriter()
+        left = blk[:, 0].astype(np.int64)
+        if mode == "indep":
+            chans = [(blk[:, c].astype(np.int64), 16) for c in range(nchan)]
+        else:
+            right = blk[:, 1].astype(np.int64)
+            side = left - right
+            if mode == "ls":
+                chans = [(left, 16), (side, 17)]
+            elif mode == "rs":
+                chans = [(side, 17), (right, 16)]
+            else:  # ms
+                mid = (left + right) >> 1
+                chans = [(mid, 16), (side, 17)]
+        for x, bps in chans:
+            _encode_subframe(body, x, bps, use_lpc)
+        body.align()
+        frame = bytes(hb) + body.bytes()
+        crc = _crc16(frame)
+        out += frame + bytes([crc >> 8, crc & 0xFF])
+        frame_no += 1
+    return bytes(out)
+
+
+_FLAC_BLOCKSIZE = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304, 0b0101: 4608,
+    **{c: 256 << (c - 8) for c in range(8, 16)},
+}
+
+_FLAC_RATES = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+
+_FLAC_BPS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+
+
+def _read_flac_residual(br: _FlacBitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    out = np.empty(bs - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("invalid FLAC partition order")
+        k = br.read(pbits)
+        if k == escape:
+            rb = br.read(5)
+            for i in range(cnt):
+                out[pos + i] = br.read_signed(rb) if rb else 0
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                out[pos + i] = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+        pos += cnt
+    return out
+
+
+def _decode_subframe(br: _FlacBitReader, bs: int, bps: int) -> np.ndarray:
+    if br.read(1) != 0:
+        raise ValueError("bad FLAC subframe header pad bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if stype == 0b000000:  # constant
+        x = np.full(bs, br.read_signed(bps), dtype=np.int64)
+    elif stype == 0b000001:  # verbatim
+        x = np.array([br.read_signed(bps) for _ in range(bs)], dtype=np.int64)
+    elif 0b001000 <= stype <= 0b001100:  # fixed
+        order = stype & 0b111
+        warm = [br.read_signed(bps) for _ in range(order)]
+        resid = _read_flac_residual(br, bs, order)
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        coeffs = _FIXED_COEFFS[order]
+        for t in range(order, bs):
+            pred = sum(c * x[t - 1 - j] for j, c in enumerate(coeffs))
+            x[t] = resid[t - order] + pred
+    elif stype >= 0b100000:  # LPC
+        order = (stype & 0b011111) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid FLAC LPC precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        q = [br.read_signed(prec) for _ in range(order)]
+        resid = _read_flac_residual(br, bs, order)
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        for t in range(order, bs):
+            pred = sum(q[j] * x[t - 1 - j] for j in range(order)) >> shift
+            x[t] = resid[t - order] + pred
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype:06b}")
+    return x << wasted
+
+
+def decode_flac(payload: bytes, verify: bool = True) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream: returns (sample_rate, (n, channels) int16).
+
+    Fixed-blocksize streams, 16-bit sources (the corpus norm).  With
+    verify=True the CRC-8 header, CRC-16 frame, and STREAMINFO MD5 are
+    all checked — a lossless codec should prove it."""
+    import hashlib
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    sib = _FlacBitReader(streaminfo)
+    sib.read(16), sib.read(16), sib.read(24), sib.read(24)
+    si_rate = sib.read(20)
+    si_nchan = sib.read(3) + 1
+    si_bps = sib.read(5) + 1
+    total = sib.read(36)
+    si_md5 = streaminfo[18:34]
+    if si_bps != 16:
+        raise NotImplementedError(f"{si_bps}-bit FLAC not supported (16 only)")
+
+    chans_out = [[] for _ in range(si_nchan)]
+    got = 0
+    rate = si_rate
+    while got < total and pos < len(payload):
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        br.read(1)  # reserved
+        strategy = br.read(1)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)  # reserved
+        _utf8_decode(br)  # frame (or sample) number
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZE:
+            bs = _FLAC_BLOCKSIZE[bs_code]
+        else:
+            raise ValueError(f"reserved FLAC blocksize code {bs_code:04b}")
+        if sr_code == 0b0000:
+            rate = si_rate
+        elif sr_code in _FLAC_RATES:
+            rate = _FLAC_RATES[sr_code]
+        elif sr_code == 0b1100:
+            rate = br.read(8) * 1000
+        elif sr_code == 0b1101:
+            rate = br.read(16)
+        elif sr_code == 0b1110:
+            rate = br.read(16) * 10
+        else:
+            raise ValueError("invalid FLAC sample-rate code")
+        bps = si_bps if bps_code == 0 else _FLAC_BPS.get(bps_code)
+        if bps is None:
+            raise ValueError(f"reserved FLAC sample-size code {bps_code:03b}")
+        br.align()  # header CRC sits on a byte boundary
+        crc8_pos = br.bytepos
+        if verify and _crc8(payload[frame_start:crc8_pos]) != payload[crc8_pos]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        br.read(8)  # consume CRC-8
+
+        if chan_code <= 0b0111:
+            nsub, assign = chan_code + 1, "indep"
+        elif chan_code == 0b1000:
+            nsub, assign = 2, "ls"
+        elif chan_code == 0b1001:
+            nsub, assign = 2, "rs"
+        elif chan_code == 0b1010:
+            nsub, assign = 2, "ms"
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {chan_code:04b}")
+        subs = []
+        for c in range(nsub):
+            extra = 1 if assign in ("ls", "ms") and c == 1 or assign == "rs" and c == 0 else 0
+            subs.append(_decode_subframe(br, bs, bps + extra))
+        br.align()
+        if verify:
+            crc = _crc16(payload[frame_start : br.bytepos])
+            stored = (payload[br.bytepos] << 8) | payload[br.bytepos + 1]
+            if crc != stored:
+                raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.bytepos + 2
+
+        if assign == "indep":
+            decoded = subs
+        elif assign == "ls":
+            left, side = subs
+            decoded = [left, left - side]
+        elif assign == "rs":
+            side, right = subs
+            decoded = [right + side, right]
+        else:  # ms
+            mid, side = subs
+            m2 = (mid << 1) | (side & 1)
+            decoded = [(m2 + side) >> 1, (m2 - side) >> 1]
+        take = min(bs, total - got)
+        for c in range(si_nchan):
+            chans_out[c].append(decoded[c][:take])
+        got += take
+
+    arr = np.stack([np.concatenate(c) for c in chans_out], axis=1).astype(np.int16)
+    if verify and si_md5 != bytes(16):
+        if hashlib.md5(arr.astype("<i2").tobytes()).digest() != si_md5:
+            raise ValueError("FLAC STREAMINFO MD5 mismatch — decoded audio differs")
+    return rate, arr
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + deterministic features
 # ---------------------------------------------------------------------------
 
@@ -1411,6 +2028,8 @@ def detect_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     for magic, name in _COMPRESSED_MAGIC.items():
         if payload[: len(magic)] == magic:
             return name
@@ -1463,8 +2082,10 @@ def decode_payload(payload: bytes) -> list[float]:
         return image_feature(decode_jpeg(payload))
     if fmt == "wav":
         return audio_feature(*decode_wav(payload))
+    if fmt == "flac":
+        return audio_feature(*decode_flac(payload))
     raise NotImplementedError(
         f"no codec for payload format '{fmt}' in this container "
-        "(BMP/PPM/PGM/WAV/PNG/GIF/JPEG are decoded natively; "
+        "(BMP/PPM/PGM/WAV/PNG/GIF/JPEG/FLAC are decoded natively; "
         "MP3/... need an external codec library)"
     )

@@ -81,7 +81,8 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
 
 def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic asset table whose payloads are REAL encoded media
-    bytes — BMP / PPM / PNG / GIF / JPEG (baseline 4:2:0/4:4:4 and progressive) / PCM-WAV,
+    bytes — BMP / PPM / PNG / GIF / JPEG (baseline 4:2:0/4:4:4 and
+    progressive) / PCM-WAV / FLAC (mixed stereo-decorrelation modes),
     all built by llm/codecs.py's spec-implemented encoders — for
     exercising the fake_decode=False path end-to-end."""
     import numpy as np
@@ -91,7 +92,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
-        kind = i % 6
+        kind = i % 7
         if kind == 0:
             w, h = 16 + i % 9, 12 + i % 7  # odd widths exercise BMP row padding
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -117,10 +118,21 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
             else:
                 payload = codecs.encode_jpeg(px, quality=90, subsample=i % 2 == 0)
             rows.append((i, "image", payload, w, h, 0))
-        else:
+        elif kind == 5:
             n_samp = 800 + 16 * (i % 11)
             samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int16)
             rows.append((i, "audio", codecs.encode_wav(samples, 16000), 0, 0, n_samp * 1000 // 16000))
+        else:
+            # FLAC: tonal stereo so compression is real; rotate the
+            # stereo-decorrelation mode so every decode path runs
+            n_samp = 700 + 32 * (i % 7)
+            t = np.arange(n_samp)
+            left = (5000 * np.sin(t / (20 + i % 9))).astype(np.int16)
+            right = (left + rng.integers(-300, 300, n_samp)).astype(np.int16)
+            st = np.stack([left, right], axis=1)
+            mode = ["indep", "ls", "rs", "ms"][(i // 7) % 4]
+            payload = codecs.encode_flac(st, 16000, block_size=512, channel_mode=mode, use_lpc=i % 2 == 0)
+            rows.append((i, "audio", payload, 0, 0, n_samp * 1000 // 16000))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -291,8 +303,8 @@ SPECTRAL_SCHEMA = T.StructType(
 def audio_spectral_features(
     assets: DataFrame, n_fft: int = 256, hop: int = 128, bands: int = 8
 ) -> DataFrame:
-    """STFT band-energy features for audio payloads: decode PCM WAV,
-    frame with a Hann window, rfft each frame (NumPy), pool |X|^2 into
+    """STFT band-energy features for audio payloads: decode PCM WAV or
+    FLAC, frame with a Hann window, rfft each frame (NumPy), pool |X|^2 into
     `bands` equal frequency bands, normalize to sum 1 — a deterministic
     stand-in for any mel-scale frontend, with the identical Spark
     plumbing (map-only Arrow batches, no shuffle)."""
@@ -308,9 +320,13 @@ def audio_spectral_features(
                 continue
             out_rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if codecs.detect_format(bytes(payload)) != "wav":
+                fmt = codecs.detect_format(bytes(payload))
+                if fmt == "wav":
+                    _, samples = codecs.decode_wav(bytes(payload))
+                elif fmt == "flac":
+                    _, samples = codecs.decode_flac(bytes(payload))
+                else:
                     continue
-                _, samples = codecs.decode_wav(bytes(payload))
                 mono = samples.astype(np.float64).mean(axis=1)
                 n = (len(mono) - n_fft) // hop + 1
                 if n <= 0:

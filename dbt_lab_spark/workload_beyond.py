@@ -1162,7 +1162,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode path: payloads are genuine BMP / PPM / PNG / GIF /
-    baseline-JPEG (4:2:0 and 4:4:4) / PCM-WAV bytes and
+    baseline-JPEG (4:2:0 and 4:4:4) / PCM-WAV / FLAC bytes and
     fake_decode=False routes through llm/codecs.py format parsers inside
     the Arrow mapInPandas — no stub anywhere on this path, including the
     JPEG Huffman+DCT entropy decode.  Features are normalized 8-bin
@@ -1225,9 +1225,10 @@ def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio STFT band energies over real PCM-WAV payloads, rolled up
-    to corpus level.  Rows-only check (FFT is not SQL-expressible);
-    band placement is pin-tested with pure sine tones in tests/."""
+    """Audio STFT band energies over real PCM-WAV and FLAC payloads,
+    rolled up to corpus level.  Rows-only check (FFT is not
+    SQL-expressible); band placement is pin-tested with pure sine
+    tones in tests/."""
     from dbt_lab_spark.llm.multimodal import audio_spectral_features, make_real_assets
 
     assets = make_real_assets(spark, n=48)

@@ -216,7 +216,7 @@ def test_extract_features_real_decode(spark):
     by_id = {r["asset_id"]: r for r in feats}
     # cross-check one image asset against a driver-side decode
     local = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
-    for aid in (0, 1, 2, 3, 4, 5):  # BMP, PPM, PNG, GIF, JPEG, WAV
+    for aid in (0, 1, 2, 3, 4, 5, 6):  # BMP, PPM, PNG, GIF, JPEG, WAV, FLAC
         expected = codecs.decode_payload(local[aid])
         assert by_id[aid]["feature"] == pytest.approx(expected)
         assert by_id[aid]["n_bytes"] == len(local[aid])
@@ -396,8 +396,8 @@ def test_center_crop_and_transform_images(spark):
 
     assets = make_real_assets(spark, n=24)
     out = transform_images(assets, width=24, height=24, crop=0.9).collect()
-    # 24 assets rotate bmp/ppm/png/gif/jpeg/wav: 20 images, 4 audio
-    assert len(out) == 20
+    # 24 assets rotate bmp/ppm/png/gif/jpeg/wav/flac: 18 images, 6 audio
+    assert len(out) == 18
     for r in out:
         assert (r["out_w"], r["out_h"]) == (24, 24)
         decoded = codecs.decode_ppm(bytes(r["payload"]))
@@ -425,3 +425,165 @@ def test_audio_spectral_features_sine_band(spark):
     assert len(be) == 8
     assert abs(sum(be) - 1.0) < 1e-9
     assert be[2] > 0.95, be
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639)
+# ---------------------------------------------------------------------------
+
+
+def _tone_stereo(n=6000, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    left = (4000 * np.sin(t / 37)).astype(np.int16)
+    right = (left.astype(np.int32) + rng.integers(-150, 150, n)).astype(np.int16)
+    return np.stack([left, right], axis=1)
+
+
+def test_flac_round_trip_mono_bit_exact():
+    rng = np.random.default_rng(11)
+    t = np.arange(9000)
+    mono = (2500 * np.sin(t / 31) + rng.integers(-100, 100, len(t))).astype(np.int16)
+    payload = codecs.encode_flac(mono, 16000)
+    rate, out = codecs.decode_flac(payload)
+    assert rate == 16000
+    assert out.shape == (9000, 1)
+    assert np.array_equal(out[:, 0], mono)  # lossless: bit-exact
+    assert len(payload) < 2 * len(mono)  # actually compresses the tone
+
+
+def test_flac_all_stereo_modes_bit_exact():
+    st = _tone_stereo()
+    for mode in ("indep", "ls", "rs", "ms", "auto"):
+        payload = codecs.encode_flac(st, 44100, channel_mode=mode)
+        rate, out = codecs.decode_flac(payload)
+        assert rate == 44100
+        assert np.array_equal(out, st), mode
+
+
+def test_flac_lpc_subframes_bit_exact():
+    st = _tone_stereo(seed=9)
+    payload = codecs.encode_flac(st, 22050, use_lpc=True)
+    _, out = codecs.decode_flac(payload)
+    assert np.array_equal(out, st)
+    # LPC on a tonal signal beats the fixed-only encoding
+    fixed = codecs.encode_flac(st, 22050, use_lpc=False)
+    assert len(payload) <= len(fixed)
+
+
+def test_flac_escape_partition_white_noise():
+    rng = np.random.default_rng(5)
+    wild = rng.integers(-(2**15), 2**15 - 1, 4000).astype(np.int16)
+    payload = codecs.encode_flac(wild, 8000)
+    _, out = codecs.decode_flac(payload)
+    assert np.array_equal(out[:, 0], wild)
+
+
+def test_flac_partial_last_frame_and_custom_blocksize():
+    st = _tone_stereo(n=2500)
+    payload = codecs.encode_flac(st, 16000, block_size=512)
+    _, out = codecs.decode_flac(payload)
+    assert np.array_equal(out, st)
+
+
+def test_flac_constant_subframe():
+    flat = np.full(3000, -123, dtype=np.int16)
+    payload = codecs.encode_flac(flat, 16000)
+    _, out = codecs.decode_flac(payload)
+    assert np.array_equal(out[:, 0], flat)
+    assert len(payload) < 200  # constant subframes collapse the frame
+
+
+def test_flac_crc_catches_corruption():
+    mono = _tone_stereo()[:, 0].copy()
+    payload = bytearray(codecs.encode_flac(mono, 16000))
+    payload[len(payload) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        codecs.decode_flac(bytes(payload))
+
+
+def test_flac_verbatim_subframe_decodes():
+    # hand-build a VERBATIM subframe (encoder never emits one) so the
+    # decoder path is pinned: reuse the encoder framing, then patch in a
+    # verbatim frame built with the writer primitives
+    from dbt_lab_spark.llm.codecs import (
+        _crc8,
+        _crc16,
+        _FlacBitWriter,
+        _utf8_code,
+    )
+
+    samples = np.array([100, -200, 300, -400], dtype=np.int16)
+    si = _FlacBitWriter()
+    si.write(4, 16)
+    si.write(4, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(16000, 20)
+    si.write(0, 3)  # 1 channel
+    si.write(15, 5)  # 16 bps
+    si.write(4, 36)
+    sib = si.bytes() + bytes(16)  # zero MD5 -> check skipped
+    stream = bytearray(b"fLaC")
+    stream += bytes([0x80]) + len(sib).to_bytes(3, "big") + sib
+    hdr = _FlacBitWriter()
+    hdr.write(0b11111111111110, 14)
+    hdr.write(0, 2)
+    hdr.write(0b0110, 4)  # 8-bit blocksize-1 at end
+    hdr.write(0, 4)  # rate from streaminfo
+    hdr.write(0, 4)  # mono
+    hdr.write(0b100, 3)
+    hdr.write(0, 1)
+    hb = bytearray(hdr.bytes()) + _utf8_code(0) + bytes([3])
+    hb.append(_crc8(bytes(hb)))
+    body = _FlacBitWriter()
+    body.write(0, 1)
+    body.write(0b000001, 6)  # VERBATIM
+    body.write(0, 1)
+    for s in samples:
+        body.write_signed(int(s), 16)
+    body.align()
+    frame = bytes(hb) + body.bytes()
+    crc = _crc16(frame)
+    stream += frame + bytes([crc >> 8, crc & 0xFF])
+    rate, out = codecs.decode_flac(bytes(stream))
+    assert rate == 16000
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_flac_wasted_bits_decode():
+    # samples with k zeroed low bits are what wasted-bits encodes;
+    # hand-build one constant subframe with wasted=2 to pin the decoder
+    from dbt_lab_spark.llm.codecs import _crc8, _crc16, _FlacBitWriter, _utf8_code
+
+    si = _FlacBitWriter()
+    si.write(4, 16), si.write(4, 16), si.write(0, 24), si.write(0, 24)
+    si.write(8000, 20), si.write(0, 3), si.write(15, 5), si.write(4, 36)
+    sib = si.bytes() + bytes(16)
+    stream = bytearray(b"fLaC") + bytes([0x80]) + len(sib).to_bytes(3, "big") + sib
+    hdr = _FlacBitWriter()
+    hdr.write(0b11111111111110, 14), hdr.write(0, 2)
+    hdr.write(0b0110, 4), hdr.write(0, 4), hdr.write(0, 4)
+    hdr.write(0b100, 3), hdr.write(0, 1)
+    hb = bytearray(hdr.bytes()) + _utf8_code(0) + bytes([3])
+    hb.append(_crc8(bytes(hb)))
+    body = _FlacBitWriter()
+    body.write(0, 1)
+    body.write(0b000000, 6)  # CONSTANT
+    body.write(1, 1)  # wasted-bits flag
+    body.write_unary(1)  # unary 1 -> wasted = 2
+    body.write_signed(25, 14)  # 16 - 2 wasted
+    body.align()
+    frame = bytes(hb) + body.bytes()
+    crc = _crc16(frame)
+    stream += frame + bytes([crc >> 8, crc & 0xFF])
+    _, out = codecs.decode_flac(bytes(stream))
+    assert np.array_equal(out[:, 0], np.full(4, 100, dtype=np.int16))  # 25 << 2
+
+
+def test_flac_detect_and_dispatch():
+    mono = np.full(2000, 7, dtype=np.int16)
+    payload = codecs.encode_flac(mono, 16000)
+    assert codecs.detect_format(payload) == "flac"
+    feat = codecs.decode_payload(payload)
+    assert len(feat) == 8 and feat[0] == pytest.approx(1.0)
