@@ -233,7 +233,7 @@ def read_media_dir(
         kind = {
             "bmp": "image", "ppm": "image", "pgm": "image", "png": "image",
             "gif": "image", "jpeg": "image", "wav": "audio", "mp3": "audio",
-            "ogg": "audio", "webm/mkv": "video",
+            "flac": "audio", "ogg": "audio", "webm/mkv": "video",
         }
         for pdf in batches:
             if not len(pdf):
@@ -254,3 +254,143 @@ def read_media_dir(
     return df.select(
         F.xxhash64("path").alias("asset_id"), "path", "length", "content"
     ).mapInPandas(_classify, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500): the container CommonCrawl and every web-scale text
+# corpus actually arrives in.  Records are framed as
+#   WARC/1.0\r\n <headers> \r\n\r\n <payload> \r\n\r\n
+# with the payload size in Content-Length — so parsing is a linear
+# scan, no entropy coding.  Build + parse round-trip through the real
+# wire format, giving the ingestion query a genuine DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("record_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def warc_record_bytes(
+    record_type: str,
+    target_uri: str,
+    payload: bytes,
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> bytes:
+    """One WARC 1.0 record, deterministically framed (record id is an
+    md5-derived urn:uuid so two builds of the same corpus are
+    byte-identical — required for hash-level oracle checks)."""
+    import hashlib
+
+    digest = hashlib.md5(target_uri.encode() + payload).hexdigest()
+    rid = f"<urn:uuid:{digest[:8]}-{digest[8:12]}-{digest[12:16]}-{digest[16:20]}-{digest[20:32]}>"
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {record_type}\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return headers + payload + b"\r\n\r\n"
+
+
+def build_warc_shards(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Assemble documents into WARC shard blobs, one per hash bucket —
+    the shape a crawler's writer produces (shard files of framed
+    records).  Returns (shard_id, n_records, warc binary).
+
+    Scale posture: one applyInPandas group per shard; shard count is
+    the parallelism knob and each task holds only its shard's bytes.
+    Records within a shard are ordered by doc_id so the blob is
+    deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("warc", T.BinaryType()),
+        ]
+    )
+
+    def _assemble(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        blob = bytearray()
+        for uri, text in zip(pdf["uri"], pdf["text"]):
+            blob += warc_record_bytes("response", uri, str(text).encode("utf-8"))
+        return pd.DataFrame(
+            {"shard_id": [int(key[0])], "n_records": [len(pdf)], "warc": [bytes(blob)]}
+        )
+
+    with_uri = docs.select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("https://corpus.example/"), "source", F.lit("/"), "doc_id").alias("uri"),
+        (F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")).alias("shard_id"),
+    )
+    return with_uri.groupBy("shard_id").applyInPandas(_assemble, out_schema)
+
+
+def parse_warc(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """Parse WARC shard blobs back into one row per record — the
+    ingestion direction.  Linear scan per blob: read the header block
+    up to CRLFCRLF, take Content-Length, slice the payload, skip the
+    record terminator.  Map-only (Arrow batches), no shuffle; malformed
+    trailing bytes fail loudly rather than silently truncating."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for blob in pdf[blob_col]:
+                data = bytes(blob)
+                pos = 0
+                while pos < len(data):
+                    if data[pos : pos + 5] != b"WARC/":
+                        raise ValueError(f"WARC framing lost at offset {pos}")
+                    hdr_end = data.index(b"\r\n\r\n", pos)
+                    headers = {}
+                    for line in data[pos:hdr_end].decode().split("\r\n")[1:]:
+                        k, _, v = line.partition(": ")
+                        headers[k.lower()] = v
+                    clen = int(headers["content-length"])
+                    payload = data[hdr_end + 4 : hdr_end + 4 + clen]
+                    rows.append(
+                        (
+                            headers.get("warc-type", ""),
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            clen,
+                            payload,
+                        )
+                    )
+                    pos = hdr_end + 4 + clen
+                    if data[pos : pos + 4] != b"\r\n\r\n":
+                        raise ValueError(f"missing WARC record terminator at {pos}")
+                    pos += 4
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "record_type",
+                    "target_uri",
+                    "warc_date",
+                    "content_length",
+                    "payload",
+                ],
+            )
+
+    return blobs.mapInPandas(_parse, WARC_RECORD_SCHEMA)

@@ -3225,7 +3225,55 @@ FROM per_nation, grand
 """
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus ingestion through the real WARC wire format
+    (ISO 28500, what CommonCrawl ships): frame every document as a
+    WARC response record into hash-bucketed shard blobs
+    (applyInPandas writer), then parse the blobs back with the
+    map-only record scanner and aggregate per source.
+
+    The oracle recomputes the same aggregates straight from
+    `documents` in DuckDB — equality proves the framing/parsing
+    round-trip preserved every record, byte count, and URI.
+
+    Scale posture: shard assembly is one task per shard (shard count =
+    parallelism knob); parsing is map-only over blobs with no shuffle;
+    the only shuffle is the final per-source aggregate."""
+    from dbt_lab_spark.sources import build_warc_shards, parse_warc
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"]).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    shards = build_warc_shards(docs, n_shards=8)
+    records = parse_warc(shards)
+    return (
+        records.withColumn(
+            "source", F.regexp_extract("target_uri", r"https://corpus\.example/([^/]+)/", 1)
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("content_length").alias("total_payload_bytes"),
+            F.count_distinct("target_uri").alias("n_uris"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_WARC_INGEST = r"""
+SELECT source,
+       COUNT(*) AS n_records,
+       SUM(strlen(COALESCE(text, ''))) AS total_payload_bytes,
+       COUNT(DISTINCT 'https://corpus.example/' || source || '/' || doc_id) AS n_uris
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 BEYOND_QUERIES: list[QueryDef] = [
+    QueryDef("q_warc_ingest", _q_warc_ingest, _SQL_WARC_INGEST, "WARC shard build+parse round-trip"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

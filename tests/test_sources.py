@@ -258,3 +258,70 @@ def test_read_media_dir_binaryfile_ingestion(spark, tmp_path):
     assert read_media_dir(spark, str(tmp_path), glob="*.png").count() == 1
     small = read_media_dir(spark, str(tmp_path), max_bytes=50).count()
     assert small >= 1  # the txt file at least
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_record_framing_pinned():
+    from dbt_lab_spark.sources import warc_record_bytes
+
+    rec = warc_record_bytes("response", "https://x.example/a/1", b"hello")
+    text = rec.decode()
+    assert text.startswith("WARC/1.0\r\n")
+    assert "WARC-Target-URI: https://x.example/a/1\r\n" in text
+    assert "Content-Length: 5\r\n" in text
+    assert rec.endswith(b"\r\n\r\nhello\r\n\r\n")
+    # deterministic: same inputs -> identical bytes (record id is md5-derived)
+    assert rec == warc_record_bytes("response", "https://x.example/a/1", b"hello")
+
+
+def test_warc_build_parse_round_trip(spark):
+    from dbt_lab_spark.sources import build_warc_shards, parse_warc
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " + "x" * (i % 13), "web" if i % 2 else "books")
+         for i in range(37)],
+        "doc_id long, text string, source string",
+    )
+    shards = build_warc_shards(docs, n_shards=4)
+    srows = shards.collect()
+    assert len(srows) == 4
+    assert sum(r["n_records"] for r in srows) == 37
+    records = parse_warc(shards).collect()
+    assert len(records) == 37
+    by_uri = {r["target_uri"]: r for r in records}
+    for i in range(37):
+        src = "web" if i % 2 else "books"
+        r = by_uri[f"https://corpus.example/{src}/{i}"]
+        body = f"document body {i} " + "x" * (i % 13)
+        assert bytes(r["payload"]).decode() == body
+        assert r["content_length"] == len(body.encode())
+        assert r["record_type"] == "response"
+
+
+def test_warc_parse_rejects_malformed(spark):
+    from dbt_lab_spark.sources import parse_warc, warc_record_bytes
+
+    good = warc_record_bytes("response", "https://x/1", b"abc")
+    bad = good[:-2]  # drop part of the record terminator
+    blobs = spark.createDataFrame([(bad,)], "warc binary")
+    with pytest.raises(Exception, match="WARC|terminator"):
+        parse_warc(blobs).collect()
+
+
+def test_warc_shards_deterministic_under_repartition(spark):
+    from dbt_lab_spark.sources import build_warc_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    a = {r["shard_id"]: bytes(r["warc"]) for r in build_warc_shards(docs, 3).collect()}
+    b = {
+        r["shard_id"]: bytes(r["warc"])
+        for r in build_warc_shards(docs.repartition(7), 3).collect()
+    }
+    assert a == b  # doc_id-sorted records make shard bytes stable
