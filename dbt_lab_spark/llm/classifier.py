@@ -1,0 +1,248 @@
+"""Hashing-trick linear text classifier — the CCNet/GPT-3-style
+quality/language filter, trained and applied distributed.
+
+Web-scale curation pipelines gate documents with exactly this shape of
+model: bag of hashed n-grams -> linear scorer (fastText without the
+embedding layer).  Three pieces, each with the right Spark posture:
+
+  hash_features   tokenize + hash JVM-side (split/explode/md5->int,
+                  whole-stage codegen; no Python in the per-token path).
+                  md5 basis makes the feature map bit-exact reproducible
+                  in any engine — the oracle plane, same convention as
+                  llm/dedup.py's base_hash='md5'.
+  train_logreg    full-batch logistic regression by gradient descent.
+                  Each iteration is ONE map-only pass: broadcast the
+                  dense weight vector, every partition emits a partial
+                  (gradient, loss, count) sufficient statistic, the
+                  driver reduces partitions x (n_features+2) floats and
+                  updates — the Lloyd-iteration pattern from
+                  llm/similarity.py, linear not quadratic in corpus
+                  size, no shuffle after the one-time per-doc grouping.
+  score_logreg    apply weights JVM-side: broadcast-join the sparse
+                  weight table against features, sum w*x per doc —
+                  sigmoid via expression, so scoring at 100 TB is a
+                  broadcast hash join plus a partial aggregate.
+
+Reference capability evidence: the reference's extension surface for
+custom bulk operators (mapred/qexec/BulkProcessingOperator.java:57-65);
+everything else here is standard published practice (CCNet, fastText).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+P31 = (1 << 31) - 1
+
+
+def _md5_int(col):
+    """60-bit integer from md5 hex — bit-exact portable to DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 16,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Sparse hashed bag-of-ngrams: (doc_id, idx, tf).
+
+    Tokens are lowercased whitespace splits; unigrams plus (optionally)
+    bigrams are hashed with the md5->int basis mod n_features.  All
+    JVM expressions — the explode is the word-count shape, and the
+    (doc, idx) aggregate is a map-side-combined shuffle on the doc key.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("t"),
+    ).filter(F.size("t") > 0)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.when(
+                    F.lit(bigrams) & (F.size("t") >= 2),
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 2),
+                        lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.select("doc_id", (_md5_int(F.col("g")) % F.lit(n_features)).alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+_GROUPED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("idxs", T.ArrayType(T.IntegerType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("label", T.DoubleType()),
+    ]
+)
+
+
+def prepare_training(features: DataFrame, labels: DataFrame) -> DataFrame:
+    """Group sparse features per doc (one shuffle, done once, cache the
+    result across iterations) and attach labels.  Values are
+    log(1+tf), L2-normalized per doc — the standard stabilizer."""
+    grouped = (
+        features.groupBy("doc_id")
+        .agg(
+            F.collect_list("idx").alias("idxs_raw"),
+            F.collect_list(F.log1p(F.col("tf"))).alias("vals_raw"),
+        )
+        .join(labels.select("doc_id", F.col("label").cast("double").alias("label")), "doc_id")
+    )
+    norm = F.sqrt(
+        F.aggregate("vals_raw", F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("idxs_raw").cast("array<int>").alias("idxs"),
+        F.transform("vals_raw", lambda v: v / norm).alias("vals"),
+        "label",
+    )
+
+
+def train_logreg(
+    prepared: DataFrame,
+    n_features: int = 1 << 16,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+    adagrad: bool = False,
+):
+    """Full-batch logistic regression via distributed gradient descent.
+
+    Per iteration: broadcast (w, b); each partition computes its dense
+    gradient partial and loss with vectorized NumPy over Arrow batches;
+    driver reduces partials (partitions x n_features doubles — bounded
+    by cluster width, not corpus size) and takes a step.  Deterministic:
+    no sampling, float64 accumulation, fixed iteration count.
+
+    Returns (w, b, losses) with losses the per-iteration mean log-loss
+    — strictly decreasing on any separable pin corpus.
+    """
+    import numpy as np
+
+    sc = prepared.sparkSession.sparkContext
+    # partials are dense n_features vectors: bound their count by core
+    # count, not by spark.sql.shuffle.partitions (a 200-partition
+    # grouped frame would mean 200 tasks + 200 dense partials per
+    # iteration for no added parallelism)
+    prepared = prepared.coalesce(max(1, sc.defaultParallelism))
+    w = np.zeros(n_features, dtype=np.float64)
+    b = 0.0
+    g2w = np.zeros(n_features, dtype=np.float64)
+    g2b = 0.0
+    losses = []
+    prepared = prepared.persist()
+    try:
+        n_docs = prepared.count()
+        if n_docs == 0:
+            raise ValueError("train_logreg: empty training set")
+        for _ in range(iters):
+            bw = sc.broadcast((w, b))
+
+            def _grad(batches):
+                import pandas as pd
+
+                wv, bv = bw.value
+                gw = np.zeros(len(wv), dtype=np.float64)
+                gb = 0.0
+                loss = 0.0
+                n = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    # flatten the ragged per-doc arrays once, then every
+                    # step is a vectorized segment op (reduceat / repeat)
+                    idx_arr = pdf["idxs"].to_numpy()
+                    val_arr = pdf["vals"].to_numpy()
+                    lens = np.fromiter((len(x) for x in idx_arr), dtype=np.int64)
+                    keep = lens > 0
+                    if not keep.any():
+                        continue
+                    lens = lens[keep]
+                    flat_i = np.concatenate([np.asarray(x, dtype=np.int64) for x in idx_arr[keep]])
+                    flat_v = np.concatenate([np.asarray(x, dtype=np.float64) for x in val_arr[keep]])
+                    y = pdf["label"].to_numpy(dtype=np.float64)[keep]
+                    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                    z = np.add.reduceat(wv[flat_i] * flat_v, offsets) + bv
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    err = p - y
+                    np.add.at(gw, flat_i, np.repeat(err, lens) * flat_v)
+                    gb += float(err.sum())
+                    # numerically-stable log-loss
+                    loss += float(np.where(y > 0.5, np.logaddexp(0.0, -z), np.logaddexp(0.0, z)).sum())
+                    n += len(y)
+                yield pd.DataFrame({"stat": [np.concatenate([gw, [gb, loss, n]]).tobytes()]})
+
+            parts = prepared.mapInPandas(_grad, "stat binary").collect()
+            agg = np.zeros(n_features + 3, dtype=np.float64)
+            for row in parts:
+                agg += np.frombuffer(row["stat"], dtype=np.float64)
+            gw, gb, loss, n = agg[:n_features], agg[n_features], agg[n_features + 1], agg[n_features + 2]
+            losses.append(float(loss / n))
+            gw = gw / n + l2 * w
+            gb = gb / n
+            if adagrad:
+                # deterministic per-coordinate step sizing: full-batch
+                # AdaGrad — no tuning cliff, still exactly reproducible
+                g2w += gw * gw
+                g2b += gb * gb
+                w = w - lr * gw / np.sqrt(g2w + 1e-10)
+                b = b - lr * gb / np.sqrt(g2b + 1e-10)
+            else:
+                w = w - lr * gw
+                b = b - lr * gb
+            bw.destroy()
+    finally:
+        prepared.unpersist()
+    return w, b, losses
+
+
+def weights_table(spark, w, threshold: float = 1e-12) -> DataFrame:
+    """Sparse (idx, weight) table from the dense vector — broadcast
+    side of the scoring join (trained linear models are overwhelmingly
+    sparse after thresholding)."""
+    import numpy as np
+
+    nz = np.nonzero(np.abs(w) > threshold)[0]
+    rows = [(int(i), float(w[i])) for i in nz]
+    return spark.createDataFrame(rows or [(0, 0.0)], "idx int, weight double")
+
+
+def score_logreg(features: DataFrame, weights: DataFrame, bias: float) -> DataFrame:
+    """JVM-side scoring: broadcast the sparse weight table, hash-join on
+    idx, sum w*tf' per doc, sigmoid.  (doc_id, score).  tf' matches the
+    training transform: log(1+tf) / doc-L2-norm."""
+    from pyspark.sql import Window
+
+    normed = (
+        features.withColumn("lv", F.log1p(F.col("tf")))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.sum(F.col("lv") * F.col("lv")).over(Window.partitionBy("doc_id"))),
+        )
+        .withColumn("val", F.col("lv") / F.col("nrm"))
+    )
+    scored = (
+        normed.join(F.broadcast(weights), "idx", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("val")).alias("z"))
+    )
+    return scored.select(
+        "doc_id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + F.lit(bias))))).alias("score")
+    )

@@ -3261,6 +3261,101 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the fastText/CCNet front end) on
+    the md5 oracle plane: unigrams + bigrams -> md5->int mod 2^16,
+    aggregated to the 20 heaviest features.  All JVM expressions
+    (split/explode/conv) — the per-token path never enters Python.
+    Full oracle: DuckDB recomputes the identical feature ids."""
+    from dbt_lab_spark.llm.classifier import hash_features
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    feats = hash_features(docs, n_features=1 << 16)
+    return (
+        feats.groupBy("idx")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("total_tf"), "idx")
+        .limit(20)
+    )
+
+
+def _sql_hash_features() -> str:
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', m[{i}:{i}]) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_concat(
+           t,
+           CASE WHEN len(t) < 2 THEN []
+                ELSE [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+           END
+         ) AS g
+  FROM toks WHERE len(t) > 0
+), hx AS (
+  SELECT doc_id, md5(u.u) AS m FROM grams, unnest(g) AS u(u)
+), feat AS (
+  SELECT doc_id, ({hex_to_int}) % 65536 AS idx FROM hx
+)
+SELECT idx, COUNT(*) AS total_tf, COUNT(DISTINCT doc_id) AS n_docs
+FROM feat GROUP BY idx
+ORDER BY total_tf DESC, idx LIMIT 20
+"""
+
+
+def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashing-trick logistic-regression language filter
+    (label: lang = 'en') by distributed full-batch gradient descent —
+    one map-only sufficient-stats pass per iteration, Lloyd-style —
+    then score the corpus JVM-side (broadcast weight join) and report
+    per-source accuracy.  Deterministic: no sampling, float64 partials,
+    fixed iterations.  Rows-only check (iterative training is not
+    SQL-expressible); convergence/accuracy/determinism pinned in tests/."""
+    from dbt_lab_spark.llm.classifier import (
+        hash_features,
+        prepare_training,
+        score_logreg,
+        train_logreg,
+        weights_table,
+    )
+
+    nf = 1 << 15
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source"])
+    labels = docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    feats = hash_features(docs, n_features=nf).persist()
+    try:
+        w, b, losses = train_logreg(
+            prepare_training(feats, labels), n_features=nf, iters=12, lr=0.5, adagrad=True
+        )
+        scored = score_logreg(feats, weights_table(spark, w), b)
+    finally:
+        feats.unpersist()
+    return (
+        scored.join(labels, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("label").alias("n_en"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(
+                F.avg(((F.col("score") > 0.5).cast("int") == F.col("label")).cast("double")),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("source")
+    )
+
+
 _SQL_WARC_INGEST = r"""
 SELECT source,
        COUNT(*) AS n_records,
@@ -3274,6 +3369,8 @@ ORDER BY source
 
 BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_warc_ingest", _q_warc_ingest, _SQL_WARC_INGEST, "WARC shard build+parse round-trip"),
+    QueryDef("q_hash_features", _q_hash_features, _sql_hash_features(), "hashing-trick features (md5 plane)"),
+    QueryDef("q_classifier_train", _q_classifier_train, None, "distributed logreg language filter"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
