@@ -3356,6 +3356,91 @@ def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ITERS = 5
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the trade graph (customer nation ->
+    supplier nation, edge weight = lineitem count): the
+    quality-weighting propagation a web-curation pipeline runs on its
+    link graph, exercised on the star schema's natural graph.
+
+    Edge extraction is the distributed-heavy part (fact-fact join on
+    orderkey + two broadcast dims); each power iteration is a
+    shuffle-on-edge-key join + aggregate — the plan shape that scales
+    to billion-node graphs.  Full oracle: DuckDB runs the identical
+    recurrence unrolled as CTEs (same damping, dangling handling, and
+    iteration count)."""
+    from dbt_lab_spark.functions.graph import pagerank
+
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey"])
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    supp = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, iters=_PAGERANK_ITERS, weight="w")
+    return (
+        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
+        .select("n_name", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "n_name")
+    )
+
+
+def _sql_pagerank() -> str:
+    d = 0.85
+    parts = [
+        r"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+norm AS (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    ]
+    for k in range(_PAGERANK_ITERS):
+        parts.append(
+            f""", d{k} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dm FROM r{k}
+  WHERE node NOT IN (SELECT src FROM norm)
+), r{k + 1} AS (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(f.inflow, 0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT norm.dst, SUM(norm.p * r{k}.rank) AS inflow
+    FROM norm JOIN r{k} ON r{k}.node = norm.src GROUP BY norm.dst
+  ) f ON f.dst = nodes.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n_name, ROUND(rank, 6) AS rank
+FROM r{_PAGERANK_ITERS} JOIN nation ON n_nationkey = node
+ORDER BY rank DESC, n_name
+"""
+    )
+    return "".join(parts)
+
+
 _SQL_WARC_INGEST = r"""
 SELECT source,
        COUNT(*) AS n_records,
@@ -3371,6 +3456,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_warc_ingest", _q_warc_ingest, _SQL_WARC_INGEST, "WARC shard build+parse round-trip"),
     QueryDef("q_hash_features", _q_hash_features, _sql_hash_features(), "hashing-trick features (md5 plane)"),
     QueryDef("q_classifier_train", _q_classifier_train, None, "distributed logreg language filter"),
+    QueryDef("q_pagerank", _q_pagerank, _sql_pagerank(), "weighted PageRank on the trade graph"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
