@@ -211,3 +211,62 @@ def winnow(hashes: Column, w: int = 5) -> Column:
     for j in range(1, w):
         out = F.zip_with(out, F.slice(hashes, 1 + j, m), lambda a, b: F.least(a, b))
     return F.when(n < w, F.array(F.array_min(hashes))).otherwise(F.array_distinct(out))
+
+
+def bm25_scores(
+    docs,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 retrieval scores for a literal query over a corpus —
+    the ranking function behind every classical search stack
+    (Robertson/Sparck Jones; idf form ln((N-df+0.5)/(df+0.5)+1), the
+    Lucene convention that keeps idf positive).
+
+    Returns (doc_id, score) for docs matching at least one term.  All
+    JVM expressions: tokenize/explode for tf and doc length, 1-row
+    grand aggregates broadcast via cross join for N and avgdl (the
+    q_share_of_total pattern), |terms|-row idf frame broadcast into
+    the final join — no Python in the per-token path, and the only
+    shuffles are token-key aggregates.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )

@@ -3356,6 +3356,56 @@ def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a literal query over documents:
+    top 10 by score (ties broken by doc_id).  tf / df / doc-length /
+    avgdl all computed distributed, idf and corpus stats broadcast.
+    Full oracle: DuckDB evaluates the identical scoring formula."""
+    from dbt_lab_spark.functions.text import bm25_scores
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    return (
+        bm25_scores(docs, _BM25_TERMS)
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok, ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok), stats
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(idf.idf * (tf.tf * (1.2 + 1)) /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN idf ON idf.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 _PAGERANK_ITERS = 5
 
 
@@ -3457,6 +3507,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_hash_features", _q_hash_features, _sql_hash_features(), "hashing-trick features (md5 plane)"),
     QueryDef("q_classifier_train", _q_classifier_train, None, "distributed logreg language filter"),
     QueryDef("q_pagerank", _q_pagerank, _sql_pagerank(), "weighted PageRank on the trade graph"),
+    QueryDef("q_bm25", _q_bm25, _sql_bm25(), "Okapi BM25 ranked retrieval top-10"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

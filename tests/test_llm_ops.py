@@ -554,3 +554,36 @@ def test_dup_spans_winnowed_keeps_long_passage_guarantee(spark):
     # winnowed fingerprints are a subset of the exact duplicated spans
     shared_e = {r["fp"] for r in exact.collect()}
     assert shared_w <= shared_e
+
+
+def test_bm25_matches_hand_formula(spark):
+    import math
+
+    from dbt_lab_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["apple", "cherry"]).collect()}
+
+    def ref(tf, df, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(ref(tf=2, df=1, dl=3))  # 'apple' only
+    assert got[2] == pytest.approx(ref(tf=1, df=2, dl=2))  # 'cherry' only
+    assert got[3] == pytest.approx(ref(tf=3, df=2, dl=4))
+    # docs matching no term are absent, not zero-scored
+    assert set(got) == {1, 2, 3}
+
+    extra = spark.createDataFrame([(9, "nothing relevant")], "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs.union(extra), ["apple"]).collect()
+    }
+    assert 9 not in got2
