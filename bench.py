@@ -89,6 +89,10 @@ BENCH_NAMES = [
     "q_trigram_lm",
     "q_bpe_tokens",
     "q_image_resize",
+    "q_warc_ingest",
+    "q_hash_features",
+    "q_pagerank",
+    "q_bm25",
 ]
 
 

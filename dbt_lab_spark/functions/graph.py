@@ -62,7 +62,7 @@ def pagerank(
     ).persist()
     norm_e.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     dangling = nodes.join(
         norm_e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     ).persist()
@@ -92,10 +92,9 @@ def pagerank(
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm / n_nodes))
                 ).alias("rank"),
             )
-            old = ranks
-            ranks = ckpt(new_ranks).persist()
-            ranks.count()
-            old.unpersist()
+            # localCheckpoint(eager=True) both truncates lineage and
+            # materializes the blocks — no extra persist/count needed
+            ranks = ckpt(new_ranks)
     finally:
         nodes.unpersist()
         norm_e.unpersist()
