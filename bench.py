@@ -93,6 +93,7 @@ BENCH_NAMES = [
     "q_hash_features",
     "q_pagerank",
     "q_bm25",
+    "q_webdataset",
 ]
 
 

@@ -394,3 +394,153 @@ def parse_warc(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
             )
 
     return blobs.mapInPandas(_parse, WARC_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset TAR shards (POSIX ustar): the layout LAION-scale
+# multimodal corpora ship in — .tar shards whose members group into
+# samples by basename ({key}.jpg + {key}.json + ...).  Headers are
+# written from the ustar spec directly (512-byte blocks, octal fields,
+# space-padded checksum) with all metadata pinned, so shard bytes are
+# deterministic and the round-trip is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _ustar_header(name: str, size: int) -> bytes:
+    """One POSIX ustar file header, all non-essential metadata zeroed
+    for determinism (mtime 0, uid/gid 0, mode 0644)."""
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError(f"tar member name too long: {name!r}")
+    hdr = bytearray(512)
+    hdr[0 : len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}".encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8  # checksum computed over spaces
+    hdr[156] = ord("0")  # regular file
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(hdr)
+
+
+def tar_bytes(members: list[tuple[str, bytes]]) -> bytes:
+    """A complete deterministic ustar archive from (name, payload)
+    members: header + 512-padded data each, two zero blocks at end."""
+    out = bytearray()
+    for name, payload in members:
+        out += _ustar_header(name, len(payload))
+        out += payload
+        pad = (-len(payload)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def untar_bytes(blob: bytes) -> list[tuple[str, bytes]]:
+    """Parse a ustar archive (any conforming producer): returns
+    (name, payload) for regular-file members, verifying checksums."""
+    out = []
+    pos = 0
+    while pos + 512 <= len(blob):
+        hdr = blob[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError(f"tar header checksum mismatch at offset {pos}")
+        name = hdr[:100].split(b"\x00")[0].decode()
+        prefix = hdr[345:500].split(b"\x00")[0].decode()
+        if prefix:
+            name = prefix + "/" + name
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = chr(hdr[156])
+        data = blob[pos + 512 : pos + 512 + size]
+        if typeflag in ("0", "\x00"):
+            out.append((name, data))
+        pos += 512 + size + ((-size) % 512)
+    return out
+
+
+WDS_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def build_webdataset_shards(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Pack documents into WebDataset tar shards: each doc contributes
+    {doc_id:08d}.txt (UTF-8 body) and {doc_id:08d}.json (metadata) —
+    the two-members-per-sample convention.  One applyInPandas group
+    per shard, members doc_id-ordered for byte determinism."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("tar", T.BinaryType()),
+        ]
+    )
+
+    def _pack(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            base = f"{int(doc_id):08d}"
+            members.append((base + ".txt", str(text).encode("utf-8")))
+            meta = _json.dumps(
+                {"doc_id": int(doc_id), "source": str(source)}, sort_keys=True
+            ).encode()
+            members.append((base + ".json", meta))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "n_samples": [len(pdf)],
+                "tar": [tar_bytes(members)],
+            }
+        )
+
+    with_shard = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "source",
+        (F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")).alias("shard_id"),
+    )
+    return with_shard.groupBy("shard_id").applyInPandas(_pack, out_schema)
+
+
+def read_webdataset(blobs: DataFrame, blob_col: str = "tar") -> DataFrame:
+    """Unpack tar shard blobs into one row per member:
+    (shard_id, key, ext, payload), key being the sample basename —
+    downstream groups by key to reassemble samples.  Map-only over
+    Arrow batches; works on any ustar-conforming shard."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for shard_id, blob in zip(pdf["shard_id"], pdf[blob_col]):
+                for name, payload in untar_bytes(bytes(blob)):
+                    base, _, ext = name.rpartition(".")
+                    rows.append((int(shard_id), base, ext, payload))
+            yield pd.DataFrame(rows, columns=["shard_id", "key", "ext", "payload"])
+
+    return blobs.mapInPandas(_unpack, WDS_SAMPLE_SCHEMA)

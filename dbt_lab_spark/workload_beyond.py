@@ -3356,6 +3356,49 @@ def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-corpus container round-trip through WebDataset tar
+    shards (the LAION-style layout: {key}.txt + {key}.json members per
+    sample in POSIX-ustar shards, headers spec-written for byte
+    determinism).  Pack documents into 8 shards, unpack map-only,
+    reassemble samples by key (txt payload joined to json metadata via
+    get_json_object), aggregate per source.  The DuckDB oracle
+    recomputes the aggregates straight from documents — equality
+    proves sample grouping, payload bytes, and metadata all survived
+    the container."""
+    from dbt_lab_spark.sources import build_webdataset_shards, read_webdataset
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    members = read_webdataset(build_webdataset_shards(docs, n_shards=8))
+    txt = members.filter(F.col("ext") == "txt").select(
+        "key", F.length("payload").alias("n_bytes")
+    )
+    meta = members.filter(F.col("ext") == "json").select(
+        "key",
+        F.get_json_object(F.col("payload").cast("string"), "$.source").alias("source"),
+    )
+    return (
+        txt.join(meta, "key")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("n_bytes").alias("total_text_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_WEBDATASET = r"""
+SELECT source,
+       COUNT(*) AS n_samples,
+       SUM(strlen(COALESCE(text, ''))) AS total_text_bytes
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3508,6 +3551,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_classifier_train", _q_classifier_train, None, "distributed logreg language filter"),
     QueryDef("q_pagerank", _q_pagerank, _sql_pagerank(), "weighted PageRank on the trade graph"),
     QueryDef("q_bm25", _q_bm25, _sql_bm25(), "Okapi BM25 ranked retrieval top-10"),
+    QueryDef("q_webdataset", _q_webdataset, _SQL_WEBDATASET, "WebDataset tar shard round-trip"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

@@ -325,3 +325,69 @@ def test_warc_shards_deterministic_under_repartition(spark):
         for r in build_warc_shards(docs.repartition(7), 3).collect()
     }
     assert a == b  # doc_id-sorted records make shard bytes stable
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards (POSIX ustar)
+# ---------------------------------------------------------------------------
+
+
+def test_tar_round_trip_and_stdlib_interop():
+    import io
+    import tarfile
+
+    from dbt_lab_spark.sources import tar_bytes, untar_bytes
+
+    members = [
+        ("00000001.txt", b"hello world"),
+        ("00000001.json", b'{"a": 1}'),
+        ("block.bin", bytes(range(256)) * 3),  # exercises 512-padding
+        ("empty.txt", b""),
+    ]
+    blob = tar_bytes(members)
+    assert untar_bytes(blob) == members
+    assert len(blob) % 512 == 0
+    # conforming consumer: stdlib tarfile reads our archive
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()] == members
+    # conforming producer: our parser reads stdlib's ustar output
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        for n, p in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(p)
+            w.addfile(ti, io.BytesIO(p))
+    assert untar_bytes(buf.getvalue()) == members
+    # deterministic bytes (metadata pinned)
+    assert blob == tar_bytes(members)
+
+
+def test_tar_checksum_verified():
+    from dbt_lab_spark.sources import tar_bytes, untar_bytes
+
+    blob = bytearray(tar_bytes([("f.txt", b"data")]))
+    blob[0] ^= 0xFF  # corrupt the name field
+    with pytest.raises(ValueError, match="checksum"):
+        untar_bytes(bytes(blob))
+
+
+def test_webdataset_shards_round_trip(spark):
+    from dbt_lab_spark.sources import build_webdataset_shards, read_webdataset
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", f"s{i % 3}") for i in range(25)],
+        "doc_id long, text string, source string",
+    )
+    shards = build_webdataset_shards(docs, n_shards=4)
+    srows = shards.collect()
+    assert sum(r["n_samples"] for r in srows) == 25
+    members = read_webdataset(shards).collect()
+    assert len(members) == 50  # .txt + .json per sample
+    txt = {r["key"]: bytes(r["payload"]) for r in members if r["ext"] == "txt"}
+    js = {r["key"]: bytes(r["payload"]) for r in members if r["ext"] == "json"}
+    import json as _json
+
+    for i in range(25):
+        key = f"{i:08d}"
+        assert txt[key].decode() == f"text body {i}"
+        assert _json.loads(js[key]) == {"doc_id": i, "source": f"s{i % 3}"}
