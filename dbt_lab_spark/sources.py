@@ -302,10 +302,18 @@ def warc_record_bytes(
     return headers + payload + b"\r\n\r\n"
 
 
-def build_warc_shards(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+def build_warc_shards(
+    docs: DataFrame, n_shards: int = 8, compress: bool = False
+) -> DataFrame:
     """Assemble documents into WARC shard blobs, one per hash bucket —
     the shape a crawler's writer produces (shard files of framed
     records).  Returns (shard_id, n_records, warc binary).
+
+    compress=True emits the REAL CommonCrawl .warc.gz framing: each
+    record is its own gzip member, concatenated — that's what makes
+    web archives splittable (a reader can seek to any member
+    boundary).  mtime is pinned to 0 so shard bytes stay
+    deterministic.
 
     Scale posture: one applyInPandas group per shard; shard count is
     the parallelism knob and each task holds only its shard's bytes.
@@ -322,12 +330,21 @@ def build_warc_shards(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     )
 
     def _assemble(key, pdf):
+        import gzip
+        import io
+
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
         blob = bytearray()
         for uri, text in zip(pdf["uri"], pdf["text"]):
-            blob += warc_record_bytes("response", uri, str(text).encode("utf-8"))
+            rec = warc_record_bytes("response", uri, str(text).encode("utf-8"))
+            if compress:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                rec = buf.getvalue()
+            blob += rec
         return pd.DataFrame(
             {"shard_id": [int(key[0])], "n_records": [len(pdf)], "warc": [bytes(blob)]}
         )
@@ -345,8 +362,10 @@ def parse_warc(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
     """Parse WARC shard blobs back into one row per record — the
     ingestion direction.  Linear scan per blob: read the header block
     up to CRLFCRLF, take Content-Length, slice the payload, skip the
-    record terminator.  Map-only (Arrow batches), no shuffle; malformed
-    trailing bytes fail loudly rather than silently truncating."""
+    record terminator.  Gzip multi-member blobs (.warc.gz, the real
+    CommonCrawl framing — magic 1f 8b) are inflated transparently.
+    Map-only (Arrow batches), no shuffle; malformed trailing bytes
+    fail loudly rather than silently truncating."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -358,6 +377,19 @@ def parse_warc(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
             rows = []
             for blob in pdf[blob_col]:
                 data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    # concatenated gzip members: zlib inflates one
+                    # member at a time; loop over unused_data
+                    import zlib
+
+                    parts, rest = [], data
+                    while rest[:2] == b"\x1f\x8b":
+                        d = zlib.decompressobj(wbits=31)
+                        parts.append(d.decompress(rest))
+                        rest = d.unused_data
+                    if rest:
+                        raise ValueError("trailing garbage after gzip members")
+                    data = b"".join(parts)
                 pos = 0
                 while pos < len(data):
                     if data[pos : pos + 5] != b"WARC/":

@@ -3245,7 +3245,7 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan(spark, cat, "documents", ["doc_id", "text", "source"]).withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     )
-    shards = build_warc_shards(docs, n_shards=8)
+    shards = build_warc_shards(docs, n_shards=8, compress=True)  # real .warc.gz framing
     records = parse_warc(shards)
     return (
         records.withColumn(

@@ -391,3 +391,27 @@ def test_webdataset_shards_round_trip(spark):
         key = f"{i:08d}"
         assert txt[key].decode() == f"text body {i}"
         assert _json.loads(js[key]) == {"doc_id": i, "source": f"s{i % 3}"}
+
+
+def test_warc_gz_multimember_round_trip(spark):
+    """compress=True emits one gzip member per record (the CommonCrawl
+    .warc.gz framing); parse_warc inflates transparently and yields the
+    identical records as the uncompressed path."""
+    from dbt_lab_spark.sources import build_warc_shards, parse_warc
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i} " + "y" * (i % 9), "web") for i in range(23)],
+        "doc_id long, text string, source string",
+    )
+    plain = parse_warc(build_warc_shards(docs, 3)).collect()
+    gz_shards = build_warc_shards(docs, 3, compress=True)
+    gz = parse_warc(gz_shards).collect()
+    key = lambda r: (r["target_uri"], r["content_length"], bytes(r["payload"]))
+    assert sorted(map(key, gz)) == sorted(map(key, plain))
+    # compressed blobs really are multi-member gzip and smaller-framed
+    blob = bytes(gz_shards.collect()[0]["warc"])
+    assert blob[:2] == b"\x1f\x8b"
+    assert blob.count(b"\x1f\x8b\x08") >= 2  # several members
+    # determinism (mtime pinned)
+    blob2 = bytes(build_warc_shards(docs, 3, compress=True).collect()[0]["warc"])
+    assert blob == blob2
