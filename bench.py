@@ -94,6 +94,7 @@ BENCH_NAMES = [
     "q_pagerank",
     "q_bm25",
     "q_webdataset",
+    "q_temperature_mix",
 ]
 
 

@@ -112,3 +112,51 @@ def kfold_assign(
             hash_bucket(key, salt) >= F.lit(hash_threshold(j / k)), 1
         ).otherwise(0)
     return df.withColumn(out_col, fold)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: Column | str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-reweighted source mixing (the T5/PaLM mixture rule):
+    sampling probability per source p_s ∝ n_s^alpha — alpha < 1 lifts
+    rare sources, alpha = 1 is natural proportions — scaled so the
+    expected kept volume is `target_fraction` of the corpus, with
+    per-source keep rate capped at 1 (no upsampling here; pair with
+    mix_epochs for >1 epochs of rare sources).
+
+    Keep decisions are content-deterministic md5 draws against a
+    COMPUTED per-source threshold: the rate column is rendered to the
+    15-hex-char space with format_string('%015x', floor(rate * 16^15))
+    — all JVM expressions, the rate table is a broadcast join, and
+    every step is replicated term-for-term by the DuckDB oracle.
+
+    Returns df filtered, with a `mix_rate` column attached."""
+    key = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(source_col).agg(F.count("*").cast("double").alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_s"), F.lit(alpha))).alias("z"),
+        F.sum("n_s").alias("n"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction)
+            * F.col("n")
+            * F.pow(F.col("n_s"), F.lit(alpha))
+            / F.col("z")
+            / F.col("n_s"),
+        ).alias("mix_rate"),
+    )
+    thresh = F.format_string(
+        "%015x", F.floor(F.col("mix_rate") * F.lit(float(_SPACE))).cast("long")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter((F.col("mix_rate") >= 1.0) | (hash_bucket(key, salt) < thresh))
+    )

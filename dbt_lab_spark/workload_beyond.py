@@ -3399,6 +3399,48 @@ ORDER BY source
 """
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture sampling (alpha=0.5, target half
+    the corpus): per-source md5-deterministic keep decisions against a
+    computed rate threshold, aggregated to per-source kept counts.
+    Full oracle: DuckDB replicates rate computation, hex rendering,
+    and the hash filter term-for-term."""
+    from dbt_lab_spark.llm.sampling import temperature_mix
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source"])
+    kept = temperature_mix(docs, "doc_id", "source", alpha=0.5, target_fraction=0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.first("mix_rate"), 6).alias("mix_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TEMPERATURE_MIX = r"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s FROM documents GROUP BY source
+), z AS (
+  SELECT SUM(power(n_s, 0.5)) AS z, SUM(n_s) AS n FROM c
+), r AS (
+  SELECT source, LEAST(1.0, 0.5 * z.n * power(n_s, 0.5) / z.z / n_s) AS mix_rate
+  FROM c, z
+)
+SELECT d.source,
+       COUNT(*) AS n_kept,
+       ROUND(ANY_VALUE(mix_rate), 6) AS mix_rate
+FROM documents d JOIN r ON r.source = d.source
+WHERE mix_rate >= 1.0
+   OR substring(md5(CAST(doc_id AS VARCHAR) || 'tmix'), 1, 15)
+      < printf('%015x', CAST(floor(mix_rate * 1152921504606846976.0) AS BIGINT))
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3552,6 +3594,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_pagerank", _q_pagerank, _sql_pagerank(), "weighted PageRank on the trade graph"),
     QueryDef("q_bm25", _q_bm25, _sql_bm25(), "Okapi BM25 ranked retrieval top-10"),
     QueryDef("q_webdataset", _q_webdataset, _SQL_WEBDATASET, "WebDataset tar shard round-trip"),
+    QueryDef("q_temperature_mix", _q_temperature_mix, _SQL_TEMPERATURE_MIX, "temperature mixture sampling"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

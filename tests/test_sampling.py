@@ -4,6 +4,7 @@ fails), salt independence, stratified rates, stable splits."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_lab_spark.llm.sampling import (
@@ -104,3 +105,69 @@ def test_kfold_partitions_exactly_and_uniformly(spark, sf_medium):
           kfold_assign(docs.repartition(13), "doc_id", k=k).collect()}
     orig = {r["doc_id"]: r["fold"] for r in folds.collect()}
     assert re == orig
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    import hashlib
+    import math
+
+    from dbt_lab_spark.llm.sampling import temperature_mix
+
+    # 3 sources with very different sizes: alpha<1 lifts the rare one
+    rows = []
+    sizes = {"big": 600, "mid": 150, "rare": 30}
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(docs, "doc_id", "source", alpha=0.5, target_fraction=0.5)
+    got = {
+        r["source"]: (r["n"], r["rate"])
+        for r in kept.groupBy("source")
+        .agg(F.count("*").alias("n"), F.first("mix_rate").alias("rate"))
+        .collect()
+    }
+    # closed-form expected rates
+    z = sum(n**0.5 for n in sizes.values())
+    n_tot = sum(sizes.values())
+    for src, n_s in sizes.items():
+        want_rate = min(1.0, 0.5 * n_tot * (n_s**0.5) / z / n_s)
+        assert got[src][1] == pytest.approx(want_rate, rel=1e-12)
+    # rare sources keep a larger fraction than big ones
+    assert got["rare"][1] > got["mid"][1] > got["big"][1]
+    # python recomputation of the exact md5 keep-set
+    for src, n_s in sizes.items():
+        rate = got[src][1]
+        if rate >= 1.0:
+            want_n = sizes[src]
+        else:
+            thresh = format(int(math.floor(rate * 16**15)), "015x")
+            base = sum(sizes[s] for s in sizes if list(sizes).index(s) < list(sizes).index(src))
+            want_n = sum(
+                1
+                for d in range(base, base + n_s)
+                if hashlib.md5(f"{d}tmix".encode()).hexdigest()[:15] < thresh
+            )
+        assert got[src][0] == want_n
+    # repartition-invariant (content-deterministic, not RNG)
+    again = temperature_mix(
+        docs.repartition(17), "doc_id", "source", alpha=0.5, target_fraction=0.5
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )
+
+
+def test_temperature_mix_alpha_one_is_natural(spark):
+    from dbt_lab_spark.llm.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 400 else "b") for i in range(500)], "doc_id long, source string"
+    )
+    kept = temperature_mix(docs, "doc_id", "source", alpha=1.0, target_fraction=0.3)
+    rates = {r["source"]: r["mix_rate"] for r in kept.select("source", "mix_rate").distinct().collect()}
+    # alpha=1: p_s proportional to n_s -> every source keeps the target fraction
+    assert rates["a"] == pytest.approx(0.3, rel=1e-12)
+    assert rates["b"] == pytest.approx(0.3, rel=1e-12)
