@@ -95,6 +95,7 @@ BENCH_NAMES = [
     "q_bm25",
     "q_webdataset",
     "q_temperature_mix",
+    "q_pca_project",
 ]
 
 

@@ -3441,6 +3441,32 @@ ORDER BY d.source
 """
 
 
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table (fit k=4 in one
+    sufficient-stats pass: per-partition (n, sum, X^T X) partials,
+    d x d driver eigh — nothing driver-side scales with rows), then
+    map-only Arrow projection, aggregated per label.  The mean of each
+    projected component per label exposes the class structure the
+    fitted basis captured.  Rows-only check (eigendecomposition is not
+    SQL-expressible); exactness vs full NumPy PCA pinned in tests/."""
+    from dbt_lab_spark.llm.pca import pca_fit, pca_project
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding", "label"])
+    model = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, model, "embedding", keep_cols=("vec_id", "label"))
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.element_at("proj", 1)), 4).alias("mean_pc1"),
+            F.round(F.avg(F.element_at("proj", 2)), 4).alias("mean_pc2"),
+            F.round(F.stddev(F.element_at("proj", 1)), 4).alias("sd_pc1"),
+        )
+        .orderBy("label")
+    )
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3595,6 +3621,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_bm25", _q_bm25, _sql_bm25(), "Okapi BM25 ranked retrieval top-10"),
     QueryDef("q_webdataset", _q_webdataset, _SQL_WEBDATASET, "WebDataset tar shard round-trip"),
     QueryDef("q_temperature_mix", _q_temperature_mix, _SQL_TEMPERATURE_MIX, "temperature mixture sampling"),
+    QueryDef("q_pca_project", _q_pca_project, None, "distributed PCA fit+project"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
