@@ -246,3 +246,62 @@ def score_logreg(features: DataFrame, weights: DataFrame, bias: float) -> DataFr
     return scored.select(
         "doc_id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + F.lit(bias))))).alias("score")
     )
+
+
+def score_logreg_stream(
+    docs: DataFrame,
+    w,
+    b: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 16,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Map-only scorer for the STREAMING path: one Arrow mapInPandas
+    stage does tokenize -> md5 feature hash -> log1p/L2 transform ->
+    w.x + b -> sigmoid per document, with the dense weight vector
+    broadcast.  The batch path (hash_features + score_logreg) uses a
+    Window for the per-doc norm, which Structured Streaming rejects —
+    this stage is stateless, so the identical expression runs under
+    readStream (online quality gate).  Feature hashing replicates the
+    JVM md5 plane exactly (hashlib.md5 == F.md5), pinned equal to the
+    batch scorer in tests."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    wv = np.asarray(w, dtype=np.float64)
+
+    schema = T.StructType(
+        [docs.schema[id_col], T.StructField("score", T.DoubleType())]
+    )
+
+    def _score(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, scores = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = re.split(r"\s+", str(text).lower().strip())
+                if not toks:
+                    continue
+                grams = list(toks)
+                if bigrams and len(toks) >= 2:
+                    grams += [f"{a} {b_}" for a, b_ in zip(toks, toks[1:])]
+                tf = {}
+                for g in grams:
+                    idx = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_features
+                    tf[idx] = tf.get(idx, 0) + 1
+                ii = np.fromiter(tf.keys(), dtype=np.int64)
+                lv = np.log1p(np.fromiter(tf.values(), dtype=np.float64))
+                vv = lv / np.sqrt((lv * lv).sum())
+                z = float(wv[ii] @ vv) + b
+                ids.append(did)
+                scores.append(1.0 / (1.0 + np.exp(-z)))
+            yield pd.DataFrame({id_col: ids, "score": scores})
+
+    return docs.select(id_col, text_col).mapInPandas(_score, schema)

@@ -130,3 +130,47 @@ def test_empty_training_set_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, idxs array<int>, vals array<double>, label double")
     with pytest.raises(ValueError, match="empty"):
         train_logreg(empty, n_features=16, iters=1)
+
+
+def test_stream_scorer_matches_batch_scorer(spark, tmp_path):
+    """score_logreg_stream (map-only, streaming-safe) must produce the
+    identical scores as the batch hash_features+score_logreg path —
+    both in batch mode and under readStream."""
+    docs = _planted(spark, n=50, seed=21)
+    nf = 1 << 12
+    feats = hash_features(docs, n_features=nf)
+    w, b, _ = train_logreg(prepare_training(feats, docs), n_features=nf, iters=6)
+    from dbt_lab_spark.llm.classifier import score_logreg_stream
+
+    batch = {
+        r["doc_id"]: r["score"]
+        for r in score_logreg(feats, weights_table(spark, w), b).collect()
+    }
+    maponly = {
+        r["doc_id"]: r["score"]
+        for r in score_logreg_stream(docs, w, b, n_features=nf).collect()
+    }
+    assert maponly.keys() == batch.keys()
+    for k in batch:
+        assert maponly[k] == pytest.approx(batch[k], rel=1e-12)
+
+    # the same stage under readStream
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        score_logreg_stream(stream, w, b, n_features=nf)
+        .writeStream.format("memory")
+        .queryName("clf_scores")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["doc_id"]: r["score"]
+            for r in spark.sql("SELECT * FROM clf_scores").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == maponly
