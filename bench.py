@@ -43,6 +43,7 @@ BENCH_NAMES = [
     "q_tpch_q7",
     "q_tpch_q9",
     "q_tpch_q13",
+    "q_tpch_q18",
     "q_tpch_q21",
     "q_window_rank",
     "q_sessionize",

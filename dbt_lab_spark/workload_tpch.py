@@ -586,6 +586,62 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(agg, ["numwait", "s_name"], 20, ascending=[False, True])
 
 
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 300, joined back to customer, top 100 by order
+    value.  The HAVING subquery becomes a shuffled semi-join of
+    lineitem's per-order quantity rollup against orders; quantity
+    aggregates stay DECIMAL-exact until the output boundary."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_quantity"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(300).cast("decimal(18,2)"))
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    orders = scan(
+        spark, cat, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).join(big, F.col("o_orderkey") == F.col("bk"), "left_semi")
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_name"])
+    joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+    out = agg.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        money("o_totalprice").cast("double").alias("o_totalprice"),
+        "sum_qty",
+    )
+    return top_k(
+        out,
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        100,
+        ascending=[False, True, True],
+    )
+
+
+_SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+"""
+
+
 _SQL_TPCH_Q21 = """
 SELECT s_name, COUNT(*) AS numwait
 FROM lineitem l1, orders, supplier, nation
@@ -660,6 +716,7 @@ TPCH_EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_tpch_q13", _q_tpch_q13, _SQL_TPCH_Q13, "Q13 (count distribution)"),
     QueryDef("q_tpch_q15", _q_tpch_q15, _SQL_TPCH_Q15, "Q15 (scalar MAX view)"),
     QueryDef("q_tpch_q16", _q_tpch_q16, _SQL_TPCH_Q16, "Q16 shape (NOT IN + count distinct)"),
+    QueryDef("q_tpch_q18", _q_tpch_q18, _SQL_TPCH_Q18, "TPC-H Q18 (large-volume customers)"),
     QueryDef("q_tpch_q20", _q_tpch_q20, _SQL_TPCH_Q20, "Q20 shape (nested IN chain)"),
     QueryDef("q_tpch_q21", _q_tpch_q21, _SQL_TPCH_Q21, "Q21 shape (EXISTS + NOT EXISTS)"),
     QueryDef("q_tpch_q22", _q_tpch_q22, _SQL_TPCH_Q22, "Q22 shape (scalar AVG + anti-join)"),
