@@ -97,6 +97,7 @@ BENCH_NAMES = [
     "q_webdataset",
     "q_temperature_mix",
     "q_pca_project",
+    "q_normalize_text",
 ]
 
 

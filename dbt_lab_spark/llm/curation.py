@@ -400,3 +400,56 @@ def trigram_lm_score(
         F.round(F.avg("__lnp"), 4).alias("trigram_lm_score"),
         F.count(F.lit(1)).alias("n_trigrams"),
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the cleanup stage every
+    web-text pipeline runs before tokenization/dedup (mojibake-adjacent
+    NFC canonicalization, control-char strip, whitespace collapse):
+
+      1. NFC normalize (UAX #15 canonical composition)
+      2. drop control chars except tab/newline
+      3. collapse runs of spaces/tabs to one space
+      4. trim leading/trailing whitespace
+
+    NFC has no Spark JVM builtin, so the stage is one Arrow mapInPandas
+    (Python at the edge, per the multimodal-decode pattern); steps 2-4
+    are plain regexes replicated term-for-term by the DuckDB oracle
+    (nfc_normalize + regexp_replace), which makes the whole stage
+    oracle-checkable despite the Python hop."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(docs.schema) + [T.StructField(out_col, T.StringType())])
+    ctrl = _re.compile(r"[\x00-\x08\x0B-\x1F\x7F]")
+    runs = _re.compile(r"[ \t]+")
+
+    def _norm(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append(None)
+                    continue
+                s = unicodedata.normalize("NFC", str(t))
+                s = ctrl.sub("", s)
+                s = runs.sub(" ", s)
+                # explicit char set: python str.strip() would also eat
+                # unicode spaces, which SQL trim() does not
+                out.append(s.strip(" \t\n"))
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return docs.mapInPandas(_norm, schema)

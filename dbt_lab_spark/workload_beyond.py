@@ -3467,6 +3467,45 @@ def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization over documents (NFC + control
+    strip + space collapse + trim), aggregated per source: docs
+    changed by cleanup and byte deltas.  Full oracle: DuckDB replays
+    the stage with nfc_normalize + the same regexes."""
+    from dbt_lab_spark.llm.curation import normalize_text
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    normed = normalize_text(docs)
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("text_norm") != F.col("text")).cast("int")).alias("n_changed"),
+            F.sum(F.length(F.col("text"))).alias("chars_in"),
+            F.sum(F.length(F.col("text_norm"))).alias("chars_out"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_NORMALIZE_TEXT = r"""
+WITH n AS (
+  SELECT source, text,
+         trim(regexp_replace(
+            regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+            '[ \t]+', ' ', 'g'), ' ' || chr(9) || chr(10)) AS text_norm
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN text_norm <> text THEN 1 ELSE 0 END) AS n_changed,
+       SUM(length(text)) AS chars_in,
+       SUM(length(text_norm)) AS chars_out
+FROM n GROUP BY source ORDER BY source
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3622,6 +3661,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_webdataset", _q_webdataset, _SQL_WEBDATASET, "WebDataset tar shard round-trip"),
     QueryDef("q_temperature_mix", _q_temperature_mix, _SQL_TEMPERATURE_MIX, "temperature mixture sampling"),
     QueryDef("q_pca_project", _q_pca_project, None, "distributed PCA fit+project"),
+    QueryDef("q_normalize_text", _q_normalize_text, _SQL_NORMALIZE_TEXT, "NFC+whitespace normalization"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

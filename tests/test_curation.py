@@ -276,3 +276,57 @@ def test_trigram_lm_score_hand_computed(spark):
     assert rows[2]["trigram_lm_score"] == expect2
     assert rows[0]["trigram_lm_score"] > rows[2]["trigram_lm_score"]
     assert all(r["n_trigrams"] == 1 for r in rows.values())
+
+
+def test_normalize_text_unicode_pins(spark):
+    """Planted mojibake-adjacent inputs: NFC composition, control
+    strip, whitespace collapse, explicit-set trim — each pinned."""
+    import unicodedata
+
+    from dbt_lab_spark.llm.curation import normalize_text
+
+    decomposed = "Café"  # e + combining acute
+    rows = [
+        (1, decomposed),
+        (2, "a\x00b\x07c"),               # control chars vanish
+        (3, "x \t  y\t\tz"),               # runs collapse to one space
+        (4, "  padded  \t\n"),             # explicit-set trim
+        (5, "keep\nnewlines\nintact"),     # \n survives (not in the run class)
+        (6, None),                          # null passes through
+        (7, " nbsp edges "),     # unicode spaces NOT trimmed (SQL parity)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
+    assert got[1] == unicodedata.normalize("NFC", decomposed) == "Café"
+    assert got[2] == "abc"
+    assert got[3] == "x y z"
+    assert got[4] == "padded"
+    assert got[5] == "keep\nnewlines\nintact"
+    assert got[6] is None
+    assert got[7] == " nbsp edges "
+
+
+def test_normalize_text_matches_duckdb_stage(spark):
+    """The Arrow stage and the oracle SQL produce identical strings on
+    unicode-bearing input (the corpus itself is too clean to prove it)."""
+    import duckdb
+
+    from dbt_lab_spark.llm.curation import normalize_text
+
+    rows = [
+        (1, "Café  con   leche"),
+        (2, "tab\tseparated\x01ctrl"),
+        (3, " Ångström units "),
+        (4, "plain ascii"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(
+            r"""SELECT trim(regexp_replace(regexp_replace(nfc_normalize(?),
+                 '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g'),
+                 ' ' || chr(9) || chr(10))""",
+            [text],
+        ).fetchone()[0]
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
