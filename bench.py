@@ -98,6 +98,7 @@ BENCH_NAMES = [
     "q_temperature_mix",
     "q_pca_project",
     "q_normalize_text",
+    "q_cdc_dedup",
 ]
 
 

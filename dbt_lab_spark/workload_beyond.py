@@ -3506,6 +3506,31 @@ FROM n GROUP BY source ORDER BY source
 """
 
 
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup over document bytes (Gear-CDC,
+    FastCDC family): boundaries from a 64-byte rolling fingerprint
+    (high-bit mask), so shared passages chunk identically across
+    documents regardless of position; dedup is then one hash-aggregate
+    on chunk md5.  avg 64-byte chunks fit the short-document corpus.
+    Rows-only check (rolling-fingerprint boundaries are not
+    SQL-expressible); boundary math and shift-resistance pinned in
+    tests/."""
+    from dbt_lab_spark.llm.cdc import chunk_dedup_stats, chunk_payloads
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"]).select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload")
+    )
+    chunks = chunk_payloads(docs, avg_bits=6, min_size=16, max_size=512)
+    return chunk_dedup_stats(chunks).select(
+        "n_chunks",
+        "n_unique_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.round("dedup_ratio", 4).alias("dedup_ratio"),
+    )
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3662,6 +3687,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_temperature_mix", _q_temperature_mix, _SQL_TEMPERATURE_MIX, "temperature mixture sampling"),
     QueryDef("q_pca_project", _q_pca_project, None, "distributed PCA fit+project"),
     QueryDef("q_normalize_text", _q_normalize_text, _SQL_NORMALIZE_TEXT, "NFC+whitespace normalization"),
+    QueryDef("q_cdc_dedup", _q_cdc_dedup, None, "content-defined chunk dedup (Gear-CDC)"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
