@@ -2089,3 +2089,131 @@ def decode_payload(payload: bytes) -> list[float]:
         "(BMP/PPM/PGM/WAV/PNG/GIF/JPEG/FLAC are decoded natively; "
         "MP3/... need an external codec library)"
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF 6.0 IFDs): ingest-time metadata extraction —
+# orientation, camera make/model, capture time, dimensions — parsed
+# structurally from the TIFF container inside JPEG's APP1 segment.
+# No entropy coding involved; spec-implemented both directions so
+# round-trip pins are exact.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {
+    271: "make", 272: "model", 274: "orientation", 306: "datetime",
+    282: "x_resolution", 283: "y_resolution", 34665: "_exif_ifd",
+    40962: "pixel_width", 40963: "pixel_height", 34855: "iso",
+    33434: "exposure_time", 33437: "f_number",
+}
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _parse_ifd(data: bytes, off: int, endian: str, out: dict) -> None:
+    (count,) = struct.unpack_from(endian + "H", data, off)
+    for i in range(count):
+        e = off + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(endian + "HHI", data, e)
+        name = _EXIF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * n
+        if size <= 4:
+            voff = e + 8
+        else:
+            (voff,) = struct.unpack_from(endian + "I", data, e + 8)
+        if typ == 2:  # ASCII
+            raw = data[voff : voff + n].split(b"\x00")[0]
+            val = raw.decode("ascii", "replace")
+        elif typ == 3:
+            val = struct.unpack_from(endian + "H", data, voff)[0]
+        elif typ == 4:
+            val = struct.unpack_from(endian + "I", data, voff)[0]
+        elif typ in (5, 10):  # (s)rational
+            num, den = struct.unpack_from(endian + ("ii" if typ == 10 else "II"), data, voff)
+            val = (num, den)
+        else:
+            continue
+        if name == "_exif_ifd":
+            _parse_ifd(data, val, endian, out)
+        else:
+            out[name] = val
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Extract EXIF metadata from a JPEG payload.  Walks marker
+    segments to APP1 'Exif\\x00\\x00', then parses the embedded TIFF
+    structure (both byte orders, IFD0 + Exif sub-IFD).  Returns {} for
+    JPEGs without EXIF; raises ValueError on non-JPEG input."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("parse_exif expects a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            order = tiff[:2]
+            endian = "<" if order == b"II" else ">" if order == b"MM" else None
+            if endian is None:
+                raise ValueError("bad EXIF TIFF byte order")
+            magic, ifd0 = struct.unpack_from(endian + "HI", tiff, 2)
+            if magic != 42:
+                raise ValueError("bad EXIF TIFF magic")
+            out: dict = {}
+            _parse_ifd(tiff, ifd0, endian, out)
+            return out
+        if marker == 0xDA:  # entropy data starts: no EXIF ahead
+            break
+        pos += 2 + seglen
+    return {}
+
+
+def build_exif_app1(
+    make: str = "", model: str = "", orientation: int = 1, datetime: str = ""
+) -> bytes:
+    """A minimal, spec-valid APP1 EXIF segment (little-endian TIFF,
+    IFD0 with the core tags) — enough to plant metadata for round-trip
+    pins and asset generation."""
+    # collect (tag, typ, payload_bytes_or_short)
+    ents: list[tuple] = []
+    if make:
+        ents.append((271, 2, make.encode("ascii") + b"\x00"))
+    if model:
+        ents.append((272, 2, model.encode("ascii") + b"\x00"))
+    ents.append((274, 3, orientation))
+    if datetime:
+        ents.append((306, 2, datetime.encode("ascii") + b"\x00"))
+    ents.sort(key=lambda t: t[0])
+
+    n = len(ents)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack("<H", n)
+    heap = bytearray()
+    for tag, typ, val in ents:
+        if typ == 2:
+            if len(val) <= 4:
+                ifd += struct.pack("<HHI4s", tag, 2, len(val), val.ljust(4, b"\x00"))
+            else:
+                ifd += struct.pack("<HHII", tag, 2, len(val), data_off + len(heap))
+                heap += val
+        else:  # SHORT
+            ifd += struct.pack("<HHIHH", tag, 3, 1, val, 0)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    tiff = b"II" + struct.pack("<HI", 42, ifd_off) + ifd + bytes(heap)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def add_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 EXIF segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]

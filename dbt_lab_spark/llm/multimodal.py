@@ -117,6 +117,17 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
                 payload = codecs.encode_jpeg_progressive(px, quality=90)
             else:
                 payload = codecs.encode_jpeg(px, quality=90, subsample=i % 2 == 0)
+                # plant EXIF on the baseline JPEGs (real camera output
+                # carries it; the metadata-extraction stage reads it back)
+                payload = codecs.add_exif(
+                    payload,
+                    codecs.build_exif_app1(
+                        make=f"Maker{i % 3}",
+                        model=f"Cam-{i}",
+                        orientation=1 + i % 8,
+                        datetime=f"2026:08:{1 + i % 28:02d} 10:00:00",
+                    ),
+                )
             rows.append((i, "image", payload, w, h, 0))
         elif kind == 5:
             n_samp = 800 + 16 * (i % 11)
@@ -350,3 +361,53 @@ def audio_spectral_features(
 
     audio = assets.filter(F.col("media_type") == "audio").select("asset_id", "payload")
     return audio.mapInPandas(_spectral, SPECTRAL_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime", T.StringType()),
+    ]
+)
+
+
+def extract_exif(assets: DataFrame) -> DataFrame:
+    """Ingest-time metadata extraction: sniff format, parse the EXIF
+    APP1/TIFF structure out of JPEG payloads (no pixel decode — this
+    reads a few hundred header bytes per asset, the cheap pass a real
+    pipeline runs BEFORE deciding what to decode).  Map-only Arrow
+    batches; non-JPEG and EXIF-less assets yield nulls."""
+
+    def _exif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dbt_lab_spark.llm import codecs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                fmt = codecs.detect_format(data)
+                meta = {}
+                if fmt == "jpeg":
+                    meta = codecs.parse_exif(data)
+                rows.append(
+                    (
+                        int(aid),
+                        fmt,
+                        meta.get("make"),
+                        meta.get("model"),
+                        meta.get("orientation"),
+                        meta.get("datetime"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "format", "make", "model", "orientation", "datetime"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(_exif, EXIF_SCHEMA)

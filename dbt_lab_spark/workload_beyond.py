@@ -3531,6 +3531,29 @@ def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time EXIF metadata extraction over the real asset mix:
+    parse the APP1/TIFF structure out of JPEG payloads (header bytes
+    only, no pixel decode) and aggregate per camera make.  Rows-only
+    check (binary metadata parse is not SQL-expressible); the TIFF/IFD
+    parser and planted-tag round trips are pinned in tests/."""
+    from dbt_lab_spark.llm.multimodal import extract_exif, make_real_assets
+
+    assets = make_real_assets(spark, n=48)
+    meta = extract_exif(assets)
+    return (
+        meta.filter(F.col("make").isNotNull())
+        .groupBy("make")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.count_distinct("model").alias("n_models"),
+            F.min("orientation").alias("min_orient"),
+            F.max("orientation").alias("max_orient"),
+        )
+        .orderBy("make")
+    )
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3688,6 +3711,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_pca_project", _q_pca_project, None, "distributed PCA fit+project"),
     QueryDef("q_normalize_text", _q_normalize_text, _SQL_NORMALIZE_TEXT, "NFC+whitespace normalization"),
     QueryDef("q_cdc_dedup", _q_cdc_dedup, None, "content-defined chunk dedup (Gear-CDC)"),
+    QueryDef("q_exif_meta", _q_exif_meta, None, "EXIF metadata extraction per camera"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

@@ -587,3 +587,69 @@ def test_flac_detect_and_dispatch():
     assert codecs.detect_format(payload) == "flac"
     feat = codecs.decode_payload(payload)
     assert len(feat) == 8 and feat[0] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF IFDs)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_round_trip_and_no_decode_impact():
+    px = np.random.default_rng(2).integers(0, 256, (12, 18, 3), dtype=np.uint8)
+    jpeg = codecs.encode_jpeg(px, quality=90)
+    assert codecs.parse_exif(jpeg) == {}
+    app1 = codecs.build_exif_app1(
+        make="ACME", model="Cam9000 Ultra", orientation=6,
+        datetime="2026:08:14 12:00:00",
+    )
+    tagged = codecs.add_exif(jpeg, app1)
+    meta = codecs.parse_exif(tagged)
+    assert meta == {
+        "make": "ACME",
+        "model": "Cam9000 Ultra",
+        "orientation": 6,
+        "datetime": "2026:08:14 12:00:00",
+    }
+    # pixel decode is unaffected by the extra segment
+    assert np.array_equal(codecs.decode_jpeg(tagged), codecs.decode_jpeg(jpeg))
+    assert codecs.detect_format(tagged) == "jpeg"
+
+
+def test_exif_big_endian_tiff_parses():
+    import struct as _struct
+
+    # hand-build an MM (big-endian) TIFF with orientation=8
+    ifd = _struct.pack(">H", 1)
+    ifd += _struct.pack(">HHIHH", 274, 3, 1, 8, 0)
+    ifd += _struct.pack(">I", 0)
+    tiff = b"MM" + _struct.pack(">HI", 42, 8) + ifd
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _struct.pack(">H", len(body) + 2) + body
+    jpeg = codecs.add_exif(codecs.encode_jpeg(
+        np.zeros((8, 8, 3), dtype=np.uint8), quality=90), app1)
+    assert codecs.parse_exif(jpeg) == {"orientation": 8}
+
+
+def test_exif_rejects_non_jpeg():
+    with pytest.raises(ValueError, match="JPEG"):
+        codecs.parse_exif(b"BMnotajpeg")
+
+
+def test_extract_exif_spark_stage(spark):
+    from dbt_lab_spark.llm.multimodal import extract_exif, make_real_assets
+
+    assets = make_real_assets(spark, n=48)
+    rows = extract_exif(assets).collect()
+    assert len(rows) == 48
+    tagged = [r for r in rows if r["make"] is not None]
+    # baseline JPEGs (kind 4, i%4!=0) carry planted EXIF
+    expect = [i for i in range(48) if i % 7 == 4 and i % 4 != 0]
+    assert sorted(r["asset_id"] for r in tagged) == expect
+    for r in tagged:
+        i = r["asset_id"]
+        assert r["make"] == f"Maker{i % 3}"
+        assert r["model"] == f"Cam-{i}"
+        assert r["orientation"] == 1 + i % 8
+    # non-JPEG assets parse as their formats with null metadata
+    fmts = {r["asset_id"]: r["format"] for r in rows}
+    assert fmts[0] == "bmp" and fmts[6] == "flac"
