@@ -99,6 +99,7 @@ BENCH_NAMES = [
     "q_pca_project",
     "q_normalize_text",
     "q_cdc_dedup",
+    "q_exif_meta",
 ]
 
 
