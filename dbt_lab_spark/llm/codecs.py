@@ -2217,3 +2217,66 @@ def add_exif(jpeg: bytes, app1: bytes) -> bytes:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     return jpeg[:2] + app1 + jpeg[2:]
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 (MP3 tag container): the audio analogue of EXIF.  An MP3's
+# entropy-coded audio stays out of scope here, but its metadata is a
+# plain structural container at the FRONT of the file — so ingest-time
+# tag extraction (title/artist/album) works without any decoder.
+# ---------------------------------------------------------------------------
+
+_ID3_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album", "TDRC": "date",
+               "TYER": "date"}
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def build_id3v2(title: str = "", artist: str = "", album: str = "", date: str = "") -> bytes:
+    """A minimal spec-valid ID3v2.4 tag block (UTF-8 text frames)."""
+    frames = bytearray()
+    for fid, val in (("TIT2", title), ("TPE1", artist), ("TALB", album), ("TDRC", date)):
+        if not val:
+            continue
+        body = b"\x03" + val.encode("utf-8")  # encoding 3 = UTF-8
+        frames += fid.encode("ascii") + _syncsafe(len(body)) + b"\x00\x00" + body
+    return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + bytes(frames)
+
+
+def parse_id3v2(payload: bytes) -> dict:
+    """Extract text frames from an ID3v2.3/2.4 tag at the start of an
+    MP3 payload.  Returns {} when no tag is present; never touches the
+    audio frames that follow."""
+    if payload[:3] != b"ID3":
+        return {}
+    ver = payload[3]
+    size = _unsyncsafe(payload[6:10])
+    data = payload[10 : 10 + size]
+    out: dict = {}
+    pos = 0
+    while pos + 10 <= len(data):
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if ver >= 4:
+            flen = _unsyncsafe(data[pos + 4 : pos + 8])
+        else:
+            (flen,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 10 : pos + 10 + flen]
+        name = _ID3_FRAMES.get(fid.decode("ascii", "replace"))
+        if name and body:
+            enc, text = body[0], body[1:]
+            if enc == 0:
+                out[name] = text.split(b"\x00")[0].decode("latin-1")
+            elif enc == 1:
+                out[name] = text.decode("utf-16", "replace").rstrip("\x00")
+            elif enc == 3:
+                out[name] = text.split(b"\x00")[0].decode("utf-8", "replace")
+        pos += 10 + flen
+    return out

@@ -653,3 +653,36 @@ def test_extract_exif_spark_stage(spark):
     # non-JPEG assets parse as their formats with null metadata
     fmts = {r["asset_id"]: r["format"] for r in rows}
     assert fmts[0] == "bmp" and fmts[6] == "flac"
+
+
+def test_id3v2_round_trip_and_encodings():
+    tag = codecs.build_id3v2(
+        title="Test Träck", artist="The Engineers", album="Spec Work", date="2026"
+    )
+    mp3ish = tag + b"\xff\xfb" + b"\x00" * 64
+    assert codecs.detect_format(mp3ish) == "mp3"
+    assert codecs.parse_id3v2(mp3ish) == {
+        "title": "Test Träck",
+        "artist": "The Engineers",
+        "album": "Spec Work",
+        "date": "2026",
+    }
+    # no tag -> {}; audio bytes never touched
+    assert codecs.parse_id3v2(b"\xff\xfbraw audio") == {}
+    # latin-1 (encoding 0) and ID3v2.3 non-syncsafe frame sizes
+    import struct as _struct
+
+    body = b"\x00Caf\xe9"
+    frame = b"TIT2" + _struct.pack(">I", len(body)) + b"\x00\x00" + body
+    v23 = b"ID3\x03\x00\x00" + codecs._syncsafe(len(frame)) + frame
+    assert codecs.parse_id3v2(v23) == {"title": "Café"}
+
+
+def test_id3v2_ingest_without_decoder(spark):
+    """Tags are readable from payloads whose AUDIO we refuse to decode
+    — metadata extraction never requires the entropy decoder."""
+    tag = codecs.build_id3v2(title="T", artist="A")
+    payload = tag + b"\xff\xfb" + bytes(32)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_payload(payload)
+    assert codecs.parse_id3v2(payload) == {"title": "T", "artist": "A"}
