@@ -464,3 +464,54 @@ def test_tpch_q13_aggregates_orders_below_join(spark, sf_medium):
     agg_m = re.search(r"Aggregate \[o_custkey#\d+L\]", optimized)
     assert join_m and agg_m, optimized
     assert agg_m.start() > join_m.start(), optimized
+
+
+def test_hash_features_token_path_stays_jvm(spark, sf_medium):
+    """The hashing-trick front end must never drop into per-row Python:
+    tokenize/explode/md5/conv are all JVM expressions, so the plan has
+    zero Python eval nodes and exactly one Generate (the explode)."""
+    plan = _plan(spark, sf_medium, "q_hash_features")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert _nodes(plan, "Generate") == 1, plan
+
+
+def test_bm25_broadcasts_stats_and_idf(spark, sf_medium):
+    """Corpus stats (1 row) and idf (|terms| rows) reach the scoring
+    join by broadcast; the token path is JVM-only."""
+    plan = _plan(spark, sf_medium, "q_bm25")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") + _nodes(plan, "BroadcastHashJoin") >= 2, plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_temperature_mix_rate_table_broadcasts(spark, sf_medium):
+    """The computed per-source rate table joins the corpus via
+    broadcast hash join; the keep filter is a narrow expression (no
+    extra exchange between the join and the final aggregate)."""
+    plan = _plan(spark, sf_medium, "q_temperature_mix")
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_tpch_q18_semi_join_below_wide_join(spark, sf_medium):
+    """The >300-quantity rollup reaches orders as a semi-join (never a
+    full join against the rollup), and customer broadcasts."""
+    plan = _plan(spark, sf_medium, "q_tpch_q18")
+    assert "LeftSemi" in plan, plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_pagerank_iteration_plan_is_join_plus_aggregate(spark):
+    """One power iteration = edges-join-ranks + one aggregate exchange;
+    nothing in the loop collects edge-scale data to the driver."""
+    from dbt_lab_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 7) for i in range(7)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iters=2)
+    # the returned frame is the checkpointed final iteration: materialized,
+    # bounded by node count — sanity-check its size and sum
+    rows = ranks.collect()
+    assert len(rows) == 7
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-12
