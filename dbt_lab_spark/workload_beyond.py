@@ -3554,6 +3554,45 @@ def _q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality measurement IN the engine: recall/precision of
+    the literal-plane LSH near-dup pairs against the exact all-pairs
+    baseline — the evaluation a pipeline runs to pick LSH parameters
+    before committing to the approximate path at scale.  Both sides are
+    oracle-expressible, so the metric itself carries a full oracle."""
+    exact = _q_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    lsh = _q_embedding_neardup_lit(spark, sf_dir).select("id_a", "id_b")
+    matched = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_exact"), 4).alias("recall"),
+            F.round(F.col("n_matched") / F.col("n_lsh"), 4).alias("precision"),
+        )
+    )
+
+
+def _sql_lsh_recall() -> str:
+    return f"""
+WITH exact_pairs AS (SELECT id_a, id_b FROM ({_SQL_EMBEDDING_NEARDUP}) t),
+     lsh_pairs AS (SELECT id_a, id_b FROM ({_sql_embedding_neardup_lit()}) t),
+     m AS (SELECT COUNT(*) AS n_matched
+           FROM exact_pairs e SEMI JOIN lsh_pairs l
+                ON e.id_a = l.id_a AND e.id_b = l.id_b),
+     ne AS (SELECT COUNT(*) AS n_exact FROM exact_pairs),
+     nl AS (SELECT COUNT(*) AS n_lsh FROM lsh_pairs)
+SELECT n_exact, n_lsh, n_matched,
+       ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall,
+       ROUND(CAST(n_matched AS DOUBLE) / n_lsh, 4) AS precision
+FROM ne, nl, m
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3712,6 +3751,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_normalize_text", _q_normalize_text, _SQL_NORMALIZE_TEXT, "NFC+whitespace normalization"),
     QueryDef("q_cdc_dedup", _q_cdc_dedup, None, "content-defined chunk dedup (Gear-CDC)"),
     QueryDef("q_exif_meta", _q_exif_meta, None, "EXIF metadata extraction per camera"),
+    QueryDef("q_lsh_recall", _q_lsh_recall, _sql_lsh_recall(), "LSH recall/precision vs exact pairs"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
