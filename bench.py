@@ -100,6 +100,7 @@ BENCH_NAMES = [
     "q_normalize_text",
     "q_cdc_dedup",
     "q_exif_meta",
+    "q_doc_embed",
 ]
 
 

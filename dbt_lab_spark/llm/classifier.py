@@ -305,3 +305,39 @@ def score_logreg_stream(
             yield pd.DataFrame({id_col: ids, "score": scores})
 
     return docs.select(id_col, text_col).mapInPandas(_score, schema)
+
+
+def hashed_doc_embedding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Model-free document embeddings by random indexing: each token's
+    md5 hash supplies `dim` sign bits (+1/-1), summed per document —
+    the classic hashed projection (sparse bag-of-words x random sign
+    matrix) that gives every doc a dense vector with NO trained model,
+    good enough for clustering / near-dup blocking / drift monitoring
+    when no encoder is available.
+
+    All JVM expressions on the md5 oracle plane: one explode, one
+    per-doc aggregate with `dim` integer sums — component values are
+    exact integers, so cross-engine comparison has no float-order
+    hazard.  Returns (doc_id, emb array<double>, n_tokens)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = _md5_int(F.col("tok"))
+    sums = [
+        F.sum(
+            (F.shiftright(h, d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"e{d}")
+        for d in range(dim)
+    ]
+    agg = toks.groupBy("doc_id").agg(*sums, F.count("*").alias("n_tokens"))
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias("emb"),
+        "n_tokens",
+    )

@@ -3593,6 +3593,66 @@ FROM ne, nl, m
 """
 
 
+_DOC_EMBED_DIM = 16
+
+
+def _q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free hashed document embeddings (random indexing: md5
+    sign bits summed per doc) rolled up per source: doc counts, mean
+    L2 norm, and the exact integer sum of the first component.  Full
+    oracle: component sums are integers on the md5 plane, so DuckDB
+    recomputes them bit-for-bit."""
+    from dbt_lab_spark.llm.classifier import hashed_doc_embedding
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    emb = hashed_doc_embedding(docs, dim=_DOC_EMBED_DIM)
+    norm = F.sqrt(
+        F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+            F.sum(F.element_at("emb", 1)).cast("long").alias("sum_e0"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_doc_embed() -> str:
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', m[{i}:{i}]) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    comp = ", ".join(
+        f"SUM(((h // {1 << d}) % 2) * 2 - 1) AS e{d}" for d in range(_DOC_EMBED_DIM)
+    )
+    sq = " + ".join(f"e{d} * e{d}" for d in range(_DOC_EMBED_DIM))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), hx AS (
+  SELECT doc_id, md5(tok) AS m FROM toks
+), hv AS (
+  SELECT doc_id, ({hex_to_int}) AS h FROM hx
+), emb AS (
+  SELECT doc_id, {comp}, COUNT(*) AS n_tokens FROM hv GROUP BY doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(sqrt(CAST({sq} AS DOUBLE))), 4) AS avg_norm,
+       SUM(e0) AS sum_e0,
+       SUM(n_tokens) AS total_tokens
+FROM emb JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3752,6 +3812,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_cdc_dedup", _q_cdc_dedup, None, "content-defined chunk dedup (Gear-CDC)"),
     QueryDef("q_exif_meta", _q_exif_meta, None, "EXIF metadata extraction per camera"),
     QueryDef("q_lsh_recall", _q_lsh_recall, _sql_lsh_recall(), "LSH recall/precision vs exact pairs"),
+    QueryDef("q_doc_embed", _q_doc_embed, _sql_doc_embed(), "hashed random-indexing doc embeddings"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

@@ -174,3 +174,34 @@ def test_stream_scorer_matches_batch_scorer(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == maponly
+
+
+def test_hashed_doc_embedding_pinned(spark):
+    import hashlib
+
+    from dbt_lab_spark.llm.classifier import hashed_doc_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in hashed_doc_embedding(docs, dim=8).collect()}
+
+    def sign_vec(tok, dim=8):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return [((h >> d) & 1) * 2 - 1 for d in range(dim)]
+
+    import numpy as np
+
+    want1 = (
+        2 * np.array(sign_vec("alpha")) + np.array(sign_vec("beta"))
+    ).astype(float)
+    assert got[1]["emb"] == list(want1)
+    assert got[1]["n_tokens"] == 3
+    assert got[2]["emb"] == [float(v) for v in sign_vec("gamma")]
+    # similar docs -> close vectors; disjoint docs -> independent signs
+    sim = spark.createDataFrame(
+        [(1, "x y z w q r s t"), (2, "x y z w q r s t u")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: np.array(r["emb"]) for r in hashed_doc_embedding(sim, dim=16).collect()}
+    assert np.abs(rows[1] - rows[2]).sum() <= 16  # differ by one token's signs
