@@ -101,6 +101,7 @@ BENCH_NAMES = [
     "q_cdc_dedup",
     "q_exif_meta",
     "q_doc_embed",
+    "q_parquet_stats",
 ]
 
 

@@ -576,3 +576,81 @@ def read_webdataset(blobs: DataFrame, blob_col: str = "tar") -> DataFrame:
             yield pd.DataFrame(rows, columns=["shard_id", "key", "ext", "payload"])
 
     return blobs.mapInPandas(_unpack, WDS_SAMPLE_SCHEMA)
+
+
+PARQUET_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("row_group", T.IntegerType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("num_values", T.LongType()),
+        T.StructField("null_count", T.LongType()),
+        T.StructField("min_value", T.StringType()),
+        T.StructField("max_value", T.StringType()),
+    ]
+)
+
+
+def parquet_rowgroup_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet footer introspection as a DataFrame: one row per
+    (file, row group, column) with min/max/null statistics — the ops
+    tool behind 'which row groups would this predicate prune', layout
+    debugging (see write_sorted/write_zordered), and compaction
+    planning.  Footers only: no data pages are read.
+
+    Scale posture: the FILE LISTING is driver-side (metadata-scale);
+    footer parsing fans out one task per file batch via mapInPandas,
+    so a million-file lake parallelizes while each task reads a few KB
+    per footer."""
+    import glob as _glob
+    import os as _os
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    flist = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        st = col.statistics
+                        has = st is not None and st.has_min_max
+                        rows.append(
+                            (
+                                f,
+                                rg,
+                                col.path_in_schema,
+                                rgm.num_rows,
+                                col.num_values,
+                                st.null_count if st else None,
+                                str(st.min) if has else None,
+                                str(st.max) if has else None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "row_group", "column", "num_rows",
+                    "num_values", "null_count", "min_value", "max_value",
+                ],
+            )
+
+    return flist.mapInPandas(_stats, PARQUET_STATS_SCHEMA)

@@ -3653,6 +3653,43 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+_PQ_STATS_COLS = ["l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def _q_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection (sources.parquet_rowgroup_stats):
+    roll the per-row-group min/max/null statistics of lineitem's key
+    columns up to file level.  The oracle recomputes the SAME numbers
+    from the DATA (COUNT/MIN/MAX per column) — equality proves the
+    footers' statistics are faithful, exactly the invariant pruning
+    relies on.  Footers only: the Spark side never reads a data page."""
+    from dbt_lab_spark.sources import parquet_rowgroup_stats
+
+    stats = parquet_rowgroup_stats(spark, f"{sf_dir}/lineitem.parquet")
+    return (
+        stats.filter(F.col("column").isin(_PQ_STATS_COLS))
+        .groupBy("column")
+        .agg(
+            F.sum("num_rows").alias("total_rows"),
+            F.sum("null_count").alias("total_nulls"),
+            F.min(F.col("min_value").cast("long")).alias("min_val"),
+            F.max(F.col("max_value").cast("long")).alias("max_val"),
+        )
+        .orderBy("column")
+    )
+
+
+def _sql_parquet_stats() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS total_rows,
+       COUNT(*) - COUNT({c}) AS total_nulls,
+       CAST(MIN({c}) AS BIGINT) AS min_val, CAST(MAX({c}) AS BIGINT) AS max_val
+FROM lineitem"""
+        for c in _PQ_STATS_COLS
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3813,6 +3850,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_exif_meta", _q_exif_meta, None, "EXIF metadata extraction per camera"),
     QueryDef("q_lsh_recall", _q_lsh_recall, _sql_lsh_recall(), "LSH recall/precision vs exact pairs"),
     QueryDef("q_doc_embed", _q_doc_embed, _sql_doc_embed(), "hashed random-indexing doc embeddings"),
+    QueryDef("q_parquet_stats", _q_parquet_stats, _sql_parquet_stats(), "footer stats vs data invariant"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

@@ -415,3 +415,62 @@ def test_warc_gz_multimember_round_trip(spark):
     # determinism (mtime pinned)
     blob2 = bytes(build_warc_shards(docs, 3, compress=True).collect()[0]["warc"])
     assert blob == blob2
+
+
+def test_parquet_rowgroup_stats_matches_duckdb_metadata(spark, sf_medium, tmp_path):
+    """Footer stats read distributed must equal DuckDB's
+    parquet_metadata() for the same file — and a multi-row-group file
+    yields one row per (row group, column)."""
+    import duckdb
+
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.sources import parquet_rowgroup_stats
+
+    cat = Catalog(sf_medium)
+    # several small row groups so the per-rg fan-out is exercised
+    path = str(tmp_path / "li")
+    scan(spark, cat, "lineitem", ["l_orderkey", "l_quantity"]).coalesce(1).write.option(
+        "parquet.block.size", str(64 * 1024)
+    ).parquet(path)
+    got = parquet_rowgroup_stats(spark, path).filter(F.col("column") == "l_orderkey")
+    rows = {(r["file"], r["row_group"]): r for r in got.collect()}
+    assert len(rows) >= 2  # multiple row groups
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT file_name, row_group_id, num_values, stats_null_count,
+                   stats_min_value, stats_max_value
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = 'l_orderkey'"""
+    ).fetchall()
+    assert len(want) == len(rows)
+    for fname, rg, nv, nulls, mn, mx in want:
+        r = rows[(fname, rg)]
+        assert r["num_values"] == nv
+        assert r["null_count"] == nulls
+        assert int(r["min_value"]) == int(mn)
+        assert int(r["max_value"]) == int(mx)
+
+
+def test_parquet_stats_footer_faithful_to_data(spark, sf_medium):
+    """Footer min/max/null totals equal data aggregates — the invariant
+    row-group pruning relies on (this is q_parquet_stats' oracle)."""
+    from dbt_lab_spark.sources import parquet_rowgroup_stats
+
+    stats = parquet_rowgroup_stats(spark, f"{sf_medium}/orders.parquet")
+    got = {
+        r["column"]: r
+        for r in stats.filter(F.col("column") == "o_orderkey")
+        .groupBy("column")
+        .agg(
+            F.sum("num_rows").alias("rows"),
+            F.min(F.col("min_value").cast("long")).alias("mn"),
+            F.max(F.col("max_value").cast("long")).alias("mx"),
+        )
+        .collect()
+    }
+    orders = Catalog(sf_medium).table(spark, "orders")
+    want = orders.agg(
+        F.count("*"), F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    r = got["o_orderkey"]
+    assert (r["rows"], r["mn"], r["mx"]) == tuple(want)
