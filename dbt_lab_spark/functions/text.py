@@ -270,3 +270,23 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("score"))
     )
+
+
+def cjk_aware_token_count(text: str | Column) -> Column:
+    """Token counting that is not wrong for CJK: Han characters carry
+    no whitespace, so whitespace splitting sees a whole Chinese
+    sentence as one 'token' and every length/quality heuristic built
+    on it misfires.  Standard fix (fastText, CCNet): count each Han
+    character as a token, and whitespace-split only the remainder.
+
+        tokens = #Han chars + #non-empty whitespace tokens of the
+                 text with Han removed
+
+    Pure JVM expressions (regexp_replace / split / filter); the Han
+    class is `\\p{IsHan}` in Java regex and `\\p{Han}` in RE2 — the
+    same character set, so a SQL oracle mirrors this term-for-term."""
+    t = F.lower(F.trim(_c(text)))
+    no_han = F.regexp_replace(t, r"\p{IsHan}", " ")
+    han_count = F.length(t) - F.length(F.regexp_replace(t, r"\p{IsHan}", ""))
+    words = F.size(F.filter(F.split(no_han, r"\s+"), lambda x: x != ""))
+    return (han_count + words).cast("long")

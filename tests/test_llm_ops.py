@@ -587,3 +587,61 @@ def test_bm25_matches_hand_formula(spark):
         for r in bm25_scores(docs.union(extra), ["apple"]).collect()
     }
     assert 9 not in got2
+
+
+def test_cjk_aware_token_count(spark):
+    from dbt_lab_spark.functions.text import cjk_aware_token_count
+
+    rows = [
+        (1, "hello world"),            # 2 plain tokens
+        (2, "中文处理"),                 # 4 Han chars -> 4 tokens
+        (3, "mixed 中文 and 漢字 text"),  # 3 words + 4 Han
+        (4, "日本語のテスト"),            # kana NOT Han: 3 Han (日本語) + 1 word run? 
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", cjk_aware_token_count("text").alias("n")
+        ).collect()
+    }
+    assert got[1] == 2
+    assert got[2] == 4
+    assert got[3] == 7
+    # 日本語 are Han; のテスト is kana/katakana -> one whitespace token
+    assert got[4] == 3 + 1
+    assert got[5] == 0
+    # plain-ASCII text agrees with naive whitespace counting
+    from dbt_lab_spark.functions.text import token_count
+
+    plain = spark.createDataFrame([(1, "a b  c d")], "doc_id long, text string")
+    a, b = plain.select(
+        cjk_aware_token_count("text").alias("a"), token_count("text").alias("b")
+    ).first()
+    assert a == b == 4
+
+
+def test_cjk_token_count_matches_duckdb_re2(spark):
+    """The Java \\p{IsHan} and RE2 \\p{Han} classes agree — pinned on
+    mixed text so a SQL oracle could mirror the expression."""
+    import duckdb
+
+    from dbt_lab_spark.functions.text import cjk_aware_token_count
+
+    texts = ["中文abc漢字 def", "no cjk at all", "汉字 mixed 测试 tokens"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", cjk_aware_token_count("text").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            r"""SELECT length(regexp_extract_all(lower(trim(?)), '\p{Han}'))
+                + len(list_filter(string_split_regex(
+                      regexp_replace(lower(trim(?)), '\p{Han}', ' ', 'g'), '\s+'),
+                      x -> x <> ''))""",
+            [t, t],
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
