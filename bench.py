@@ -102,6 +102,7 @@ BENCH_NAMES = [
     "q_exif_meta",
     "q_doc_embed",
     "q_parquet_stats",
+    "q_ewma",
 ]
 
 

@@ -162,3 +162,45 @@ def stateful_sessionize_event_time(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def ewma_by_key(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+):
+    """Per-key exponentially weighted moving average — the classic
+    RECURSIVE per-key scan (e_t = (1-a)·e_{t-1} + a·x_t, adjust=False)
+    that window functions cannot express directly.  One applyInPandas
+    group per key: rows sort by `order_cols` inside the group and fold
+    sequentially (pandas ewm, vectorized C loop), so state never
+    crosses keys and the shuffle is exactly one partition-by-key.
+
+    Returns (key, last_ewma, n_events).  The closed form
+        e_T = (1-a)^(T-1)·x_1 + a·Σ_{i>1} (1-a)^(T-i)·x_i
+    gives any SQL engine an independent recomputation path (used by
+    the q_ewma oracle)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("last_ewma", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def _fold(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        e = pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame(
+            {key_col: [key[0]], "last_ewma": [float(e.iloc[-1])], "n_events": [len(pdf)]}
+        )
+
+    return df.select(key_col, *order_cols, value_col).groupBy(key_col).applyInPandas(
+        _fold, out_schema
+    )

@@ -3690,6 +3690,46 @@ FROM lineitem"""
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
+_EWMA_ALPHA = 0.5
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.5, adjust=False): the
+    recursive per-key scan window functions can't express, implemented
+    as one applyInPandas fold per user.  The oracle recomputes every
+    user's final EWMA with the closed form
+    e_T = (1-a)^(T-1) x_1 + a * sum_{i>1} (1-a)^(T-i) x_i — a
+    DIFFERENT summation order, so agreement (at 4 decimals) checks the
+    recurrence itself, not just the plumbing.  Ties in ts are broken
+    by event_id on both sides."""
+    from dbt_lab_spark.streaming.stateful import ewma_by_key
+
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_id", "ts", "value"]).filter(
+        F.col("user_id") < 50  # key predicate BELOW the fold: prunes at the scan
+    )
+    out = ewma_by_key(ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA)
+    return out.select(
+        "user_id", F.round("last_ewma", 4).alias("last_ewma"), "n_events"
+    ).orderBy("user_id")
+
+
+_SQL_EWMA = f"""
+WITH ordered AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id < 50
+)
+SELECT user_id,
+       ROUND(SUM(CASE WHEN rn = 1 THEN power(1 - {_EWMA_ALPHA}, n - 1) * value
+                      ELSE {_EWMA_ALPHA} * power(1 - {_EWMA_ALPHA}, n - rn) * value END),
+             4) AS last_ewma,
+       COUNT(*) AS n_events
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3851,6 +3891,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_lsh_recall", _q_lsh_recall, _sql_lsh_recall(), "LSH recall/precision vs exact pairs"),
     QueryDef("q_doc_embed", _q_doc_embed, _sql_doc_embed(), "hashed random-indexing doc embeddings"),
     QueryDef("q_parquet_stats", _q_parquet_stats, _sql_parquet_stats(), "footer stats vs data invariant"),
+    QueryDef("q_ewma", _q_ewma, _SQL_EWMA, "per-user EWMA (recursive scan vs closed form)"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

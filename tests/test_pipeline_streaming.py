@@ -495,3 +495,41 @@ def test_multimodal_real_decode_streaming_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch and len(got) == 16
+
+
+def test_ewma_by_key_hand_computed_and_ties(spark):
+    from dbt_lab_spark.streaming.stateful import ewma_by_key
+
+    # hand recursion, alpha=0.5, adjust=False: e=[10, 7, 5.5, 4.75]
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 4, 4, 4])]
+    df = spark.createDataFrame(rows, "k long, o long, value double")
+    out = ewma_by_key(df, "k", ["o"], "value", alpha=0.5).first()
+    assert out["last_ewma"] == pytest.approx(4.75)
+    assert out["n_events"] == 4
+
+    # tie-broken ordering is deterministic: same ts, event_id decides
+    tied = spark.createDataFrame(
+        [(1, 0, 7, 100.0), (1, 0, 3, 0.0)], "k long, ts long, eid long, value double"
+    )
+    a = ewma_by_key(tied, "k", ["ts", "eid"], "value").first()["last_ewma"]
+    b = ewma_by_key(tied.repartition(5), "k", ["ts", "eid"], "value").first()["last_ewma"]
+    # eid 3 first (0.0), then eid 7 (100.0): e = 0.5*0 + 0.5*100 = 50
+    assert a == b == pytest.approx(50.0)
+
+
+def test_ewma_matches_closed_form_long_series(spark):
+    import numpy as np
+
+    from dbt_lab_spark.streaming.stateful import ewma_by_key
+
+    rng = np.random.default_rng(8)
+    vals = rng.normal(100, 20, 500)
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)], "k long, o long, value double"
+    )
+    got = ewma_by_key(df, "k", ["o"], "value", alpha=0.3).first()["last_ewma"]
+    a, n = 0.3, len(vals)
+    closed = (1 - a) ** (n - 1) * vals[0] + a * sum(
+        (1 - a) ** (n - 1 - i) * vals[i] for i in range(1, n)
+    )
+    assert got == pytest.approx(closed, rel=1e-9)
