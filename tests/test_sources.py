@@ -474,3 +474,31 @@ def test_parquet_stats_footer_faithful_to_data(spark, sf_medium):
     ).first()
     r = got["o_orderkey"]
     assert (r["rows"], r["mn"], r["mx"]) == tuple(want)
+
+
+def test_warc_files_ingest_via_binaryfile(spark, tmp_path):
+    """End-to-end file-layout ingestion: shard blobs written as
+    .warc.gz FILES, listed+loaded by Spark's binaryFile source, parsed
+    by parse_warc — the exact CommonCrawl-on-disk path."""
+    from dbt_lab_spark.sources import build_warc_shards, parse_warc
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}", "web") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    shards = build_warc_shards(docs, n_shards=3, compress=True).collect()
+    for r in shards:
+        (tmp_path / f"shard-{r['shard_id']:03d}.warc.gz").write_bytes(bytes(r["warc"]))
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(str(tmp_path))
+        .select(F.col("content").alias("warc"))
+    )
+    records = parse_warc(blobs).collect()
+    assert len(records) == 30
+    assert sorted(bytes(r["payload"]).decode() for r in records) == sorted(
+        f"payload {i}" for i in range(30)
+    )
+    assert all(r["record_type"] == "response" for r in records)
