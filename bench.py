@@ -103,6 +103,7 @@ BENCH_NAMES = [
     "q_doc_embed",
     "q_parquet_stats",
     "q_ewma",
+    "q_pq_ann",
 ]
 
 

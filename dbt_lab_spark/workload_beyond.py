@@ -3730,6 +3730,29 @@ FROM ordered GROUP BY user_id ORDER BY user_id
 """
 
 
+def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (the FAISS IVF-PQ shape):
+    train (m=8, ks=32) codebooks by sufficient-stats k-means, encode
+    the corpus to 8 small codes per vector, ADC-score with broadcast
+    distance tables (m table lookups per row — no float vectors read),
+    take a 50-shortlist, refine with exact cosine to top-10.
+    Rows-only check (k-means training is iterative); ADC's table-sum
+    identity and recall >= 0.8 vs brute force are pinned in tests/."""
+    from dbt_lab_spark.llm.pq import pq_adc_knn, pq_encode, pq_refine, pq_train
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cb = pq_train(corpus, m=8, ks=32, iters=6)
+    codes = pq_encode(corpus, cb)
+    shortlist = pq_adc_knn(codes, queries, cb, k=50)
+    top = pq_refine(shortlist, corpus, queries, k=10)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3892,6 +3915,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_doc_embed", _q_doc_embed, _sql_doc_embed(), "hashed random-indexing doc embeddings"),
     QueryDef("q_parquet_stats", _q_parquet_stats, _sql_parquet_stats(), "footer stats vs data invariant"),
     QueryDef("q_ewma", _q_ewma, _SQL_EWMA, "per-user EWMA (recursive scan vs closed form)"),
+    QueryDef("q_pq_ann", _q_pq_ann, None, "product-quantization ANN + exact refine"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),
