@@ -104,6 +104,7 @@ BENCH_NAMES = [
     "q_parquet_stats",
     "q_ewma",
     "q_pq_ann",
+    "q_compress_ratio",
 ]
 
 

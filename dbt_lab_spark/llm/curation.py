@@ -453,3 +453,41 @@ def normalize_text(
             yield pdf
 
     return docs.mapInPandas(_norm, schema)
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compress_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Gzip-compressibility quality signal (the Dolma/RefinedWeb
+    heuristic): repetitive or templated text compresses far below
+    natural prose, so ratio = deflate(text)/raw flags boilerplate,
+    keyboard-mash and scraped navigation chrome that n-gram filters
+    miss.  One stateless Arrow stage (zlib is C-speed per batch);
+    deterministic for a fixed zlib level.  Empty/null text gets ratio
+    1.0 (nothing to judge)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(docs.schema) + [T.StructField(out_col, T.DoubleType())])
+
+    def _ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for t in pdf[text_col]:
+                if t is None or not str(t):
+                    out.append(1.0)
+                    continue
+                raw = str(t).encode("utf-8")
+                comp = zlib.compress(raw, level)
+                out.append(len(comp) / len(raw))
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return docs.mapInPandas(_ratio, schema)

@@ -3753,6 +3753,28 @@ def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressibility quality scan (the Dolma/RefinedWeb
+    heuristic): per-source mean deflate ratio plus the count under the
+    0.3 boilerplate threshold.  One stateless Arrow stage (zlib level
+    6, deterministic) + one aggregate.  Rows-only check (SQL has no
+    deflate); the ratio is pinned byte-exact against zlib in tests/."""
+    from dbt_lab_spark.llm.curation import compression_ratio
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "source"])
+    scored = compression_ratio(docs)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("compress_ratio"), 4).alias("avg_ratio"),
+            F.sum((F.col("compress_ratio") < 0.3).cast("int")).alias("n_boilerplate"),
+        )
+        .orderBy("source")
+    )
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3916,6 +3938,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_parquet_stats", _q_parquet_stats, _sql_parquet_stats(), "footer stats vs data invariant"),
     QueryDef("q_ewma", _q_ewma, _SQL_EWMA, "per-user EWMA (recursive scan vs closed form)"),
     QueryDef("q_pq_ann", _q_pq_ann, None, "product-quantization ANN + exact refine"),
+    QueryDef("q_compress_ratio", _q_compress_ratio, None, "gzip-compressibility quality scan"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

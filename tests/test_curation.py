@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_lab_spark.llm.curation import (
@@ -330,3 +331,31 @@ def test_normalize_text_matches_duckdb_stage(spark):
             [text],
         ).fetchone()[0]
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    import zlib
+
+    from dbt_lab_spark.llm.curation import compression_ratio
+
+    import random
+
+    rng = random.Random(4)
+    natural = " ".join(
+        rng.choice(["scan", "join", "filter", "merge", "batch", "vector", "agg"])
+        for _ in range(200)
+    )
+    boiler = "click here to subscribe " * 50
+    noise = "".join(rng.choice("0123456789abcdef") for _ in range(800))
+    rows = [(1, natural), (2, boiler), (3, noise), (4, ""), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compress_ratio"] for r in compression_ratio(docs).collect()}
+    # boilerplate compresses dramatically; hex noise barely
+    assert got[2] < 0.1
+    assert got[3] > 0.5
+    assert got[2] < got[1] < got[3]
+    # exact pin: the stage is plain zlib level 6
+    want = len(zlib.compress(natural.encode(), 6)) / len(natural.encode())
+    assert got[1] == pytest.approx(want)
+    # degenerate inputs
+    assert got[4] == 1.0 and got[5] == 1.0
