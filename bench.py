@@ -105,6 +105,7 @@ BENCH_NAMES = [
     "q_ewma",
     "q_pq_ann",
     "q_compress_ratio",
+    "q_neg_sample",
 ]
 
 

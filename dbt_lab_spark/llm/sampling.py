@@ -160,3 +160,43 @@ def temperature_mix(
         df.join(F.broadcast(rates), source_col)
         .filter((F.col("mix_rate") >= 1.0) | (hash_bucket(key, salt) < thresh))
     )
+
+
+def contrastive_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    anchor_id: str = "anchor_id",
+    corpus_id: str = "vec_id",
+    exclude: DataFrame | None = None,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each anchor, the k corpus items with the smallest
+    md5(anchor || '|' || item || salt) draw, minus anchor itself and
+    any (anchor, positive) pairs in `exclude` — the hard requirement
+    is REPRODUCIBILITY (same negatives every epoch build, stable as
+    the corpus grows at the margins), which RNG sampling cannot give.
+
+    Plan: broadcast the anchor list over the corpus (|anchors| is the
+    small training-batch side), one window top-k per anchor on the
+    hash draw.  Returns (anchor_id, negative_id, neg_rank).  The draw
+    is the same 15-hex md5 plane as every sampler here, so a SQL
+    oracle replays it term-for-term."""
+    from pyspark.sql.window import Window
+
+    a = anchors.select(F.col(anchor_id).alias("anchor_id"))
+    c = corpus.select(F.col(corpus_id).alias("negative_id"))
+    cand = c.crossJoin(F.broadcast(a)).filter(F.col("anchor_id") != F.col("negative_id"))
+    if exclude is not None:
+        cand = cand.join(exclude, ["anchor_id", "negative_id"], "left_anti")
+    draw = hash_bucket(
+        F.concat_ws("|", F.col("anchor_id").cast("string"), F.col("negative_id").cast("string")),
+        salt,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(draw.asc(), F.col("negative_id").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "negative_id", "neg_rank")
+    )

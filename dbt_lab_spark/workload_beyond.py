@@ -3775,6 +3775,54 @@ def _q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair construction: 4 deterministic hash-ranked
+    negatives per anchor (vec_id < 5), excluding the anchor itself and
+    its exact cosine>=0.4 near-duplicates — the reproducible
+    negative-sampling step of an embedding-training data build.
+    Full oracle: the md5 draw, exclusion, and ranking replay in SQL."""
+    from dbt_lab_spark.llm.sampling import contrastive_negatives
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    anchors = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("anchor_id"))
+    pairs = _q_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    exclude = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("negative_id")
+    ).union(
+        pairs.select(F.col("id_b").alias("anchor_id"), F.col("id_a").alias("negative_id"))
+    )
+    return contrastive_negatives(anchors, emb, k=4, exclude=exclude).orderBy(
+        "anchor_id", "neg_rank"
+    )
+
+
+def _sql_neg_sample() -> str:
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({_SQL_EMBEDDING_NEARDUP}) t),
+excl AS (
+  SELECT id_a AS anchor_id, id_b AS negative_id FROM pairs
+  UNION ALL
+  SELECT id_b AS anchor_id, id_a AS negative_id FROM pairs
+), cand AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+         substring(md5(CAST(a.vec_id AS VARCHAR) || '|' ||
+                       CAST(c.vec_id AS VARCHAR) || 'neg'), 1, 15) AS draw
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) a
+  CROSS JOIN embeddings c
+  WHERE a.vec_id <> c.vec_id
+    AND NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.anchor_id = a.vec_id AND e.negative_id = c.vec_id)
+), ranked AS (
+  SELECT anchor_id, negative_id,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY draw, negative_id) AS neg_rank
+  FROM cand
+)
+SELECT anchor_id, negative_id, neg_rank FROM ranked WHERE neg_rank <= 4
+ORDER BY anchor_id, neg_rank
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3939,6 +3987,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_ewma", _q_ewma, _SQL_EWMA, "per-user EWMA (recursive scan vs closed form)"),
     QueryDef("q_pq_ann", _q_pq_ann, None, "product-quantization ANN + exact refine"),
     QueryDef("q_compress_ratio", _q_compress_ratio, None, "gzip-compressibility quality scan"),
+    QueryDef("q_neg_sample", _q_neg_sample, _sql_neg_sample(), "deterministic contrastive negatives"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

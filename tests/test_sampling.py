@@ -171,3 +171,35 @@ def test_temperature_mix_alpha_one_is_natural(spark):
     # alpha=1: p_s proportional to n_s -> every source keeps the target fraction
     assert rates["a"] == pytest.approx(0.3, rel=1e-12)
     assert rates["b"] == pytest.approx(0.3, rel=1e-12)
+
+
+def test_contrastive_negatives_deterministic_and_excluding(spark):
+    import hashlib
+
+    from dbt_lab_spark.llm.sampling import contrastive_negatives
+
+    anchors = spark.createDataFrame([(1,), (2,)], "anchor_id long")
+    corpus = spark.createDataFrame([(i,) for i in range(1, 30)], "vec_id long")
+    exclude = spark.createDataFrame([(1, 7), (2, 9)], "anchor_id long, negative_id long")
+    out = contrastive_negatives(anchors, corpus, k=5, exclude=exclude).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r["negative_id"])
+    assert set(by_anchor) == {1, 2}
+    assert all(len(v) == 5 for v in by_anchor.values())
+    assert 7 not in by_anchor[1] and 9 not in by_anchor[2]
+    assert 1 not in by_anchor[1] and 2 not in by_anchor[2]
+    # python replay of the md5 ranking
+    for a in (1, 2):
+        banned = {a, {1: 7, 2: 9}[a]}
+        draws = sorted(
+            (hashlib.md5(f"{a}|{c}neg".encode()).hexdigest()[:15], c)
+            for c in range(1, 30)
+            if c not in banned
+        )
+        assert by_anchor[a] == [c for _, c in draws[:5]]
+    # repartition-invariant
+    again = contrastive_negatives(
+        anchors, corpus.repartition(7), k=5, exclude=exclude
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
