@@ -284,3 +284,92 @@ def pq_refine(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full FAISS IVF-PQ read path: route each query to its
+    `nprobe` nearest coarse centroids, ADC-score ONLY the rows in
+    those inverted lists (a semi-join on cluster id — at scale this is
+    the partition-pruning step), then exact-refine the shortlist.
+
+    Composition of the existing primitives: similarity.ivf_assign for
+    the inverted file, pq_encode for codes, broadcast ADC tables for
+    scoring, pq_refine for the exact top-k.  Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    from dbt_lab_spark.llm.similarity import ivf_assign
+
+    m = codebooks.shape[0]
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(corpus, cents.tolist(), vec_col, id_col).select(
+        F.col("neighbor_id").alias("vec_id"), "cluster"
+    )
+    codes = pq_encode(corpus, codebooks, vec_col, id_col).join(assigned, "vec_id")
+
+    qrows = [
+        (int(r[query_id_col]), np.asarray(r[vec_col], dtype=np.float64))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    tables = adc_tables(qrows, codebooks)
+    probes = []
+    for qid, qv in qrows:
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        top = np.argsort(-(qn @ cents.T))[:nprobe]
+        probes += [(qid, int(c)) for c in top]
+    probe_df = codes.sparkSession.createDataFrame(probes, "query_id long, cluster int")
+
+    cand = codes.join(F.broadcast(probe_df), "cluster")
+    sc = codes.sparkSession.sparkContext
+    bt = sc.broadcast(tables)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx_d2", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        tabs = bt.value
+        srange = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("query_id"):
+                c = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                d2 = tabs[int(qid)][srange[None, :], c].sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            "neighbor_id": grp["vec_id"].to_numpy(),
+                            "approx_d2": d2,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = cand.select("query_id", "vec_id", "codes").mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return pq_refine(short, corpus, queries, k, vec_col, id_col, query_id_col)

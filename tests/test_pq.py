@@ -90,3 +90,33 @@ def test_pq_rejects_bad_dims(spark):
     df = _corpus(spark, n=20, d=10)
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, m=4)
+
+
+def test_ivfpq_pipeline_recall_and_pruning(spark):
+    """The composed IVF-PQ read path: probe-all equals plain PQ+refine
+    (pruning off), and nprobe pruning keeps recall while scoring only
+    the probed lists."""
+    from dbt_lab_spark.llm.pq import ivfpq_knn
+    from dbt_lab_spark.llm.similarity import ivf_centroids
+
+    df = _corpus(spark, n=500, d=16, seed=21)
+    queries = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = df.filter(F.col("vec_id") >= 5)
+    C = 8
+    cents = ivf_centroids(corpus, num_centroids=C, iters=4, dim=16)
+    cb = pq_train(corpus, m=4, ks=32, iters=5)
+
+    exact = brute_force_knn(corpus, queries, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    # probe-all == PQ shortlist+refine with no pruning
+    all_probes = ivfpq_knn(corpus, queries, cents, cb, k=10, nprobe=C)
+    codes = pq_encode(corpus, cb)
+    plain = pq_refine(pq_adc_knn(codes, queries, cb, k=50), corpus, queries, k=10)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, all_probes.collect())) == sorted(map(key, plain.collect()))
+
+    # pruned probes still recall most true neighbors
+    pruned = ivfpq_knn(corpus, queries, cents, cb, k=10, nprobe=4)
+    p = {(r["query_id"], r["neighbor_id"]) for r in pruned.collect()}
+    assert len(p & e) / len(e) >= 0.5
