@@ -654,3 +654,63 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return flist.mapInPandas(_stats, PARQUET_STATS_SCHEMA)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time — the normal life of a
+    long-lived corpus): mergeSchema unions the per-file footers, and
+    files missing a newer column surface NULLs for it.  Spark's
+    default reads ONE footer, silently dropping late columns — this
+    wrapper exists so ingestion code never depends on file listing
+    order."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def zip_bytes(members: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic ZIP archive (stdlib zipfile, STORED — container
+    framing is the point here, codecs live in llm/codecs.py; the
+    timestamp is pinned so archives are byte-stable)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as z:
+        for name, payload in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(info, payload)
+    return buf.getvalue()
+
+
+def unzip_bytes(blob: bytes) -> list[tuple[str, bytes]]:
+    """Parse a ZIP archive blob (any producer; DEFLATE members inflate
+    via stdlib).  CRC mismatches raise — corrupt members never pass
+    silently."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        return [(i.filename, z.read(i.filename)) for i in z.infolist()]
+
+
+def read_zip_shards(blobs: DataFrame, blob_col: str = "zip") -> DataFrame:
+    """Unpack ZIP shard blobs into one row per member — same sample
+    contract as read_webdataset ({key}.{ext} grouping downstream), for
+    datasets that ship zipped (Kaggle exports, scraped dumps)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_cols = ["shard_id", "key", "ext", "payload"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for shard_id, blob in zip(pdf["shard_id"], pdf[blob_col]):
+                for name, payload in unzip_bytes(bytes(blob)):
+                    base, _, ext = name.rpartition(".")
+                    rows.append((int(shard_id), base, ext, payload))
+            yield pd.DataFrame(rows, columns=rows_cols)
+
+    return blobs.mapInPandas(_unpack, WDS_SAMPLE_SCHEMA)

@@ -502,3 +502,41 @@ def test_warc_files_ingest_via_binaryfile(spark, tmp_path):
         f"payload {i}" for i in range(30)
     )
     assert all(r["record_type"] == "response" for r in records)
+
+
+def test_read_parquet_evolved_merges_late_columns(spark, tmp_path):
+    from dbt_lab_spark.sources import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v1 string, v2 double"
+    ).write.mode("append").parquet(path)
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
+
+
+def test_zip_shards_round_trip_and_corruption(spark):
+    import zipfile
+
+    from dbt_lab_spark.sources import read_zip_shards, unzip_bytes, zip_bytes
+
+    members = [("00000001.txt", b"hello"), ("00000001.json", b"{}"), ("x.bin", bytes(300))]
+    blob = zip_bytes(members)
+    assert unzip_bytes(blob) == members
+    assert blob == zip_bytes(members)  # byte-deterministic
+    blobs = spark.createDataFrame([(0, blob)], "shard_id int, zip binary")
+    rows = read_zip_shards(blobs).collect()
+    assert sorted((r["key"], r["ext"]) for r in rows) == [
+        ("00000001", "json"), ("00000001", "txt"), ("x", "bin"),
+    ]
+    # CRC catches member corruption
+    bad = bytearray(blob)
+    bad[blob.index(b"hello")] ^= 0xFF
+    blobs_bad = spark.createDataFrame([(0, bytes(bad))], "shard_id int, zip binary")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CRC|Bad"):
+        read_zip_shards(blobs_bad).collect()
