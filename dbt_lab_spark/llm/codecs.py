@@ -193,14 +193,18 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             audio_fmt, nchan, sample_rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if audio_fmt != 1:
-                raise NotImplementedError(f"non-PCM WAV (format {audio_fmt}) not supported")
+            if audio_fmt not in (1, 6, 7):
+                raise NotImplementedError(f"WAV format {audio_fmt} not supported (PCM/A-law/u-law)")
         elif cid == b"data":
             data = body
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits == 16:
+    if audio_fmt == 7:  # G.711 u-law (8 kHz telephony: Fisher/Switchboard)
+        arr = _ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    elif audio_fmt == 6:  # G.711 A-law
+        arr = _alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2")
     elif bits == 8:
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
@@ -2280,3 +2284,76 @@ def parse_id3v2(payload: bytes) -> dict:
                 out[name] = text.split(b"\x00")[0].decode("utf-8", "replace")
         pos += 10 + flen
     return out
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (u-law / A-law): the telephony codec 8 kHz speech
+# corpora actually use.  Pure formula per the ITU-T G.711 spec — no
+# tables to transcribe, so encode/decode are exact inverses of the
+# standard segment/mantissa bit layout.
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """u-law byte -> linear int16 (G.711: BIAS 0x84, 8 segments)."""
+    u = ~u.astype(np.uint8)
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    out = np.where(sign != 0, -mag, mag)
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
+def _ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """Linear int16 -> u-law byte (inverse of _ulaw_decode)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """A-law byte -> linear int16 (G.711 segment layout; even bits
+    toggled with 0x55, sign bit SET means positive)."""
+    a = (a.astype(np.uint8) ^ 0x55).astype(np.int32)
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    out = np.where((a & 0x80) != 0, t, -t)
+    return out.astype(np.int16)
+
+
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """Linear int16 -> A-law byte (inverse of _alaw_decode; operates on
+    the 13-bit domain like the reference implementation)."""
+    pcm = x.astype(np.int32) >> 3
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm < 0, -pcm - 1, pcm)
+    seg = (pcm[:, None] > _ALAW_SEG_END[None, :]).sum(axis=1)
+    mant = np.where(seg < 2, (pcm >> 1) & 0x0F, (pcm >> np.minimum(seg, 7)) & 0x0F)
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | mant)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000, law: str = "u") -> bytes:
+    """Encode int16 samples as a G.711 WAV (format 7 u-law / 6 A-law),
+    the container telephony corpora arrive in."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_g711 expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nchan = samples.shape
+    flat = samples.reshape(-1)
+    data = (_ulaw_encode(flat) if law == "u" else _alaw_encode(flat)).tobytes()
+    fmt_code = 7 if law == "u" else 6
+    fmt = struct.pack("<HHIIHH", fmt_code, nchan, sample_rate, sample_rate * nchan, nchan, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -686,3 +686,56 @@ def test_id3v2_ingest_without_decoder(spark):
     with pytest.raises(NotImplementedError):
         codecs.decode_payload(payload)
     assert codecs.parse_id3v2(payload) == {"title": "T", "artist": "A"}
+
+
+# ---------------------------------------------------------------------------
+# G.711 u-law / A-law (telephony WAV)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_all_codes_stable():
+    """decode(code) -> encode gives the code back for EVERY byte value
+    (A-law exactly; u-law has the standard two-zero-codes exception)."""
+    codes = np.arange(256, dtype=np.uint8)
+    assert (codecs._alaw_encode(codecs._alaw_decode(codes)) == codes).sum() == 256
+    stable = (codecs._ulaw_encode(codecs._ulaw_decode(codes)) == codes).sum()
+    assert stable >= 255  # +0/-0 collapse
+
+
+def test_g711_quantization_error_bounded():
+    x = np.linspace(-32000, 32000, 4001).astype(np.int16)
+    for enc, dec, bound in (
+        (codecs._ulaw_encode, codecs._ulaw_decode, 0.07),
+        (codecs._alaw_encode, codecs._alaw_decode, 0.04),
+    ):
+        err = np.abs(dec(enc(x)).astype(np.int32) - x.astype(np.int32))
+        rel = err / np.maximum(np.abs(x.astype(np.int32)), 256)
+        assert rel.max() <= bound
+
+
+def test_g711_wav_round_trip_and_dispatch():
+    t = np.arange(4000)
+    s = (8000 * np.sin(t / 17)).astype(np.int16)
+    for law in ("u", "a"):
+        payload = codecs.encode_wav_g711(s, 8000, law=law)
+        assert codecs.detect_format(payload) == "wav"
+        rate, out = codecs.decode_wav(payload)
+        assert rate == 8000 and out.shape == (4000, 1)
+        # companded round trip: within the law's quantization bound
+        err = np.abs(out[:, 0].astype(np.int32) - s.astype(np.int32))
+        rel = err / np.maximum(np.abs(s.astype(np.int32)), 256)
+        assert rel.max() < 0.07
+        # features flow through decode_payload unchanged
+        feat = codecs.decode_payload(payload)
+        assert len(feat) == 8
+
+
+def test_wav_unknown_format_still_rejected():
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(NotImplementedError, match="format 2"):
+        codecs.decode_wav(payload)
