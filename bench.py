@@ -106,6 +106,7 @@ BENCH_NAMES = [
     "q_pq_ann",
     "q_compress_ratio",
     "q_neg_sample",
+    "q_mjpeg_frames",
 ]
 
 

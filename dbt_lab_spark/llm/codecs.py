@@ -2357,3 +2357,43 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000, law: str = "u"
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# MJPEG (concatenated JPEG frames): the simplest REAL video stream —
+# webcams/IP cameras emit exactly this.  Frame boundaries are the
+# unambiguous SOI/EOI marker pairs (inside entropy data every 0xFF is
+# stuffed with 0x00 or an RST code, so 0xFFD9 only terminates a
+# frame).  Known limit: an embedded EXIF *thumbnail* would carry its
+# own EOI — frames built by this module's encoder never do.
+# ---------------------------------------------------------------------------
+
+
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 90) -> bytes:
+    """Concatenate per-frame baseline JPEGs into an MJPEG stream."""
+    return b"".join(encode_jpeg(f, quality=quality) for f in frames)
+
+
+def split_mjpeg(payload: bytes) -> list[bytes]:
+    """Split an MJPEG stream into its JPEG frame payloads."""
+    frames = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        soi = payload.find(b"\xff\xd8\xff", pos)
+        if soi < 0:
+            break
+        eoi = payload.find(b"\xff\xd9", soi + 3)
+        if eoi < 0:
+            raise ValueError(f"MJPEG frame at {soi} missing EOI")
+        frames.append(payload[soi : eoi + 2])
+        pos = eoi + 2
+    if not frames:
+        raise ValueError("no JPEG frames in MJPEG payload")
+    return frames
+
+
+def decode_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """Decode every n-th frame of an MJPEG stream (frame sampling
+    without decoding the skipped frames — the point of the format)."""
+    return [decode_jpeg(f) for f in split_mjpeg(payload)[::every_n]]

@@ -411,3 +411,60 @@ def extract_exif(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(_exif, EXIF_SCHEMA)
+
+
+def make_video_assets(spark, n: int = 12, seed: int = 42) -> DataFrame:
+    """Deterministic MJPEG 'video' asset table: each payload is a real
+    concatenated-JPEG stream (4-9 frames, varying sizes)."""
+    import numpy as np
+
+    from dbt_lab_spark.llm import codecs
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        n_frames = 4 + i % 6
+        w, h = 16 + i % 5, 12 + i % 4
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        payload = codecs.encode_mjpeg(frames, quality=90)
+        rows.append((i, "video", payload, w, h, n_frames * 40))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: split each MJPEG payload at its
+    SOI/EOI boundaries, decode only every n-th frame, featurize — the
+    skipped frames are never entropy-decoded, which is the whole
+    economics of frame sampling.  Map-only Arrow stage."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dbt_lab_spark.llm import codecs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                parts = codecs.split_mjpeg(bytes(payload))
+                for idx in range(0, len(parts), every_n):
+                    feat = codecs.image_feature(codecs.decode_jpeg(parts[idx]))
+                    rows.append((int(aid), idx, len(parts), feat))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "n_frames", "feature"]
+            )
+
+    video = assets.filter(F.col("media_type") == "video").select("asset_id", "payload")
+    return video.mapInPandas(_sample, FRAME_FEATURE_SCHEMA)

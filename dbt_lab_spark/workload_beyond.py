@@ -3823,6 +3823,29 @@ ORDER BY anchor_id, neg_rank
 """
 
 
+def _q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: MJPEG streams (concatenated JPEG
+    frames, the webcam/IP-camera wire format) split at SOI/EOI marker
+    boundaries, every 2nd frame entropy-decoded and featurized — the
+    skipped frames are never decoded, which is the economics of the
+    operator.  Rows-only check (marker-scan + JPEG decode is not
+    SQL-expressible); frame splitting and sampled-vs-full decode
+    equality are pinned in tests/."""
+    from dbt_lab_spark.llm.multimodal import make_video_assets, sample_video_frames
+
+    assets = make_video_assets(spark, n=12)
+    frames = sample_video_frames(assets, every_n=2)
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            F.first("n_frames").alias("n_frames"),
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum(F.element_at("feature", 1)), 4).alias("sum_f0"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -3988,6 +4011,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_pq_ann", _q_pq_ann, None, "product-quantization ANN + exact refine"),
     QueryDef("q_compress_ratio", _q_compress_ratio, None, "gzip-compressibility quality scan"),
     QueryDef("q_neg_sample", _q_neg_sample, _sql_neg_sample(), "deterministic contrastive negatives"),
+    QueryDef("q_mjpeg_frames", _q_mjpeg_frames, None, "real MJPEG frame sampling + decode"),
     QueryDef("q_tumbling_window", _q_tumbling_window, _SQL_TUMBLING_WINDOW, "1h tumbling agg"),
     QueryDef("q_sessionize", _q_sessionize, _SQL_SESSIONIZE, "30-min-gap sessions"),
     QueryDef("q_sliding_window", _q_sliding_window, _SQL_SLIDING_WINDOW, "1h/15m sliding agg"),

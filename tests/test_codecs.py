@@ -739,3 +739,43 @@ def test_wav_unknown_format_still_rejected():
     payload = b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with pytest.raises(NotImplementedError, match="format 2"):
         codecs.decode_wav(payload)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG (concatenated JPEG frames)
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_split_and_sample():
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (14, 18, 3), dtype=np.uint8) for _ in range(7)]
+    stream = codecs.encode_mjpeg(frames)
+    parts = codecs.split_mjpeg(stream)
+    assert len(parts) == 7
+    full = [codecs.decode_jpeg(p) for p in parts]
+    sampled = codecs.decode_mjpeg_frames(stream, every_n=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    for s, i in zip(sampled, (0, 3, 6)):
+        assert np.array_equal(s, full[i])
+    with pytest.raises(ValueError, match="no JPEG frames"):
+        codecs.split_mjpeg(b"not a stream")
+    with pytest.raises(ValueError, match="missing EOI"):
+        codecs.split_mjpeg(stream[: len(parts[0]) - 2] + b"\xff\xd8\xff\xe0")
+
+
+def test_sample_video_frames_spark(spark):
+    from dbt_lab_spark.llm.multimodal import make_video_assets, sample_video_frames
+
+    assets = make_video_assets(spark, n=8)
+    rows = sample_video_frames(assets, every_n=2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == set(range(8))
+    for aid, rs in by_asset.items():
+        n_frames = 4 + aid % 6
+        assert all(r["n_frames"] == n_frames for r in rs)
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n_frames, 2))
+        for r in rs:
+            assert len(r["feature"]) == 8
+            assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6)
