@@ -192,3 +192,47 @@ def test_incremental_join_first_batch_only_one_side(spark, tmp_path):
     db = spark.createDataFrame([(1, 5.0)], "k long, bv double")
     incremental_join_update(spark, state, None, db, on=["k"])
     assert spark.read.parquet(state.view_path).count() == 1
+
+
+def test_incremental_join_under_streaming_foreachbatch(spark, tmp_path):
+    """The deployment shape of join IVM: a readStream of fact deltas
+    drives incremental_join_update from foreachBatch, maintaining the
+    view as batches arrive; the final view equals a from-scratch join
+    of everything streamed."""
+    from dbt_lab_spark.plans.incremental import JoinState, incremental_join_update
+
+    dim_rows = [(k, f"dim{k}") for k in range(5)]
+    dim = spark.createDataFrame(dim_rows, "k long, dv string")
+    state = JoinState(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v"))
+    # the dimension side is loaded once (delta_b on the first batch)
+    incremental_join_update(spark, state, None, dim, on=["k"])
+
+    src = str(tmp_path / "facts")
+    import os
+
+    os.makedirs(src)
+    all_facts = []
+    for batch_no in range(3):
+        rows = [(k, f"f{batch_no}_{k}") for k in range(batch_no, batch_no + 4)]
+        all_facts += rows
+        spark.createDataFrame(rows, "k long, fv string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema("k long, fv string").parquet(src)
+
+    def _apply(batch_df, batch_id):
+        incremental_join_update(spark, state, batch_df, None, on=["k"])
+
+    q = stream.writeStream.foreachBatch(_apply).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = (
+        spark.createDataFrame(all_facts, "k long, fv string")
+        .join(dim, ["k"])
+        .collect()
+    )
+    got = spark.read.parquet(state.view_path).collect()
+    key = lambda r: (r["k"], r["fv"], r["dv"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == len([r for r in all_facts if r[0] < 5])
