@@ -5,12 +5,17 @@ half of `llm/multimodal.py` is implemented here from the public file
 format specifications directly:
 
 - BMP  (Windows BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB)
-- PPM  (Netpbm P6 binary, maxval <= 255) and PGM (P5)
-- WAV  (RIFF/WAVE, PCM 16-bit or 8-bit)
+- PPM  (Netpbm P6 binary) and PGM (P5) — any maxval incl. 16-bit
+- WAV  (RIFF/WAVE: PCM 16/8-bit, plus G.711 u-law/A-law telephony
+  companding implemented from the ITU formula)
 - PNG  (RFC 2083: stdlib zlib inflate + full filter reconstruction —
-  a REAL compressed codec, 8-bit gray/RGB/RGBA, non-interlaced)
+  a REAL compressed codec; 8-bit gray/RGB/RGBA/palette, Adam7
+  interlaced or not)
 - GIF  (87a/89a: LZW implemented from the spec — variable-width codes,
-  LSB-first packing, 12-bit cap; single-frame, palette -> RGB)
+  LSB-first packing, 12-bit cap; ANIMATED multi-frame with GCE
+  transparency + disposal compositing, palette -> RGB)
+- MJPEG (concatenated JPEG frames — real video frame sampling that
+  never decodes the skipped frames)
 - JPEG (ITU-T T.81: Huffman entropy coding, 8x8 DCT, YCbCr, generic
   sampling factors incl. 4:2:0, restart markers — BOTH baseline
   sequential (SOF0) and progressive (SOF2) with spectral selection,
@@ -135,26 +140,37 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
+def _pnm_samples(payload: bytes, off: int, count: int, maxval: int) -> np.ndarray:
+    """Raster samples as uint8: 1-byte rasters pass through; 2-byte
+    (maxval > 255) rasters are big-endian per the spec and scale by
+    value*255/maxval (exact integer arithmetic)."""
+    if maxval <= 0 or maxval > 65535:
+        raise ValueError(f"invalid PNM maxval {maxval}")
+    if maxval > 255:
+        wide = np.frombuffer(payload, dtype=">u2", count=count, offset=off)
+        return (wide.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    samples = np.frombuffer(payload, dtype=np.uint8, count=count, offset=off)
+    if maxval != 255:  # rare sub-255 maxvals scale the same way
+        samples = (samples.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return samples
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6) into HxWx3 uint8 RGB."""
+    """Decode a binary PPM (P6, any maxval incl. 16-bit) into HxWx3
+    uint8 RGB."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     (w, h, maxval), off = _pnm_header(payload)
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
-    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
-    return raw.reshape(h, w, 3).copy()
+    return _pnm_samples(payload, off, w * h * 3, maxval).reshape(h, w, 3).copy()
 
 
 def decode_pgm(payload: bytes) -> np.ndarray:
-    """Decode a binary PGM (P5) into HxW uint8 grayscale."""
+    """Decode a binary PGM (P5, any maxval incl. 16-bit) into HxW
+    uint8 grayscale."""
     if payload[:2] != b"P5":
         raise ValueError("not a P5 PGM payload")
     (w, h, maxval), off = _pnm_header(payload)
-    if maxval > 255:
-        raise NotImplementedError("16-bit PGM not supported")
-    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
-    return raw.reshape(h, w).copy()
+    return _pnm_samples(payload, off, w * h, maxval).reshape(h, w).copy()
 
 
 # ---------------------------------------------------------------------------
@@ -251,11 +267,19 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / RGBA /
-    gray+alpha) into HxWx3 uint8 RGB.  Full filter support (None / Sub /
-    Up / Average / Paeth, RFC 2083 §6); palette/16-bit/interlaced
-    variants are rejected with a clear error."""
+    """Decode an 8-bit PNG (grayscale / RGB / RGBA / gray+alpha /
+    palette, interlaced or not) into HxWx3 uint8 RGB.  Full filter
+    support (None / Sub / Up / Average / Paeth, RFC 2083 §6), PLTE
+    indexed color, and Adam7 de-interlacing (each pass unfiltered as
+    its own sub-image, then scattered onto the grid); 16-bit depth is
+    rejected with a clear error."""
     import struct as _struct
     import zlib
 
@@ -263,6 +287,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     i, n = 8, len(payload)
     w = h = bitdepth = color = interlace = None
+    palette = None
     idat = bytearray()
     while i + 8 <= n:
         (clen,) = _struct.unpack_from(">I", payload, i)
@@ -270,6 +295,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         body = payload[i + 8 : i + 8 + clen]
         if tag == b"IHDR":
             w, h, bitdepth, color, _comp, _filt, interlace = _struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -279,15 +306,40 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if bitdepth != 8:
         raise NotImplementedError(f"{bitdepth}-bit PNG not supported (8 only)")
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
-        raise NotImplementedError(f"PNG color type {color} (palette?) not supported")
+        raise ValueError(f"invalid PNG color type {color}")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        full = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, channels)
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+        px = full
+    else:
+        out, _ = _png_unfilter(raw, 0, w, h, channels)
+        px = out.reshape(h, w, channels)
+    if color == 3:
+        return palette[px[:, :, 0]]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha -> replicate gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB or RGBA->RGB
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, channels: int):
+    """Reconstruct one filtered image (the whole PNG, or one Adam7
+    pass) starting at `pos`; returns ((h, w*channels) array, new pos)."""
     stride = w * channels
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ftype = raw[pos]
@@ -335,12 +387,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, channels)
-    if channels == 1:
-        return np.repeat(px, 3, axis=2)
-    if channels == 2:  # gray + alpha -> replicate gray
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    return np.ascontiguousarray(px[:, :, :3])  # RGB or RGBA->RGB
+    return out, pos
 
 
 # ---------------------------------------------------------------------------
@@ -443,23 +490,115 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _gif_lzw_stream(idx: np.ndarray, min_code: int) -> bytes:
+    """Clear-before-every-symbol LZW packing (shared by the still and
+    animated encoders)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    acc = bitlen = 0
+    stream = bytearray()
+
+    def put(code: int):
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+
+    put(clear)
+    for s in idx:
+        put(int(s))
+        put(clear)
+    put(eoi)
+    if bitlen:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def encode_gif_animated(
+    frames: list[np.ndarray], delay_cs: int = 10, disposal: int = 1
+) -> bytes:
+    """Encode an animated GIF89a: one global palette over all frames
+    (distinct colors must fit 256), a Graphic Control Extension per
+    frame (delay in centiseconds, disposal method), full-canvas image
+    descriptors.  Round-trips exactly through decode_gif_frames."""
+    if not frames:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    h, w, _ = frames[0].shape
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("animated GIF palette limited to 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(2, len(colors))))))
+    table_size = 1 << bits
+    palette = np.zeros((table_size, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    per = w * h
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += palette.tobytes()
+    # NETSCAPE2.0 loop-forever extension (the real-world marker)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fi, frame in enumerate(frames):
+        if frame.shape != (h, w, 3):
+            raise ValueError("all frames must share the canvas size")
+        out += b"\x21\xf9\x04" + bytes([(disposal & 7) << 2]) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([bits])
+        stream = _gif_lzw_stream(inv[fi * per : (fi + 1) * per], bits)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a single-frame, non-interlaced GIF into HxWx3 uint8 RGB
-    (global or local color table; extension blocks skipped)."""
+    """Decode the first frame of a (possibly animated) GIF into HxWx3
+    uint8 RGB, composited onto the logical-screen canvas."""
+    return decode_gif_frames(payload)[0]
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode ALL frames of a GIF (87a/89a) with animation semantics:
+    each image descriptor composites onto the logical-screen canvas at
+    its (left, top), honoring the Graphic Control Extension's
+    transparent index and disposal methods 0/1 (leave) and 2 (restore
+    background); disposal 3 (restore previous) raises.  Returns one
+    HxWx3 canvas snapshot per frame."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
+    bg_index = payload[11]
     i = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=i).reshape(n, 3)
         i += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:] = gct[bg_index]
+    background = canvas.copy()
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
     while i < len(payload):
         b0 = payload[i]
-        if b0 == 0x21:  # extension: skip sub-blocks
+        if b0 == 0x21:  # extension
+            label = payload[i + 1]
             i += 2
+            if label == 0xF9 and payload[i] >= 4:  # Graphic Control Extension
+                flags = payload[i + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[i + 4] if flags & 0x01 else None
             while payload[i] != 0:
                 i += 1 + payload[i]
             i += 1
@@ -487,13 +626,30 @@ def decode_gif(payload: bytes) -> np.ndarray:
             indices = _lzw_decode(bytes(data), min_code)
             if len(indices) < iw * ih:
                 raise ValueError("truncated GIF pixel data")
-            px = table[np.asarray(indices[: iw * ih], dtype=np.int64)].reshape(ih, iw, 3)
-            return np.ascontiguousarray(px)
+            idx = np.asarray(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            region = canvas[top : top + ih, left : left + iw]
+            px = table[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = px[mask]
+            else:
+                region[:] = px
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame's region
+                canvas[top : top + ih, left : left + iw] = background[
+                    top : top + ih, left : left + iw
+                ]
+            elif disposal == 3:
+                raise NotImplementedError("GIF disposal 3 (restore previous) not supported")
+            transparent = None
+            disposal = 0
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
 
 
 # ---------------------------------------------------------------------------

@@ -779,3 +779,119 @@ def test_sample_video_frames_spark(spark):
         for r in rs:
             assert len(r["feature"]) == 8
             assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# r3-late codec widening: palette/Adam7 PNG, 16-bit PNM, animated GIF
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag, body):
+    import struct as _struct
+    import zlib
+
+    return _struct.pack(">I", len(body)) + tag + body + _struct.pack(
+        ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+    )
+
+
+def test_png_palette_color_type():
+    import struct as _struct
+    import zlib
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(payload), pal[idx])
+
+
+def test_png_adam7_interlaced():
+    import struct as _struct
+    import zlib
+
+    rng = np.random.default_rng(10)
+    w, h = 11, 9
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(payload), img)
+
+
+def test_pnm_16bit_and_nonstandard_maxval():
+    vals16 = np.array([[0, 32768], [65535, 1000]], dtype=">u2")
+    payload = b"P5\n2 2\n65535\n" + vals16.tobytes()
+    out = codecs.decode_pgm(payload)
+    want = (vals16.astype(np.uint32) * 255 // 65535).astype(np.uint8)
+    assert np.array_equal(out, want)
+    # maxval 100 scales up to the 0..255 domain
+    vals8 = np.array([[0, 50], [100, 25]], dtype=np.uint8)
+    payload = b"P5\n2 2\n100\n" + vals8.tobytes()
+    assert np.array_equal(
+        codecs.decode_pgm(payload),
+        (vals8.astype(np.uint32) * 255 // 100).astype(np.uint8),
+    )
+
+
+def test_gif_animated_round_trip_and_first_frame():
+    rng = np.random.default_rng(12)
+    frames = [(rng.integers(0, 6, (9, 12, 3)) * 40).astype(np.uint8) for _ in range(4)]
+    blob = codecs.encode_gif_animated(frames, delay_cs=5)
+    out = codecs.decode_gif_frames(blob)
+    assert len(out) == 4
+    for o, f in zip(out, frames):
+        assert np.array_equal(o, f)
+    assert np.array_equal(codecs.decode_gif(blob), frames[0])
+
+
+def test_gif_transparency_and_disposal_compositing():
+    """Hand-built 2-frame GIF: frame 2 is a sub-rectangle with a
+    transparent index — transparent pixels must show frame 1 through,
+    and disposal 2 restores background after the frame."""
+    import struct as _struct
+
+    # palette: 0=red 1=green 2=blue 3=white
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    w = h = 4
+    out = bytearray(b"GIF89a") + _struct.pack("<HH", w, h)
+    out += bytes([0x80 | (1 << 4) | 1, 0, 0]) + pal  # 4-color GCT
+    from dbt_lab_spark.llm.codecs import _gif_lzw_stream
+
+    # frame 1: all red (index 0), full canvas
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([2])
+    s1 = _gif_lzw_stream(np.zeros(16, dtype=np.int64), 2)
+    out += bytes([len(s1)]) + s1 + b"\x00"
+    # frame 2: 2x2 at (1,1): [[green, transparent], [transparent, blue]]
+    out += b"\x21\xf9\x04" + bytes([0x01]) + _struct.pack("<H", 5) + bytes([3, 0])
+    out += b"\x2c" + _struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([2])
+    s2 = _gif_lzw_stream(np.array([1, 3, 3, 2]), 2)
+    out += bytes([len(s2)]) + s2 + b"\x00"
+    out += b"\x3b"
+    frames = codecs.decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()
+    f2 = frames[1]
+    assert (f2[1, 1] == [0, 255, 0]).all()      # green
+    assert (f2[2, 2] == [0, 0, 255]).all()      # blue
+    assert (f2[1, 2] == [255, 0, 0]).all()      # transparent -> red below
+    assert (f2[2, 1] == [255, 0, 0]).all()
