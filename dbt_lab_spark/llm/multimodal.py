@@ -445,10 +445,10 @@ FRAME_FEATURE_SCHEMA = T.StructType(
 
 
 def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
-    """REAL video frame sampling: split each MJPEG payload at its
-    SOI/EOI boundaries, decode only every n-th frame, featurize — the
-    skipped frames are never entropy-decoded, which is the whole
-    economics of frame sampling.  Map-only Arrow stage."""
+    """REAL video frame sampling: MJPEG payloads split at their
+    SOI/EOI boundaries with only every n-th frame entropy-decoded (the
+    whole economics of frame sampling); animated GIF payloads decode
+    their frame sequence and sample it.  Map-only Arrow stage."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dbt_lab_spark.llm import codecs
@@ -458,7 +458,14 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
                 continue
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                parts = codecs.split_mjpeg(bytes(payload))
+                data = bytes(payload)
+                if codecs.detect_format(data) == "gif":
+                    gif_frames = codecs.decode_gif_frames(data)
+                    for idx in range(0, len(gif_frames), every_n):
+                        feat = codecs.image_feature(gif_frames[idx])
+                        rows.append((int(aid), idx, len(gif_frames), feat))
+                    continue
+                parts = codecs.split_mjpeg(data)
                 for idx in range(0, len(parts), every_n):
                     feat = codecs.image_feature(codecs.decode_jpeg(parts[idx]))
                     rows.append((int(aid), idx, len(parts), feat))

@@ -895,3 +895,28 @@ def test_gif_transparency_and_disposal_compositing():
     assert (f2[2, 2] == [0, 0, 255]).all()      # blue
     assert (f2[1, 2] == [255, 0, 0]).all()      # transparent -> red below
     assert (f2[2, 1] == [255, 0, 0]).all()
+
+
+def test_sample_video_frames_handles_animated_gif(spark):
+    from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA, sample_video_frames
+
+    rng = np.random.default_rng(14)
+    frames = [(rng.integers(0, 5, (8, 10, 3)) * 50).astype(np.uint8) for _ in range(5)]
+    gif = codecs.encode_gif_animated(frames)
+    mj = codecs.encode_mjpeg(
+        [rng.integers(0, 256, (8, 10, 3), dtype=np.uint8) for _ in range(4)]
+    )
+    assets = spark.createDataFrame(
+        [(0, "video", gif, 10, 8, 500), (1, "video", mj, 10, 8, 400)], ASSET_SCHEMA
+    )
+    rows = sample_video_frames(assets, every_n=2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_asset[0]) == [0, 2, 4]
+    assert all(r["n_frames"] == 5 for r in by_asset[0])
+    # GIF frame features match direct decode
+    want = codecs.image_feature(frames[2])
+    got = next(r for r in by_asset[0] if r["frame_idx"] == 2)["feature"]
+    assert got == pytest.approx(want)
+    assert sorted(r["frame_idx"] for r in by_asset[1]) == [0, 2]
