@@ -15,7 +15,8 @@ format specifications directly:
   LSB-first packing, 12-bit cap; ANIMATED multi-frame with GCE
   transparency + disposal compositing, palette -> RGB)
 - MJPEG (concatenated JPEG frames — real video frame sampling that
-  never decodes the skipped frames)
+  never decodes the skipped frames) and AVI-MJPEG (the RIFF container
+  MJPEG ships as a file in: avih/strh/strf headers + movi 00dc chunks)
 - JPEG (ITU-T T.81: Huffman entropy coding, 8x8 DCT, YCbCr, generic
   sampling factors incl. 4:2:0, restart markers — BOTH baseline
   sequential (SOF0) and progressive (SOF2) with spectral selection,
@@ -2188,6 +2189,8 @@ def detect_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
     for magic, name in _COMPRESSED_MAGIC.items():
@@ -2553,3 +2556,72 @@ def decode_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[np.ndarray]:
     """Decode every n-th frame of an MJPEG stream (frame sampling
     without decoding the skipped frames — the point of the format)."""
     return [decode_jpeg(f) for f in split_mjpeg(payload)[::every_n]]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container) around MJPEG: how MJPEG actually ships as a
+# FILE.  Same RIFF chunk walk as WAV; the 'movi' LIST's 00dc/00db
+# chunks are the per-frame JPEG payloads, so decode needs no codec
+# beyond the JPEG path.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quality: int = 90) -> bytes:
+    """Minimal spec-valid AVI-MJPEG writer: avih/strh/strf headers
+    plus a movi LIST of 00dc JPEG chunks (even-padded)."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_sz = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_sz * fps, 0, 0x10, len(frames),
+        0, 1, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_sz, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """Extract the JPEG frame payloads from an AVI-MJPEG file: walk
+    the RIFF tree to the movi LIST, collect 00dc/00db chunks.  Returns
+    raw JPEG bytes per frame (decode with decode_jpeg / sample like an
+    MJPEG stream)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        i = 0
+        while i + 8 <= len(data):
+            tag = data[i : i + 4]
+            (clen,) = struct.unpack_from("<I", data, i + 4)
+            body = data[i + 8 : i + 8 + clen]
+            if tag == b"LIST":
+                kind = body[:4]
+                if kind in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(body[4:])
+            elif tag[2:4] in (b"dc", b"db") and body[:3] == b"\xff\xd8\xff":
+                frames.append(bytes(body))
+            i += 8 + clen + (clen & 1)
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("AVI contains no MJPEG frames")
+    return frames

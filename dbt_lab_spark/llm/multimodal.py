@@ -459,13 +459,17 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload)
-                if codecs.detect_format(data) == "gif":
+                fmt = codecs.detect_format(data)
+                if fmt == "gif":
                     gif_frames = codecs.decode_gif_frames(data)
                     for idx in range(0, len(gif_frames), every_n):
                         feat = codecs.image_feature(gif_frames[idx])
                         rows.append((int(aid), idx, len(gif_frames), feat))
                     continue
-                parts = codecs.split_mjpeg(data)
+                if fmt == "avi":
+                    parts = codecs.decode_avi_mjpeg(data)
+                else:
+                    parts = codecs.split_mjpeg(data)
                 for idx in range(0, len(parts), every_n):
                     feat = codecs.image_feature(codecs.decode_jpeg(parts[idx]))
                     rows.append((int(aid), idx, len(parts), feat))

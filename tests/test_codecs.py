@@ -920,3 +920,34 @@ def test_sample_video_frames_handles_animated_gif(spark):
     got = next(r for r in by_asset[0] if r["frame_idx"] == 2)["feature"]
     assert got == pytest.approx(want)
     assert sorted(r["frame_idx"] for r in by_asset[1]) == [0, 2]
+
+
+def test_avi_mjpeg_container_round_trip():
+    rng = np.random.default_rng(16)
+    frames = [rng.integers(0, 256, (10, 14, 3), dtype=np.uint8) for _ in range(4)]
+    avi = codecs.encode_avi_mjpeg(frames, fps=8)
+    assert codecs.detect_format(avi) == "avi"
+    parts = codecs.decode_avi_mjpeg(avi)
+    assert len(parts) == 4
+    for p, f in zip(parts, frames):
+        # container round trip: chunk payloads are the exact JPEG bytes
+        assert p == codecs.encode_jpeg(f, quality=90)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        codecs.decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="no MJPEG frames"):
+        codecs.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_sample_video_frames_handles_avi(spark):
+    from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA, sample_video_frames
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, (8, 10, 3), dtype=np.uint8) for _ in range(6)]
+    avi = codecs.encode_avi_mjpeg(frames)
+    assets = spark.createDataFrame([(0, "video", avi, 10, 8, 600)], ASSET_SCHEMA)
+    rows = sample_video_frames(assets, every_n=3).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3]
+    assert all(r["n_frames"] == 6 for r in rows)
+    want = codecs.image_feature(codecs.decode_jpeg(codecs.encode_jpeg(frames[3], quality=90)))
+    got = next(r for r in rows if r["frame_idx"] == 3)["feature"]
+    assert got == pytest.approx(want)
