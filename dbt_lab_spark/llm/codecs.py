@@ -14,6 +14,9 @@ format specifications directly:
 - GIF  (87a/89a: LZW implemented from the spec — variable-width codes,
   LSB-first packing, 12-bit cap; ANIMATED multi-frame with GCE
   transparency + disposal compositing, palette -> RGB)
+- TIFF (6.0 baseline uncompressed: either byte order, multi-strip,
+  gray/RGB — the scan/scientific-imaging format; IFD machinery shared
+  with the EXIF parser)
 - MJPEG (concatenated JPEG frames — real video frame sampling that
   never decodes the skipped frames) and AVI-MJPEG (the RIFF container
   MJPEG ships as a file in: avih/strh/strf headers + movi 00dc chunks)
@@ -2193,6 +2196,8 @@ def detect_format(payload: bytes) -> str:
         return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"*\x00", b"\x00*"):
+        return "tiff"
     for magic, name in _COMPRESSED_MAGIC.items():
         if payload[: len(magic)] == magic:
             return name
@@ -2243,6 +2248,8 @@ def decode_payload(payload: bytes) -> list[float]:
         return image_feature(decode_gif(payload))
     if fmt == "jpeg":
         return image_feature(decode_jpeg(payload))
+    if fmt == "tiff":
+        return image_feature(decode_tiff(payload))
     if fmt == "wav":
         return audio_feature(*decode_wav(payload))
     if fmt == "flac":
@@ -2625,3 +2632,112 @@ def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
     if not frames:
         raise ValueError("AVI contains no MJPEG frames")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 baseline (uncompressed): the scan/scientific-imaging format.
+# Same IFD structure the EXIF parser walks; decode reads strip offsets
+# and concatenates the raster — no entropy coding in baseline TIFF.
+# ---------------------------------------------------------------------------
+
+
+def _tiff_read_ifd(data: bytes, off: int, endian: str) -> dict[int, list]:
+    """Generic IFD: tag -> list of values (LONG/SHORT/BYTE types)."""
+    (count,) = struct.unpack_from(endian + "H", data, off)
+    out: dict[int, list] = {}
+    for i in range(count):
+        e = off + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(endian + "HHI", data, e)
+        if typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * n
+        voff = e + 8 if size <= 4 else struct.unpack_from(endian + "I", data, e + 8)[0]
+        if typ == 3:
+            vals = list(struct.unpack_from(endian + f"{n}H", data, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(endian + f"{n}I", data, voff))
+        elif typ == 1:
+            vals = list(data[voff : voff + n])
+        else:
+            continue
+        out[tag] = vals
+    return out
+
+
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB (or HxW gray) as an uncompressed
+    little-endian baseline TIFF, single strip."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_tiff expects uint8")
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    spp = 1 if gray else 3
+    raster = pixels.tobytes()
+    # header(8) + IFD; raster after the IFD and its value heap
+    entries = []
+    heap = bytearray()
+    ifd_off = 8
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+    add(256, 3, [w])
+    add(257, 3, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [1])  # no compression
+    add(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
+    add(273, 4, [0])  # strip offset: patched below
+    add(277, 3, [spp])
+    add(278, 3, [h])  # one strip
+    add(279, 4, [len(raster)])
+    n = len(entries)
+    heap_base = ifd_off + 2 + 12 * n + 4
+    body = bytearray()
+    for tag, typ, vals in sorted(entries):
+        sz = _TIFF_TYPE_SIZE[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        if sz <= 4:
+            body += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHII", tag, typ, len(vals), heap_base + len(heap))
+            heap += packed
+    raster_off = heap_base + len(heap)
+    # patch StripOffsets (tag 273, always inline LONG here)
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))
+    out += struct.pack("<H", n) + body + struct.pack("<I", 0) + heap + raster
+    # find tag 273 entry and write the real offset
+    for i in range(n):
+        e = 10 + 12 * i
+        tag = struct.unpack_from("<H", out, e)[0]
+        if tag == 273:
+            struct.pack_into("<I", out, e + 8, raster_off)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed baseline TIFF (8-bit gray or RGB, either
+    byte order, multi-strip) into HxWx3 uint8 RGB.  Compressed TIFFs
+    (LZW/deflate/JPEG-in-TIFF) are rejected with a clear error."""
+    order = payload[:2]
+    endian = "<" if order == b"II" else ">" if order == b"MM" else None
+    if endian is None:
+        raise ValueError("not a TIFF payload")
+    magic, ifd0 = struct.unpack_from(endian + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    tags = _tiff_read_ifd(payload, ifd0, endian)
+    w = tags[256][0]
+    h = tags[257][0]
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} not supported (baseline only)")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF not supported (8 only)")
+    offsets = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    raster = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
+    px = np.frombuffer(raster, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])

@@ -232,8 +232,8 @@ def read_media_dir(
 
         kind = {
             "bmp": "image", "ppm": "image", "pgm": "image", "png": "image",
-            "gif": "image", "jpeg": "image", "wav": "audio", "mp3": "audio",
-            "flac": "audio", "ogg": "audio", "webm/mkv": "video",
+            "gif": "image", "jpeg": "image", "tiff": "image", "wav": "audio", "mp3": "audio",
+            "flac": "audio", "ogg": "audio", "webm/mkv": "video", "avi": "video",
         }
         for pdf in batches:
             if not len(pdf):

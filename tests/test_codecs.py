@@ -951,3 +951,80 @@ def test_sample_video_frames_handles_avi(spark):
     want = codecs.image_feature(codecs.decode_jpeg(codecs.encode_jpeg(frames[3], quality=90)))
     got = next(r for r in rows if r["frame_idx"] == 3)["feature"]
     assert got == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 baseline
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_round_trip_rgb_and_gray():
+    rng = np.random.default_rng(19)
+    px = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    blob = codecs.encode_tiff(px)
+    assert codecs.detect_format(blob) == "tiff"
+    assert np.array_equal(codecs.decode_tiff(blob), px)
+    g = rng.integers(0, 256, (5, 8), dtype=np.uint8)
+    out = codecs.decode_tiff(codecs.encode_tiff(g))
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 1], g)
+    # dispatch path
+    assert codecs.decode_payload(blob) == codecs.image_feature(px)
+
+
+def test_tiff_big_endian_and_multistrip():
+    import struct as _struct
+
+    # hand-build a big-endian 2-strip 3x4 grayscale TIFF
+    rng = np.random.default_rng(20)
+    img = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    strips = [img[:2].tobytes(), img[2:].tobytes()]
+    ifd_off = 8
+    tags = [
+        (256, 3, [3]), (257, 3, [4]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [0, 0]), (277, 3, [1]), (278, 3, [2]),
+        (279, 4, [len(strips[0]), len(strips[1])]),
+    ]
+    n = len(tags)
+    heap_base = ifd_off + 2 + 12 * n + 4
+    heap = bytearray()
+    body = bytearray()
+    for tag, typ, vals in tags:
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = _struct.pack(f">{len(vals)}{fmt}", *vals)
+        if len(packed) <= 4:
+            body += _struct.pack(">HHI", tag, typ, len(vals)) + packed.ljust(4, b"\x00")
+        else:
+            body += _struct.pack(">HHII", tag, typ, len(vals), heap_base + len(heap))
+            heap += packed
+    data_off = heap_base + len(heap)
+    # patch the two strip offsets (in the heap: tag 273 is 2 LONGs)
+    o273 = None
+    pos = 0
+    for tag, typ, vals in tags:
+        fmt = {3: "H", 4: "I"}[typ]
+        packed_len = len(vals) * _struct.calcsize(fmt)
+        if packed_len > 4:
+            if tag == 273:
+                o273 = pos
+            pos += packed_len
+    heap[o273:o273 + 8] = _struct.pack(">II", data_off, data_off + len(strips[0]))
+    blob = (b"MM" + _struct.pack(">HI", 42, ifd_off)
+            + _struct.pack(">H", n) + bytes(body) + _struct.pack(">I", 0)
+            + bytes(heap) + strips[0] + strips[1])
+    out = codecs.decode_tiff(blob)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_tiff_compressed_rejected():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(codecs.encode_tiff(px))
+    # flip the Compression tag (259) value to 5 (LZW)
+    import struct as _struct
+
+    n = _struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if _struct.unpack_from("<H", blob, e)[0] == 259:
+            _struct.pack_into("<H", blob, e + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        codecs.decode_tiff(bytes(blob))
