@@ -82,7 +82,7 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
 def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic asset table whose payloads are REAL encoded media
     bytes — BMP / PPM / PNG / GIF / JPEG (baseline 4:2:0/4:4:4 and
-    progressive) / PCM-WAV / FLAC (mixed stereo-decorrelation modes),
+    progressive) / TIFF / PCM-WAV / FLAC (mixed stereo-decorrelation modes),
     all built by llm/codecs.py's spec-implemented encoders — for
     exercising the fake_decode=False path end-to-end."""
     import numpy as np
@@ -92,7 +92,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
-        kind = i % 7
+        kind = i % 8
         if kind == 0:
             w, h = 16 + i % 9, 12 + i % 7  # odd widths exercise BMP row padding
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -133,7 +133,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
             n_samp = 800 + 16 * (i % 11)
             samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int16)
             rows.append((i, "audio", codecs.encode_wav(samples, 16000), 0, 0, n_samp * 1000 // 16000))
-        else:
+        elif kind == 6:
             # FLAC: tonal stereo so compression is real; rotate the
             # stereo-decorrelation mode so every decode path runs
             n_samp = 700 + 32 * (i % 7)
@@ -144,6 +144,10 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
             mode = ["indep", "ls", "rs", "ms"][(i // 7) % 4]
             payload = codecs.encode_flac(st, 16000, block_size=512, channel_mode=mode, use_lpc=i % 2 == 0)
             rows.append((i, "audio", payload, 0, 0, n_samp * 1000 // 16000))
+        else:
+            w, h = 13 + i % 6, 9 + i % 5
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image", codecs.encode_tiff(px), w, h, 0))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -261,6 +265,7 @@ def transform_images(
                 fmt = codecs.detect_format(bytes(payload))
                 decode = {
                     "bmp": codecs.decode_bmp,
+                    "tiff": codecs.decode_tiff,
                     "ppm": codecs.decode_ppm,
                     "pgm": lambda p: np.repeat(
                         codecs.decode_pgm(p)[:, :, None], 3, axis=2

@@ -216,7 +216,7 @@ def test_extract_features_real_decode(spark):
     by_id = {r["asset_id"]: r for r in feats}
     # cross-check one image asset against a driver-side decode
     local = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
-    for aid in (0, 1, 2, 3, 4, 5, 6):  # BMP, PPM, PNG, GIF, JPEG, WAV, FLAC
+    for aid in (0, 1, 2, 3, 4, 5, 6, 7):  # BMP, PPM, PNG, GIF, JPEG, WAV, FLAC, TIFF
         expected = codecs.decode_payload(local[aid])
         assert by_id[aid]["feature"] == pytest.approx(expected)
         assert by_id[aid]["n_bytes"] == len(local[aid])
@@ -396,7 +396,7 @@ def test_center_crop_and_transform_images(spark):
 
     assets = make_real_assets(spark, n=24)
     out = transform_images(assets, width=24, height=24, crop=0.9).collect()
-    # 24 assets rotate bmp/ppm/png/gif/jpeg/wav/flac: 18 images, 6 audio
+    # 24 assets rotate bmp/ppm/png/gif/jpeg/wav/flac/tiff: 18 images, 6 audio
     assert len(out) == 18
     for r in out:
         assert (r["out_w"], r["out_h"]) == (24, 24)
@@ -643,7 +643,7 @@ def test_extract_exif_spark_stage(spark):
     assert len(rows) == 48
     tagged = [r for r in rows if r["make"] is not None]
     # baseline JPEGs (kind 4, i%4!=0) carry planted EXIF
-    expect = [i for i in range(48) if i % 7 == 4 and i % 4 != 0]
+    expect = [i for i in range(48) if i % 8 == 4 and i % 4 != 0]
     assert sorted(r["asset_id"] for r in tagged) == expect
     for r in tagged:
         i = r["asset_id"]
