@@ -113,7 +113,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
         elif kind == 4:
             w, h = 18 + i % 7, 13 + i % 6  # odd dims exercise MCU padding
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 4 == 0:  # progressive framing in the rotation too
+            if i % 16 == 4:  # progressive framing in the rotation too
                 payload = codecs.encode_jpeg_progressive(px, quality=90)
             else:
                 payload = codecs.encode_jpeg(px, quality=90, subsample=i % 2 == 0)

@@ -642,8 +642,9 @@ def test_extract_exif_spark_stage(spark):
     rows = extract_exif(assets).collect()
     assert len(rows) == 48
     tagged = [r for r in rows if r["make"] is not None]
-    # baseline JPEGs (kind 4, i%4!=0) carry planted EXIF
-    expect = [i for i in range(48) if i % 8 == 4 and i % 4 != 0]
+    # baseline JPEGs (kind 4, not the i%16==4 progressive slots) carry EXIF
+    expect = [i for i in range(48) if i % 8 == 4 and i % 16 != 4]
+    assert expect  # the rotation must actually plant some
     assert sorted(r["asset_id"] for r in tagged) == expect
     for r in tagged:
         i = r["asset_id"]
