@@ -112,3 +112,52 @@ def test_exif_property(make, model, orient):
     if model:
         want["model"] = model
     assert meta == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    gray=st.booleans(),
+    seed=st.integers(0, 1000),
+)
+def test_tiff_round_trip_property(h, w, gray, seed):
+    rng = np.random.default_rng(seed)
+    if gray:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        out = codecs.decode_tiff(codecs.encode_tiff(px))
+        assert np.array_equal(out[:, :, 0], px)
+    else:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_tiff(codecs.encode_tiff(px)), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(1, 5),
+    h=st.integers(8, 16),
+    w=st.integers(8, 16),
+    seed=st.integers(0, 500),
+)
+def test_avi_container_property(n_frames, h, w, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+    avi = codecs.encode_avi_mjpeg(frames)
+    parts = codecs.decode_avi_mjpeg(avi)
+    assert len(parts) == n_frames
+    for p, f in zip(parts, frames):
+        assert p == codecs.encode_jpeg(f, quality=90)  # byte-exact container
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(st.integers(-(2**15), 2**15 - 1), min_size=1, max_size=2000),
+    law=st.sampled_from(["u", "a"]),
+)
+def test_g711_wav_property(data, law):
+    s = np.array(data, dtype=np.int16)
+    rate, out = codecs.decode_wav(codecs.encode_wav_g711(s, 8000, law=law))
+    assert rate == 8000 and out.shape == (len(s), 1)
+    err = np.abs(out[:, 0].astype(np.int32) - s.astype(np.int32))
+    rel = err / np.maximum(np.abs(s.astype(np.int32)), 256)
+    assert rel.max() <= 0.07
