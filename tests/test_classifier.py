@@ -205,3 +205,33 @@ def test_hashed_doc_embedding_pinned(spark):
     )
     rows = {r["doc_id"]: np.array(r["emb"]) for r in hashed_doc_embedding(sim, dim=16).collect()}
     assert np.abs(rows[1] - rows[2]).sum() <= 16  # differ by one token's signs
+
+
+def test_doc_embeddings_cluster_planted_topics(spark):
+    """Composition evidence: hashed random-indexing doc embeddings +
+    the spherical k-means trainer separate two planted vocabularies —
+    the model-free clustering path for corpora without an encoder."""
+    import numpy as np
+
+    from dbt_lab_spark.llm.classifier import hashed_doc_embedding
+    from dbt_lab_spark.llm.similarity import ivf_assign, ivf_centroids
+
+    import random
+
+    rng = random.Random(3)
+    vocab_a = [f"alpha{j}" for j in range(30)]
+    vocab_b = [f"beta{j}" for j in range(30)]
+    rows = []
+    for i in range(80):
+        vocab = vocab_a if i % 2 == 0 else vocab_b
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(25))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_doc_embedding(docs, dim=32).select(
+        F.col("doc_id").alias("vec_id"), F.col("emb").alias("embedding")
+    )
+    cents = ivf_centroids(emb, num_centroids=2, iters=6, dim=32)
+    assigned = {r["neighbor_id"]: r["cluster"] for r in ivf_assign(emb, cents).collect()}
+    evens = {assigned[i] for i in range(0, 80, 2)}
+    odds = {assigned[i] for i in range(1, 80, 2)}
+    # the two planted vocabularies land in two distinct clusters
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
