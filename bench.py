@@ -107,6 +107,11 @@ BENCH_NAMES = [
     "q_compress_ratio",
     "q_neg_sample",
     "q_mjpeg_frames",
+    "q_bfs_hops",
+    "q_triangles",
+    "q_merge_upsert",
+    "q_cooccur_pmi",
+    "q_mad_outliers",
 ]
 
 

@@ -100,3 +100,122 @@ def pagerank(
         norm_e.unpersist()
         dangling.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Single-source BFS: minimum hop count from `source` to every
+    reachable node, by iterative frontier expansion.
+
+    Each round joins the current frontier against the edge list
+    (shuffle on the edge key) and anti-joins the visited set — the
+    Pregel-style plan that scales to billion-edge graphs because per
+    round only frontier×out-degree rows move.  The loop stops as soon
+    as a frontier comes back empty (graph-diameter rounds, bounded by
+    `max_hops`), and lineage is truncated every round exactly like
+    `pagerank` above (localCheckpoint, or reliable checkpoint under
+    `checkpoint_dir=` with the same executor-loss contract).
+
+    Returns (node, hops) with hops = 0 for the source; unreachable
+    nodes are absent.  Deterministic: hop counts are a min over paths,
+    independent of visit order.
+    """
+    from dbt_lab_spark.llm.dedup import _checkpointer
+
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    visited = ckpt(
+        e.sparkSession.range(1).select(
+            F.lit(source).alias("node"), F.lit(0).alias("hops")
+        )
+    )
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(hop))
+            )
+            frontier = ckpt(nxt)
+            if frontier.limit(1).count() == 0:
+                break
+            visited = ckpt(visited.unionByName(frontier))
+    finally:
+        e.unpersist()
+    return visited
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected version of the
+    edge list (self-loops and duplicate/reverse edges collapse first).
+
+    Scale posture: edges are oriented from the lower-(degree, id)
+    endpoint to the higher one before the wedge join, the classic
+    orientation that bounds wedge generation by O(m^1.5) even on
+    power-law degree distributions (every wedge is generated at its
+    lowest-degree corner).  The plan is two shuffled equi-joins on
+    node keys — no driver-side state, no all-pairs blowup.
+
+    Returns (node, n_tri); nodes in no triangle are absent.  The
+    triangle SET is orientation-independent, so results match a plain
+    a<b SQL formulation exactly.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orientation key: (degree, id) total order, packed as a struct so
+    # the comparison is a single JVM-side tuple compare
+    da = deg.select(
+        F.col("node").alias("a"), F.struct(F.col("deg"), F.col("node")).alias("ka")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.struct(F.col("deg"), F.col("node")).alias("kb")
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("khi"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("khi").alias("kv")
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("khi").alias("kw")
+    )
+    # wedges at the lowest corner u, ordered v<w in orientation key so
+    # each triangle is produced exactly once
+    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw"))
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_tri"))

@@ -1562,6 +1562,7 @@ def all_queries() -> list[QueryDef]:
     """Full declared workload: core + TPC-H extras + events + text/dedup
     + vectors."""
     from dbt_lab_spark.workload_beyond import BEYOND_QUERIES
+    from dbt_lab_spark.workload_extras import EXTRA_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
-    return CORE_QUERIES + TPCH_EXTRA_QUERIES + BEYOND_QUERIES
+    return CORE_QUERIES + TPCH_EXTRA_QUERIES + BEYOND_QUERIES + EXTRA_QUERIES

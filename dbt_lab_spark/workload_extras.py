@@ -1,0 +1,413 @@
+"""r3-session additions: graph traversal (BFS, triangles), MERGE
+upsert, token co-occurrence PMI, and robust (MAD) outlier detection.
+Same (builder, oracle) contract as dbt_lab_spark.workload.
+
+Reference capability evidence, cited per query: the reference's
+iterative/bulk surface is the Hadoop bulk-operator extension point
+(mapred/qexec/examples/CountTuplesOperator.java:36-67) and its join +
+aggregate physical operators (qexec/PhysicalOperators*.java); each
+query here re-expresses one distributed shape a user of that surface
+would build, Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.workload import QueryDef
+
+# ---------------------------------------------------------------------------
+# trade graph: top-3 out-edges per nation (scale-invariant density)
+# ---------------------------------------------------------------------------
+
+_TOP_OUT_EDGES = 3
+
+
+def _trade_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation graph: customer nation -> supplier nation, kept
+    to each source's top-3 edges by lineitem count (rank ties broken by
+    dst).  Top-k-per-src keeps the graph's density scale-invariant —
+    the same extraction at 100 TB yields the same 25-node topology
+    class, unlike an absolute count threshold."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey"])
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    supp = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    weighted = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_OUT_EDGES)
+        .select("src", "dst")
+    )
+
+
+_SQL_TRADE_EDGES = rf"""
+edges_all AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM edges_all)
+  WHERE rn <= {_TOP_OUT_EDGES}
+)"""
+
+
+_BFS_SOURCE = 0
+_BFS_MAX_HOPS = 8
+
+
+def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the top-3 trade graph: minimum hops from
+    nation 0 to every reachable nation — the reachability primitive of
+    link-graph curation (crawl-frontier distance, seed-set expansion).
+
+    Spark shape: Pregel-style frontier iteration (frontier JOIN edges,
+    anti-join visited, per-round lineage truncation) from
+    functions/graph.py:bfs_hops.  Full oracle: DuckDB runs the same
+    search as a recursive CTE with a hop cap; MIN(hops) per node is
+    visit-order-independent, so both sides agree exactly."""
+    from dbt_lab_spark.functions.graph import bfs_hops
+
+    edges = _trade_edges_topk(spark, sf_dir)
+    nation = scan(spark, Catalog(sf_dir), "nation", ["n_nationkey", "n_name"])
+    hops = bfs_hops(edges, _BFS_SOURCE, max_hops=_BFS_MAX_HOPS)
+    return (
+        hops.join(F.broadcast(nation), hops.node == nation.n_nationkey)
+        .select("n_name", F.col("hops").cast("int").alias("hops"))
+        .orderBy("hops", "n_name")
+    )
+
+
+_SQL_BFS_HOPS = rf"""
+WITH RECURSIVE {_SQL_TRADE_EDGES},
+bfs(node, hops) AS (
+  SELECT CAST({_BFS_SOURCE} AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hops < {_BFS_MAX_HOPS}
+)
+SELECT n_name, CAST(hops AS INT) AS hops
+FROM (SELECT node, MIN(hops) AS hops FROM bfs GROUP BY node)
+JOIN nation ON n_nationkey = node
+ORDER BY hops, n_name
+"""
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the undirected top-3 trade
+    graph — the local-clustering signal web-curation pipelines use for
+    spam/link-farm detection.
+
+    Spark shape: degree-oriented wedge join (functions/graph.py:
+    triangle_count), the O(m^1.5) plan that survives power-law skew.
+    Full oracle: DuckDB counts the identical triangle set with the
+    plain a<b three-way self-join; per-corner counts match because the
+    orientation changes only which join produces a triangle, never the
+    set."""
+    from dbt_lab_spark.functions.graph import triangle_count
+
+    edges = _trade_edges_topk(spark, sf_dir)
+    nation = scan(spark, Catalog(sf_dir), "nation", ["n_nationkey", "n_name"])
+    tri = triangle_count(edges)
+    return (
+        tri.join(F.broadcast(nation), tri.node == nation.n_nationkey)
+        .select("n_name", F.col("n_tri").cast("long").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "n_name")
+    )
+
+
+_SQL_TRIANGLES = rf"""
+WITH {_SQL_TRADE_EDGES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+  WHERE src <> dst
+), tris AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT u AS node FROM tris
+  UNION ALL SELECT v FROM tris
+  UNION ALL SELECT w FROM tris
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM corners JOIN nation ON n_nationkey = node
+GROUP BY n_name
+ORDER BY n_tri DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert over documents
+# ---------------------------------------------------------------------------
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on the documents table: an update batch
+    (every 7th doc re-curated: text uppercased, source recoded) plus
+    an insert batch (synthetic docs keyed past the existing range),
+    merged with updates-win-on-collision via operators/dml.py:
+    upsert_by_keys — one union + one row_number shuffle, the
+    distributed MERGE plan.
+
+    Full oracle: DuckDB expresses the same merge as updates UNION ALL
+    (base ANTI JOIN updates); the per-source audit (doc counts, char
+    mass, uppercased-doc count) pins that update rows really replaced
+    their base rows."""
+    from dbt_lab_spark.operators.dml import upsert_by_keys
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.upper(F.col("text")).alias("text"),
+            "lang",
+            F.lit("curated").alias("source"),
+            "n_chars",
+        )
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("synthetic doc "), F.col("doc_id").cast("string")).alias("text"),
+            F.lit("xx").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.length(F.concat(F.lit("synthetic doc "), F.col("doc_id").cast("string"))).alias(
+                "n_chars"
+            ),
+        )
+    )
+    merged = upsert_by_keys(docs, updates.unionByName(inserts), keys=["doc_id"])
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum((F.col("text") == F.upper(F.col("text"))).cast("long")).alias("n_upper"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MERGE_UPSERT = r"""
+WITH updates AS (
+  SELECT doc_id, upper(text) AS text, lang, 'curated' AS source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'synthetic doc ' || CAST(doc_id AS VARCHAR), 'xx',
+         'synthetic', length('synthetic doc ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 13 = 0
+), merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT d.* FROM documents d ANTI JOIN updates u ON u.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS sum_chars,
+       SUM(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS n_upper
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence PMI (embedding-training prep)
+# ---------------------------------------------------------------------------
+
+_PMI_WINDOW = 2
+_PMI_MIN_COUNT = 20
+_PMI_TOP = 20
+
+
+def _q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring within
+    a ±2 window — the co-occurrence statistic word-embedding training
+    (GloVe/word2vec count prep) extracts from a corpus.
+
+    Spark shape: pairs are generated JVM-side with array higher-order
+    functions (sequence/transform/filter/flatten) — NO self-join on
+    position; one explode to token-pair granularity then hash
+    aggregates, with the two marginal totals broadcast back as 1-row
+    cross joins.  Full oracle: DuckDB builds the same pairs with a
+    zipped-unnest position table and a banded self-join; identical
+    integer counts feed an identical ln() expression, rounded to 6."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    pair_expr = f"""
+    flatten(transform(sequence(0, size(t) - 2), i ->
+      filter(transform(sequence(1, {_PMI_WINDOW}), d ->
+        IF(i + d <= size(t) - 1,
+           struct(least(t[i], t[i + d]) AS w1, greatest(t[i], t[i + d]) AS w2),
+           CAST(NULL AS STRUCT<w1: STRING, w2: STRING>))),
+        x -> x IS NOT NULL)))
+    """
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    tok_counts = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    t_pairs = pairs.agg(F.sum("c_xy").alias("t_pairs"))
+    t_toks = tok_counts.agg(F.sum("c").alias("t_toks"))
+    c1 = tok_counts.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    c2 = tok_counts.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        pairs.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(t_pairs))
+        .crossJoin(F.broadcast(t_toks))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("t_pairs"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("t_toks"))
+                        * (F.col("c_y").cast("double") / F.col("t_toks"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+_SQL_COOCCUR_PMI = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks
+), pairs AS (
+  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+         COUNT(*) AS c_xy
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id
+            AND b.pos > a.pos AND b.pos <= a.pos + {_PMI_WINDOW}
+  GROUP BY 1, 2
+), tc AS (
+  SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok
+), tp AS (SELECT SUM(c_xy) AS t_pairs FROM pairs),
+tt AS (SELECT SUM(c) AS t_toks FROM tc)
+SELECT w1, w2, c_xy AS n_pair,
+       ROUND(ln((CAST(c_xy AS DOUBLE) / t_pairs)
+             / ((CAST(cx.c AS DOUBLE) / t_toks) * (CAST(cy.c AS DOUBLE) / t_toks))), 6) AS pmi
+FROM pairs
+JOIN tc cx ON cx.tok = pairs.w1
+JOIN tc cy ON cy.tok = pairs.w2, tp, tt
+WHERE c_xy >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outlier detection
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0 * 1.4826  # 3-sigma-equivalent under normality
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per event type — the
+    heavy-tail-safe variant of q_zscore_outliers (a single corrupt
+    batch can't drag the threshold the way it drags a mean/stddev).
+
+    Spark shape: two grouped exact-median aggregates over the same
+    key with the tiny per-group medians broadcast back between them —
+    no window over the full table, no driver collect.  Medians are
+    order statistics (exact, interpolated the same way by Spark's
+    median and DuckDB's), so the derived doubles agree bit-for-bit and
+    the oracle is a full hash match."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "value"])
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_MAD_OUTLIERS = rf"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       SUM(CASE WHEN abs(e.value - m.med) > {_MAD_K!r} * d.mad THEN 1 ELSE 0 END) AS n_outliers,
+       ROUND(ANY_VALUE(m.med), 4) AS med,
+       ROUND(ANY_VALUE(d.mad), 4) AS mad
+FROM events e
+JOIN med m ON m.event_type = e.event_type
+JOIN mad d ON d.event_type = e.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+EXTRA_QUERIES: list[QueryDef] = [
+    QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
+    QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
+    QueryDef("q_merge_upsert", _q_merge_upsert, _SQL_MERGE_UPSERT, "MERGE upsert audit"),
+    QueryDef("q_cooccur_pmi", _q_cooccur_pmi, _SQL_COOCCUR_PMI, "token co-occurrence PMI top-20"),
+    QueryDef("q_mad_outliers", _q_mad_outliers, _SQL_MAD_OUTLIERS, "median/MAD robust outliers"),
+]

@@ -1,0 +1,66 @@
+"""Pin tests for the r3-session extras: BFS, triangle counting, and
+the derived workload queries (oracle parity for these runs in
+test_oracle_parity / scripts/parity_sweep.py; here we pin the graph
+primitives on hand-built graphs where the answer is checkable by
+eye)."""
+
+from __future__ import annotations
+
+from dbt_lab_spark.functions.graph import bfs_hops, triangle_count
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+class TestBfsHops:
+    def test_path_with_branch_and_unreachable(self, spark):
+        # 0->1->2->3 chain, branch 1->4, isolated 9->10 (unreachable)
+        e = _edges(spark, [(0, 1), (1, 2), (2, 3), (1, 4), (9, 10)])
+        got = {r.node: r.hops for r in bfs_hops(e, 0).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+
+    def test_cycle_takes_min_hops(self, spark):
+        # two routes to 3: 0->1->2->3 (3 hops) and 0->3 (1 hop)
+        e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0)])
+        got = {r.node: r.hops for r in bfs_hops(e, 0).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+    def test_max_hops_truncates(self, spark):
+        e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+        got = {r.node: r.hops for r in bfs_hops(e, 0, max_hops=2).collect()}
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_source_only(self, spark):
+        e = _edges(spark, [(5, 6)])
+        got = {r.node: r.hops for r in bfs_hops(e, 0).collect()}
+        assert got == {0: 0}
+
+
+class TestTriangleCount:
+    def test_k4_every_node_in_three(self, spark):
+        # complete graph on 4 nodes: C(3,2)=3 triangles per node
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = {r.node: r.n_tri for r in triangle_count(_edges(spark, k4)).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_triangle_plus_tail(self, spark):
+        # one triangle 0-1-2; tail 2-3 contributes nothing
+        e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+        got = {r.node: r.n_tri for r in triangle_count(e).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_reverse_and_duplicate_edges_collapse(self, spark):
+        # same triangle declared with mixed directions and repeats
+        e = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 1)])
+        got = {r.node: r.n_tri for r in triangle_count(e).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_self_loops_ignored(self, spark):
+        e = _edges(spark, [(0, 0), (0, 1), (1, 2), (2, 0), (1, 1)])
+        got = {r.node: r.n_tri for r in triangle_count(e).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_square_has_no_triangles(self, spark):
+        e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert triangle_count(e).count() == 0
