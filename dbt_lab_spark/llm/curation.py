@@ -139,6 +139,127 @@ def decontamination_pairs(
     return pairs.filter(F.col("n_shared") >= min_shared)
 
 
+def _bloom_build(hashes, fpp: float):
+    """Build a Bloom bitset over uint64 hash keys: (bits bytes, mask,
+    n_hash) with m rounded up to a power of two so probing is a mask,
+    not a modulo.  Kirsch-Mitzenmacher double hashing (h1 + i*h2)
+    gives the k index streams from one 64-bit key."""
+    import numpy as np
+
+    n = max(1, len(hashes))
+    m_exact = -n * math.log(fpp) / (math.log(2) ** 2)
+    m = 1 << max(10, int(math.ceil(math.log2(m_exact))))
+    n_hash = max(1, round(m / n * math.log(2)))
+    h1 = np.asarray(hashes, dtype=np.uint64)
+    # splitmix64 finalizer as the second stream; force odd so strides
+    # hit every slot of the power-of-two table
+    h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+    h2 ^= h2 >> np.uint64(31)
+    h2 |= np.uint64(1)
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    mask = np.uint64(m - 1)
+    for i in range(n_hash):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bits, idx >> np.uint64(3), (1 << (idx & np.uint64(7))).astype(np.uint8)
+        )
+    return bits.tobytes(), int(mask), n_hash
+
+
+def bloom_decontamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_shared: int = 1,
+    fpp: float = 0.01,
+    max_eval_grams: int = 5_000_000,
+) -> DataFrame:
+    """`decontamination_pairs` with a Bloom-filter pre-pass: the eval
+    set's k-gram keys are folded into a compact bitset (~1.2 MB per
+    million grams at fpp=0.01), broadcast, and probed in a map-only
+    Arrow stage over the train grams; only probable hits reach the
+    exact md5-key verify join.  Blooms have no false negatives, so the
+    RESULT is bit-identical to the exact path — the filter only prunes
+    — which is why this variant carries the same full oracle.
+
+    100 TB posture: the broadcast payload is the bitset, not the gram
+    set — a 100M-gram eval suite costs ~120 MB per executor where a
+    broadcast hash join's table would not fit, and the train-side gram
+    explosion is reduced to ~fpp of itself BEFORE the only shuffle.
+    The one driver-side collect is the eval gram hashes (the sketch
+    input, capped by `max_eval_grams`), never anything train-sized.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from dbt_lab_spark.functions.text import shingles
+
+    def exploded(df: DataFrame, out_id: str, with_probe: bool) -> DataFrame:
+        g = df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("__g"),
+        )
+        cols = [
+            F.col(out_id),
+            F.substring(F.md5(F.encode(F.col("__g"), "UTF-8")), 1, 16).alias("__gh"),
+        ]
+        if with_probe:
+            cols.append(F.xxhash64("__g").alias("__h"))
+        return g.select(*cols)
+
+    ev = exploded(eval_set, "eval_id", with_probe=True)
+    eval_hashes = [r[0] for r in ev.select("__h").distinct().limit(max_eval_grams + 1).collect()]
+    if len(eval_hashes) > max_eval_grams:
+        raise ValueError(
+            f"eval gram count exceeds max_eval_grams={max_eval_grams}; "
+            "raise the cap or shard the eval set"
+        )
+    tr = exploded(train, "train_id", with_probe=True)
+    if not eval_hashes:
+        return (
+            tr.join(ev.select("eval_id", "__gh"), "__gh")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+    bits_bytes, mask, n_hash = _bloom_build(
+        [h & 0xFFFFFFFFFFFFFFFF for h in eval_hashes], fpp
+    )
+    bc = train.sparkSession.sparkContext.broadcast((bits_bytes, mask, n_hash))
+
+    id_field = next(f for f in tr.schema.fields if f.name == "train_id")
+    out_schema = f"train_id {id_field.dataType.simpleString()}, __gh string"
+
+    def _probe(batches):
+        import numpy as np
+
+        bb, msk, nh = bc.value
+        bits = np.frombuffer(bb, dtype=np.uint8)
+        msk = np.uint64(msk)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h1 = pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+            h2 ^= h2 >> np.uint64(31)
+            h2 |= np.uint64(1)
+            keep = np.ones(len(pdf), dtype=bool)
+            for i in range(nh):
+                idx = (h1 + np.uint64(i) * h2) & msk
+                bit = (bits[idx >> np.uint64(3)] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+                keep &= bit.astype(bool)
+            yield pdf.loc[keep, ["train_id", "__gh"]]
+
+    survivors = tr.mapInPandas(_probe, out_schema)
+    return (
+        survivors.join(ev.select("eval_id", "__gh"), "__gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Epoch-weighted domain mixing
 # ---------------------------------------------------------------------------

@@ -404,10 +404,49 @@ ORDER BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_decontaminate's semantics through the Bloom pre-pass
+    (llm/curation.py:bloom_decontamination_pairs): eval 8-gram keys
+    folded into a broadcast bitset, train grams probed map-only, and
+    only probable hits reach the exact verify join.  No false
+    negatives ⇒ bit-identical results to the exact path, so this
+    carries the SAME full oracle — what the driver checks is that the
+    approximate pre-filter provably didn't change the answer."""
+    from dbt_lab_spark.llm.curation import bloom_decontamination_pairs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    pairs = bloom_decontamination_pairs(tr, ev, k=8, min_shared=1, fpp=0.01)
+    return pairs.groupBy("eval_id").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum("n_shared").cast("long").alias("n_shared_ngrams"),
+        F.max("n_shared").alias("max_shared"),
+    )
+
+
+def _sql_bloom_decontaminate() -> str:
+    from dbt_lab_spark.workload_beyond import _SQL_DECONTAMINATE
+
+    return _SQL_DECONTAMINATE
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
     QueryDef("q_merge_upsert", _q_merge_upsert, _SQL_MERGE_UPSERT, "MERGE upsert audit"),
     QueryDef("q_cooccur_pmi", _q_cooccur_pmi, _SQL_COOCCUR_PMI, "token co-occurrence PMI top-20"),
     QueryDef("q_mad_outliers", _q_mad_outliers, _SQL_MAD_OUTLIERS, "median/MAD robust outliers"),
+    QueryDef(
+        "q_bloom_decontaminate",
+        _q_bloom_decontaminate,
+        _sql_bloom_decontaminate(),
+        "Bloom-prefiltered 8-gram decontamination",
+    ),
 ]

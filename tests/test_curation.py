@@ -359,3 +359,68 @@ def test_compression_ratio_separates_boilerplate(spark):
     assert got[1] == pytest.approx(want)
     # degenerate inputs
     assert got[4] == 1.0 and got[5] == 1.0
+
+
+def test_bloom_decontamination_matches_exact_path(spark):
+    """Bloom pre-filter must be result-invariant: no false negatives,
+    and false positives die at the verify join."""
+    from dbt_lab_spark.llm.curation import bloom_decontamination_pairs
+
+    shared = "one two three four five six seven eight"
+    shared2 = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(i, f"filler {i} tokens padding more filler junk words here") for i in range(40)]
+        + [(100, f"prefix junk {shared} suffix junk words"),
+           (101, f"{shared2} and some trailing content after it"),
+           (102, f"double hit {shared} plus {shared2} in one doc")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(900, f"{shared} trailing eval tokens"),
+         (901, f"leading eval tokens {shared2}"),
+         (902, "unrelated eval doc text entirely with its own words")],
+        "doc_id long, text string",
+    )
+    exact = sorted(map(tuple, decontamination_pairs(train, ev, k=8).collect()))
+    bloom = sorted(map(tuple, bloom_decontamination_pairs(train, ev, k=8).collect()))
+    assert bloom == exact
+    assert (100, 900) in {(a, b) for a, b, _ in exact}
+    assert (101, 901) in {(a, b) for a, b, _ in exact}
+    assert (102, 900) in {(a, b) for a, b, _ in exact}
+
+
+def test_bloom_decontamination_empty_eval_set(spark):
+    from dbt_lab_spark.llm.curation import bloom_decontamination_pairs
+
+    train = spark.createDataFrame(
+        [(1, "some training doc tokens going nowhere fast here now")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    assert bloom_decontamination_pairs(train, ev, k=8).count() == 0
+
+
+def test_bloom_build_no_false_negatives_and_bounded_fp():
+    import numpy as np
+
+    from dbt_lab_spark.llm.curation import _bloom_build
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**63, size=20_000, dtype=np.int64).astype(np.uint64)
+    bits_bytes, mask, n_hash = _bloom_build(members, fpp=0.01)
+    bits = np.frombuffer(bits_bytes, dtype=np.uint8)
+
+    def probe(h1):
+        h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)
+        keep = np.ones(len(h1), dtype=bool)
+        for i in range(n_hash):
+            idx = (h1 + np.uint64(i) * h2) & np.uint64(mask)
+            keep &= (((bits[idx >> np.uint64(3)] >> (idx & np.uint64(7)).astype(np.uint8)) & 1)).astype(bool)
+        return keep
+
+    assert probe(members).all()  # zero false negatives, by construction
+    others = rng.integers(0, 2**63, size=50_000, dtype=np.int64).astype(np.uint64)
+    fp = probe(others).mean()
+    assert fp < 0.05  # ~1% nominal; generous margin for hash variance
