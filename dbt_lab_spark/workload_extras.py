@@ -437,6 +437,181 @@ def _sql_bloom_decontaminate() -> str:
     return _SQL_DECONTAMINATE
 
 
+# ---------------------------------------------------------------------------
+# dataset snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def _q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between documents-v1 and a derived v2 (every 7th
+    doc re-curated, every 13th spawning a synthetic insert, every 11th
+    deleted) — the audit a pipeline runs between corpus versions.
+
+    Spark shape: operators/dml.py:dataset_diff — ONE full-outer key
+    shuffle with null-safe per-column change flags; the audit
+    aggregate is a 4-row rollup.  Full oracle: DuckDB builds the same
+    v2 and classifies with IS DISTINCT FROM."""
+    from dbt_lab_spark.operators.dml import dataset_diff
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        F.lit("curated").alias("source"),
+        "n_chars",
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("synthetic doc "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(F.concat(F.lit("synthetic doc "), F.col("doc_id").cast("string"))).alias(
+            "n_chars"
+        ),
+    )
+    from dbt_lab_spark.operators.dml import upsert_by_keys
+
+    v2 = upsert_by_keys(docs, updates.unionByName(inserts), keys=["doc_id"]).filter(
+        F.col("doc_id") % 11 != 0
+    )
+    diff = dataset_diff(docs, v2, keys=["doc_id"])
+    return (
+        diff.groupBy("change")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("text_changed").cast("long")).alias("n_text_changed"),
+            F.sum(F.col("source_changed").cast("long")).alias("n_source_changed"),
+            F.sum(F.col("lang_changed").cast("long")).alias("n_lang_changed"),
+        )
+        .orderBy("change")
+    )
+
+
+_SQL_DATASET_DIFF = r"""
+WITH updates AS (
+  SELECT doc_id, upper(text) AS text, lang, 'curated' AS source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'synthetic doc ' || CAST(doc_id AS VARCHAR), 'xx',
+         'synthetic', length('synthetic doc ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 13 = 0
+), v2 AS (
+  SELECT * FROM (
+    SELECT * FROM updates
+    UNION ALL
+    SELECT d.* FROM documents d ANTI JOIN updates u ON u.doc_id = d.doc_id
+  ) WHERE doc_id % 11 <> 0
+), diff AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN (o.text IS DISTINCT FROM n.text)
+                OR (o.lang IS DISTINCT FROM n.lang)
+                OR (o.source IS DISTINCT FROM n.source)
+                OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+          AND (o.text IS DISTINCT FROM n.text)) AS text_changed,
+         (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+          AND (o.source IS DISTINCT FROM n.source)) AS source_changed,
+         (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+          AND (o.lang IS DISTINCT FROM n.lang)) AS lang_changed
+  FROM documents o FULL OUTER JOIN v2 n ON n.doc_id = o.doc_id
+)
+SELECT change,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN text_changed THEN 1 ELSE 0 END) AS n_text_changed,
+       SUM(CASE WHEN source_changed THEN 1 ELSE 0 END) AS n_source_changed,
+       SUM(CASE WHEN lang_changed THEN 1 ELSE 0 END) AS n_lang_changed
+FROM diff
+GROUP BY change
+ORDER BY change
+"""
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: fuzzy pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+def _q_entity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: q_fuzzy_pairs' blocked
+    levenshtein matches (distinct part names, noun-token blocking,
+    edit distance ≤3) resolved into entity clusters by
+    llm/dedup.py:connected_components, singletons kept as their own
+    entity.
+
+    This puts the iterative CC operator itself under a FULL oracle for
+    the first time: DuckDB computes the same components as a recursive
+    transitive closure over the identical pair set (min-reachable-name
+    per node == min-label propagation fixpoint).  Output: entity
+    (min name), n_names, n_rows."""
+    from dbt_lab_spark.llm.dedup import connected_components
+
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_partkey", "p_name"])
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_rows"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("__block"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("__block"),
+    )
+    pairs = (
+        a.join(b, "__block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(pairs, id_a="name_a", id_b="name_b")
+    return (
+        names.join(comp, names.p_name == comp.id, "left")
+        .select(
+            "p_name",
+            F.coalesce(F.col("component"), F.col("p_name")).alias("entity"),
+            "n_rows",
+        )
+        .groupBy("entity")
+        .agg(F.count("*").alias("n_names"), F.sum("n_rows").alias("n_rows"))
+        .orderBy("entity")
+    )
+
+
+_SQL_ENTITY_CC = r"""
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name
+), pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+   AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+), und AS (
+  SELECT name_a AS a, name_b AS b FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+), comp AS (
+  SELECT n.p_name,
+         LEAST(n.p_name, COALESCE(MIN(r.b), n.p_name)) AS entity,
+         ANY_VALUE(n.n_rows) AS n_rows
+  FROM names n LEFT JOIN reach r ON r.a = n.p_name
+  GROUP BY n.p_name
+)
+SELECT entity, COUNT(*) AS n_names, SUM(n_rows) AS n_rows
+FROM comp
+GROUP BY entity
+ORDER BY entity
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -449,4 +624,6 @@ EXTRA_QUERIES: list[QueryDef] = [
         _sql_bloom_decontaminate(),
         "Bloom-prefiltered 8-gram decontamination",
     ),
+    QueryDef("q_dataset_diff", _q_dataset_diff, _SQL_DATASET_DIFF, "snapshot diff audit"),
+    QueryDef("q_entity_cc", _q_entity_cc, _SQL_ENTITY_CC, "fuzzy-match entity clusters (CC oracle)"),
 ]

@@ -64,3 +64,39 @@ class TestTriangleCount:
     def test_square_has_no_triangles(self, spark):
         e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
         assert triangle_count(e).count() == 0
+
+
+class TestDatasetDiff:
+    def test_classifies_all_four_changes(self, spark):
+        from dbt_lab_spark.operators.dml import dataset_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, s string, v long"
+        )
+        rows = {r.k: r for r in dataset_diff(old, new, keys=["k"]).collect()}
+        assert rows[1].change == "unchanged"
+        assert rows[2].change == "changed" and rows[2].s_changed and not rows[2].v_changed
+        assert rows[3].change == "removed"
+        assert rows[4].change == "added"
+
+    def test_null_safe_compare(self, spark):
+        from dbt_lab_spark.operators.dml import dataset_diff
+
+        old = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+        new = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+        rows = {r.k: r for r in dataset_diff(old, new, keys=["k"]).collect()}
+        assert rows[1].change == "unchanged"  # null == null under eqNullSafe
+        assert rows[2].change == "changed" and rows[2].s_changed
+
+    def test_schema_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from dbt_lab_spark.operators.dml import dataset_diff
+
+        old = spark.createDataFrame([(1, "a")], "k long, s string")
+        new = spark.createDataFrame([(1, 2)], "k long, v long")
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            dataset_diff(old, new, keys=["k"])
