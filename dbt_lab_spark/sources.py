@@ -714,3 +714,290 @@ def read_zip_shards(blobs: DataFrame, blob_col: str = "zip") -> DataFrame:
             yield pd.DataFrame(rows, columns=rows_cols)
 
     return blobs.mapInPandas(_unpack, WDS_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (spec-implemented; Apache Avro 1.11 spec)
+# ---------------------------------------------------------------------------
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def _avro_zigzag(n: int) -> bytes:
+    """Avro long: zigzag + base-128 varint (spec 'Primitive Types')."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_encode_value(v, typ: str, out: bytearray) -> None:
+    import struct as _struct
+
+    if isinstance(typ, list):  # union, e.g. ["null", "string"]
+        if v is None:
+            out += _avro_zigzag(typ.index("null"))
+            return
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        out += _avro_zigzag(branch)
+        _avro_encode_value(v, typ[branch], out)
+        return
+    if typ in ("long", "int"):
+        out += _avro_zigzag(int(v))
+    elif typ == "string":
+        raw = str(v).encode("utf-8")
+        out += _avro_zigzag(len(raw)) + raw
+    elif typ == "bytes":
+        raw = bytes(v)
+        out += _avro_zigzag(len(raw)) + raw
+    elif typ == "double":
+        out += _struct.pack("<d", float(v))
+    elif typ == "float":
+        out += _struct.pack("<f", float(v))
+    elif typ == "boolean":
+        out += b"\x01" if v else b"\x00"
+    else:
+        raise ValueError(f"unsupported avro type: {typ}")
+
+
+def _avro_decode_value(buf: bytes, pos: int, typ: str):
+    import struct as _struct
+
+    if isinstance(typ, list):
+        branch, pos = _avro_read_long(buf, pos)
+        t = typ[branch]
+        if t == "null":
+            return None, pos
+        return _avro_decode_value(buf, pos, t)
+    if typ in ("long", "int"):
+        return _avro_read_long(buf, pos)
+    if typ in ("string", "bytes"):
+        n, pos = _avro_read_long(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if typ == "string" else bytes(raw)), pos + n
+    if typ == "double":
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "float":
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    raise ValueError(f"unsupported avro type: {typ}")
+
+
+def avro_file_bytes(
+    records: list[dict],
+    fields: list[tuple[str, object]],
+    name: str = "record0",
+    codec: str = "deflate",
+    sync: bytes | None = None,
+) -> bytes:
+    """Serialize records into ONE Avro Object Container File: magic,
+    metadata map (avro.schema + avro.codec), sync marker, then one data
+    block (record count, byte length, payload, sync).  Supported field
+    types: long/int/string/bytes/double/float/boolean and
+    ["null", <primitive>] unions — the generic-row subset.
+
+    `sync` defaults to an md5 of the schema+count, NOT random bytes:
+    the engine's byte-determinism convention (same input → same shard
+    bytes) that every shard writer here follows."""
+    import hashlib as _hashlib
+    import json as _json
+    import zlib as _zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    schema = {
+        "type": "record",
+        "name": name,
+        "fields": [{"name": fn, "type": ft} for fn, ft in fields],
+    }
+    schema_json = _json.dumps(schema, sort_keys=True).encode()
+    if sync is None:
+        sync = _hashlib.md5(schema_json + _avro_zigzag(len(records))).digest()
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    out = bytearray(_AVRO_MAGIC)
+    meta = [(b"avro.schema", schema_json), (b"avro.codec", codec.encode())]
+    out += _avro_zigzag(len(meta))
+    for k, v in meta:
+        out += _avro_zigzag(len(k)) + k + _avro_zigzag(len(v)) + v
+    out += _avro_zigzag(0)  # metadata map terminator
+    out += sync
+    body = bytearray()
+    for rec in records:
+        for fn, ft in fields:
+            _avro_encode_value(rec.get(fn), ft, body)
+    payload = bytes(body)
+    if codec == "deflate":
+        payload = _zlib.compress(payload, 6)[2:-4]  # raw deflate per spec
+    out += _avro_zigzag(len(records)) + _avro_zigzag(len(payload)) + payload + sync
+    return bytes(out)
+
+
+def parse_avro_bytes(blob: bytes) -> tuple[list[str], list[dict]]:
+    """Parse one Avro Object Container File into (field_names, record
+    dicts), honoring the embedded writer schema (reader-makes-right).
+    Validates the magic and every block's sync marker; raises on
+    corruption rather than returning partial rows."""
+    import json as _json
+    import zlib as _zlib
+
+    if blob[:4] != _AVRO_MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _avro_read_long(blob, pos)
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count precedes a byte size
+            _, pos = _avro_read_long(blob, pos)
+            count = -count
+        for _ in range(count):
+            klen, pos = _avro_read_long(blob, pos)
+            key = blob[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _avro_read_long(blob, pos)
+            meta[key] = blob[pos : pos + vlen]
+            pos += vlen
+    sync = blob[pos : pos + 16]
+    pos += 16
+    schema = _json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    records: list[dict] = []
+    while pos < len(blob):
+        n_rec, pos = _avro_read_long(blob, pos)
+        n_bytes, pos = _avro_read_long(blob, pos)
+        payload = blob[pos : pos + n_bytes]
+        pos += n_bytes
+        if blob[pos : pos + 16] != sync:
+            raise ValueError("avro block sync marker mismatch (corrupt file)")
+        pos += 16
+        if codec == "deflate":
+            payload = _zlib.decompress(payload, -15)
+        p = 0
+        for _ in range(n_rec):
+            rec = {}
+            for fn, ft in fields:
+                rec[fn], p = _avro_decode_value(payload, p, ft)
+            records.append(rec)
+        if p != len(payload):
+            raise ValueError("avro block decoded short/long (corrupt payload)")
+    return [fn for fn, _ in fields], records
+
+
+_AVRO_DOC_FIELDS: list[tuple[str, object]] = [
+    ("doc_id", "long"),
+    ("text", ["null", "string"]),
+    ("lang", ["null", "string"]),
+    ("source", ["null", "string"]),
+    ("n_chars", "long"),
+]
+
+AVRO_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def build_avro_shards(docs: DataFrame, n_shards: int = 8, codec: str = "deflate") -> DataFrame:
+    """Pack documents into Avro object-container shards (one file per
+    shard, doc_id-ordered for byte determinism) — the row-oriented
+    interchange format streaming ingest pipelines hand off in.  One
+    applyInPandas group per shard, same contract as the WebDataset/ZIP
+    writers."""
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("avro", T.BinaryType()),
+        ]
+    )
+
+    def _pack(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            {
+                "doc_id": int(r.doc_id),
+                "text": None if r.text is None else str(r.text),
+                "lang": None if r.lang is None else str(r.lang),
+                "source": None if r.source is None else str(r.source),
+                "n_chars": int(r.n_chars),
+            }
+            for r in pdf.itertuples()
+        ]
+        blob = avro_file_bytes(recs, _AVRO_DOC_FIELDS, name="doc", codec=codec)
+        return pd.DataFrame(
+            {"shard_id": [int(key[0])], "n_records": [len(recs)], "avro": [blob]}
+        )
+
+    with_shard = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        (F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")).alias("shard_id"),
+    )
+    return with_shard.groupBy("shard_id").applyInPandas(_pack, out_schema)
+
+
+def read_avro_docs(blobs: DataFrame, blob_col: str = "avro") -> DataFrame:
+    """Unpack Avro document shards into one row per record — map-only
+    over Arrow batches, decoding against each file's embedded writer
+    schema (reader-makes-right; column order follows AVRO_DOC_SCHEMA
+    regardless of writer field order)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AVRO_DOC_SCHEMA.fields]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for shard_id, blob in zip(pdf["shard_id"], pdf[blob_col]):
+                _, recs = parse_avro_bytes(bytes(blob))
+                for rec in recs:
+                    rows.append(
+                        (
+                            int(shard_id),
+                            rec["doc_id"],
+                            rec["text"],
+                            rec["lang"],
+                            rec["source"],
+                            rec["n_chars"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(_unpack, AVRO_DOC_SCHEMA)

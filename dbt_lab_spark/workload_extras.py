@@ -612,6 +612,52 @@ ORDER BY entity
 """
 
 
+# ---------------------------------------------------------------------------
+# Avro object-container round-trip
+# ---------------------------------------------------------------------------
+
+
+def _q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container round-trip: pack documents into deflate
+    Avro shards (sources.py:build_avro_shards — spec-implemented OCF
+    writer, one applyInPandas group per shard), then read them back
+    distributed (read_avro_docs: map-only Arrow stage decoding against
+    each file's embedded writer schema) and audit per source.
+
+    Full oracle: DuckDB computes the same audit from the documents
+    table directly — equality proves the round-trip lost nothing (text
+    byte length AND stored metadata survive).  Same contract as
+    q_warc_ingest / q_webdataset."""
+    from dbt_lab_spark.sources import build_avro_shards, read_avro_docs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    shards = build_avro_shards(docs, n_shards=8, codec="deflate")
+    decoded = read_avro_docs(shards)
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("sum_text_chars"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_AVRO_INGEST = r"""
+SELECT source,
+       COUNT(*) AS n_records,
+       SUM(length(COALESCE(text, ''))) AS sum_text_chars,
+       SUM(n_chars) AS sum_n_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -625,5 +671,6 @@ EXTRA_QUERIES: list[QueryDef] = [
         "Bloom-prefiltered 8-gram decontamination",
     ),
     QueryDef("q_dataset_diff", _q_dataset_diff, _SQL_DATASET_DIFF, "snapshot diff audit"),
+    QueryDef("q_avro_ingest", _q_avro_ingest, _SQL_AVRO_INGEST, "Avro OCF shard round-trip"),
     QueryDef("q_entity_cc", _q_entity_cc, _SQL_ENTITY_CC, "fuzzy-match entity clusters (CC oracle)"),
 ]

@@ -540,3 +540,88 @@ def test_zip_shards_round_trip_and_corruption(spark):
 
     with _pytest.raises(Exception, match="CRC|Bad"):
         read_zip_shards(blobs_bad).collect()
+
+
+class TestAvro:
+    def test_round_trip_all_types(self):
+        from dbt_lab_spark.sources import avro_file_bytes, parse_avro_bytes
+
+        fields = [
+            ("a", "long"), ("b", "string"), ("c", "double"), ("d", "boolean"),
+            ("e", "bytes"), ("f", ["null", "string"]), ("g", ["null", "long"]),
+        ]
+        recs = [
+            {"a": 0, "b": "", "c": 0.0, "d": False, "e": b"", "f": None, "g": None},
+            {"a": -1, "b": "x", "c": -1.5, "d": True, "e": b"\x00\xff", "f": "y", "g": 9},
+            {"a": 2**40, "b": "ünïcødé", "c": 1e300, "d": False, "e": b"abc", "f": None, "g": -7},
+        ]
+        for codec in ("null", "deflate"):
+            _, out = parse_avro_bytes(avro_file_bytes(recs, fields, codec=codec))
+            assert out == recs
+
+    def test_byte_determinism(self):
+        from dbt_lab_spark.sources import avro_file_bytes
+
+        recs = [{"a": i} for i in range(100)]
+        one = avro_file_bytes(recs, [("a", "long")])
+        assert one == avro_file_bytes(recs, [("a", "long")])
+
+    def test_corruption_rejected(self):
+        import pytest as _pytest
+
+        from dbt_lab_spark.sources import avro_file_bytes, parse_avro_bytes
+
+        blob = avro_file_bytes([{"a": 1}], [("a", "long")])
+        with _pytest.raises(ValueError, match="sync marker"):
+            parse_avro_bytes(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+        with _pytest.raises(ValueError, match="magic"):
+            parse_avro_bytes(b"NOPE" + blob[4:])
+
+    def test_zigzag_varint_pins(self):
+        # spec examples: 0->00, -1->01, 1->02, -2->03, 2->04
+        from dbt_lab_spark.sources import _avro_zigzag
+
+        assert [_avro_zigzag(n) for n in (0, -1, 1, -2, 2)] == [
+            b"\x00", b"\x01", b"\x02", b"\x03", b"\x04"
+        ]
+        assert _avro_zigzag(64) == b"\x80\x01"  # two-byte varint boundary
+
+    def test_property_random_records(self):
+        import random
+
+        from dbt_lab_spark.sources import avro_file_bytes, parse_avro_bytes
+
+        rng = random.Random(42)
+        fields = [("i", "long"), ("s", ["null", "string"]), ("x", "double"), ("bl", "boolean")]
+        for _ in range(25):
+            recs = [
+                {
+                    "i": rng.randint(-(2**62), 2**62),
+                    "s": None if rng.random() < 0.3 else "".join(
+                        chr(rng.randint(32, 0x2FF)) for _ in range(rng.randint(0, 40))
+                    ),
+                    "x": rng.uniform(-1e18, 1e18),
+                    "bl": rng.random() < 0.5,
+                }
+                for _ in range(rng.randint(0, 30))
+            ]
+            codec = rng.choice(["null", "deflate"])
+            _, out = parse_avro_bytes(avro_file_bytes(recs, fields, codec=codec))
+            assert out == recs
+
+    def test_spark_shard_round_trip(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbt_lab_spark.sources import build_avro_shards, read_avro_docs
+
+        docs = spark.createDataFrame(
+            [(i, f"doc text {i}", "en" if i % 2 else None, f"src{i % 3}", 10 + i)
+             for i in range(57)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        shards = build_avro_shards(docs, n_shards=4, codec="deflate")
+        assert shards.agg(F.sum("n_records")).first()[0] == 57
+        back = read_avro_docs(shards).drop("shard_id")
+        want = sorted(map(tuple, docs.collect()))
+        got = sorted(map(tuple, back.collect()))
+        assert got == want
