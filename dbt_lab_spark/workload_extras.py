@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.expr import money
 from dbt_lab_spark.operators.scan import scan
 from dbt_lab_spark.workload import QueryDef
 
@@ -658,6 +659,134 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# linear interpolation over a dense hourly grid
+# ---------------------------------------------------------------------------
+
+
+def _q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series interpolation: per user, a dense hourly grid
+    over the whole event span, hourly purchase totals where present,
+    and straight-line interpolation between the surrounding observed
+    hours elsewhere — the sensor/metrics resampling primitive one step
+    up from q_gap_fill's LOCF.
+
+    Spark shape: grid = distinct users × one exploded hour sequence
+    (the 1-row bounds frame broadcasts); observed values left-join on
+    (user, hour); prev/next observation via last/first IGNORE NULLS
+    over one user-partitioned window each — a single shuffle on
+    user_id.  Determinism: hourly totals are exact DECIMAL sums, the
+    interpolation expression is written identically on both engines,
+    and the per-user audit sums DECIMAL(18,4)-rounded values (exact,
+    order-independent)."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "ts", "event_type", "value"])
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(money("value")).cast("double").alias("v"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    ser = grid.join(hourly, ["user_id", "h"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    annotated = ser.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    eh = F.unix_timestamp("h").cast("double")
+    ph = F.unix_timestamp("ph").cast("double")
+    nh = F.unix_timestamp("nh").cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("pv") + (F.col("nv") - F.col("pv")) * ((eh - ph) / (nh - ph))
+        )
+    )
+    return (
+        annotated.withColumn("iv", interp)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.count("v").alias("n_observed"),
+            (F.count("iv") - F.count("v")).alias("n_interp"),
+            # fixed-point audit sum: floor(iv*1e4 + 0.5) is pure IEEE
+            # arithmetic on identical bits (no engine-specific decimal
+            # ROUND path), so the BIGINT sum is exactly reproducible
+            F.sum(F.floor(F.col("iv") * 10000 + F.lit(0.5))).alias("sum_filled_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_INTERP_FILL = r"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h FROM bounds
+), grid AS (
+  SELECT u.user_id, hours.h
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN hours
+), ser AS (
+  SELECT g.user_id, g.h, hourly.v
+  FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+), annotated AS (
+  SELECT user_id, h, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+  FROM ser
+  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), filled AS (
+  SELECT user_id, h, v,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL OR nv IS NULL THEN NULL
+              ELSE pv + (nv - pv) * ((CAST(epoch(h) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE))
+                                     / (CAST(epoch(nh) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE)))
+         END AS iv
+  FROM annotated
+)
+SELECT user_id,
+       COUNT(*) AS n_hours,
+       COUNT(v) AS n_observed,
+       COUNT(iv) - COUNT(v) AS n_interp,
+       CAST(SUM(CAST(FLOOR(iv * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_filled_e4
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -672,5 +801,6 @@ EXTRA_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_dataset_diff", _q_dataset_diff, _SQL_DATASET_DIFF, "snapshot diff audit"),
     QueryDef("q_avro_ingest", _q_avro_ingest, _SQL_AVRO_INGEST, "Avro OCF shard round-trip"),
+    QueryDef("q_interp_fill", _q_interp_fill, _SQL_INTERP_FILL, "linear interpolation resample"),
     QueryDef("q_entity_cc", _q_entity_cc, _SQL_ENTITY_CC, "fuzzy-match entity clusters (CC oracle)"),
 ]
