@@ -112,6 +112,11 @@ BENCH_NAMES = [
     "q_merge_upsert",
     "q_cooccur_pmi",
     "q_mad_outliers",
+    "q_bloom_decontaminate",
+    "q_dataset_diff",
+    "q_entity_cc",
+    "q_avro_ingest",
+    "q_interp_fill",
 ]
 
 

