@@ -117,6 +117,9 @@ BENCH_NAMES = [
     "q_entity_cc",
     "q_avro_ingest",
     "q_interp_fill",
+    "q_hll_sketch",
+    "q_skyline",
+    "q_expectations",
 ]
 
 

@@ -792,6 +792,251 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# oracle-checkable HLL distinct sketch
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 buckets
+
+
+def _q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch built from first principles as
+    DataFrame algebra — unlike approx_count_distinct (whose HLL++ is an
+    engine-internal black box), every step here is deterministic md5
+    bit-slicing, so the SKETCH ITSELF carries a full oracle: bucket =
+    first 2 hex chars, rho = leading-zero bits of the next 56 + 1, one
+    max-rho per bucket, Flajolet's raw estimate with the small-range
+    correction.  The 2^-rho sum runs in exact DECIMAL (scaled 2^57) —
+    double summation would be order-dependent.
+
+    Scale shape: one hash-aggregate to 256 rows, then a 1-row reduce —
+    the mergeable-sketch plan (per-partition partial max-rho IS the
+    sketch merge).  Output: raw/corrected estimates + exact NDV + the
+    observed relative error."""
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id"])
+    h = ev.select(F.md5(F.col("user_id").cast("string")).alias("hx")).distinct()
+    rest = F.substring("hx", 3, 14)
+    zchars = F.length(F.regexp_extract(rest, "^0*", 0))
+    # first non-zero hex char after the zero run
+    first_nz = F.expr("substr(substr(hx, 3, 14), length(regexp_extract(substr(hx, 3, 14), '^0*', 0)) + 1, 1)")
+    extra = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(zchars == 14, F.lit(57)).otherwise(zchars * 4 + extra + 1)
+    buckets = (
+        h.select(
+            F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # exact integer 2^(57 - max_rho) per bucket, summed in DECIMAL
+    agg = buckets.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(57) - F.col("max_rho")).cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_ndv"))
+    est_raw = (
+        F.lit(alpha * m * m)
+        / ((F.col("s").cast("double") + (F.lit(m) - F.col("nonzero")) * F.pow(F.lit(2.0), F.lit(57)))
+           / F.pow(F.lit(2.0), F.lit(57)))
+    )
+    v = F.lit(m) - F.col("nonzero")  # empty buckets
+    corrected = F.when(
+        (est_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(est_raw)
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.round(est_raw, 2).alias("est_raw"),
+            F.round(corrected, 2).alias("est"),
+            "exact_ndv",
+            F.round(
+                F.abs(corrected - F.col("exact_ndv")) / F.col("exact_ndv"), 3
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _sql_hll_sketch() -> str:
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return rf"""
+WITH h AS (
+  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+), r AS (
+  SELECT CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) AS bucket,
+         length(regexp_extract(substr(hx, 3, 14), '^0*')) AS zchars,
+         substr(substr(hx, 3, 14),
+                length(regexp_extract(substr(hx, 3, 14), '^0*')) + 1, 1) AS fnz
+  FROM h
+), rho_t AS (
+  SELECT bucket,
+         CASE WHEN zchars = 14 THEN 57
+              ELSE zchars * 4 + CASE WHEN fnz = '1' THEN 3
+                                     WHEN fnz IN ('2','3') THEN 2
+                                     WHEN fnz IN ('4','5','6','7') THEN 1
+                                     ELSE 0 END + 1 END AS rho
+  FROM r
+), b AS (
+  SELECT bucket, MAX(rho) AS max_rho FROM rho_t GROUP BY bucket
+), agg AS (
+  SELECT SUM(CAST(POWER(2, 57 - max_rho) AS DECIMAL(38,0))) AS s,
+         COUNT(*) AS nonzero
+  FROM b
+), est AS (
+  SELECT CAST({alpha!r} AS DOUBLE) * {m} * {m}
+         / ((CAST(s AS DOUBLE) + ({m} - nonzero) * POWER(2, 57)) / POWER(2, 57)) AS est_raw,
+         {m} - nonzero AS v
+  FROM agg
+), ex AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events)
+SELECT ROUND(est_raw, 2) AS est_raw,
+       ROUND(CASE WHEN est_raw <= 2.5 * {m} AND v > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                  ELSE est_raw END, 2) AS est,
+       exact_ndv,
+       ROUND(abs(CASE WHEN est_raw <= 2.5 * {m} AND v > 0
+                      THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                      ELSE est_raw END - exact_ndv) / exact_ndv, 3) AS rel_err
+FROM est, ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over (p_retailprice minimize, p_size
+    maximize): the preference-query operator (cheapest part at every
+    size level nothing else beats on both axes).
+
+    Spark shape: the O(n log n) sweep — aggregate to distinct value
+    pairs, per-price best size, one ordered cummax window with a
+    1-preceding lag; NOT the quadratic NOT-EXISTS.  The oracle is
+    deliberately the opposite formulation (DuckDB brute-force
+    NOT EXISTS over the definition), so agreement checks the sweep's
+    semantics rather than mirroring it."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_retailprice", "p_size"])
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).agg(F.count("*").alias("n"))
+    per_price = pts.groupBy(F.col("price").alias("sp_price")).agg(
+        F.max("size").alias("best_size")
+    )
+    w = Window.orderBy("sp_price").rowsBetween(Window.unboundedPreceding, -1)
+    sky = per_price.withColumn("prev_best", F.max("best_size").over(w)).filter(
+        F.col("prev_best").isNull() | (F.col("best_size") > F.col("prev_best"))
+    )
+    return (
+        sky.join(
+            pts,
+            (F.col("sp_price") == F.col("price")) & (F.col("best_size") == F.col("size")),
+        )
+        .select("price", "size", "n")
+        .orderBy("price", "size")
+    )
+
+
+_SQL_SKYLINE = r"""
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT price, size, n FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size)
+)
+ORDER BY price, size
+"""
+
+
+# ---------------------------------------------------------------------------
+# data-expectations validation gate
+# ---------------------------------------------------------------------------
+
+
+def _q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over lineitem — the
+    validation gate a pipeline runs before promoting a snapshot: range
+    checks, set membership, cross-column ordering, non-null keys.
+    One scan, all rules as parallel conditional aggregates (no
+    per-rule passes); emitted long-form (rule, n_violations,
+    pass_rate) so new rules never change the schema."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark,
+        cat,
+        "lineitem",
+        ["l_orderkey", "l_quantity", "l_discount", "l_shipdate",
+         "l_returnflag", "l_linestatus", "l_extendedprice", "l_tax"],
+    )
+    rules = [
+        ("quantity_in_1_50", ~F.col("l_quantity").between(1, 50)),
+        ("discount_in_0_0.10", ~F.col("l_discount").between(0.0, 0.10)),
+        ("price_positive", F.col("l_extendedprice") <= 0),
+        ("returnflag_in_set", ~F.col("l_returnflag").isin("A", "N", "R")),
+        ("linestatus_in_set", ~F.col("l_linestatus").isin("O", "F")),
+        ("orderkey_not_null", F.col("l_orderkey").isNull()),
+        ("shipdate_in_range", ~F.col("l_shipdate").between("1992-01-01", "1998-12-31")),
+        ("tax_in_0_0.08", ~F.col("l_tax").between(0.0, 0.08)),
+    ]
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(cond.cast("long")).alias(f"r{i}") for i, (_, cond) in enumerate(rules)
+    ]
+    wide = li.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (rule, n_violations)".format(
+        n=len(rules),
+        args=", ".join(f"'{name}', r{i}" for i, (name, _) in enumerate(rules)),
+    )
+    return wide.select(
+        F.expr(stack_expr), F.col("n_rows")
+    ).select(
+        "rule",
+        "n_violations",
+        F.round(1.0 - F.col("n_violations") / F.col("n_rows"), 6).alias("pass_rate"),
+    ).orderBy("rule")
+
+
+_SQL_EXPECTATIONS = r"""
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS v_qty,
+         SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.10) THEN 1 ELSE 0 END) AS v_disc,
+         SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+         SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_flag,
+         SUM(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS v_status,
+         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key,
+         SUM(CASE WHEN NOT (l_shipdate BETWEEN '1992-01-01' AND '1998-12-31') THEN 1 ELSE 0 END) AS v_ship,
+         SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08) THEN 1 ELSE 0 END) AS v_tax
+  FROM lineitem
+)
+SELECT rule, n_violations, ROUND(1.0 - n_violations / n_rows, 6) AS pass_rate
+FROM (
+  SELECT 'quantity_in_1_50' AS rule, v_qty AS n_violations, n_rows FROM wide
+  UNION ALL SELECT 'discount_in_0_0.10', v_disc, n_rows FROM wide
+  UNION ALL SELECT 'price_positive', v_price, n_rows FROM wide
+  UNION ALL SELECT 'returnflag_in_set', v_flag, n_rows FROM wide
+  UNION ALL SELECT 'linestatus_in_set', v_status, n_rows FROM wide
+  UNION ALL SELECT 'orderkey_not_null', v_key, n_rows FROM wide
+  UNION ALL SELECT 'shipdate_in_range', v_ship, n_rows FROM wide
+  UNION ALL SELECT 'tax_in_0_0.08', v_tax, n_rows FROM wide
+)
+ORDER BY rule
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -807,5 +1052,8 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_dataset_diff", _q_dataset_diff, _SQL_DATASET_DIFF, "snapshot diff audit"),
     QueryDef("q_avro_ingest", _q_avro_ingest, _SQL_AVRO_INGEST, "Avro OCF shard round-trip"),
     QueryDef("q_interp_fill", _q_interp_fill, _SQL_INTERP_FILL, "linear interpolation resample"),
+    QueryDef("q_hll_sketch", _q_hll_sketch, _sql_hll_sketch(), "oracle-checkable HLL sketch"),
+    QueryDef("q_skyline", _q_skyline, _SQL_SKYLINE, "Pareto frontier (sweep vs NOT EXISTS)"),
+    QueryDef("q_expectations", _q_expectations, _SQL_EXPECTATIONS, "data-quality expectations gate"),
     QueryDef("q_entity_cc", _q_entity_cc, _SQL_ENTITY_CC, "fuzzy-match entity clusters (CC oracle)"),
 ]

@@ -100,3 +100,28 @@ class TestDatasetDiff:
         new = spark.createDataFrame([(1, 2)], "k long, v long")
         with _pytest.raises(ValueError, match="schema mismatch"):
             dataset_diff(old, new, keys=["k"])
+
+
+class TestHllSketch:
+    def test_estimate_within_expected_error(self, spark, sf_medium):
+        """m=256 HLL has ~6.5% standard error; a symmetric formula bug
+        (which the identical-oracle can't catch) would blow way past
+        25% against the exact NDV carried in the same row."""
+        from dbt_lab_spark.workload_extras import _q_hll_sketch
+
+        row = _q_hll_sketch(spark, sf_medium).collect()[0]
+        assert row.exact_ndv > 0
+        assert row.rel_err < 0.25
+
+
+class TestSkyline:
+    def test_skyline_no_dominated_points(self, spark, sf_medium):
+        from dbt_lab_spark.workload_extras import _q_skyline
+
+        pts = [(r.price, r.size) for r in _q_skyline(spark, sf_medium).collect()]
+        assert pts, "skyline empty"
+        for i, (p1, s1) in enumerate(pts):
+            for j, (p2, s2) in enumerate(pts):
+                if i != j:
+                    dominated = p2 <= p1 and s2 >= s1 and (p2 < p1 or s2 > s1)
+                    assert not dominated, f"{(p1, s1)} dominated by {(p2, s2)}"
