@@ -120,6 +120,8 @@ BENCH_NAMES = [
     "q_hll_sketch",
     "q_skyline",
     "q_expectations",
+    "q_scd2",
+    "q_weighted_sample",
 ]
 
 

@@ -1037,6 +1037,142 @@ ORDER BY rule
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD type-2 history build
+# ---------------------------------------------------------------------------
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: each
+    user's event_type stream collapses into validity versions (a new
+    version at every state CHANGE, valid_from = change ts, valid_to =
+    next change ts, open-ended for the current state) — the dimension-
+    history pattern every warehouse load needs.
+
+    Spark shape: lag() to detect changes + lead() to close intervals,
+    both over ONE (user_id, ts) window partitioning — a single
+    shuffle.  Per-user audit keeps output bounded: version count,
+    distinct states, closed-version dwell seconds (exact integer
+    arithmetic), and the current open state."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "ts", "event_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+    )
+    return (
+        versions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.countDistinct("event_type").alias("n_states"),
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.unix_micros("valid_to") - F.unix_micros("valid_from"),
+                )
+            ).alias("closed_dwell_us"),
+            F.max(
+                F.when(
+                    F.col("valid_to").isNull(),
+                    F.col("event_type"),
+                )
+            ).alias("current_state"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_SCD2 = r"""
+WITH changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), versions AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+)
+SELECT user_id,
+       COUNT(*) AS n_versions,
+       COUNT(DISTINCT event_type) AS n_states,
+       SUM(CASE WHEN valid_to IS NOT NULL
+                THEN epoch_us(valid_to) - epoch_us(valid_from)
+           END) AS closed_dwell_us,
+       MAX(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state
+FROM versions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_PER_SOURCE = 10
+_WS_SALT = "ws1"
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    style, with the engine's no-RNG convention: u = md5-derived
+    uniform in (0,1), key = ln(u)/w (equivalent to ranking u^(1/w)),
+    top-10 per source by key — longer documents proportionally more
+    likely, yet bit-reproducible across runs, partitionings and
+    engines.  The per-epoch corpus-sampling primitive when weights
+    come from quality/length scores.
+
+    Spark shape: narrow map to compute keys + one row_number window
+    per source.  Both engines derive u from the SAME first 15 md5 hex
+    chars, so the double keys are bit-identical and the selected ROWS
+    match exactly (keys themselves stay out of the output)."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WS_SALT))), 1, 15), 16, 10)
+        .cast("double")
+        / F.pow(F.lit(2.0), F.lit(60))
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        docs.withColumn("k", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_PER_SOURCE)
+        .select("source", "doc_id", "n_chars", F.col("rn").cast("int").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+def _sql_weighted_sample() -> str:
+    return rf"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_WS_SALT}'), 1, 15)) AS BIGINT) / POWER(2, 60))
+         / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {_WS_PER_SOURCE}
+ORDER BY source, rn
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1056,4 +1192,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_skyline", _q_skyline, _SQL_SKYLINE, "Pareto frontier (sweep vs NOT EXISTS)"),
     QueryDef("q_expectations", _q_expectations, _SQL_EXPECTATIONS, "data-quality expectations gate"),
     QueryDef("q_entity_cc", _q_entity_cc, _SQL_ENTITY_CC, "fuzzy-match entity clusters (CC oracle)"),
+    QueryDef("q_scd2", _q_scd2, _SQL_SCD2, "SCD type-2 history build audit"),
+    QueryDef(
+        "q_weighted_sample", _q_weighted_sample, _sql_weighted_sample(),
+        "Efraimidis-Spirakis weighted sample (no-RNG)",
+    ),
 ]
