@@ -1173,6 +1173,167 @@ ORDER BY source, rn
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic correlation matrix + OLS via exact decimal moments
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — computed from EXACT DECIMAL moment sums (Sx, Sxx, Sxy)
+    so the result is bit-reproducible across engines and
+    partitionings, unlike corr()'s double accumulation (the same
+    canonicalization strategy as the engine's money aggregates,
+    applied to second moments).
+
+    Scale shape: ONE scan with 14 parallel decimal sums (no per-pair
+    passes, no shuffle beyond the single aggregate), then a 1-row
+    expansion to long form."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", _CORR_COLS)
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(money(c)).alias(f"s_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(money(a) * money(b)).alias(f"s_{a}_{b}"))
+    wide = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{a}").cast("double")
+        sy = F.col(f"s_{b}").cast("double")
+        sxy = F.col(f"s_{a}_{b}").cast("double")
+        sxx = F.col(f"s_{a}_{a}").cast("double")
+        syy = F.col(f"s_{b}_{b}").cast("double")
+        return (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+
+    # one exploded array over the single 1-row aggregate — a
+    # union-of-selects here would re-run the scan once per pair
+    entries = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(corr_expr(a, b), 6).alias("corr"),
+            F.col("n").alias("n"),
+        )
+        for a, b in pairs
+        if a != b
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.col_a", "e.col_b", "e.corr", "e.n")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _sql_corr_matrix() -> str:
+    sums = ",\n         ".join(
+        [f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}" for c in _CORR_COLS]
+    )
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:]]
+    psums = ",\n         ".join(
+        f"SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS s_{a}_{b}"
+        for a, b in pairs
+    )
+    selects = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            if a == b:
+                continue
+            selects.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)
+         - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)
+                - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)
+                  - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6) AS corr,
+  n FROM wide"""
+            )
+    body = "\nUNION ALL ".join(selects)
+    return f"""
+WITH wide AS (
+  SELECT COUNT(*) AS n,
+         {sums},
+         {psums}
+  FROM lineitem
+)
+{body}
+ORDER BY col_a, col_b
+"""
+
+
+def _q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (extendedprice ~ quantity, grouped by
+    returnflag) via the normal equations over exact DECIMAL moments —
+    distributed linear regression as pure DataFrame algebra, with the
+    same bit-reproducibility argument as q_corr_matrix.  One grouped
+    aggregate; slope/intercept/r² derived on 3 rows."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    x, y = money("l_quantity"), money("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r * r, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+_SQL_OLS = r"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+  FROM m
+), fit AS (
+  SELECT l_returnflag, n,
+         (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+         (nd * sxyd - sxd * syd)
+           / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r
+  FROM d
+)
+SELECT fit.l_returnflag, fit.n,
+       ROUND(slope, 6) AS slope,
+       ROUND((d.syd - slope * d.sxd) / d.nd, 4) AS intercept,
+       ROUND(r * r, 6) AS r2
+FROM fit JOIN d ON d.l_returnflag = fit.l_returnflag
+ORDER BY fit.l_returnflag
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1197,4 +1358,9 @@ EXTRA_QUERIES: list[QueryDef] = [
         "q_weighted_sample", _q_weighted_sample, _sql_weighted_sample(),
         "Efraimidis-Spirakis weighted sample (no-RNG)",
     ),
+    QueryDef(
+        "q_corr_matrix", _q_corr_matrix, _sql_corr_matrix(),
+        "deterministic correlation matrix (exact moments)",
+    ),
+    QueryDef("q_ols", _q_ols, _SQL_OLS, "per-group OLS via exact decimal moments"),
 ]
