@@ -122,6 +122,10 @@ BENCH_NAMES = [
     "q_expectations",
     "q_scd2",
     "q_weighted_sample",
+    "q_corr_matrix",
+    "q_ols",
+    "q_kmv_union",
+    "q_table_checksum",
 ]
 
 

@@ -1334,6 +1334,178 @@ ORDER BY fit.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct sketch + sketch-union set algebra
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketches with SKETCH-LEVEL set
+    algebra: KMV sketches of the click-user and purchase-user sets,
+    plus their union estimated by MERGING the sketches (k smallest of
+    the combined hash sets) — the mergeable-summary pattern that lets
+    per-partition / per-day sketches roll up without re-scanning raw
+    data.  md5-derived hashes keep it RNG-free, so the sketch — like
+    q_hll_sketch — carries a full oracle.
+
+    est = (k-1)/h_k (h_k = k-th smallest normalized hash), or the
+    exact count when the set is smaller than k (the sketch holds it
+    whole).  Output long-form per set with the exact NDV and observed
+    relative error alongside."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "event_type"])
+
+    def hashes(et: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select("user_id")
+            .distinct()
+            .select(
+                (
+                    F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+                    .cast("double")
+                    / F.pow(F.lit(2.0), F.lit(60))
+                ).alias("u")
+            )
+        )
+
+    def sketch_est(h: DataFrame, name: str, exact: DataFrame) -> DataFrame:
+        topk = h.orderBy("u").limit(_KMV_K)
+        agg = topk.agg(F.count("*").alias("kk"), F.max("u").alias("hk"))
+        est = F.when(
+            F.col("kk") < _KMV_K, F.col("kk").cast("double")
+        ).otherwise((F.lit(_KMV_K) - 1) / F.col("hk"))
+        return (
+            agg.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(name).alias("set_name"),
+                F.round(est, 2).alias("est"),
+                F.col("exact_ndv"),
+                F.round(F.abs(est - F.col("exact_ndv")) / F.col("exact_ndv"), 3).alias(
+                    "rel_err"
+                ),
+            )
+        )
+
+    clicks, purch = hashes("click"), hashes("purchase")
+    ex_c = ev.filter(F.col("event_type") == "click").agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    ex_p = ev.filter(F.col("event_type") == "purchase").agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    ex_u = ev.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    merged = clicks.unionByName(purch).distinct()
+    return (
+        sketch_est(clicks, "click", ex_c)
+        .unionByName(sketch_est(purch, "purchase", ex_p))
+        .unionByName(sketch_est(merged, "union", ex_u))
+        .orderBy("set_name")
+    )
+
+
+def _sql_kmv_union() -> str:
+    k = _KMV_K
+    return rf"""
+WITH hc AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / POWER(2, 60) AS u
+  FROM events WHERE event_type = 'click'
+), hp AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / POWER(2, 60) AS u
+  FROM events WHERE event_type = 'purchase'
+), hu AS (
+  SELECT u FROM hc UNION SELECT u FROM hp
+), tc AS (SELECT u FROM hc ORDER BY u LIMIT {k}),
+tp AS (SELECT u FROM hp ORDER BY u LIMIT {k}),
+tu AS (SELECT u FROM hu ORDER BY u LIMIT {k}),
+ac AS (SELECT COUNT(*) AS kk, MAX(u) AS hk FROM tc),
+ap AS (SELECT COUNT(*) AS kk, MAX(u) AS hk FROM tp),
+au AS (SELECT COUNT(*) AS kk, MAX(u) AS hk FROM tu),
+ec AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events WHERE event_type = 'click'),
+ep AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events WHERE event_type = 'purchase'),
+eu AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events
+       WHERE event_type IN ('click', 'purchase')),
+rows_t AS (
+  SELECT 'click' AS set_name,
+         CASE WHEN ac.kk < {k} THEN CAST(ac.kk AS DOUBLE) ELSE ({k} - 1) / ac.hk END AS est,
+         ec.exact_ndv FROM ac, ec
+  UNION ALL
+  SELECT 'purchase',
+         CASE WHEN ap.kk < {k} THEN CAST(ap.kk AS DOUBLE) ELSE ({k} - 1) / ap.hk END,
+         ep.exact_ndv FROM ap, ep
+  UNION ALL
+  SELECT 'union',
+         CASE WHEN au.kk < {k} THEN CAST(au.kk AS DOUBLE) ELSE ({k} - 1) / au.hk END,
+         eu.exact_ndv FROM au, eu
+)
+SELECT set_name, ROUND(est, 2) AS est, exact_ndv,
+       ROUND(abs(est - exact_ndv) / exact_ndv, 3) AS rel_err
+FROM rows_t
+ORDER BY set_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# partition checksums (table-sync / anti-entropy audit)
+# ---------------------------------------------------------------------------
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent partition checksums over documents: rows
+    bucket by doc_id % 16; each bucket's checksum is the exact-DECIMAL
+    sum of a per-row md5 key over ALL columns — the Merkle-leaf /
+    anti-entropy primitive for comparing table replicas or validating
+    a migration without moving data (mismatched buckets localize the
+    diff).  Commutative sum ⇒ partitioning- and order-invariant;
+    identical md5 arithmetic on both engines ⇒ full oracle."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    row_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.coalesce(F.col("lang"), F.lit("")),
+                    F.coalesce(F.col("source"), F.lit("")),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        docs.groupBy((F.col("doc_id") % 16).alias("bucket"))
+        .agg(F.count("*").alias("n_rows"), F.sum(row_key).alias("checksum"))
+        .orderBy("bucket")
+    )
+
+
+_SQL_TABLE_CHECKSUM = r"""
+SELECT doc_id % 16 AS bucket,
+       COUNT(*) AS n_rows,
+       SUM(CAST(CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || '|' ||
+             COALESCE(text, '') || '|' ||
+             COALESCE(lang, '') || '|' ||
+             COALESCE(source, '') || '|' ||
+             CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1363,4 +1535,9 @@ EXTRA_QUERIES: list[QueryDef] = [
         "deterministic correlation matrix (exact moments)",
     ),
     QueryDef("q_ols", _q_ols, _SQL_OLS, "per-group OLS via exact decimal moments"),
+    QueryDef("q_kmv_union", _q_kmv_union, _sql_kmv_union(), "KMV sketches + sketch-union estimate"),
+    QueryDef(
+        "q_table_checksum", _q_table_checksum, _SQL_TABLE_CHECKSUM,
+        "order-independent partition checksums",
+    ),
 ]
