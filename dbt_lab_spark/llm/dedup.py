@@ -443,6 +443,71 @@ def ngram_jaccard_all_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def ngram_jaccard_ppjoin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard via PPJoin-style PREFIX FILTERING
+    (Bayardo et al. WWW'07 All-Pairs / Xiao et al. PPJoin): index only
+    each document's prefix — its |d| - ceil(t*|d|) + 1 RAREST shingles
+    under one global (doc-frequency, key) order — then verify every
+    candidate on the full shingle arrays.
+
+    Why this beats the plain inverted index under skew: a boilerplate
+    shingle shared by k docs sits LAST in the global order, so it
+    enters almost no prefixes and emits ~0 candidate pairs instead of
+    k²; the quadratic blowup the `max_doc_freq` cap in
+    `ngram_jaccard_all_pairs` merely bounds is eliminated STRUCTURALLY,
+    and — unlike the cap — with zero recall caveat: the prefix theorem
+    guarantees any pair with J >= t shares at least one prefix shingle
+    (if none of x's prefix appeared in y, the overlap is at most
+    min(ceil(t|x|)-1, |y|) < the required t/(1+t)(|x|+|y|)).
+
+    Scale shape: shuffle 1 = doc-frequency aggregate; shuffle 2 = one
+    per-doc window (~|d| rows each) to rank shingles; shuffle 3 = the
+    prefix self-join (carrying 64-bit keys); exact verify joins the
+    full arrays only for surviving candidates.  Results are
+    bit-identical to `ngram_jaccard_all_pairs(max_doc_freq=None)`.
+    """
+    from pyspark.sql.window import Window
+
+    sh = _parallelize(df).select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    ex = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__g"),
+    )
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = ex.join(freq, "__g").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__g"))
+        ),
+    )
+    # Jaccard prefix length: |d| - ceil(t*|d|) + 1
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__g")
+    b = prefix.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__g")
+    cand = (
+        a.join(b, "__g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na") * threshold <= F.col("__nb"))
+            & (F.col("__nb") * threshold <= F.col("__na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, threshold)
+
+
 def dup_spans(
     df: DataFrame,
     text_col: str = "text",

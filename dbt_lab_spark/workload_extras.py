@@ -1506,6 +1506,32 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filtered exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _q_ngram_jaccard_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ngram_jaccard's exact semantics through PPJoin prefix
+    filtering (llm/dedup.py:ngram_jaccard_ppjoin): only each doc's
+    rarest |d|-ceil(t|d|)+1 shingles are indexed, eliminating
+    hot-shingle quadratic blowup structurally (a boilerplate shingle
+    sorts last and enters no prefixes) with ZERO recall loss by the
+    prefix theorem.  Same full oracle as the plain inverted-index
+    form — the driver checks the optimization changed nothing."""
+    from dbt_lab_spark.llm.dedup import ngram_jaccard_ppjoin
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    return ngram_jaccard_ppjoin(docs, shingle_k=3, threshold=0.5)
+
+
+def _sql_ngram_jaccard_pp() -> str:
+    from dbt_lab_spark.workload_beyond import _SQL_NGRAM_JACCARD
+
+    return _SQL_NGRAM_JACCARD
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1539,5 +1565,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_table_checksum", _q_table_checksum, _SQL_TABLE_CHECKSUM,
         "order-independent partition checksums",
+    ),
+    QueryDef(
+        "q_ngram_jaccard_pp", _q_ngram_jaccard_pp, _sql_ngram_jaccard_pp(),
+        "PPJoin prefix-filtered exact jaccard",
     ),
 ]

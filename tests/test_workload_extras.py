@@ -125,3 +125,37 @@ class TestSkyline:
                 if i != j:
                     dominated = p2 <= p1 and s2 >= s1 and (p2 < p1 or s2 > s1)
                     assert not dominated, f"{(p1, s1)} dominated by {(p2, s2)}"
+
+
+class TestPpjoin:
+    def test_ppjoin_equals_exact_on_skewed_corpus(self, spark):
+        """Prefix filtering must lose nothing: a shared boilerplate
+        header (the hot-shingle worst case) plus planted near-dup
+        pairs; results must be bit-identical to the plain inverted
+        index."""
+        from dbt_lab_spark.llm.dedup import (
+            ngram_jaccard_all_pairs,
+            ngram_jaccard_ppjoin,
+        )
+
+        header = "common header words repeated across many documents"
+        rows = [(i, f"{header} unique tail {i} alpha beta {i * 7}") for i in range(80)]
+        rows += [
+            (1000 + i, f"planted near duplicate pair body {i // 2} same text words")
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = sorted(map(tuple, ngram_jaccard_all_pairs(docs).collect()))
+        pp = sorted(map(tuple, ngram_jaccard_ppjoin(docs).collect()))
+        assert pp == exact
+        assert len(exact) > 0
+
+    def test_ppjoin_short_docs_edge(self, spark):
+        from dbt_lab_spark.llm.dedup import ngram_jaccard_ppjoin
+
+        docs = spark.createDataFrame(
+            [(1, "one two"), (2, "one two"), (3, "different words entirely")],
+            "doc_id long, text string",
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_ppjoin(docs).collect()}
+        assert got == {(1, 2): 1.0}
