@@ -126,6 +126,7 @@ BENCH_NAMES = [
     "q_ols",
     "q_kmv_union",
     "q_table_checksum",
+    "q_ngram_jaccard_pp",
 ]
 
 

@@ -505,7 +505,27 @@ def ngram_jaccard_ppjoin(
         .select("id_a", "id_b")
         .distinct()
     )
-    return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, threshold)
+    # exact verify on 64-bit hash arrays (same keys the index used):
+    # array_intersect on longs beats the string-array form ~2x, and the
+    # collision exposure is identical to the index join's
+    hs = sh.select(
+        F.col(id_col),
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"),
+        F.size("__sh").alias("__n"),
+    )
+    va = hs.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("hs_a"), F.col("__n").alias("__na"))
+    vb = hs.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("hs_b"), F.col("__n").alias("__nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__c", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def dup_spans(

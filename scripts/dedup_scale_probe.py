@@ -164,6 +164,12 @@ def probe_jaccard_skew(spark: SparkSession) -> None:
             n_pairs = out.count()
             log(f"  ngram_jaccard cap={str(cap):5s} pairs={n_pairs:>7} "
                 f"t={time.time() - t0:7.2f}s")
+        # PPJoin prefix filtering: structural skew elimination, exact
+        from dbt_lab_spark.llm.dedup import ngram_jaccard_ppjoin
+
+        t0 = time.time()
+        n_pp = ngram_jaccard_ppjoin(docs, shingle_k=3, threshold=0.5).count()
+        log(f"  ngram_jaccard ppjoin    pairs={n_pp:>7} t={time.time() - t0:7.2f}s")
 
 
 def main() -> None:
