@@ -515,3 +515,65 @@ def test_pagerank_iteration_plan_is_join_plus_aggregate(spark):
     rows = ranks.collect()
     assert len(rows) == 7
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-12
+
+
+def test_interp_fill_single_window_partitioning(spark, sf_medium):
+    """The grid is generated distributed (one broadcast-NLJ of the
+    1-row bounds frame, then Generate), the hourly left join
+    broadcasts, and BOTH window directions run off user_id hash
+    partitioning — no unbounded-FOLLOWING frame anywhere (that frame
+    is O(partition^2) in WindowExec; see SCALING.md §10)."""
+    plan = _plan(spark, sf_medium, "q_interp_fill")
+    assert "unboundedfollowing" not in plan.lower()
+    assert _nodes(plan, "Generate") == 1
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_mad_outliers_medians_broadcast(spark, sf_medium):
+    """Per-group medians join back as broadcasts — the fact table is
+    never shuffled for the join."""
+    plan = _plan(spark, sf_medium, "q_mad_outliers")
+    assert _nodes(plan, "BroadcastHashJoin") >= 2
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_corr_matrix_single_scan(spark, sf_medium):
+    """All 14 moment sums ride ONE lineitem scan; the pair expansion
+    is an explode of the 1-row aggregate, not a union-of-selects."""
+    plan = _plan(spark, sf_medium, "q_corr_matrix")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Union") == 0
+
+
+def test_expectations_single_scan(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_expectations")
+    assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_bloom_decontaminate_probe_is_map_only(spark, sf_medium):
+    """The bloom probe stage is mapInPandas (ArrowEvalPython /
+    MapInPandas) with no shuffle between the train-gram scan and the
+    probe; the verify join's eval side broadcasts."""
+    plan = _plan(spark, sf_medium, "q_bloom_decontaminate")
+    assert _nodes(plan, "MapInPandas") == 1
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_scd2_single_window_shuffle(spark, sf_medium):
+    """lag-detect and lead-close share the (user_id) partitioning —
+    exactly one Exchange on user_id feeds both windows."""
+    plan = _plan(spark, sf_medium, "q_scd2")
+    assert _nodes(plan, "Window") >= 1
+    # events scan -> one hashpartitioning exchange on user_id; the
+    # final orderBy adds a range exchange, nothing else
+    assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_skyline_aggregates_before_global_window(spark, sf_medium):
+    """The global-window sweep sees only DISTINCT (price,size) pairs —
+    the aggregate collapses the table before the single-partition
+    sort (the documented skyline scale posture)."""
+    plan = _plan(spark, sf_medium, "q_skyline")
+    assert _nodes(plan, "Window") == 1
+    idx_agg = plan.find("(1) Scan parquet")
+    assert idx_agg != -1
