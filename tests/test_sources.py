@@ -625,3 +625,29 @@ class TestAvro:
         want = sorted(map(tuple, docs.collect()))
         got = sorted(map(tuple, back.collect()))
         assert got == want
+
+    def test_negative_metadata_block_count(self):
+        """Spec: a negative map/array block count is followed by a
+        byte size and means abs(count) items — some writers emit this
+        form; the reader must accept it."""
+        import json
+
+        from dbt_lab_spark.sources import (
+            _AVRO_MAGIC,
+            _avro_zigzag,
+            parse_avro_bytes,
+        )
+
+        schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+        sj = json.dumps(schema, sort_keys=True).encode()
+        sync = b"S" * 16
+        out = bytearray(_AVRO_MAGIC)
+        items = bytearray()
+        for k, v in [(b"avro.schema", sj), (b"avro.codec", b"null")]:
+            items += _avro_zigzag(len(k)) + k + _avro_zigzag(len(v)) + v
+        out += _avro_zigzag(-2) + _avro_zigzag(len(items)) + items + _avro_zigzag(0)
+        out += sync
+        rec = _avro_zigzag(7)
+        out += _avro_zigzag(1) + _avro_zigzag(len(rec)) + rec + sync
+        names, recs = parse_avro_bytes(bytes(out))
+        assert names == ["a"] and recs == [{"a": 7}]
