@@ -127,6 +127,7 @@ BENCH_NAMES = [
     "q_kmv_union",
     "q_table_checksum",
     "q_ngram_jaccard_pp",
+    "q_acf",
 ]
 
 

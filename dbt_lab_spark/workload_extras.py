@@ -1532,6 +1532,100 @@ def _sql_ngram_jaccard_pp() -> str:
     return _SQL_NGRAM_JACCARD
 
 
+# ---------------------------------------------------------------------------
+# autocorrelation over the hourly event series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = [1, 2, 3, 24]
+
+
+def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1, 2,
+    3 and 24 — the seasonality probe run before choosing a forecasting
+    window.  The series is INTEGER counts, so every moment sum is
+    exact and the Pearson ratio is bit-reproducible (the q_corr_matrix
+    argument, applied to a lagged self-join via one lead() window).
+
+    Spark shape: one hourly aggregate, one ordered window for the four
+    leads, one 1-row moment reduce per lag (all in a single
+    aggregate)."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["ts"])
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("h")
+    with_leads = hourly.select(
+        "x", *[F.lead("x", lag).over(w).alias(f"y{lag}") for lag in _ACF_LAGS]
+    )
+    aggs = []
+    for lag in _ACF_LAGS:
+        y = F.col(f"y{lag}")
+        cond = y.isNotNull()
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{lag}"),
+            F.sum(F.when(cond, F.col("x"))).alias(f"sx{lag}"),
+            F.sum(F.when(cond, y)).alias(f"sy{lag}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x"))).alias(f"sxx{lag}"),
+            F.sum(F.when(cond, F.col("x") * y)).alias(f"sxy{lag}"),
+            F.sum(F.when(cond, y * y)).alias(f"syy{lag}"),
+        ]
+    m = with_leads.agg(*aggs)
+    entries = []
+    for lag in _ACF_LAGS:
+        n = F.col(f"n{lag}").cast("double")
+        sx = F.col(f"sx{lag}").cast("double")
+        sy = F.col(f"sy{lag}").cast("double")
+        sxx = F.col(f"sxx{lag}").cast("double")
+        sxy = F.col(f"sxy{lag}").cast("double")
+        syy = F.col(f"syy{lag}").cast("double")
+        acf = (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        entries.append(
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"n{lag}").alias("n"),
+                F.round(acf, 6).alias("acf"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.lag", "e.n", "e.acf")
+        .orderBy("lag")
+    )
+
+
+def _sql_acf() -> str:
+    lag_cols = []
+    for lag in _ACF_LAGS:
+        lag_cols.append(f"LEAD(x, {lag}) OVER (ORDER BY h) AS y{lag}")
+    selects = []
+    for lag in _ACF_LAGS:
+        selects.append(
+            f"""SELECT {lag} AS lag, n, ROUND((nd * sxyd - sxd * syd)
+        / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS acf
+FROM (SELECT COUNT(y{lag}) AS n,
+             CAST(COUNT(y{lag}) AS DOUBLE) AS nd,
+             CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN x END) AS DOUBLE) AS sxd,
+             CAST(SUM(y{lag}) AS DOUBLE) AS syd,
+             CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN x * x END) AS DOUBLE) AS sxxd,
+             CAST(SUM(x * y{lag}) AS DOUBLE) AS sxyd,
+             CAST(SUM(y{lag} * y{lag}) AS DOUBLE) AS syyd
+      FROM leads)"""
+        )
+    body = "\nUNION ALL ".join(selects)
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1
+), leads AS (
+  SELECT x, {', '.join(lag_cols)} FROM hourly
+)
+{body}
+ORDER BY lag
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1570,4 +1664,5 @@ EXTRA_QUERIES: list[QueryDef] = [
         "q_ngram_jaccard_pp", _q_ngram_jaccard_pp, _sql_ngram_jaccard_pp(),
         "PPJoin prefix-filtered exact jaccard",
     ),
+    QueryDef("q_acf", _q_acf, _sql_acf(), "hourly-series autocorrelation (exact moments)"),
 ]
