@@ -128,6 +128,7 @@ BENCH_NAMES = [
     "q_table_checksum",
     "q_ngram_jaccard_pp",
     "q_acf",
+    "q_rrf",
 ]
 
 

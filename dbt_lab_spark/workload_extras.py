@@ -1626,6 +1626,123 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid lexical + vector retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+_RRF_POOL = 100
+
+
+def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with embedding
+    cosine ranking by reciprocal-rank fusion (rrf = Σ 1/(60+rank)) —
+    the standard RAG-stack combiner of a keyword index and a vector
+    index.  Query: the fixed BM25 terms on the lexical side, vec 0's
+    embedding on the vector side; doc_id aligns with vec_id.
+
+    Determinism: both ranks are row_number over scores ROUNDED first
+    (4dp BM25 / 6dp cosine) — discretizing before ranking removes the
+    cross-engine ulp hazard that raw-double ordering deep in a ranking
+    carries; ties then break on id.  Each list pools its top-100, the
+    fusion is a full outer join on id, output is the fused top-20."""
+    from dbt_lab_spark.functions.text import bm25_scores
+    from dbt_lab_spark.functions.vectors import cosine_similarity, to_double_array
+    from dbt_lab_spark.workload_beyond import _BM25_TERMS
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"]).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    lex = bm25_scores(docs, _BM25_TERMS)
+    wl = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    lex_ranked = (
+        lex.withColumn("score_r", F.round("score", 4))
+        .withColumn("r_lex", F.row_number().over(wl))
+        .filter(F.col("r_lex") <= _RRF_POOL)
+        .select("doc_id", "r_lex")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    wv = Window.orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    vec_ranked = (
+        emb.filter(F.col("vec_id") >= 1)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("cos_r"))
+        .withColumn("r_vec", F.row_number().over(wv))
+        .filter(F.col("r_vec") <= _RRF_POOL)
+        .select(F.col("vec_id").alias("doc_id"), "r_vec")
+    )
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_lex"),
+        F.col("r_vec"),
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOP)
+        .select("doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf"))
+    )
+
+
+def _sql_rrf() -> str:
+    from dbt_lab_spark.workload_beyond import _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok, ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok), stats
+), lex AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(idf.idf * (tf.tf * (1.2 + 1)) /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score_r
+  FROM tf
+  JOIN idf ON idf.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+), lex_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS r_lex
+  FROM lex QUALIFY r_lex <= {_RRF_POOL}
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), vec AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+  FROM embeddings, qv WHERE vec_id >= 1
+), vec_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_r DESC, doc_id) AS r_vec
+  FROM vec QUALIFY r_vec <= {_RRF_POOL}
+), fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+         COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + v.r_vec), 0.0) AS rrf
+  FROM lex_ranked l FULL OUTER JOIN vec_ranked v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_TOP}
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1665,4 +1782,5 @@ EXTRA_QUERIES: list[QueryDef] = [
         "PPJoin prefix-filtered exact jaccard",
     ),
     QueryDef("q_acf", _q_acf, _sql_acf(), "hourly-series autocorrelation (exact moments)"),
+    QueryDef("q_rrf", _q_rrf, _sql_rrf(), "reciprocal-rank fusion hybrid retrieval"),
 ]
