@@ -129,6 +129,7 @@ BENCH_NAMES = [
     "q_ngram_jaccard_pp",
     "q_acf",
     "q_rrf",
+    "q_time_travel",
 ]
 
 

@@ -1743,6 +1743,73 @@ LIMIT {_RRF_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# snapshot-log time travel
+# ---------------------------------------------------------------------------
+
+
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log round-trip (plans/snapshots.py): commit documents
+    as v0, delta-append a synthetic recrawl batch as v1 (O(batch)
+    commit — v0's files are never rewritten), then time-travel read
+    BOTH versions and audit each.  The oracle recomputes both
+    versions' audits straight from `documents` — equality proves the
+    log's file-set bookkeeping loses and duplicates nothing.
+
+    The per-version audits are collected eagerly (≤2 rows) so the
+    scratch table can be deleted before returning; everything heavy
+    (the commits, the audited scans) runs distributed."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.lit("recrawl").alias("source"),
+        "n_chars",
+    )
+    d = tempfile.mkdtemp(prefix="snap_tt_")
+    try:
+        t = SnapshotTable(d)
+        t.commit(docs)
+        t.append(batch)
+        rows = []
+        for v in (0, 1):
+            r = (
+                t.read(spark, version=v)
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.countDistinct("source").alias("n_sources"),
+                    F.sum("n_chars").alias("sum_chars"),
+                )
+                .first()
+            )
+            rows.append((v, r.n_docs, r.n_sources, r.sum_chars))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_docs bigint, n_sources bigint, sum_chars bigint"
+    )
+
+
+_SQL_TIME_TRAVEL = r"""
+WITH v1 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, 'recrawl', n_chars FROM documents WHERE doc_id % 5 = 0
+)
+SELECT CAST(0 AS INTEGER) AS version, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources, SUM(n_chars) AS sum_chars
+FROM documents
+UNION ALL
+SELECT 1, COUNT(*), COUNT(DISTINCT source), SUM(n_chars) FROM v1
+ORDER BY version
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1783,4 +1850,5 @@ EXTRA_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_acf", _q_acf, _sql_acf(), "hourly-series autocorrelation (exact moments)"),
     QueryDef("q_rrf", _q_rrf, _sql_rrf(), "reciprocal-rank fusion hybrid retrieval"),
+    QueryDef("q_time_travel", _q_time_travel, _SQL_TIME_TRAVEL, "snapshot-log time travel audit"),
 ]
