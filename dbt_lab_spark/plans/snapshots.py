@@ -99,6 +99,28 @@ class SnapshotTable:
         self._append_log({"operation": f"rollback({version})", "files": list(target["files"])})
         return len(self._log()) - 1
 
+    def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int | None:
+        """Idempotent foreachBatch sink: commit the micro-batch as a
+        delta UNLESS this batch_id already committed — Structured
+        Streaming re-delivers the last batch after a failure, and
+        recording the id in the log turns at-least-once delivery into
+        exactly-once table contents.  Returns the new version, or None
+        for a replayed no-op."""
+        if any(r.get("batch_id") == batch_id for r in self._log()):
+            return None
+        log = self._log()
+        if not log:
+            d = self._new_dir("full")
+            batch.write.mode("errorifexists").parquet(d)
+            self._append_log({"operation": "stream", "batch_id": batch_id, "files": [d]})
+            return 0
+        d = self._new_dir("delta")
+        batch.write.mode("errorifexists").parquet(d)
+        self._append_log(
+            {"operation": "stream", "batch_id": batch_id, "files": log[-1]["files"] + [d]}
+        )
+        return len(self._log()) - 1
+
     # -- reads -----------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the head, or `version=` for time travel."""
