@@ -33,14 +33,51 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
+    """Per-data-file min/max for `stat_cols`, read from parquet FOOTERS
+    only (no data pages) — the data-skipping manifest entry."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fn in sorted(os.listdir(snapshot_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        p = os.path.join(snapshot_dir, fn)
+        md = pq.ParquetFile(p).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in stat_cols:
+            if c not in cols:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(cols[c]).statistics
+                if s is None or not s.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if mins:
+                stats[c] = [min(mins), max(maxs)]
+        out[p] = stats
+    return out
+
+
 class SnapshotTable:
     """Versioned parquet table: `commit` (full replace), `append`
     (delta commit), `read(version=)` (time travel), `versions()`,
     `rollback(version)` (a new commit pointing at old files — history
-    is never destroyed)."""
+    is never destroyed).
 
-    def __init__(self, root: str) -> None:
+    Pass `stat_cols=` to record per-file min/max in the manifest at
+    every commit (footer reads only); `read(..., between=(col, lo,
+    hi))` then PRUNES non-overlapping files from the scan before Spark
+    sees them — manifest-based data skipping, the file-level
+    complement to parquet's row-group zone maps."""
+
+    def __init__(self, root: str, stat_cols: list[str] | None = None) -> None:
         self.root = root
+        self.stat_cols = list(stat_cols or [])
         os.makedirs(root, exist_ok=True)
 
     # -- log -------------------------------------------------------------
@@ -71,12 +108,17 @@ class SnapshotTable:
         d = os.path.join(self.root, f"v{len(self._log()):05d}_{kind}")
         return d
 
+    def _stats_for(self, d: str) -> dict:
+        return _file_stats(d, self.stat_cols) if self.stat_cols else {}
+
     def commit(self, df: DataFrame, operation: str = "commit") -> int:
         """Full-replace commit: materialize `df` as a new immutable
         snapshot directory."""
         d = self._new_dir("full")
         df.write.mode("errorifexists").parquet(d)
-        self._append_log({"operation": operation, "files": [d]})
+        self._append_log(
+            {"operation": operation, "files": [d], "stats": self._stats_for(d)}
+        )
         return len(self._log()) - 1
 
     def append(self, batch: DataFrame) -> int:
@@ -88,7 +130,13 @@ class SnapshotTable:
             return self.commit(batch, operation="append")
         d = self._new_dir("delta")
         batch.write.mode("errorifexists").parquet(d)
-        self._append_log({"operation": "append", "files": log[-1]["files"] + [d]})
+        self._append_log(
+            {
+                "operation": "append",
+                "files": log[-1]["files"] + [d],
+                "stats": {**log[-1].get("stats", {}), **self._stats_for(d)},
+            }
+        )
         return len(self._log()) - 1
 
     def rollback(self, version: int) -> int:
@@ -96,7 +144,13 @@ class SnapshotTable:
         history stays intact, the head moves back."""
         log = self._log()
         target = next(r for r in log if r["version"] == version)
-        self._append_log({"operation": f"rollback({version})", "files": list(target["files"])})
+        self._append_log(
+            {
+                "operation": f"rollback({version})",
+                "files": list(target["files"]),
+                "stats": dict(target.get("stats", {})),
+            }
+        )
         return len(self._log()) - 1
 
     def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int | None:
@@ -109,25 +163,109 @@ class SnapshotTable:
         if any(r.get("batch_id") == batch_id for r in self._log()):
             return None
         log = self._log()
-        if not log:
-            d = self._new_dir("full")
-            batch.write.mode("errorifexists").parquet(d)
-            self._append_log({"operation": "stream", "batch_id": batch_id, "files": [d]})
-            return 0
-        d = self._new_dir("delta")
+        kind = "full" if not log else "delta"
+        d = self._new_dir(kind)
         batch.write.mode("errorifexists").parquet(d)
+        parent_files = log[-1]["files"] if log else []
+        parent_stats = log[-1].get("stats", {}) if log else {}
         self._append_log(
-            {"operation": "stream", "batch_id": batch_id, "files": log[-1]["files"] + [d]}
+            {
+                "operation": "stream",
+                "batch_id": batch_id,
+                "files": parent_files + [d],
+                "stats": {**parent_stats, **self._stats_for(d)},
+            }
         )
         return len(self._log()) - 1
 
     # -- reads -----------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the head, or `version=` for time travel."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Read the head, or `version=` for time travel.
+
+        `between=(col, lo, hi)` applies manifest-based DATA SKIPPING:
+        data files whose recorded [min, max] for `col` can't overlap
+        [lo, hi] never reach the Spark scan (and the residual filter is
+        still applied, so results are exact regardless of manifest
+        coverage — a file with no stats is conservatively read)."""
+        from pyspark.sql import functions as F
+
         log = self._log()
         if not log:
             raise ValueError(f"snapshot table {self.root} has no commits")
         rec = log[-1] if version is None else next(
             r for r in log if r["version"] == version
         )
-        return spark.read.parquet(*rec["files"])
+        if between is None:
+            return spark.read.parquet(*rec["files"])
+        col, lo, hi = between
+        stats = rec.get("stats", {})
+        keep: list[str] = []
+        for d in rec["files"]:
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(d, fn)
+                s = stats.get(p, {}).get(col)
+                if s is None or not (s[1] < lo or s[0] > hi):
+                    keep.append(p)
+        if not keep:
+            return (
+                spark.read.parquet(*rec["files"])
+                .filter(F.lit(False))
+                .filter(F.col(col).between(lo, hi))
+            )
+        return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+    def pruned_file_count(
+        self, version: int | None, between: tuple[str, object, object]
+    ) -> tuple[int, int]:
+        """(files kept, files total) for a `between` read — the
+        data-skipping audit number."""
+        log = self._log()
+        rec = log[-1] if version is None else next(
+            r for r in log if r["version"] == version
+        )
+        col, lo, hi = between
+        stats = rec.get("stats", {})
+        total = kept = 0
+        for d in rec["files"]:
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                s = stats.get(os.path.join(d, fn), {}).get(col)
+                if s is None or not (s[1] < lo or s[0] > hi):
+                    kept += 1
+        return kept, total
+
+    # -- lifecycle ---------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete snapshot directories unreferenced by the last
+        `keep_last` versions, truncating the log to match — the
+        storage-reclaim step after time-travel retention expires.
+        Returns the removed directories."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("vacuum: keep_last must be >= 1")
+        log = self._log()
+        if len(log) <= keep_last:
+            return []
+        kept_recs = log[-keep_last:]
+        referenced = {d for r in kept_recs for d in r["files"]}
+        removed = []
+        for entry in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, entry)
+            if entry.startswith("v") and os.path.isdir(p) and p not in referenced:
+                shutil.rmtree(p)
+                removed.append(p)
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(kept_recs, fh, indent=1)
+        os.replace(tmp, self._log_path())
+        return removed

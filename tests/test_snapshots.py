@@ -81,3 +81,49 @@ def test_stream_batches_via_real_foreachbatch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(20))
+
+
+def test_manifest_data_skipping_prunes_files(spark, tmp_path):
+    """Commit value-range-disjoint batches; a between= read must skip
+    the non-overlapping files at the MANIFEST level and still return
+    exactly the filtered rows."""
+    t = SnapshotTable(str(tmp_path / "t"), stat_cols=["k"])
+    t.commit(_df(spark, [(i, "lo") for i in range(0, 100)]).repartition(1))
+    t.append(_df(spark, [(i, "mid") for i in range(1000, 1100)]).repartition(1))
+    t.append(_df(spark, [(i, "hi") for i in range(2000, 2100)]).repartition(1))
+    kept, total = t.pruned_file_count(None, ("k", 1000, 1099))
+    assert total == 3 and kept == 1
+    rows = t.read(spark, between=("k", 1000, 1099)).collect()
+    assert sorted(r.k for r in rows) == list(range(1000, 1100))
+    # correctness against the unpruned scan + filter
+    full = t.read(spark).filter("k between 1000 and 1099").collect()
+    assert sorted(r.k for r in rows) == sorted(r.k for r in full)
+
+
+def test_data_skipping_without_stats_is_conservative(spark, tmp_path):
+    """A table committed WITHOUT stat_cols must still answer between=
+    reads correctly (every file conservatively read)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(i, "x") for i in range(50)]))
+    rows = t.read(spark, between=("k", 10, 19)).collect()
+    assert sorted(r.k for r in rows) == list(range(10, 20))
+
+
+def test_vacuum_reclaims_unreferenced_snapshots(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))       # v0: dir A
+    t.commit(_df(spark, [(2, "b")]))       # v1: dir B (full replace)
+    t.append(_df(spark, [(3, "c")]))       # v2: dirs B+C
+    removed = t.vacuum(keep_last=1)
+    assert len(removed) == 1               # dir A only; B still referenced
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3]
+    assert t.versions() == [2]
+
+
+def test_vacuum_keeps_time_travel_window(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    assert t.vacuum(keep_last=2) == []     # v1 still references v0's dir
+    assert {r.k for r in t.read(spark, version=1).collect()} == {1, 2}
