@@ -130,6 +130,8 @@ BENCH_NAMES = [
     "q_acf",
     "q_rrf",
     "q_time_travel",
+    "q_benford",
+    "q_gini",
 ]
 
 

@@ -1810,6 +1810,106 @@ ORDER BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit + Gini concentration
+# ---------------------------------------------------------------------------
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over lineitem extended prices —
+    the classic fabricated-data screen: natural multiplicative
+    quantities put digit d at log10(1+1/d) frequency, and a synthetic
+    or truncated column shows up as a flat profile.  One scan, one
+    9-row aggregate; observed share and the Benford expectation ride
+    side-by-side with the absolute deviation."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_extendedprice"])
+    digit = F.substring(F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    counts = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("observed"),
+            F.round(expected, 6).alias("benford"),
+            F.round(F.abs(F.col("n") / F.col("t") - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+_SQL_BENFORD = r"""
+WITH counts AS (
+  SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit,
+         COUNT(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0
+  GROUP BY 1
+), t AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS observed,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+       ROUND(abs(CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+FROM counts, t
+ORDER BY digit
+"""
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue across customers — the
+    source-diversity/inequality metric a corpus pipeline tracks per
+    domain (here on the star schema's natural money column).  Computed
+    by the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    revenue-sorted customers: ranks are integers, revenue sums exact
+    DECIMAL, so the ratio is bit-reproducible.  One aggregate + one
+    global-rank window over CUSTOMERS (already reduced from the fact
+    table — the q_skyline posture)."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("rev")).cast("double").alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = 2.0 * F.col("six") / (n * F.col("sx")) - (n + 1.0) / n
+    return agg.select(
+        "n",
+        F.round(F.col("sx"), 2).alias("total_rev"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+_SQL_GINI = r"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i FROM per_cust
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(rev) AS DOUBLE) AS sx,
+         CAST(SUM(i * rev) AS DOUBLE) AS six
+  FROM ranked
+)
+SELECT n, ROUND(sx, 2) AS total_rev,
+       ROUND(2.0 * six / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1851,4 +1951,6 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_acf", _q_acf, _sql_acf(), "hourly-series autocorrelation (exact moments)"),
     QueryDef("q_rrf", _q_rrf, _sql_rrf(), "reciprocal-rank fusion hybrid retrieval"),
     QueryDef("q_time_travel", _q_time_travel, _SQL_TIME_TRAVEL, "snapshot-log time travel audit"),
+    QueryDef("q_benford", _q_benford, _SQL_BENFORD, "Benford first-digit audit"),
+    QueryDef("q_gini", _q_gini, _SQL_GINI, "Gini concentration (exact rank formula)"),
 ]
