@@ -132,6 +132,7 @@ BENCH_NAMES = [
     "q_time_travel",
     "q_benford",
     "q_gini",
+    "q_pdf_extract",
 ]
 
 

@@ -1910,6 +1910,100 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# PDF text-extraction round trip
+# ---------------------------------------------------------------------------
+
+_PDF_TOKENS_PER_LINE = 10
+_PDF_LINES_PER_PAGE = 5
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document ingestion through real PDF bytes (llm/pdf.py): every
+    document is typeset into a conforming multi-page PDF (10 tokens
+    per line, 5 lines per page, FlateDecode content streams) and the
+    text is EXTRACTED BACK by the structural parser — both directions
+    inside one Arrow mapInPandas stage, so what the aggregate sees
+    went through genuine object/xref/stream/Tj machinery.
+
+    Full oracle: every line/page join replaces exactly one original
+    token gap, so DuckDB recomputes the page counts, extracted byte
+    length, and token count straight from `documents` — equality
+    proves extraction lost nothing."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dbt_lab_spark.llm.pdf import encode_pdf, pdf_text
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+
+    def _round_trip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf_batch["doc_id"], pdf_batch["source"], pdf_batch["text"]
+            ):
+                toks = ("" if text is None else str(text)).split()
+                lines = [
+                    " ".join(toks[i : i + _PDF_TOKENS_PER_LINE])
+                    for i in range(0, len(toks), _PDF_TOKENS_PER_LINE)
+                ]
+                pages = [
+                    lines[i : i + _PDF_LINES_PER_PAGE]
+                    for i in range(0, len(lines), _PDF_LINES_PER_PAGE)
+                ]
+                blob = encode_pdf(pages, compress=True)
+                extracted = pdf_text(blob)
+                rows.append((int(doc_id), str(source), len(pages), extracted))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "n_pages", "extracted"]
+            )
+
+    extracted = docs.mapInPandas(
+        _round_trip, "doc_id long, source string, n_pages int, extracted string"
+    )
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum(F.length("extracted")).alias("sum_chars"),
+            F.sum(
+                F.size(F.split(F.col("extracted"), r"\s+"))
+                - (F.length(F.trim(F.col("extracted"))) == 0).cast("int")
+            ).alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PDF_EXTRACT = rf"""
+WITH d AS (
+  SELECT source,
+         len(string_split_regex(trim(COALESCE(text, '')), '\s+'))
+           - CASE WHEN trim(COALESCE(text, '')) = '' THEN 1 ELSE 0 END AS n_toks,
+         length(array_to_string(string_split_regex(trim(COALESCE(text, '')), '\s+'), ' ')) AS norm_len
+  FROM documents
+), per_doc AS (
+  SELECT source, n_toks,
+         CASE WHEN n_toks = 0 THEN 0 ELSE norm_len END AS ext_len,
+         CAST(ceil(CAST(ceil(CAST(n_toks AS DOUBLE) / {_PDF_TOKENS_PER_LINE}) AS DOUBLE)
+                   / {_PDF_LINES_PER_PAGE}) AS BIGINT) AS n_pages
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_pages) AS n_pages,
+       SUM(ext_len) AS sum_chars,
+       SUM(n_toks) AS sum_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -1953,4 +2047,5 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_time_travel", _q_time_travel, _SQL_TIME_TRAVEL, "snapshot-log time travel audit"),
     QueryDef("q_benford", _q_benford, _SQL_BENFORD, "Benford first-digit audit"),
     QueryDef("q_gini", _q_gini, _SQL_GINI, "Gini concentration (exact rank formula)"),
+    QueryDef("q_pdf_extract", _q_pdf_extract, _SQL_PDF_EXTRACT, "PDF typeset+extract round-trip"),
 ]
