@@ -133,6 +133,7 @@ BENCH_NAMES = [
     "q_benford",
     "q_gini",
     "q_pdf_extract",
+    "q_html_extract",
 ]
 
 

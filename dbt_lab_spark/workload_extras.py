@@ -2004,6 +2004,106 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# HTML boilerplate-removal round trip
+# ---------------------------------------------------------------------------
+
+_HTML_TOKENS_PER_PARA = 15
+_HTML_MIN_CHARS = 20
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-page main-content extraction (llm/html.py): every document
+    is rendered into a realistic page — nav/footer link chrome,
+    script/style noise, escaped entities — then the link-density
+    extractor recovers the content, all inside one Arrow stage.  What
+    the aggregate sees passed through a real HTMLParser and the real
+    jusText-style keep rule (len ≥ 20 chars AND link density < 0.5).
+
+    Full oracle: the chrome is all links (density ≥ 0.5 ⇒ dropped) and
+    content paragraphs are link-free (kept iff long enough), so DuckDB
+    recomputes kept-paragraph counts and extracted byte totals from
+    `documents` alone — equality proves the parser dropped exactly the
+    boilerplate and nothing else."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dbt_lab_spark.llm.html import encode_html, extract_main_text
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+
+    def _round_trip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf_batch["doc_id"], pdf_batch["source"], pdf_batch["text"]
+            ):
+                toks = ("" if text is None else str(text)).split()
+                paras = [
+                    " ".join(toks[i : i + _HTML_TOKENS_PER_PARA])
+                    for i in range(0, len(toks), _HTML_TOKENS_PER_PARA)
+                ]
+                page = encode_html(str(source), paras)
+                extracted = extract_main_text(page, min_chars=_HTML_MIN_CHARS)
+                n_kept = len(extracted.split("\n")) if extracted else 0
+                rows.append((int(doc_id), str(source), n_kept, extracted))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "n_kept", "extracted"]
+            )
+
+    extracted = docs.mapInPandas(
+        _round_trip, "doc_id long, source string, n_kept int, extracted string"
+    )
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_kept").alias("n_paras_kept"),
+            F.sum(F.length("extracted")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_HTML_EXTRACT = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(COALESCE(text, '')), '\s+') AS t
+  FROM documents
+  WHERE trim(COALESCE(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, source, unnest(t) AS tok,
+         unnest(range(len(t))) // {_HTML_TOKENS_PER_PARA} AS para
+  FROM toks
+), paras AS (
+  SELECT doc_id, source, para,
+         SUM(length(tok)) + COUNT(*) - 1 AS para_len
+  FROM pos GROUP BY 1, 2, 3
+), kept AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_kept,
+         SUM(para_len) AS kept_chars
+  FROM paras WHERE para_len >= {_HTML_MIN_CHARS}
+  GROUP BY 1, 2
+), per_doc AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(k.n_kept, 0) AS n_kept,
+         CASE WHEN COALESCE(k.n_kept, 0) = 0 THEN 0
+              ELSE k.kept_chars + k.n_kept - 1 END AS ext_chars
+  FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_kept) AS n_paras_kept,
+       SUM(ext_chars) AS sum_chars
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -2048,4 +2148,8 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_benford", _q_benford, _SQL_BENFORD, "Benford first-digit audit"),
     QueryDef("q_gini", _q_gini, _SQL_GINI, "Gini concentration (exact rank formula)"),
     QueryDef("q_pdf_extract", _q_pdf_extract, _SQL_PDF_EXTRACT, "PDF typeset+extract round-trip"),
+    QueryDef(
+        "q_html_extract", _q_html_extract, _SQL_HTML_EXTRACT,
+        "HTML boilerplate-removal round-trip",
+    ),
 ]
