@@ -134,6 +134,7 @@ BENCH_NAMES = [
     "q_gini",
     "q_pdf_extract",
     "q_html_extract",
+    "q_docx_extract",
 ]
 
 

@@ -2104,6 +2104,81 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# DOCX round trip
+# ---------------------------------------------------------------------------
+
+_DOCX_TOKENS_PER_PARA = 12
+
+
+def _q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office document ingestion through real .docx packages
+    (llm/docx.py): every document is packaged — ZIP container,
+    content types, namespaced OOXML body — and the text extracted
+    back by the ElementTree parser, both inside one Arrow stage.
+
+    Full oracle: paragraph joins replace token gaps 1:1 (the PDF/HTML
+    round-trip argument), so DuckDB recomputes paragraph counts,
+    extracted byte length, and token totals from `documents` —
+    equality proves the package machinery lost nothing."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dbt_lab_spark.llm.docx import docx_text, encode_docx
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+
+    def _round_trip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf_batch["doc_id"], pdf_batch["source"], pdf_batch["text"]
+            ):
+                toks = ("" if text is None else str(text)).split()
+                paras = [
+                    " ".join(toks[i : i + _DOCX_TOKENS_PER_PARA])
+                    for i in range(0, len(toks), _DOCX_TOKENS_PER_PARA)
+                ]
+                extracted = docx_text(encode_docx(paras))
+                rows.append((int(doc_id), str(source), len(paras), extracted))
+            yield pd.DataFrame(rows, columns=["doc_id", "source", "n_paras", "extracted"])
+
+    extracted = docs.mapInPandas(
+        _round_trip, "doc_id long, source string, n_paras int, extracted string"
+    )
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_paras").alias("n_paras"),
+            F.sum(F.length("extracted")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DOCX_EXTRACT = rf"""
+WITH d AS (
+  SELECT source,
+         len(string_split_regex(trim(COALESCE(text, '')), '\s+'))
+           - CASE WHEN trim(COALESCE(text, '')) = '' THEN 1 ELSE 0 END AS n_toks,
+         length(array_to_string(string_split_regex(trim(COALESCE(text, '')), '\s+'), ' ')) AS norm_len
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(ceil(CAST(n_toks AS DOUBLE) / {_DOCX_TOKENS_PER_PARA}) AS BIGINT) AS n_paras,
+         CASE WHEN n_toks = 0 THEN 0 ELSE norm_len END AS ext_len
+  FROM d
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_paras) AS n_paras, SUM(ext_len) AS sum_chars
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -2151,5 +2226,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_html_extract", _q_html_extract, _SQL_HTML_EXTRACT,
         "HTML boilerplate-removal round-trip",
+    ),
+    QueryDef(
+        "q_docx_extract", _q_docx_extract, _SQL_DOCX_EXTRACT,
+        "DOCX package+extract round-trip",
     ),
 ]

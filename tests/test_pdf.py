@@ -100,3 +100,41 @@ class TestRejection:
         blob = encode_pdf([["x"]]) + b"\n<< /Encrypt 9 0 R >>\n"
         with pytest.raises(NotImplementedError, match="encrypted"):
             pdf_text(blob)
+
+
+class TestDocx:
+    def test_round_trip_with_specials(self):
+        from dbt_lab_spark.llm.docx import docx_paragraphs, encode_docx
+
+        paras = ["first paragraph", "second & <special> one", ""]
+        blob = encode_docx(paras)
+        assert docx_paragraphs(blob) == paras
+        assert blob == encode_docx(paras)  # byte determinism
+
+    def test_tab_break_and_tracked_deletion(self):
+        from dbt_lab_spark.llm.docx import docx_paragraphs
+        from dbt_lab_spark.sources import zip_bytes
+
+        doc = (
+            b'<?xml version="1.0"?>'
+            b'<w:document xmlns:w='
+            b'"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+            b"<w:body>"
+            b"<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>"
+            b"<w:p><w:ins><w:r><w:t>kept</w:t></w:r></w:ins>"
+            b"<w:del><w:r><w:t>gone</w:t></w:r></w:del></w:p>"
+            b"</w:body></w:document>"
+        )
+        assert docx_paragraphs(zip_bytes([("word/document.xml", doc)])) == [
+            "a\tb\nc",
+            "kept",
+        ]
+
+    def test_non_docx_rejected(self):
+        import pytest as _pytest
+
+        from dbt_lab_spark.llm.docx import docx_text
+        from dbt_lab_spark.sources import zip_bytes
+
+        with _pytest.raises(ValueError, match="word/document.xml"):
+            docx_text(zip_bytes([("other.xml", b"<x/>")]))
