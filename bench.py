@@ -135,6 +135,7 @@ BENCH_NAMES = [
     "q_pdf_extract",
     "q_html_extract",
     "q_docx_extract",
+    "q_ipynb_extract",
 ]
 
 

@@ -2179,6 +2179,101 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Jupyter-notebook round trip (pure JVM JSON path)
+# ---------------------------------------------------------------------------
+
+_IPYNB_TOKENS_PER_CELL = 8
+
+
+def _q_ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus ingestion through notebook JSON: every document
+    becomes an .ipynb-shaped payload (cells alternating markdown/code)
+    via to_json, then is parsed BACK with from_json and exploded —
+    the whole round trip stays in JVM expressions (to_json/from_json/
+    transform/explode), no Python anywhere: the nbformat-ingestion
+    shape at zero UDF cost.
+
+    Full oracle: cell boundaries replace token gaps 1:1 and parity
+    decides the cell type, so DuckDB recomputes per-source cell counts
+    and char totals from `documents` — equality proves the JSON
+    encode/decode path preserved every cell."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    k = _IPYNB_TOKENS_PER_CELL
+    cells_expr = f"""
+    transform(
+      sequence(0, int(ceil(size(t) / {k}.0)) - 1),
+      i -> struct(
+        IF(i % 2 = 0, 'markdown', 'code') AS cell_type,
+        array_join(slice(t, i * {k} + 1, {k}), ' ') AS source
+      )
+    )
+    """
+    nb = docs.select(
+        "doc_id",
+        F.col("source").alias("corpus_source"),
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("t"),
+    ).filter(F.trim(F.coalesce(F.array_join("t", " "), F.lit(""))) != "").select(
+        "doc_id",
+        "corpus_source",
+        F.to_json(
+            F.struct(
+                F.lit(4).alias("nbformat"),
+                F.expr(cells_expr).alias("cells"),
+            )
+        ).alias("nb_json"),
+    )
+    schema = "struct<nbformat: int, cells: array<struct<cell_type: string, source: string>>>"
+    parsed = nb.select(
+        "doc_id",
+        "corpus_source",
+        F.explode(F.from_json("nb_json", schema).getField("cells")).alias("cell"),
+    )
+    return (
+        parsed.groupBy(F.col("corpus_source").alias("source"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum((F.col("cell.cell_type") == "code").cast("long")).alias("n_code_cells"),
+            F.sum((F.col("cell.cell_type") == "markdown").cast("long")).alias("n_md_cells"),
+            F.sum(
+                F.when(F.col("cell.cell_type") == "code", F.length("cell.source")).otherwise(0)
+            ).alias("code_chars"),
+            F.sum(
+                F.when(F.col("cell.cell_type") == "markdown", F.length("cell.source")).otherwise(0)
+            ).alias("md_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_IPYNB_EXTRACT = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(COALESCE(text, '')), '\s+') AS t
+  FROM documents
+  WHERE trim(COALESCE(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, source, unnest(t) AS tok,
+         unnest(range(len(t))) // {_IPYNB_TOKENS_PER_CELL} AS cell
+  FROM toks
+), cells AS (
+  SELECT doc_id, source, cell,
+         CASE WHEN cell % 2 = 0 THEN 'markdown' ELSE 'code' END AS cell_type,
+         SUM(length(tok)) + COUNT(*) - 1 AS cell_len
+  FROM pos GROUP BY 1, 2, 3
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       SUM(CASE WHEN cell_type = 'code' THEN 1 ELSE 0 END) AS n_code_cells,
+       SUM(CASE WHEN cell_type = 'markdown' THEN 1 ELSE 0 END) AS n_md_cells,
+       SUM(CASE WHEN cell_type = 'code' THEN cell_len ELSE 0 END) AS code_chars,
+       SUM(CASE WHEN cell_type = 'markdown' THEN cell_len ELSE 0 END) AS md_chars
+FROM cells
+GROUP BY source
+ORDER BY source
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -2230,5 +2325,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_docx_extract", _q_docx_extract, _SQL_DOCX_EXTRACT,
         "DOCX package+extract round-trip",
+    ),
+    QueryDef(
+        "q_ipynb_extract", _q_ipynb_extract, _SQL_IPYNB_EXTRACT,
+        "notebook-JSON round trip (pure JVM)",
     ),
 ]
