@@ -40,7 +40,11 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     """Serialize pages (each a list of text lines) into a conforming
     PDF 1.4 file: catalog -> pages tree -> per-page content streams
     (BT/Tf/Td/Tj ... ET), Helvetica, FlateDecode when `compress`.
-    Deterministic bytes for identical input (no timestamps, no IDs)."""
+    Deterministic bytes for identical input (no timestamps, no IDs).
+
+    Text contract: the latin-1 repertoire of the simple Type1 font —
+    codepoints past 0xFF would need composite (Type0/CID) fonts, which
+    this subset documents out of scope; they degrade to '?'."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
