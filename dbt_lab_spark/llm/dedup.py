@@ -818,6 +818,7 @@ def semantic_dedup_pairs(
     # co-assign from iteration 0, and measured pair recall is unchanged
     # 2 vs 3 passes while each pass costs a full corpus read.
     iters: int = 2,
+    scorer: str = "numpy",
 ) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): partition embeddings with spherical k-means, then
@@ -852,6 +853,25 @@ def semantic_dedup_pairs(
     dim = len(probe[0])
     cents = ivf_centroids(df, num_clusters, iters, vec_col, id_col, dim)
     assigned = ivf_assign(df, cents, vec_col, id_col)
+    if scorer == "jvm":
+        # Sequential-fold cosine on the RAW vectors: bit-identical to an
+        # oracle computing dot/(|a||b|) with the same left-to-right fold
+        # (used by the seeded full-oracle query; the numpy path is the
+        # throughput default).
+        raw = df.select(F.col(id_col), to_double_array(vec_col).alias("__raw"))
+        a = assigned.select(F.col("neighbor_id").alias("id_a"), "cluster").join(
+            raw.select(F.col(id_col).alias("id_a"), F.col("__raw").alias("__va")), "id_a"
+        )
+        b = assigned.select(F.col("neighbor_id").alias("id_b"), "cluster").join(
+            raw.select(F.col(id_col).alias("id_b"), F.col("__raw").alias("__vb")), "id_b"
+        )
+        return (
+            a.join(b, on="cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
     a = assigned.select(
         F.col("neighbor_id").alias("id_a"), F.col("__cv").alias("__va"), "cluster"
     )

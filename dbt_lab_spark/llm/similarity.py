@@ -378,6 +378,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    scorer: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k via IVF probing: each query searches only the
     `nprobe` clusters whose centroids are most similar.
@@ -386,6 +387,13 @@ def ivf_knn(
     `cluster` hits only those inverted lists — with the corpus bucketed
     by cluster this is a partition-pruned scan of nprobe/C of the data.
     Returns the same schema as brute_force_knn.
+
+    ``scorer``: 'numpy' (default) scores candidates with the Arrow-
+    batched matmul — the throughput path.  'jvm' re-joins the RAW
+    vectors and scores with the sequential-fold cosine expression, so
+    every output double is bit-identical to an oracle computing
+    dot/(|a||b|) with the same left-to-right fold (the q_knn_bruteforce
+    contract) — used by the seeded-IVF full-oracle query.
     """
     inv = ivf_assign(corpus, centroids, vec_col, id_col)
     qv = _normalized(vec_col)
@@ -408,11 +416,25 @@ def ivf_knn(
         qv.alias("__qv"),
         F.explode(F.transform(ranked_clusters, lambda x: x["cluster"])).alias("cluster"),
     )
-    scored = _score_pairs_vectorized(
-        inv.join(F.broadcast(qb), on="cluster").select(
-            "query_id", "neighbor_id", "__qv", "__cv"
+    if scorer == "jvm":
+        cand = inv.join(F.broadcast(qb), on="cluster").select("query_id", "neighbor_id")
+        craw = corpus.select(
+            F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__craw")
         )
-    )
+        qraw = queries.select(
+            F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("__qraw")
+        )
+        scored = (
+            cand.join(craw, on="neighbor_id")
+            .join(F.broadcast(qraw), on="query_id")
+            .withColumn("cosine", cosine_similarity(F.col("__qraw"), F.col("__craw")))
+        )
+    else:
+        scored = _score_pairs_vectorized(
+            inv.join(F.broadcast(qb), on="cluster").select(
+                "query_id", "neighbor_id", "__qv", "__cv"
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1020,6 +1020,146 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# seeded (iters=0) IVF / semantic dedup: the k-means family under a FULL
+# oracle.  ivf_centroids' init is deterministic (cluster = id % C means of
+# the unit-normalized vectors, spherically renormalized — no RNG), so with
+# zero Lloyd iterations the entire pipeline (centroid build, argmax
+# assignment, probe selection, within-cluster scoring) is plain relational
+# algebra DuckDB can replay.  These run the REAL ivf_assign / ivf_knn /
+# semantic_dedup_pairs code paths — same Arrow-batched assignment, same
+# probe expressions — only the trained-centroid step is pinned to its
+# deterministic seed.  Output doubles are sequential-fold cosines on the
+# raw vectors (scorer='jvm'), the bit-exact q_knn_bruteforce contract;
+# centroid floats only ever decide INTEGER outcomes (cluster ids, probe
+# sets), so engine-side summation-order ulps cannot reach the hash.
+# ---------------------------------------------------------------------------
+
+_SEEDED_C = 8  # clusters; corpus ids cover all residues at every SF
+
+
+def _sql_seeded_centroids(corpus_pred: str) -> str:
+    """Shared oracle CTEs: normalize -> id%C means -> spherical renorm ->
+    argmax assignment (ties to the LOWEST cluster, matching np.argmax)."""
+    return f"""
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {corpus_pred}
+), nrm AS (
+  SELECT vec_id, v,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(v, v)) END AS n
+  FROM raw
+), nv AS (
+  SELECT vec_id, v, list_transform(v, x -> x / n) AS nv FROM nrm
+), comp AS (
+  SELECT CAST(vec_id % {_SEEDED_C} AS INT) AS cluster, i, avg(nv[i]) AS m
+  FROM nv, range(1, 65) t(i)
+  GROUP BY 1, 2
+), cent0 AS (
+  SELECT cluster, list(m ORDER BY i) AS c0 FROM comp GROUP BY cluster
+), cent AS (
+  SELECT cluster,
+         list_transform(c0, x -> x / (CASE WHEN sqrt(list_dot_product(c0, c0)) = 0
+                                           THEN 1.0
+                                           ELSE sqrt(list_dot_product(c0, c0)) END)) AS c
+  FROM cent0
+), assign AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT nv.vec_id, cent.cluster, nv.v,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY list_dot_product(nv.nv, cent.c) DESC,
+                                       cent.cluster ASC) AS rk
+    FROM nv CROSS JOIN cent
+  ) WHERE rk = 1
+)"""
+
+
+def _q_knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with seeded centroids (iters=0) and nprobe=3 — the
+    oracle-checkable variant of q_knn_ivf.  Runs the real ivf_centroids
+    (zero Lloyd passes = its deterministic id%C init), the real
+    Arrow-batched ivf_assign, and the real ivf_knn probe expressions;
+    scoring re-joins raw vectors (scorer='jvm') so the output cosine is
+    the same sequential fold the DuckDB oracle computes."""
+    from dbt_lab_spark.llm.similarity import ivf_centroids, ivf_knn
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_centroids(corpus, num_centroids=_SEEDED_C, iters=0, dim=64)
+    return ivf_knn(corpus, queries, cents, k=10, nprobe=3, scorer="jvm")
+
+
+def _sql_knn_ivf_seeded() -> str:
+    # Probe ties (equal query-centroid sims) break toward the HIGHER
+    # cluster id: Spark sorts struct(sim, cluster) ascending and reverses.
+    return f"""
+WITH {_sql_seeded_centroids("vec_id >= 5")},
+qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qnv AS (
+  SELECT query_id, qv,
+         list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS nqv
+  FROM qs
+), probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT qnv.query_id, cent.cluster,
+           row_number() OVER (PARTITION BY qnv.query_id
+                              ORDER BY list_dot_product(qnv.nqv, cent.c) DESC,
+                                       cent.cluster DESC) AS rk
+    FROM qnv CROSS JOIN cent
+  ) WHERE rk <= 3
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.qv, a.v) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
+  FROM probe p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN qs q ON q.query_id = p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with seeded clusters (iters=0) — the oracle-checkable
+    variant of q_semantic_dedup: real ivf_centroids init + real
+    ivf_assign partition the corpus, within-cluster pairs are scored
+    with the sequential-fold cosine on raw vectors (scorer='jvm') and
+    kept at >= 0.3.  The DuckDB oracle replays centroid build,
+    assignment, and the within-cluster self-join exactly."""
+    from dbt_lab_spark.llm.dedup import semantic_dedup_pairs
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup_pairs(
+        emb, num_clusters=_SEEDED_C, threshold=0.3, iters=0, scorer="jvm"
+    )
+
+
+def _sql_semantic_dedup_seeded() -> str:
+    return f"""
+WITH {_sql_seeded_centroids("TRUE")}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) /
+       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming-native session windows (batch path of streaming/windows.py)
 # ---------------------------------------------------------------------------
 
@@ -4069,6 +4209,14 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_knn_lit", _q_knn_lit, _sql_knn_lit(),
         "oracle-checkable literal-plane LSH top-k",
+    ),
+    QueryDef(
+        "q_knn_ivf_seeded", _q_knn_ivf_seeded, _sql_knn_ivf_seeded(),
+        "oracle-checkable seeded-centroid IVF top-k",
+    ),
+    QueryDef(
+        "q_semantic_dedup_seeded", _q_semantic_dedup_seeded, _sql_semantic_dedup_seeded(),
+        "oracle-checkable seeded-cluster SemDeDup pairs",
     ),
     QueryDef("q_word_count", _q_word_count, _SQL_WORD_COUNT, "explode/lateral top-20 tokens"),
     QueryDef("q_bigrams", _q_bigrams, _SQL_BIGRAMS, "array HOF bigram counts"),

@@ -220,6 +220,39 @@ def test_ivf_probe_all_matches_brute_force(spark, planted_vectors):
     assert ivf == exact
 
 
+def test_jvm_scorer_matches_numpy_scorer(spark, planted_vectors):
+    """scorer='jvm' (sequential-fold cosine on raw vectors, the oracle
+    contract) must agree with the default Arrow/NumPy scorer: identical
+    (query, rank) -> neighbor maps for ivf_knn, identical pair sets for
+    semantic_dedup_pairs, cosines within float-summation-order slack."""
+    from dbt_lab_spark.llm.dedup import semantic_dedup_pairs
+    from dbt_lab_spark.llm.similarity import ivf_centroids, ivf_knn
+
+    queries = planted_vectors.filter(F.col("vec_id") >= 110).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = planted_vectors.filter(F.col("vec_id") < 100)
+    cents = ivf_centroids(corpus, num_centroids=4, iters=0)
+    by_scorer = {}
+    for scorer in ("numpy", "jvm"):
+        rows = ivf_knn(corpus, queries, cents, k=5, nprobe=2, scorer=scorer).collect()
+        by_scorer[scorer] = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
+    assert by_scorer["numpy"].keys() == by_scorer["jvm"].keys()
+    for key, (nid, cos) in by_scorer["numpy"].items():
+        jid, jcos = by_scorer["jvm"][key]
+        assert nid == jid
+        assert abs(cos - jcos) < 1e-9
+
+    for scorer in ("numpy", "jvm"):
+        rows = semantic_dedup_pairs(
+            planted_vectors, num_clusters=4, threshold=0.9, iters=0, scorer=scorer
+        ).collect()
+        by_scorer[scorer] = {(r.id_a, r.id_b): r.cosine for r in rows}
+    assert by_scorer["numpy"].keys() == by_scorer["jvm"].keys()
+    for key, cos in by_scorer["numpy"].items():
+        assert abs(cos - by_scorer["jvm"][key]) < 1e-9
+
+
 def test_minhash_bucket_cap_is_subset_and_keeps_planted(spark, planted_docs):
     """The hot-bucket guard only removes pairs (subset of uncapped) and,
     at a sane cap, keeps the planted near-dups (their buckets are tiny)."""
