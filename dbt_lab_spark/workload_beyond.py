@@ -1131,6 +1131,95 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _q_pq_adc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 with seeded codebooks (iters=0)
+    — the oracle-checkable variant of q_pq_ann.  pq_train's init is
+    deterministic (codebook cell c of subspace s = subvector s of the
+    mean of unit-normalized vectors with id % ks == c), so zero Lloyd
+    passes pins the codebooks; the real pq_encode (argmin over the
+    expansion-form squared distance) and pq_adc_knn (broadcast table
+    lookups) then produce integer codes plus table-sum scores DuckDB
+    replays as relational algebra.  Codebook floats only ever decide
+    integer outcomes (codes, ranks); approx_d2 rounds to 6."""
+    from dbt_lab_spark.llm.pq import pq_adc_knn, pq_encode, pq_train
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cb = pq_train(corpus, m=8, ks=16, iters=0)
+    codes = pq_encode(corpus, cb)
+    return pq_adc_knn(codes, queries, cb, k=10)
+
+
+def _sql_pq_adc_seeded() -> str:
+    # m=8 subspaces x dsub=8 dims, ks=16 cells; codes = argmin of the
+    # same expansion-form d2 (x.x - 2x.c + c.c) pq_encode computes;
+    # ranks use FULL-precision table sums (rounding happens on output,
+    # mirroring pq_adc_knn).
+    return """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 5
+), nrm AS (
+  SELECT vec_id, v,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(v, v)) END AS n
+  FROM corpus
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS nv FROM nrm
+), comp AS (
+  SELECT CAST(vec_id % 16 AS INT) AS cell, i, avg(nv[i]) AS m
+  FROM nv, range(1, 65) t(i) GROUP BY 1, 2
+), cb AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM comp GROUP BY cell
+), cbs AS (
+  SELECT cell, CAST(s AS INT) AS s, list_slice(c, s*8 + 1, s*8 + 8) AS e
+  FROM cb, range(0, 8) t(s)
+), xsub AS (
+  SELECT vec_id, CAST(s AS INT) AS s, list_slice(nv, s*8 + 1, s*8 + 8) AS xs
+  FROM nv, range(0, 8) t(s)
+), codes AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT x.vec_id, x.s, cbs.cell,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY list_dot_product(x.xs, x.xs) - 2*list_dot_product(x.xs, cbs.e)
+                      + list_dot_product(cbs.e, cbs.e) ASC,
+                      cbs.cell ASC) AS rk
+    FROM xsub x JOIN cbs ON cbs.s = x.s
+  ) WHERE rk = 1
+), qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qv, x -> x / (CASE WHEN sqrt(list_dot_product(qv, qv)) = 0
+                                           THEN 1.0
+                                           ELSE sqrt(list_dot_product(qv, qv)) END)) AS nq
+  FROM qs
+), qsub AS (
+  SELECT query_id, CAST(s AS INT) AS s, list_slice(nq, s*8 + 1, s*8 + 8) AS qsv
+  FROM qn, range(0, 8) t(s)
+), tab AS (
+  SELECT q.query_id, q.s, cbs.cell,
+         list_sum([(cbs.e[j] - q.qsv[j]) * (cbs.e[j] - q.qsv[j])
+                   FOR j IN generate_series(1, 8)]) AS d2
+  FROM qsub q JOIN cbs ON cbs.s = q.s
+), scored AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.d2) AS raw_d2
+  FROM codes c JOIN tab t ON t.s = c.s AND t.cell = c.cell
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, raw_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(raw_d2, 6) AS approx_d2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with seeded clusters (iters=0) — the oracle-checkable
     variant of q_semantic_dedup: real ivf_centroids init + real
@@ -4213,6 +4302,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_knn_ivf_seeded", _q_knn_ivf_seeded, _sql_knn_ivf_seeded(),
         "oracle-checkable seeded-centroid IVF top-k",
+    ),
+    QueryDef(
+        "q_pq_adc_seeded", _q_pq_adc_seeded, _sql_pq_adc_seeded(),
+        "oracle-checkable seeded-codebook PQ ADC top-k",
     ),
     QueryDef(
         "q_semantic_dedup_seeded", _q_semantic_dedup_seeded, _sql_semantic_dedup_seeded(),
