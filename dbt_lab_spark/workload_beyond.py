@@ -677,7 +677,11 @@ def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_md5() -> str:
+def _sql_minhash_md5_ctes() -> str:
+    """The shared md5-minhash CTE chain (tokens -> shingles -> md5
+    31-bit hashes -> 16 permutation minima -> 4 band buckets -> banded
+    candidates -> signature-agreement estimate), reused by the pairs
+    oracle (_sql_minhash_md5) and the end-to-end dedup-apply oracle."""
     import random as _random
 
     p31 = (1 << 31) - 1
@@ -702,7 +706,7 @@ def _sql_minhash_md5() -> str:
         f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(16)
     )
     return rf"""
-WITH toks AS (
+toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -726,8 +730,58 @@ WITH toks AS (
   SELECT id_a, id_b, ({agree}) / 16.0 AS est_jaccard
   FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
             JOIN sig sb ON sb.doc_id = cand.id_b
-)
+)"""
+
+
+def _sql_minhash_md5() -> str:
+    return f"""
+WITH {_sql_minhash_md5_ctes()}
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+"""
+
+
+def _q_dedup_apply_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP under a full oracle: md5-minhash+LSH
+    pairs (as q_minhash_md5) -> connected_components (iterative
+    min-label propagation) -> dedup_apply keeps the min-id
+    representative of each duplicate cluster, singletons pass through.
+    The oracle replays the pair generation relationally and resolves
+    clusters with a recursive transitive closure — the same
+    fixpoint-equivalence contract as q_entity_cc, now over the real
+    minhash pair set.  Output: every surviving doc_id."""
+    from dbt_lab_spark.llm.dedup import dedup_apply, minhash_dedup_pairs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=16, shingle_k=3, num_bands=4, threshold=0.7, base_hash="md5"
+    )
+    kept = dedup_apply(docs, pairs.select("id_a", "id_b"), id_col="doc_id")
+    return kept.select("doc_id")
+
+
+def _sql_dedup_apply_md5() -> str:
+    # A doc survives iff it is the minimum id reachable in the pair
+    # graph (or touches no pair at all): component == doc_id.
+    return f"""
+WITH RECURSIVE {_sql_minhash_md5_ctes()},
+pairs AS (
+  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+), comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id FROM comp WHERE component = doc_id
 """
 
 
@@ -4290,6 +4344,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_simhash_md5", _q_simhash_md5, _sql_simhash_md5(),
         "oracle-checkable md5 simhash band join",
+    ),
+    QueryDef(
+        "q_dedup_apply_md5", _q_dedup_apply_md5, _sql_dedup_apply_md5(),
+        "oracle-checkable end-to-end minhash dedup (pairs -> CC -> keep)",
     ),
     QueryDef(
         "q_embedding_neardup_lit", _q_embedding_neardup_lit, _sql_embedding_neardup_lit(),
