@@ -136,6 +136,12 @@ BENCH_NAMES = [
     "q_html_extract",
     "q_docx_extract",
     "q_ipynb_extract",
+    # r3-session-3 additions: the k-means/PQ family + e2e dedup under oracles
+    "q_knn_ivf_seeded",
+    "q_semantic_dedup_seeded",
+    "q_pq_adc_seeded",
+    "q_dedup_apply_md5",
+    "q_pca_power",
 ]
 
 

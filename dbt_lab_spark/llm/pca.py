@@ -32,6 +32,28 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 4) -> dict:
     """Fit PCA: returns {'mean': (d,), 'components': (k, d),
     'explained_variance': (k,), 'n': int} — components are rows,
     eigenvalue-descending."""
+    mean, cov, n = pca_cov(df, vec_col)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T  # (k, d)
+    # canonical sign: the largest-|x| coordinate of each component > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": eigvals[order],
+        "n": n,
+    }
+
+
+def pca_cov(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:
+    """The sufficient-stats pass shared by pca_fit and
+    pca_power_component: one map-only job emitting (n, sum_x, X^T X)
+    per partition, reduced on the driver.  Returns (mean (d,),
+    cov (d, d) with n-1 denominator, n)."""
 
     def _partials(batches):
         import pandas as pd
@@ -55,34 +77,53 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 4) -> dict:
 
     rows = df.select(vec_col).mapInPandas(_partials, "stat binary").collect()
     if not rows:
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_cov: empty input")
     total = None
     for r in rows:
         p = np.frombuffer(r["stat"], dtype=np.float64)
         total = p if total is None else total + p
-    # d from payload length: 1 + d + d^2
     d = int((-1 + np.sqrt(1 + 4 * (len(total) - 1))) / 2)
     n = int(total[0])
     if n < 2:
-        raise ValueError("pca_fit: need at least 2 vectors")
+        raise ValueError("pca_cov: need at least 2 vectors")
     s = total[1 : 1 + d]
     xtx = total[1 + d :].reshape(d, d)
     mean = s / n
     cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
-    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(eigvals)[::-1][:k]
-    comps = eigvecs[:, order].T  # (k, d)
-    # canonical sign: the largest-|x| coordinate of each component > 0
-    for i in range(comps.shape[0]):
-        j = int(np.argmax(np.abs(comps[i])))
-        if comps[i, j] < 0:
-            comps[i] = -comps[i]
-    return {
-        "mean": mean,
-        "components": comps,
-        "explained_variance": eigvals[order],
-        "n": n,
-    }
+    return mean, cov, n
+
+
+def pca_power_component(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 12
+) -> dict:
+    """Dominant principal component by UNNORMALIZED power iteration —
+    the oracle-checkable fit: exactly `iters` applications of the
+    covariance to the deterministic all-ones start vector, normalized
+    and sign-canonicalized ONCE at the end.
+
+    Skipping per-step normalization changes nothing mathematically
+    (scale factors out of the final normalize) and keeps every step a
+    pure linear map a SQL engine can replay as `iters` chained
+    join+aggregate CTEs; doubles stay in range as long as
+    lambda_1^iters does (|lambda_1| in [1e-25, 1e25] at iters=12).
+    The result is the exact `iters`-step iterate — convergence to the
+    true eigenvector is a separate question tuned by `iters`; the
+    contract is determinism of the iterate itself.  Sign convention
+    matches pca_fit: the largest-|coordinate| entry is positive
+    (ties to the lowest index, like np.argmax)."""
+    mean, cov, n = pca_cov(df, vec_col)
+    v = np.ones(cov.shape[0], dtype=np.float64)
+    for _ in range(iters):
+        v = cov @ v
+    nrm = np.linalg.norm(v)
+    if nrm == 0.0:
+        raise ValueError("pca_power_component: zero iterate (degenerate covariance)")
+    v = v / nrm
+    j = int(np.argmax(np.abs(v)))
+    if v[j] < 0:
+        v = -v
+    lam = float(v @ cov @ v)
+    return {"mean": mean, "component": v, "eigval_estimate": lam, "n": n}
 
 
 def pca_project(

@@ -417,17 +417,26 @@ def ivf_knn(
         F.explode(F.transform(ranked_clusters, lambda x: x["cluster"])).alias("cluster"),
     )
     if scorer == "jvm":
+        from dbt_lab_spark.functions.vectors import dot, l2_norm
+
         cand = inv.join(F.broadcast(qb), on="cluster").select("query_id", "neighbor_id")
         craw = corpus.select(
-            F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__craw")
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(vec_col).alias("__craw"),
+            l2_norm(to_double_array(vec_col)).alias("__cnrm"),
         )
         qraw = queries.select(
-            F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("__qraw")
+            F.col(query_id_col).alias("query_id"),
+            to_double_array(vec_col).alias("__qraw"),
+            l2_norm(to_double_array(vec_col)).alias("__qnrm"),
         )
         scored = (
             cand.join(craw, on="neighbor_id")
             .join(F.broadcast(qraw), on="query_id")
-            .withColumn("cosine", cosine_similarity(F.col("__qraw"), F.col("__craw")))
+            .withColumn(
+                "cosine",
+                dot(F.col("__qraw"), F.col("__craw")) / (F.col("__qnrm") * F.col("__cnrm")),
+            )
         )
     else:
         scored = _score_pairs_vectorized(

@@ -3750,6 +3750,88 @@ def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_POWER_ITERS = 12
+
+
+def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component by power iteration — iterative
+    linear algebra under a FULL oracle.  The fit is exactly
+    _PCA_POWER_ITERS unnormalized applications of the sample
+    covariance to the all-ones start (pca_power_component: one
+    distributed sufficient-stats pass, driver-side d x d iterate), so
+    DuckDB replays it as chained join+aggregate CTEs: pairwise-product
+    sums -> covariance triples -> 12 matrix-vector CTEs -> one final
+    normalize + sign canonicalization -> per-vector projection.
+    Output: per-vector centered projection onto the iterate (the
+    deterministic contract is the 12-step iterate itself; convergence
+    to the true eigenvector is tuned by iters)."""
+    from dbt_lab_spark.functions.vectors import dot
+    from dbt_lab_spark.llm.pca import pca_power_component
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    model = pca_power_component(emb, "embedding", iters=_PCA_POWER_ITERS)
+    w = [float(x) for x in model["component"]]
+    offset = float(model["mean"] @ model["component"])  # mean . w, scalar
+    v = to_double_array("embedding")
+    # (x - mean) . w  ==  x . w - mean . w : one JVM fold + a literal
+    return emb.select(
+        "vec_id",
+        (dot(v, F.array(*[F.lit(c) for c in w])) - F.lit(offset)).alias("proj"),
+    )
+
+
+def _sql_pca_power() -> str:
+    steps = ",\n".join(
+        f"p{k + 1} AS (SELECT c.i AS i, sum(c.c * p.val) AS val"
+        f" FROM cov c JOIN p{k} p ON p.i = c.j GROUP BY c.i)"
+        for k in range(_PCA_POWER_ITERS)
+    )
+    last = f"p{_PCA_POWER_ITERS}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+n AS (SELECT count(*) AS n FROM e),
+u AS MATERIALIZED (
+  -- one unnested (vec_id, dim, value) copy: pair sums and projections
+  -- join on scalars instead of indexing lists inside wide cross joins
+  -- (measured ~50x on the 8M-row pair-product stage)
+  SELECT e.vec_id, d.i, e.v[d.i] AS x FROM e, dims d
+),
+mean AS (
+  SELECT i, sum(x) / (SELECT n FROM n) AS m FROM u GROUP BY i
+),
+pairsum AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+  FROM u a JOIN u b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+cov AS MATERIALIZED (
+  -- MATERIALIZED: 12 chained steps reference cov; without the hint the
+  -- optimizer inlines the whole pair-sum pipeline into every step
+  -- (measured ~10x)
+  SELECT p.i, p.j,
+         (p.s - (SELECT n FROM n) * mi.m * mj.m) / ((SELECT n FROM n) - 1) AS c
+  FROM pairsum p JOIN mean mi ON mi.i = p.i JOIN mean mj ON mj.i = p.j
+),
+p0 AS (SELECT i, 1.0 AS val FROM dims),
+{steps},
+nrm AS (SELECT sqrt(sum(val * val)) AS nv FROM {last}),
+sgn AS (
+  SELECT CASE WHEN (SELECT val FROM {last} ORDER BY abs(val) DESC, i ASC LIMIT 1) < 0
+              THEN -1.0 ELSE 1.0 END AS s
+),
+comp AS (
+  SELECT i, (SELECT s FROM sgn) * val / (SELECT nv FROM nrm) AS w FROM {last}
+)
+SELECT u.vec_id,
+       sum(u.x * c.w) - (SELECT sum(m.m * c2.w) FROM mean m JOIN comp c2 ON c2.i = m.i) AS proj
+FROM u JOIN comp c ON c.i = u.i
+GROUP BY u.vec_id
+"""
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace normalization over documents (NFC + control
     strip + space collapse + trim), aggregated per source: docs
@@ -4364,6 +4446,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_pq_adc_seeded", _q_pq_adc_seeded, _sql_pq_adc_seeded(),
         "oracle-checkable seeded-codebook PQ ADC top-k",
+    ),
+    QueryDef(
+        "q_pca_power", _q_pca_power, _sql_pca_power(),
+        "oracle-checkable power-iteration PCA projection",
     ),
     QueryDef(
         "q_semantic_dedup_seeded", _q_semantic_dedup_seeded, _sql_semantic_dedup_seeded(),
