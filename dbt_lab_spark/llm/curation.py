@@ -612,3 +612,87 @@ def compression_ratio(
             yield pdf
 
     return docs.mapInPandas(_ratio, schema)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl dedup prep)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_url(url: str | Column) -> Column:
+    """Canonical form of an http(s) URL for crawl-level dedup: two
+    raw variants of the same page must collapse to one key before
+    any content fetch/dedup stage sees them.
+
+    Rules (the industry-standard safe subset — each is a pure string
+    rewrite, no network, no suffix lists):
+      - scheme and host lowercased; https normalized to http (scheme
+        variants of one page are one page for dedup purposes)
+      - default ports dropped (:80, :443)
+      - fragment dropped
+      - tracking params dropped (utm_*, fbclid, gclid, ref)
+      - remaining query params sorted bytewise for order-independence
+      - trailing slash on a non-root path dropped
+
+    Pure JVM: regexp rewrites + split/array_sort/concat_ws — one
+    narrow map stage, no shuffle, no Python.  Mirrored term-for-term
+    by the DuckDB oracle (list_sort + regexp_replace).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    # lowercase scheme+host (the part before the first path slash)
+    head = F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1))
+    head = F.regexp_replace(head, r"^https:", "http:")
+    head = F.regexp_replace(head, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/]*//[^/?#]*", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"(.)/$", "$1")  # trailing slash, keep root "/"
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+
+
+def url_host(url: str | Column) -> Column:
+    """Lowercased host (no port) of an http(s) URL."""
+    u = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.regexp_extract(u, r"^[^/]*//([^/?#:]*)", 1))
+    return h
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two labels of the host — the registrable domain under
+    generic TLDs (the public-suffix-list refinement for ccTLD pairs
+    like .co.uk is a lookup-table extension, not a structural change)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (governance gate before release/training)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_classes(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Equivalence classes over the quasi-identifier columns with their
+    sizes and a per-class safety flag: a dataset is k-anonymous iff
+    every class has >= k rows; rows in smaller classes re-identify
+    individuals and must be suppressed or generalized before release.
+
+    One hash-aggregate on the quasi-identifier tuple (map-side partial
+    aggregation collapses classes early) — the word-count scale shape.
+    Returns one row per class: quasi cols, n_rows, is_safe.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) >= k).alias("is_safe"),
+    )

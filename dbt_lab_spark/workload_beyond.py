@@ -3832,6 +3832,122 @@ GROUP BY u.vec_id
 """
 
 
+def _messy_url_spark() -> F.Column:
+    """Deterministic raw URL per document with deliberate mess keyed by
+    doc_id % 4: default port, trailing slash, tracking params, fragment
+    — every canonicalization rule gets exercised on a fixed quarter of
+    the corpus."""
+    mess = F.col("doc_id") % 4
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(mess == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(mess == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=26&a=1"),
+        F.when(mess == 2, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+        F.when(mess == 3, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl-level dedup: raw URLs (synthesized
+    deterministically per doc with default ports / trailing slashes /
+    utm+fbclid params / fragments) collapse to one canonical key via
+    llm/curation.py:canonicalize_url — pure JVM regexp + array
+    rewrites, one narrow map stage.  Output per doc: canonical URL,
+    host, registrable domain.  All 4 mess variants of a page map to
+    the identical canonical form, which the oracle re-derives."""
+    from dbt_lab_spark.llm.curation import canonicalize_url, registered_domain, url_host
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "lang", "source"])
+    raw = docs.select("doc_id", _messy_url_spark().alias("url"))
+    host = url_host("url")
+    return raw.select(
+        "doc_id",
+        canonicalize_url("url").alias("canon_url"),
+        host.alias("host"),
+        registered_domain(host).alias("reg_domain"),
+    )
+
+
+_SQL_URL_CANONICAL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/' || lang || '/Doc/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+         || '?utm_source=feed&z=26&a=1'
+         || CASE WHEN doc_id % 4 = 2 THEN '&fbclid=xyz' ELSE '' END
+         || CASE WHEN doc_id % 4 = 3 THEN '#sec2' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(regexp_extract(url, '^([^/]*//[^/?#]*)', 1)),
+                          '^https:', 'http:'),
+           ':(80|443)$', '') AS head,
+         regexp_replace(regexp_replace(url, '^[^/]*//[^/?#]*', ''), '#.*$', '') AS rest
+  FROM raw
+), pq AS (
+  SELECT doc_id, head,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '(.)/$', '\1') AS path,
+         list_sort([p FOR p IN string_split(regexp_extract(rest, '\?(.*)$', 1), '&')
+                    IF p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')]) AS params
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         head || path ||
+         CASE WHEN len(params) = 0 THEN ''
+              ELSE '?' || array_to_string(params, '&') END AS canon_url
+  FROM pq
+), hosts AS (
+  SELECT doc_id, lower(regexp_extract(url, '^[^/]*//([^/?#:]*)', 1)) AS host FROM raw
+)
+SELECT c.doc_id, c.canon_url, h.host,
+       regexp_extract(h.host, '([^.]+\.[^.]+)$', 1) AS reg_domain
+FROM canon c JOIN hosts h ON h.doc_id = c.doc_id
+"""
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over customer quasi-identifiers
+    (nation, market segment, account-balance band): equivalence-class
+    sizes + per-class safety flag via llm/curation.py:
+    k_anonymity_classes — one hash-aggregate, map-side partials, the
+    word-count scale shape.  The governance gate a dataset passes
+    before rows in small classes are suppressed or generalized."""
+    from dbt_lab_spark.llm.curation import k_anonymity_classes
+
+    cat = Catalog(sf_dir)
+    cust = scan(
+        spark, cat, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    q = cust.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") / 2000.0).cast("int").alias("bal_band"),
+    )
+    return k_anonymity_classes(q, ["nation", "segment", "bal_band"], k=5)
+
+
+_SQL_K_ANONYMITY = """
+SELECT CAST(c_nationkey AS INT) AS nation,
+       c_mktsegment AS segment,
+       CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0) AS INT) AS bal_band,
+       count(*) AS n_rows,
+       count(*) >= 5 AS is_safe
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace normalization over documents (NFC + control
     strip + space collapse + trim), aggregated per source: docs
@@ -4450,6 +4566,14 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_pca_power", _q_pca_power, _sql_pca_power(),
         "oracle-checkable power-iteration PCA projection",
+    ),
+    QueryDef(
+        "q_url_canonical", _q_url_canonical, _SQL_URL_CANONICAL,
+        "crawl-dedup URL canonicalization",
+    ),
+    QueryDef(
+        "q_k_anonymity", _q_k_anonymity, _SQL_K_ANONYMITY,
+        "k-anonymity equivalence-class audit",
     ),
     QueryDef(
         "q_semantic_dedup_seeded", _q_semantic_dedup_seeded, _sql_semantic_dedup_seeded(),

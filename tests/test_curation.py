@@ -424,3 +424,40 @@ def test_bloom_build_no_false_negatives_and_bounded_fp():
     others = rng.integers(0, 2**63, size=50_000, dtype=np.int64).astype(np.uint64)
     fp = probe(others).mean()
     assert fp < 0.05  # ~1% nominal; generous margin for hash variance
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """Every rewrite rule plus the cases the regexes must NOT touch:
+    root path keeps its slash, :8080 is not a default port, the path's
+    case survives, an all-tracking query yields no '?', url params sort
+    bytewise."""
+    from dbt_lab_spark.llm.curation import canonicalize_url, registered_domain, url_host
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#f", "http://www.ex.com/A/b?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("https://Ex.Com/p?fbclid=1&gclid=2&ref=3&utm_x=4", "http://ex.com/p"),
+        ("http://a.b.ex.com/Path/Case", "http://a.b.ex.com/Path/Case"),
+        ("http://ex.com/p?z=1&y=2&x=3", "http://ex.com/p?x=3&y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+    hosts = df.select(registered_domain(url_host("url")).alias("d")).collect()
+    assert [r.d for r in hosts] == [
+        "ex.com", "ex.com", "ex.com", "ex.com", "ex.com", "ex.com"
+    ]
+
+
+def test_k_anonymity_classes(spark):
+    from dbt_lab_spark.llm.curation import k_anonymity_classes
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 4 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, band int")
+    out = {
+        (r.seg, r.band): (r.n_rows, r.is_safe)
+        for r in k_anonymity_classes(df, ["seg", "band"], k=5).collect()
+    }
+    assert out == {("a", 1): (5, True), ("a", 2): (4, False), ("b", 1): (1, False)}

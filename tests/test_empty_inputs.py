@@ -26,7 +26,9 @@ _EXPECTED_REFUSALS = {
     "q_classifier_train",
     "q_pagerank",
     "q_pca_project",
+    "q_pca_power",
     "q_pq_ann",
+    "q_pq_adc_seeded",
 }
 
 
