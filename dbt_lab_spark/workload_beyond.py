@@ -383,6 +383,222 @@ FROM lang GROUP BY source, lang_pred
 """
 
 
+# ---------------------------------------------------------------------------
+# evaluation & inference statistics (functions/stats.py)
+# ---------------------------------------------------------------------------
+
+# Shared per-doc CTE: heuristic quality score (rounded to 4, so score
+# group keys are identical across engines) + is-English label.
+_SQL_QSCORE_PERDOC = r"""
+qraw AS (
+  SELECT doc_id, lang, trim(text) AS t,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), qstat AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_intersect(toks,
+              ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this','be','are','was'])) AS DOUBLE) AS stop_hits
+  FROM qraw
+), qscore AS (
+  SELECT doc_id, label,
+         round(CAST(0.3 AS DOUBLE) * least(n_chars / 200.0, 1.0)
+             + CAST(0.3 AS DOUBLE) * (n_alpha / greatest(n_chars, 1.0))
+             + CAST(0.2 AS DOUBLE) * least(stop_hits / 3.0, 1.0)
+             + CAST(0.2 AS DOUBLE) * (CASE WHEN n_chars / greatest(n_tok, 1.0) >= 3.0
+                                            AND n_chars / greatest(n_tok, 1.0) <= 12.0
+                                           THEN CAST(1.0 AS DOUBLE)
+                                           ELSE CAST(0.3 AS DOUBLE) END), 4) AS q
+  FROM qstat
+)"""
+
+
+def _q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the heuristic quality score as a predictor of
+    lang=='en', via functions/stats.py:auc — the Mann-Whitney
+    formulation over per-distinct-score counts (one hash aggregate +
+    one window over distinct scores; NO row-level global sort, the
+    shape that survives 100 TB).  Half-step U terms are exact in
+    double, so the statistic is bit-identical across engines."""
+    from dbt_lab_spark.functions.stats import auc
+    from dbt_lab_spark.functions.text import quality_score
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    scored = docs.select(
+        quality_score("text").alias("q"), (F.col("lang") == "en").alias("label")
+    )
+    return auc(scored, "q", "label")
+
+
+_SQL_AUC_EVAL = rf"""
+WITH {_SQL_QSCORE_PERDOC},
+per_s AS (
+  SELECT q AS s, SUM(label) AS np, SUM(1 - label) AS nn FROM qscore GROUP BY q
+), cum AS (
+  SELECT s, np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM per_s
+), agg AS (
+  SELECT SUM(np * (cumneg + nn / 2.0)) AS u,
+         SUM(np) AS n_pos, SUM(nn) AS n_neg
+  FROM cum
+)
+SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN u / (n_pos * n_neg) END AS auc,
+       n_pos, n_neg
+FROM agg
+"""
+
+
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the quality score vs lang=='en':
+    per score-decile (n, mean_score, pos_rate) via
+    functions/stats.py:calibration_bins — one hash aggregate."""
+    from dbt_lab_spark.functions.stats import calibration_bins
+    from dbt_lab_spark.functions.text import quality_score
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    scored = docs.select(
+        quality_score("text").alias("q"), (F.col("lang") == "en").alias("label")
+    )
+    return calibration_bins(scored, "q", "label", n_bins=10)
+
+
+_SQL_CALIBRATION = rf"""
+WITH {_SQL_QSCORE_PERDOC}
+SELECT CAST(least(floor(q * 10), 9) AS INT) AS bin,
+       COUNT(*) AS n,
+       AVG(q) AS mean_score,
+       AVG(CAST(label AS DOUBLE)) AS pos_rate
+FROM qscore GROUP BY 1
+"""
+
+
+def _q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus lang column and the marker-word
+    lang_id heuristic — inter-annotator agreement as a label-quality
+    gate, via functions/stats.py:cohens_kappa (contingency marginals
+    only; nothing row-scale past the first aggregates)."""
+    from dbt_lab_spark.functions.stats import cohens_kappa
+    from dbt_lab_spark.functions.text import lang_id
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    labeled = docs.select(F.col("lang").alias("a"), lang_id("text").alias("b"))
+    return cohens_kappa(labeled, "a", "b")
+
+
+_SQL_KAPPA = r"""
+WITH toks AS (
+  SELECT lang AS a, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), votes AS (
+  SELECT a,
+         len(list_intersect(t, ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+         len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s_de,
+         len(list_intersect(t, ['le','la','les','et','est','une','pour','dans','que','des'])) AS s_fr,
+         len(list_intersect(t, ['el','la','los','y','es','una','para','en','que','por'])) AS s_es
+  FROM toks
+), lab AS (
+  SELECT a,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS b
+  FROM votes
+), n AS (SELECT COUNT(*) AS n FROM lab),
+po AS (
+  SELECT SUM(CASE WHEN a = b THEN 1 ELSE 0 END) / (SELECT CAST(n AS DOUBLE) FROM n) AS po
+  FROM lab
+), ma AS (
+  SELECT a AS k, COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM n) AS pa FROM lab GROUP BY a
+), mb AS (
+  SELECT b AS k, COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM n) AS pb FROM lab GROUP BY b
+), pe AS (
+  SELECT SUM(pa * pb) AS pe FROM ma JOIN mb USING (k)
+)
+SELECT (po.po - pe.pe) / (1.0 - pe.pe) AS kappa, po.po AS po, pe.pe AS pe,
+       (SELECT n FROM n) AS n
+FROM po, pe
+"""
+
+
+def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of order priority vs order
+    status, via functions/stats.py:chi_square_independence — the full
+    zero-filled contingency grid so empty cells contribute their
+    expected mass; frames after the first aggregates are bounded by
+    category cardinality."""
+    from dbt_lab_spark.functions.stats import chi_square_independence
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderpriority", "o_orderstatus"])
+    return chi_square_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+_SQL_CHI2 = r"""
+WITH n AS (SELECT COUNT(*) AS n FROM orders),
+obs AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), ra AS (SELECT o_orderpriority AS a, COUNT(*) AS ra FROM orders GROUP BY 1),
+cb AS (SELECT o_orderstatus AS b, COUNT(*) AS cb FROM orders GROUP BY 1),
+grid AS (
+  SELECT ra.a, cb.b, COALESCE(obs.o, 0) AS o,
+         ra.ra * cb.cb / (SELECT CAST(n AS DOUBLE) FROM n) AS e
+  FROM ra CROSS JOIN cb LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+)
+SELECT SUM((o - e) * (o - e) / e) AS chi2,
+       CAST(((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM cb) - 1) AS INT) AS dof,
+       (SELECT n FROM n) AS n
+FROM grid
+"""
+
+
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-arm t-test over event values (arm = user_id parity)
+    via functions/stats.py:welch_t: two grouped moment aggregates and
+    a scalar formula — the experimentation primitive.  Statistics
+    rounded to 4 (variance accumulation order differs legitimately
+    across engines at ~1e-12 relative)."""
+    from dbt_lab_spark.functions.stats import welch_t
+
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "value"])
+    armed = ev.select((F.col("user_id") % 2).alias("arm"), "value")
+    out = welch_t(armed, "arm", "value")
+    return out.select(
+        F.round("t_stat", 4).alias("t_stat"),
+        F.round("df_welch", 2).alias("df_welch"),
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "n_a",
+        "n_b",
+    )
+
+
+_SQL_AB_TEST = r"""
+WITH g AS (
+  SELECT user_id % 2 AS arm, COUNT(*) AS n,
+         AVG(CAST(value AS DOUBLE)) AS m,
+         VAR_SAMP(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), a AS (SELECT * FROM g ORDER BY arm LIMIT 1),
+b AS (SELECT * FROM g ORDER BY arm DESC LIMIT 1)
+SELECT round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2) /
+             (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS df_welch,
+       round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+       a.n AS n_a, b.n AS n_b
+FROM a, b
+"""
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling fingerprints per document: window count +
     min/max fingerprint (the winnowing selection primitives).  Exact
@@ -4571,6 +4787,11 @@ BEYOND_QUERIES: list[QueryDef] = [
         "q_url_canonical", _q_url_canonical, _SQL_URL_CANONICAL,
         "crawl-dedup URL canonicalization",
     ),
+    QueryDef("q_auc_eval", _q_auc_eval, _SQL_AUC_EVAL, "sort-free Mann-Whitney ROC-AUC"),
+    QueryDef("q_calibration", _q_calibration, _SQL_CALIBRATION, "reliability-diagram bins"),
+    QueryDef("q_kappa", _q_kappa, _SQL_KAPPA, "Cohen's kappa labeler agreement"),
+    QueryDef("q_chi2", _q_chi2, _SQL_CHI2, "chi-square independence, zero-filled grid"),
+    QueryDef("q_ab_test", _q_ab_test, _SQL_AB_TEST, "Welch two-arm t-test"),
     QueryDef(
         "q_k_anonymity", _q_k_anonymity, _SQL_K_ANONYMITY,
         "k-anonymity equivalence-class audit",

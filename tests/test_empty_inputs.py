@@ -29,6 +29,10 @@ _EXPECTED_REFUSALS = {
     "q_pca_power",
     "q_pq_ann",
     "q_pq_adc_seeded",
+    # inference stats whose denominators are undefined on zero rows
+    "q_kappa",
+    "q_chi2",
+    "q_ab_test",
 }
 
 

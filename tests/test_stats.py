@@ -1,0 +1,111 @@
+"""Hand-computed pins for functions/stats.py — each metric checked
+against the closed-form definition on small frames (no scipy/sklearn
+in the container; references computed by the formulas directly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dbt_lab_spark.functions.stats import (
+    auc,
+    calibration_bins,
+    chi_square_independence,
+    cohens_kappa,
+    welch_t,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_auc_perfect_and_reversed_and_ties(spark):
+    perfect = _df(spark, [(0.1, 0), (0.2, 0), (0.3, 1), (0.4, 1)], "s double, y int")
+    r = auc(perfect, "s", "y").collect()[0]
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+    reverse = _df(spark, [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], "s double, y int")
+    assert auc(reverse, "s", "y").collect()[0]["auc"] == 0.0
+
+    all_tied = _df(spark, [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], "s double, y int")
+    assert auc(all_tied, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_hand_case_with_partial_ties(spark):
+    # scores: pos {3, 2, 2}, neg {2, 1}; pairs = 6:
+    #   (3,2)=1 (3,1)=1 (2,2)=.5 (2,1)=1 (2,2)=.5 (2,1)=1  -> U=5, AUC=5/6
+    rows = [(3.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)]
+    r = auc(_df(spark, rows, "s double, y int"), "s", "y").collect()[0]
+    assert abs(r["auc"] - 5.0 / 6.0) < 1e-12
+
+
+def test_auc_degenerate_single_class(spark):
+    one_class = _df(spark, [(0.1, 1), (0.2, 1)], "s double, y int")
+    assert auc(one_class, "s", "y").collect()[0]["auc"] is None
+
+
+def test_calibration_bins_counts_and_rates(spark):
+    rows = [(0.05, 0), (0.08, 1), (0.95, 1), (0.99, 1), (1.0, 1)]
+    out = {
+        r["bin"]: (r["n"], r["pos_rate"])
+        for r in calibration_bins(_df(spark, rows, "s double, y int"), "s", "y").collect()
+    }
+    # 1.0 lands in the capped top bin with 0.95/0.99
+    assert out[0] == (2, 0.5)
+    assert out[9] == (3, 1.0)
+
+
+def test_cohens_kappa_hand_case(spark):
+    # classic 2-rater yes/no: a=yes,b=yes 20 | yes,no 5 | no,yes 10 | no,no 15
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    r = cohens_kappa(_df(spark, rows, "a string, b string"), "a", "b").collect()[0]
+    po = 35 / 50
+    pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+    assert abs(r["po"] - po) < 1e-12
+    assert abs(r["pe"] - pe) < 1e-12
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+
+
+def test_chi2_hand_case_and_zero_cell(spark):
+    # 2x2 with a zero observed cell: a1b1=10, a1b2=0, a2b1=5, a2b2=5
+    rows = [("a1", "b1")] * 10 + [("a2", "b1")] * 5 + [("a2", "b2")] * 5
+    r = chi_square_independence(
+        _df(spark, rows, "x string, y string"), "x", "y"
+    ).collect()[0]
+    n = 20
+    exp = {("a1", "b1"): 10 * 15 / n, ("a1", "b2"): 10 * 5 / n,
+           ("a2", "b1"): 10 * 15 / n, ("a2", "b2"): 10 * 5 / n}
+    obs = {("a1", "b1"): 10, ("a1", "b2"): 0, ("a2", "b1"): 5, ("a2", "b2"): 5}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+    assert abs(r["chi2"] - chi2) < 1e-10
+    assert r["dof"] == 1 and r["n"] == 20
+
+
+def test_welch_t_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(10.0, 2.0, 40)
+    b = rng.normal(10.5, 3.0, 55)
+    rows = [(0, float(v)) for v in a] + [(1, float(v)) for v in b]
+    r = welch_t(_df(spark, rows, "arm int, v double"), "arm", "v").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 40 + vb / 55
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    dfw = se2**2 / ((va / 40) ** 2 / 39 + (vb / 55) ** 2 / 54)
+    assert abs(r["t_stat"] - t) < 1e-9
+    assert abs(r["df_welch"] - dfw) < 1e-6
+    assert (r["n_a"], r["n_b"]) == (40, 55)
+
+
+def test_welch_t_refuses_single_arm(spark):
+    df = _df(spark, [(0, 1.0), (0, 2.0)], "arm int, v double")
+    with pytest.raises(ValueError, match="two non-empty arms"):
+        welch_t(df, "arm", "v")
+
+
+def test_kappa_refuses_empty(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    with pytest.raises(ValueError, match="empty"):
+        cohens_kappa(df, "a", "b")
