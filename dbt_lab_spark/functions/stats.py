@@ -179,3 +179,85 @@ def welch_t(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         ],
         "t_stat double, df_welch double, mean_a double, mean_b double, n_a bigint, n_b bigint",
     )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve from per-subject (duration, event)
+    rows (event=1 observed, 0 right-censored): one row per distinct
+    EVENT time with (t, n_risk, n_events, survival).
+
+    Sort-free at subject scale: subjects collapse to per-duration
+    (deaths, total) counts first (hash aggregate), the at-risk set is
+    N minus a cumulative count over those (tiny) groups, and the
+    product estimator runs as exp(cumsum(ln(1 - d/n))) over the
+    ordered event times — a deterministic sequential window, so the
+    curve is reproducible bit-for-bit across engines."""
+    ev = F.col(event_col).cast("int")
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(ev).alias("n_events"), F.count(F.lit(1)).alias("__total")
+    )
+    n = df.count()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.withColumn(
+        "n_risk", F.lit(n) - F.coalesce(F.sum("__total").over(w_prev), F.lit(0))
+    )
+    steps = risk.filter(F.col("n_events") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the final step can kill everyone at risk (factor exactly 0):
+    # ln() is undefined there, but the curve is legitimately 0 from
+    # that step on — sum only positive factors and zero the output
+    # wherever a zero factor has occurred in the prefix.
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_risk").cast("double")
+    return steps.select(
+        "t",
+        "n_risk",
+        "n_events",
+        F.when(
+            F.min(factor).over(w_cum) <= 0.0, F.lit(0.0)
+        ).otherwise(
+            F.exp(F.sum(F.log(factor)).over(w_cum))
+        ).alias("survival"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    period: int = 24,
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular series
+    (t is a dense integer index): trend = centered moving average over
+    ±half_window rows (edge-truncated), seasonal = per-phase mean of
+    the detrended series re-centered to sum zero, residual = the rest.
+    Output per t: (t, value, trend, seasonal, residual).
+
+    Two windows and two tiny broadcast joins — series length bounds
+    everything after the first aggregate, so the shape holds for any
+    upstream volume that rolls up into the series."""
+    base = df.select(
+        F.col(t_col).alias("t"), F.col(value_col).cast("double").alias("value")
+    )
+    w_ma = Window.orderBy("t").rowsBetween(-half_window, half_window)
+    trended = base.withColumn("trend", F.avg("value").over(w_ma)).withColumn(
+        "__detr", F.col("value") - F.col("trend")
+    )
+    phase = trended.withColumn("__ph", F.col("t") % period)
+    raw_seasonal = phase.groupBy("__ph").agg(F.avg("__detr").alias("__s_raw"))
+    grand = raw_seasonal.agg(F.avg("__s_raw").alias("__s_mean"))
+    seasonal = raw_seasonal.crossJoin(F.broadcast(grand)).select(
+        "__ph", (F.col("__s_raw") - F.col("__s_mean")).alias("seasonal")
+    )
+    return (
+        phase.join(F.broadcast(seasonal), "__ph")
+        .select(
+            "t",
+            "value",
+            "trend",
+            "seasonal",
+            (F.col("__detr") - F.col("seasonal")).alias("residual"),
+        )
+    )

@@ -599,6 +599,117 @@ FROM a, b
 """
 
 
+def _q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase: per user, duration = whole
+    days from first event to first purchase (event=1) or to the
+    corpus-end timestamp (right-censored, event=0); the curve comes
+    from functions/stats.py:kaplan_meier — per-duration hash counts, a
+    cumulative at-risk window over the tiny duration groups, and
+    exp(cumsum(ln(1 - d/n))), all order-pinned so the oracle replays it
+    bit-for-bit.  Output: one row per event day (t, n_risk, n_events,
+    survival)."""
+    from dbt_lab_spark.functions.stats import kaplan_meier
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_type")
+    end = ev.agg(F.max(F.unix_millis("ts")).alias("__end"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_millis("ts")).alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))
+        ).alias("__te"),
+    )
+    subjects = per_user.crossJoin(F.broadcast(end)).select(
+        F.floor(
+            (F.coalesce(F.col("__te"), F.col("__end")) - F.col("__t0"))
+            / F.lit(86400000.0)
+        )
+        .cast("int")
+        .alias("dur_days"),
+        F.col("__te").isNotNull().cast("int").alias("event"),
+    )
+    return kaplan_meier(subjects, "dur_days", "event")
+
+
+_SQL_SURVIVAL = """
+WITH endt AS (SELECT max(epoch_ms(ts)) AS e FROM events),
+per_user AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS te
+  FROM events GROUP BY user_id
+), subjects AS (
+  SELECT CAST(floor((COALESCE(te, (SELECT e FROM endt)) - t0) / 86400000.0) AS INT) AS t,
+         CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+), per_t AS (
+  SELECT t, SUM(ev) AS n_events, COUNT(*) AS total FROM subjects GROUP BY t
+), risk AS (
+  SELECT t, n_events,
+         (SELECT COUNT(*) FROM subjects)
+           - COALESCE(SUM(total) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+), steps AS (
+  SELECT t, n_risk, n_events,
+         1.0 - n_events / CAST(n_risk AS DOUBLE) AS factor
+  FROM risk WHERE n_events > 0
+)
+SELECT t, n_risk, n_events,
+       CASE WHEN MIN(factor) OVER cum <= 0.0 THEN 0.0
+            ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor) END) OVER cum) END AS survival
+FROM steps
+WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly
+    event-value series (period 24, centered ±12h moving-average trend)
+    via functions/stats.py:seasonal_decompose.  Hour sums use the
+    DECIMAL money canonicalization so the series itself is
+    order-exact; the decomposition is two windows + two broadcast
+    joins over the (tiny) rolled-up series.  Output per hour: value,
+    trend, seasonal, residual."""
+    from dbt_lab_spark.functions.stats import seasonal_decompose
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("ts", "value")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h"),
+            money("value").alias("v"),
+        )
+        .groupBy("h")
+        .agg(F.sum("v").cast("double").alias("value"))
+    )
+    out = seasonal_decompose(hourly, "h", "value", period=24, half_window=12)
+    return out.select(
+        F.col("t").alias("h"), "value", "trend", "seasonal", "residual"
+    )
+
+
+_SQL_SEASONAL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT h, value,
+         AVG(value) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+  FROM hourly
+), detr AS (
+  SELECT h, value, trend, value - trend AS d, h % 24 AS ph FROM trended
+), raw_seasonal AS (
+  SELECT ph, AVG(d) AS s_raw FROM detr GROUP BY ph
+), grand AS (SELECT AVG(s_raw) AS s_mean FROM raw_seasonal),
+seasonal AS (
+  SELECT ph, s_raw - (SELECT s_mean FROM grand) AS seasonal FROM raw_seasonal
+)
+SELECT d.h, d.value, d.trend, s.seasonal, d.d - s.seasonal AS residual
+FROM detr d JOIN seasonal s ON s.ph = d.ph
+"""
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling fingerprints per document: window count +
     min/max fingerprint (the winnowing selection primitives).  Exact
@@ -4792,6 +4903,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_kappa", _q_kappa, _SQL_KAPPA, "Cohen's kappa labeler agreement"),
     QueryDef("q_chi2", _q_chi2, _SQL_CHI2, "chi-square independence, zero-filled grid"),
     QueryDef("q_ab_test", _q_ab_test, _SQL_AB_TEST, "Welch two-arm t-test"),
+    QueryDef("q_survival", _q_survival, _SQL_SURVIVAL, "Kaplan-Meier survival curve"),
+    QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
     QueryDef(
         "q_k_anonymity", _q_k_anonymity, _SQL_K_ANONYMITY,
         "k-anonymity equivalence-class audit",

@@ -109,3 +109,52 @@ def test_kappa_refuses_empty(spark):
     df = spark.createDataFrame([], "a string, b string")
     with pytest.raises(ValueError, match="empty"):
         cohens_kappa(df, "a", "b")
+
+
+def test_kaplan_meier_textbook_case(spark):
+    """Durations (event): 1(1), 2(1), 2(0), 3(1), 4(0) — classic KM:
+    S(1)=4/5, S(2)=4/5*(1-1/4)=3/5, S(3)=3/5*(1-1/2)=3/10."""
+    from dbt_lab_spark.functions.stats import kaplan_meier
+
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)]
+    out = {
+        r["t"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in kaplan_meier(_df(spark, rows, "d int, e int"), "d", "e").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][:2] == (5, 1) and abs(out[1][2] - 0.8) < 1e-12
+    assert out[2][:2] == (4, 1) and abs(out[2][2] - 0.6) < 1e-12
+    assert out[3][:2] == (2, 1) and abs(out[3][2] - 0.3) < 1e-12
+
+
+def test_kaplan_meier_reaches_zero_without_log_error(spark):
+    from dbt_lab_spark.functions.stats import kaplan_meier
+
+    rows = [(1, 1), (2, 1)]  # the last step kills everyone at risk
+    out = sorted(
+        (r["t"], r["survival"])
+        for r in kaplan_meier(_df(spark, rows, "d int, e int"), "d", "e").collect()
+    )
+    assert abs(out[0][1] - 0.5) < 1e-12
+    assert out[1][1] == 0.0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """value = 100 + planted 24-period square wave; flat trend ->
+    seasonal estimate matches the wave, residuals ~0 away from edges."""
+    from dbt_lab_spark.functions.stats import seasonal_decompose
+
+    wave = [5.0 if (t % 24) < 12 else -5.0 for t in range(120)]
+    rows = [(t, 100.0 + wave[t]) for t in range(120)]
+    out = {
+        r["t"]: r
+        for r in seasonal_decompose(
+            _df(spark, rows, "t long, v double"), "t", "v"
+        ).collect()
+    }
+    assert len(out) == 120
+    interior = [out[t] for t in range(24, 96)]
+    for r in interior:
+        assert abs(r["trend"] - 100.0) < 0.5
+        assert abs(r["seasonal"] - wave[r["t"]]) < 0.75
+        assert abs(r["residual"]) < 1.0
