@@ -142,6 +142,15 @@ BENCH_NAMES = [
     "q_pq_adc_seeded",
     "q_dedup_apply_md5",
     "q_pca_power",
+    "q_url_canonical",
+    "q_k_anonymity",
+    "q_auc_eval",
+    "q_calibration",
+    "q_kappa",
+    "q_chi2",
+    "q_ab_test",
+    "q_survival",
+    "q_seasonal",
 ]
 
 

@@ -710,6 +710,139 @@ FROM detr d JOIN seasonal s ON s.ph = d.ph
 """
 
 
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: for each user's FIRST
+    purchase, the strictly-preceding event path (ordered by ts,
+    event_id) earns credit under three standard models at once —
+    first-touch, last-touch, and linear (1/path_len per touch).
+    Per event_type: summed credits + touch count.  Shapes: one
+    per-user min-struct aggregate, one equi-join back, two windows on
+    the path — all user-keyed, no global sort."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_id", "event_type")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("__fp"))
+    )
+    path = (
+        ev.join(first_purchase, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("__fp"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    credited = path.select(
+        "event_type",
+        (F.row_number().over(w_asc) == 1).cast("int").alias("__first"),
+        (F.row_number().over(w_desc) == 1).cast("int").alias("__last"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w_all)).alias("__linear"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.sum("__first").alias("first_touch"),
+        F.sum("__last").alias("last_touch"),
+        F.round(F.sum("__linear"), 6).alias("linear"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH fp AS (
+  SELECT user_id, ts AS fts, event_id AS fid FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), path AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type
+  FROM events e JOIN fp ON fp.user_id = e.user_id
+  WHERE (e.ts, e.event_id) < (fp.fts, fp.fid)
+), credited AS (
+  SELECT event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_t,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END AS last_t,
+         1.0 / count(*) OVER (PARTITION BY user_id) AS lin
+  FROM path
+)
+SELECT event_type,
+       SUM(first_t) AS first_touch,
+       SUM(last_t) AS last_touch,
+       round(SUM(lin), 6) AS linear,
+       COUNT(*) AS n_touches
+FROM credited GROUP BY event_type
+"""
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate on the hourly money-exact value
+    series: S_t = cumulative sum of (x - global mean); the estimated
+    change point is argmax |S_t| (ties to the earliest hour).  The
+    series rolls up first (money-decimal sums, order-exact), so the
+    window runs over hours, not events.  One row: (h_change,
+    max_abs_cusum, mean_hourly, n_hours)."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("ts", "value")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h"),
+            money("value").alias("v"),
+        )
+        .groupBy("h")
+        .agg(F.sum("v").alias("__sv"))
+    )
+    # mean in DOUBLE (exact decimal total cast first): decimal-division
+    # scale rules differ between engines, double division does not
+    mean = hourly.agg(
+        (F.sum("__sv").cast("double") / F.count(F.lit(1))).alias("__mean"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_cum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        hourly.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "__s", F.sum(F.col("__sv").cast("double") - F.col("__mean")).over(w_cum)
+        )
+    )
+    w_rank = Window.orderBy(F.abs(F.col("__s")).desc(), F.col("h").asc())
+    return (
+        cusum.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("h").alias("h_change"),
+            F.round(F.abs(F.col("__s")), 4).alias("max_abs_cusum"),
+            F.round("__mean", 4).alias("mean_hourly"),
+            F.col("__n").alias("n_hours"),
+        )
+    )
+
+
+_SQL_CUSUM = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS mean, COUNT(*) AS n FROM hourly
+), cusum AS (
+  SELECT h,
+         SUM(CAST(sv AS DOUBLE) - (SELECT mean FROM m))
+           OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM hourly
+), ranked AS (
+  SELECT h, s, row_number() OVER (ORDER BY abs(s) DESC, h ASC) AS rk FROM cusum
+)
+SELECT h AS h_change, round(abs(s), 4) AS max_abs_cusum,
+       round((SELECT mean FROM m), 4) AS mean_hourly,
+       (SELECT n FROM m) AS n_hours
+FROM ranked WHERE rk = 1
+"""
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling fingerprints per document: window count +
     min/max fingerprint (the winnowing selection primitives).  Exact
@@ -4905,6 +5038,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_ab_test", _q_ab_test, _SQL_AB_TEST, "Welch two-arm t-test"),
     QueryDef("q_survival", _q_survival, _SQL_SURVIVAL, "Kaplan-Meier survival curve"),
     QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
+    QueryDef("q_attribution", _q_attribution, _SQL_ATTRIBUTION, "multi-touch attribution"),
+    QueryDef("q_cusum", _q_cusum, _SQL_CUSUM, "CUSUM changepoint estimate"),
     QueryDef(
         "q_k_anonymity", _q_k_anonymity, _SQL_K_ANONYMITY,
         "k-anonymity equivalence-class audit",
