@@ -182,49 +182,6 @@ def write_zordered(
     )
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    keys: Sequence[str],
-    n_buckets: int = 8,
-    sort: bool = True,
-    mode: str = "overwrite",
-    path: str | None = None,
-) -> None:
-    """Storage-level bucketing: persist `df` as a catalog table
-    hash-partitioned into `n_buckets` files per partition on `keys`
-    (and sorted within buckets when `sort`).
-
-    This is THE co-located-join layout at 100 TB: two tables bucketed
-    on the same keys with the same bucket count join with ZERO
-    Exchange — Spark proves each side's hash distribution from the
-    catalog metadata and runs a shuffle-free SortMergeJoin, so the
-    fact-to-fact joins that dominate petabyte plans (orders-lineitem,
-    corpus-signatures) skip the one stage that doesn't scale linearly.
-    The same layout makes bucket-key aggregations shuffle-free.
-    Pinned by a plan-shape test (no Exchange, results equal the
-    unbucketed join).
-
-    `repartition(n_buckets, keys)` first so each bucket is ONE file —
-    with multi-file buckets Spark must re-sort reads before a merge
-    join, which costs the sortBy's benefit."""
-    from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
-
-    w = (
-        df.repartition(n_buckets, *[df[k] for k in keys])
-        .write.mode(mode)
-        .format("parquet")
-        .bucketBy(n_buckets, keys[0], *keys[1:])
-    )
-    if sort:
-        w = w.sortBy(keys[0], *keys[1:])
-    if path is not None:
-        # external table: files live at `path` (the warehouse dir is a
-        # static conf; tests point each table at a temp location)
-        w = w.option("path", path)
-    w.saveAsTable(table)
-
-
 def read_media_dir(
     spark: SparkSession,
     path: str,
@@ -1044,3 +1001,241 @@ def read_avro_docs(blobs: DataFrame, blob_col: str = "avro") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return blobs.mapInPandas(_unpack, AVRO_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# NPY / safetensors embedding interchange (spec-implemented both ways)
+# ---------------------------------------------------------------------------
+#
+# The two formats embedding pipelines actually hand tensors around in:
+# NumPy's .npy (format spec v1.0 — magic, ASCII dict header, raw
+# C-order buffer) and Hugging Face safetensors (8-byte LE header
+# length + JSON tensor table with byte offsets + concatenated
+# buffers).  Both are implemented from their public specs with
+# struct/json only, so the round trip is testable end-to-end like the
+# Avro/WARC/WebDataset paths.
+
+
+def npy_bytes(arr) -> bytes:
+    """Serialize an ndarray to .npy (format spec v1.0): \\x93NUMPY,
+    version 1.0, 64-byte-aligned ASCII header dict, raw C-order data."""
+    import struct as _struct
+
+    import numpy as _np
+
+    arr = _np.ascontiguousarray(arr)
+    header = "{'descr': '%s', 'fortran_order': False, 'shape': %s, }" % (
+        arr.dtype.str,
+        str(arr.shape if len(arr.shape) != 1 else (arr.shape[0],)),
+    )
+    base = len(b"\x93NUMPY") + 2 + 2
+    pad = 64 - ((base + len(header) + 1) % 64)
+    header = header + " " * pad + "\n"
+    return (
+        b"\x93NUMPY"
+        + bytes([1, 0])
+        + _struct.pack("<H", len(header))
+        + header.encode("ascii")
+        + arr.tobytes()
+    )
+
+
+def parse_npy_bytes(payload: bytes):
+    """Parse .npy v1/v2 bytes back to an ndarray (little-endian bool/
+    int/float descrs, C order)."""
+    import ast as _ast
+    import struct as _struct
+
+    import numpy as _np
+
+    if payload[:6] != b"\x93NUMPY":
+        raise ValueError("npy: bad magic")
+    major = payload[6]
+    if major == 1:
+        (hlen,) = _struct.unpack("<H", payload[8:10])
+        off = 10
+    elif major == 2:
+        (hlen,) = _struct.unpack("<I", payload[8:12])
+        off = 12
+    else:
+        raise ValueError(f"npy: unsupported version {major}")
+    header = _ast.literal_eval(payload[off : off + hlen].decode("ascii").strip())
+    if header["fortran_order"]:
+        raise ValueError("npy: fortran order unsupported")
+    dt = _np.dtype(header["descr"])
+    shape = tuple(header["shape"])
+    n = int(_np.prod(shape)) if shape else 1
+    data = _np.frombuffer(payload, dtype=dt, count=n, offset=off + hlen)
+    return data.reshape(shape)
+
+
+_SAFETENSORS_DTYPES = {"F32": "<f4", "F64": "<f8", "I64": "<i8", "I32": "<i4"}
+
+
+def safetensors_bytes(tensors: dict) -> bytes:
+    """Serialize {name: ndarray} to safetensors: u64-LE header length,
+    JSON tensor table (name -> dtype/shape/data_offsets), concatenated
+    raw little-endian buffers.  Names are sorted for byte determinism."""
+    import json as _json
+    import struct as _struct
+
+    import numpy as _np
+
+    rev = {v: k for k, v in _SAFETENSORS_DTYPES.items()}
+    table = {}
+    bufs = []
+    off = 0
+    for name in sorted(tensors):
+        arr = _np.ascontiguousarray(tensors[name])
+        key = arr.dtype.newbyteorder("<").str
+        if key not in rev:
+            raise ValueError(f"safetensors: unsupported dtype {arr.dtype}")
+        raw = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+        table[name] = {
+            "dtype": rev[key],
+            "shape": list(arr.shape),
+            "data_offsets": [off, off + len(raw)],
+        }
+        bufs.append(raw)
+        off += len(raw)
+    header = _json.dumps(table, sort_keys=True, separators=(",", ":")).encode("utf-8")
+    return _struct.pack("<Q", len(header)) + header + b"".join(bufs)
+
+
+def parse_safetensors_bytes(payload: bytes) -> dict:
+    """Parse safetensors bytes back to {name: ndarray}."""
+    import json as _json
+    import struct as _struct
+
+    import numpy as _np
+
+    (hlen,) = _struct.unpack("<Q", payload[:8])
+    table = _json.loads(payload[8 : 8 + hlen].decode("utf-8"))
+    base = 8 + hlen
+    out = {}
+    for name, meta in table.items():
+        if name == "__metadata__":
+            continue
+        dt = _np.dtype(_SAFETENSORS_DTYPES[meta["dtype"]])
+        s, e = meta["data_offsets"]
+        arr = _np.frombuffer(payload, dtype=dt, count=(e - s) // dt.itemsize,
+                             offset=base + s)
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
+_VEC_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("n_vecs", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+_VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _build_vector_shards(
+    df: DataFrame, packer, n_shards: int, vec_col: str, id_col: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    def _pack(key, pdf):
+        import numpy as _np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy().astype("int64")
+        mat = _np.stack(pdf[vec_col].to_numpy()).astype("<f4")
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "n_vecs": [len(ids)],
+                "blob": [packer(ids, mat)],
+            }
+        )
+
+    with_shard = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard_id"),
+    )
+    return with_shard.groupBy("shard_id").applyInPandas(_pack, _VEC_SHARD_SCHEMA)
+
+
+def build_npy_shards(
+    df: DataFrame, n_shards: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Pack (vec_id, embedding) into .npy shard blobs — two stacked
+    .npy files per shard (int64 ids, float32 (n,d) matrix) framed by a
+    u32 length prefix on the first.  One applyInPandas group per
+    shard, vec_id-ordered for byte determinism."""
+    import struct as _struct
+
+    def _packer(ids, mat):
+        a = npy_bytes(ids)
+        b = npy_bytes(mat)
+        return _struct.pack("<I", len(a)) + a + b
+
+    return _build_vector_shards(df, _packer, n_shards, vec_col, id_col)
+
+
+def read_npy_vectors(shards: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Unpack .npy vector shards to (vec_id, embedding) — map-only."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all, vecs_all = [], []
+            for blob in pdf[blob_col]:
+                blob = bytes(blob)
+                (alen,) = _struct.unpack("<I", blob[:4])
+                ids = parse_npy_bytes(blob[4 : 4 + alen])
+                mat = parse_npy_bytes(blob[4 + alen :])
+                ids_all.extend(int(i) for i in ids)
+                vecs_all.extend(row.tolist() for row in mat)
+            yield pd.DataFrame({"vec_id": ids_all, "embedding": vecs_all})
+
+    return shards.mapInPandas(_unpack, _VEC_SCHEMA)
+
+
+def build_safetensors_shards(
+    df: DataFrame, n_shards: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Pack (vec_id, embedding) into safetensors shard blobs (tensors
+    'ids' I64 and 'embeddings' F32) — the checkpoint-interchange
+    format, one applyInPandas group per shard."""
+
+    def _packer(ids, mat):
+        return safetensors_bytes({"ids": ids, "embeddings": mat})
+
+    return _build_vector_shards(df, _packer, n_shards, vec_col, id_col)
+
+
+def read_safetensors_vectors(shards: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Unpack safetensors vector shards to (vec_id, embedding)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all, vecs_all = [], []
+            for blob in pdf[blob_col]:
+                t = parse_safetensors_bytes(bytes(blob))
+                ids_all.extend(int(i) for i in t["ids"])
+                vecs_all.extend(row.tolist() for row in t["embeddings"])
+            yield pd.DataFrame({"vec_id": ids_all, "embedding": vecs_all})
+
+    return shards.mapInPandas(_unpack, _VEC_SCHEMA)

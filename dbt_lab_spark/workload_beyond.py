@@ -710,6 +710,65 @@ FROM detr d JOIN seasonal s ON s.ph = d.ph
 """
 
 
+def _vector_roundtrip_audit(decoded: DataFrame) -> DataFrame:
+    """Shared audit for vector-shard round trips: per vec_id%4 bucket,
+    count, total dimensions, and an integer-exact checksum of the first
+    component (floor(x*10000+0.5) of the float32-exact double) — any
+    lost or corrupted vector changes a bucket row."""
+    return (
+        decoded.select(
+            (F.col("vec_id") % 4).alias("bucket"),
+            F.size("embedding").alias("__d"),
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * 10000 + F.lit(0.5)
+            ).alias("__c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("__d").alias("sum_dims"),
+            F.sum("__c").alias("checksum_q1"),
+        )
+    )
+
+
+_SQL_VECTOR_ROUNDTRIP = """
+SELECT vec_id % 4 AS bucket,
+       COUNT(*) AS n_vecs,
+       SUM(len(embedding)) AS sum_dims,
+       SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS checksum_q1
+FROM embeddings GROUP BY 1
+"""
+
+
+def _q_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy .npy shard round trip: pack (vec_id, embedding) into
+    length-prefixed (ids .npy, matrix .npy) shard blobs
+    (sources.npy_bytes — format spec v1.0, NumPy-interop pinned in
+    tests), read back distributed, audit per bucket.  Full oracle: the
+    same audit computed from the embeddings table directly — equality
+    proves the round trip lost nothing."""
+    from dbt_lab_spark.sources import build_npy_shards, read_npy_vectors
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    return _vector_roundtrip_audit(read_npy_vectors(build_npy_shards(emb, n_shards=8)))
+
+
+def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors shard round trip (u64 header length + JSON tensor
+    table + raw little-endian buffers — the checkpoint interchange
+    format): pack, read back distributed, audit per bucket under the
+    same direct-from-table oracle as q_npy_ingest."""
+    from dbt_lab_spark.sources import build_safetensors_shards, read_safetensors_vectors
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    return _vector_roundtrip_audit(
+        read_safetensors_vectors(build_safetensors_shards(emb, n_shards=8))
+    )
+
+
 def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch marketing attribution: for each user's FIRST
     purchase, the strictly-preceding event path (ordered by ts,
@@ -5040,6 +5099,11 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
     QueryDef("q_attribution", _q_attribution, _SQL_ATTRIBUTION, "multi-touch attribution"),
     QueryDef("q_cusum", _q_cusum, _SQL_CUSUM, "CUSUM changepoint estimate"),
+    QueryDef("q_npy_ingest", _q_npy_ingest, _SQL_VECTOR_ROUNDTRIP, ".npy shard round trip"),
+    QueryDef(
+        "q_safetensors_ingest", _q_safetensors_ingest, _SQL_VECTOR_ROUNDTRIP,
+        "safetensors shard round trip",
+    ),
     QueryDef(
         "q_k_anonymity", _q_k_anonymity, _SQL_K_ANONYMITY,
         "k-anonymity equivalence-class audit",

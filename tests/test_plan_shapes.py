@@ -578,47 +578,3 @@ def test_skyline_aggregates_before_global_window(spark, sf_medium):
     idx_agg = plan.find("(1) Scan parquet")
     assert idx_agg != -1
 
-
-def test_bucketed_tables_join_without_exchange(spark, sf_small, tmp_path):
-    """write_bucketed co-location contract: two tables bucketed on the
-    same key and count sort-merge-join with ZERO Exchange (the catalog
-    hash distribution satisfies the join's requirement on both sides),
-    and the result equals the unbucketed join."""
-    from dbt_lab_spark.catalog import Catalog
-    from dbt_lab_spark.operators.scan import scan
-    from dbt_lab_spark.sources import write_bucketed
-
-    cat = Catalog(sf_small)
-    orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    lineitem = scan(spark, cat, "lineitem", ["l_orderkey", "l_quantity"])
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        write_bucketed(
-            orders, "t_orders_b", ["o_orderkey"], n_buckets=4,
-            path=str(tmp_path / "orders_b"),
-        )
-        write_bucketed(
-            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-            "t_lineitem_b",
-            ["o_orderkey"],
-            n_buckets=4,
-            path=str(tmp_path / "lineitem_b"),
-        )
-        joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
-        plan = _formatted(joined)
-        assert _nodes(plan, "Exchange") == 0, plan
-        assert "SortMergeJoin" in plan, plan
-        expected = (
-            orders.join(
-                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
-            )
-        )
-        assert joined.count() == expected.count()
-        s = sorted(tuple(r) for r in joined.collect())
-        e = sorted(tuple(r) for r in expected.collect())
-        assert s == e
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.sql("DROP TABLE IF EXISTS t_orders_b")
-        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -651,3 +651,73 @@ class TestAvro:
         out += _avro_zigzag(1) + _avro_zigzag(len(rec)) + rec + sync
         names, recs = parse_avro_bytes(bytes(out))
         assert names == ["a"] and recs == [{"a": 7}]
+
+
+def test_npy_bytes_numpy_interop():
+    """Our .npy writer/parser interoperate bit-exactly with NumPy's own
+    save/load in both directions, for the dtypes the shard path uses."""
+    import io
+
+    import numpy as np
+
+    from dbt_lab_spark.sources import npy_bytes, parse_npy_bytes
+
+    for arr in (
+        np.arange(12, dtype="<f4").reshape(3, 4),
+        np.arange(7, dtype="<i8"),
+        np.array([], dtype="<f8"),
+    ):
+        assert (parse_npy_bytes(npy_bytes(arr)) == arr).all()
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        assert (parse_npy_bytes(buf.getvalue()) == arr).all()
+        assert (np.load(io.BytesIO(npy_bytes(arr))) == arr).all()
+
+
+def test_safetensors_roundtrip_and_header_shape():
+    import json
+    import struct
+
+    import numpy as np
+
+    from dbt_lab_spark.sources import parse_safetensors_bytes, safetensors_bytes
+
+    ids = np.arange(5, dtype="<i8")
+    mat = np.arange(20, dtype="<f4").reshape(5, 4)
+    blob = safetensors_bytes({"ids": ids, "embeddings": mat})
+    (hlen,) = struct.unpack("<Q", blob[:8])
+    table = json.loads(blob[8 : 8 + hlen])
+    assert table["embeddings"]["dtype"] == "F32"
+    assert table["embeddings"]["shape"] == [5, 4]
+    assert table["ids"]["dtype"] == "I64"
+    out = parse_safetensors_bytes(blob)
+    assert (out["ids"] == ids).all() and (out["embeddings"] == mat).all()
+
+
+def test_vector_shard_roundtrip_exact(spark):
+    """Shard -> parse returns the exact float32 vectors and ids for
+    both formats."""
+    import numpy as np
+
+    from dbt_lab_spark.sources import (
+        build_npy_shards,
+        build_safetensors_shards,
+        read_npy_vectors,
+        read_safetensors_vectors,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8).astype("float32")]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {i: v for i, v in rows}
+    for build, read in (
+        (build_npy_shards, read_npy_vectors),
+        (build_safetensors_shards, read_safetensors_vectors),
+    ):
+        got = {
+            r.vec_id: list(r.embedding)
+            for r in read(build(df, n_shards=4)).collect()
+        }
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == [np.float32(x) for x in want[k]]
