@@ -151,6 +151,10 @@ BENCH_NAMES = [
     "q_ab_test",
     "q_survival",
     "q_seasonal",
+    "q_attribution",
+    "q_cusum",
+    "q_npy_ingest",
+    "q_safetensors_ingest",
 ]
 
 
