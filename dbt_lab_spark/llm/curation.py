@@ -681,7 +681,11 @@ def registered_domain(host: Column) -> Column:
 
 
 def k_anonymity_classes(
-    df: DataFrame, quasi_cols: list[str], k: int = 5
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
 ) -> DataFrame:
     """Equivalence classes over the quasi-identifier columns with their
     sizes and a per-class safety flag: a dataset is k-anonymous iff
@@ -691,8 +695,18 @@ def k_anonymity_classes(
     One hash-aggregate on the quasi-identifier tuple (map-side partial
     aggregation collapses classes early) — the word-count scale shape.
     Returns one row per class: quasi cols, n_rows, is_safe.
+
+    With `sensitive_col`/`l`, also enforces distinct l-diversity: a
+    k-anonymous class still leaks when every member shares one
+    sensitive value (the homogeneity attack), so each class must carry
+    >= l distinct sensitive values too; output gains n_sensitive and
+    is_safe becomes the conjunction.
     """
-    return df.groupBy(*quasi_cols).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) >= k).alias("is_safe"),
-    )
+    ]
+    safe = F.count(F.lit(1)) >= k
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"))
+        safe = safe & (F.countDistinct(F.col(sensitive_col)) >= l)
+    return df.groupBy(*quasi_cols).agg(*aggs, safe.alias("is_safe"))

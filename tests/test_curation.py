@@ -461,3 +461,18 @@ def test_k_anonymity_classes(spark):
         for r in k_anonymity_classes(df, ["seg", "band"], k=5).collect()
     }
     assert out == {("a", 1): (5, True), ("a", 2): (4, False), ("b", 1): (1, False)}
+
+
+def test_l_diversity_extension(spark):
+    """A k-anonymous class whose members all share one sensitive value
+    fails distinct l-diversity (the homogeneity attack)."""
+    from dbt_lab_spark.llm.curation import k_anonymity_classes
+
+    rows = [("a", "flu")] * 5 + [("b", "flu")] * 3 + [("b", "hiv")] * 2
+    df = spark.createDataFrame(rows, "seg string, dx string")
+    out = {
+        r.seg: (r.n_rows, r.n_sensitive, r.is_safe)
+        for r in k_anonymity_classes(df, ["seg"], k=5, sensitive_col="dx", l=2).collect()
+    }
+    assert out["a"] == (5, 1, False)  # k ok, homogeneous -> unsafe
+    assert out["b"] == (5, 2, True)
