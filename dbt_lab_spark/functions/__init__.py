@@ -19,6 +19,15 @@ from dbt_lab_spark.functions.text import (
     shingles,
 )
 from dbt_lab_spark.functions.vectors import dot, l2_norm, cosine_similarity, to_double_array
+from dbt_lab_spark.functions.stats import (
+    auc,
+    calibration_bins,
+    cohens_kappa,
+    chi_square_independence,
+    welch_t,
+    kaplan_meier,
+    seasonal_decompose,
+)
 
 __all__ = [
     "token_count",
@@ -28,6 +37,13 @@ __all__ = [
     "fingerprint",
     "fingerprint64",
     "bpe_ish_token_count",
+    "auc",
+    "calibration_bins",
+    "cohens_kappa",
+    "chi_square_independence",
+    "welch_t",
+    "kaplan_meier",
+    "seasonal_decompose",
     "shingles",
     "dot",
     "l2_norm",
