@@ -155,6 +155,7 @@ BENCH_NAMES = [
     "q_cusum",
     "q_npy_ingest",
     "q_safetensors_ingest",
+    "q_logreg_step",
 ]
 
 

@@ -4113,6 +4113,73 @@ ORDER BY total_tf DESC, idx LIMIT 20
 """
 
 
+def _q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full-batch gradient step of the hashing-trick logistic
+    regression from the zero init — the oracle-checkable variant of
+    q_classifier_train: at w=0 the prediction is exactly 0.5, so the
+    step reduces to w[i] = -lr * mean((0.5 - y) * x_i) over the real
+    hash_features -> prepare_training -> train_logreg(iters=1) path
+    (md5 feature plane, log1p + per-doc L2 value transform) — pure
+    relational algebra DuckDB replays, and the exact first iterate of
+    the 12-step rows-only training query.  Output: every surviving
+    (idx, weight), rounded to 8."""
+    from dbt_lab_spark.llm.classifier import (
+        hash_features,
+        prepare_training,
+        train_logreg,
+        weights_table,
+    )
+
+    nf = 1 << 16
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    labels = docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    feats = hash_features(docs, n_features=nf)
+    w, _b, _losses = train_logreg(
+        prepare_training(feats, labels), n_features=nf, iters=1, lr=0.5, l2=0.0
+    )
+    wt = weights_table(spark, w)
+    return wt.select("idx", F.round("weight", 8).alias("weight"))
+
+
+def _sql_logreg_step() -> str:
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', m[{i}:{i}]) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         list_concat(
+           t,
+           CASE WHEN len(t) < 2 THEN []
+                ELSE [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+           END
+         ) AS g
+  FROM toks WHERE len(t) > 0
+), hx AS (
+  SELECT doc_id, lang, md5(u.u) AS m FROM grams, unnest(g) AS u(u)
+), feat AS (
+  SELECT doc_id, lang, ({hex_to_int}) % 65536 AS idx, COUNT(*) AS tf
+  FROM hx GROUP BY doc_id, lang, ({hex_to_int}) % 65536
+), vals AS (
+  SELECT doc_id, idx,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         ln(1 + tf) / sqrt(SUM(ln(1 + tf) * ln(1 + tf))
+                           OVER (PARTITION BY doc_id)) AS v
+  FROM feat
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM vals),
+w AS (
+  SELECT idx,
+         -0.5 * SUM((0.5 - y) * v) / (SELECT n FROM n) AS w
+  FROM vals GROUP BY idx
+)
+SELECT idx, round(w, 8) AS weight FROM w WHERE abs(w) > 1e-12
+"""
+
+
 def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the hashing-trick logistic-regression language filter
     (label: lang = 'en') by distributed full-batch gradient descent —
@@ -4996,6 +5063,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_warc_ingest", _q_warc_ingest, _SQL_WARC_INGEST, "WARC shard build+parse round-trip"),
     QueryDef("q_hash_features", _q_hash_features, _sql_hash_features(), "hashing-trick features (md5 plane)"),
     QueryDef("q_classifier_train", _q_classifier_train, None, "distributed logreg language filter"),
+    QueryDef(
+        "q_logreg_step", _q_logreg_step, _sql_logreg_step(),
+        "oracle-checkable first logreg gradient step",
+    ),
     QueryDef("q_pagerank", _q_pagerank, _sql_pagerank(), "weighted PageRank on the trade graph"),
     QueryDef("q_bm25", _q_bm25, _sql_bm25(), "Okapi BM25 ranked retrieval top-10"),
     QueryDef("q_webdataset", _q_webdataset, _SQL_WEBDATASET, "WebDataset tar shard round-trip"),
