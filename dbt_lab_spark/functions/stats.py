@@ -100,8 +100,14 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         (F.count(F.lit(1)) / F.lit(n)).alias("__pb")
     )
     pe = ma.join(mb, "__k").agg(F.sum(F.col("__pa") * F.col("__pb")).alias("pe"))
+    # kappa is undefined at pe == 1 (both labelers constant on one
+    # category): chance agreement saturates and the correction divides
+    # by zero — return NULL, not an ANSI arithmetic error
     return agree.crossJoin(pe).select(
-        ((F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))).alias("kappa"),
+        F.when(
+            F.col("pe") < 1.0,
+            (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")),
+        ).alias("kappa"),
         "po",
         "pe",
         F.lit(n).alias("n"),

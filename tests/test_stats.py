@@ -158,3 +158,101 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
         assert abs(r["trend"] - 100.0) < 0.5
         assert abs(r["seasonal"] - wave[r["t"]]) < 0.75
         assert abs(r["residual"]) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# properties (hypothesis): the identities each metric must satisfy by
+# definition, independent of the data
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# scores on an exact-binary grid (k/8, |s| <= 100): the affine
+# transform in the invariance property must stay injective in float
+# arithmetic — hypothesis found that a subnormal (1.2e-38) collapses
+# into its neighbor under *3+7, which is a property-premise failure,
+# not a metric bug
+_scored_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-800, max_value=800).map(lambda k: k / 8.0),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=4,
+    max_size=30,
+).filter(lambda rows: len({y for _, y in rows}) == 2)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_scored_rows)
+def test_auc_monotone_invariance_and_reversal(spark, rows):
+    """AUC is invariant under strictly-increasing score transforms and
+    complements under score negation (half-tie convention keeps both
+    exact)."""
+    df = _df(spark, [(float(s), y) for s, y in rows], "s double, y int")
+    base = auc(df, "s", "y").collect()[0]["auc"]
+    from pyspark.sql import functions as F
+
+    mono = df.select((F.col("s") * 3 + 7).alias("s"), "y")
+    assert abs(auc(mono, "s", "y").collect()[0]["auc"] - base) < 1e-12
+    neg = df.select((-F.col("s")).alias("s"), "y")
+    assert abs(auc(neg, "s", "y").collect()[0]["auc"] - (1.0 - base)) < 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("xyz"), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_kappa_symmetry_and_perfect_agreement(spark, rows):
+    df = _df(spark, rows, "a string, b string")
+    ab = cohens_kappa(df, "a", "b").collect()[0]
+    ba = cohens_kappa(df, "b", "a").collect()[0]
+    if ab["kappa"] is not None and ba["kappa"] is not None:
+        assert abs(ab["kappa"] - ba["kappa"]) < 1e-12
+    same = _df(spark, [(a, a) for a, _ in rows], "a string, b string")
+    r = cohens_kappa(same, "a", "b").collect()[0]
+    assert r["po"] == 1.0
+    if r["pe"] < 1.0 - 1e-12:  # kappa undefined at pe == 1 (single category)
+        assert abs(r["kappa"] - 1.0) < 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    durs=st.lists(st.integers(min_value=0, max_value=10), min_size=2, max_size=25)
+)
+def test_kaplan_meier_equals_ecdf_without_censoring(spark, durs):
+    """With every subject observed (no censoring), KM collapses to the
+    empirical survival function: S(t) = #(dur > t) / n, exactly."""
+    from dbt_lab_spark.functions.stats import kaplan_meier
+
+    df = _df(spark, [(d, 1) for d in durs], "d int, e int")
+    n = len(durs)
+    for r in kaplan_meier(df, "d", "e").collect():
+        want = sum(1 for d in durs if d > r["t"]) / n
+        assert abs(r["survival"] - want) < 1e-12, (r, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=30,
+        max_size=80,
+    )
+)
+def test_seasonal_decompose_identity(spark, vals):
+    """value == trend + seasonal + residual at every point, by
+    construction — the additive-decomposition contract."""
+    from dbt_lab_spark.functions.stats import seasonal_decompose
+
+    rows = [(t, float(v)) for t, v in enumerate(vals)]
+    out = seasonal_decompose(
+        _df(spark, rows, "t long, v double"), "t", "v", period=7, half_window=3
+    ).collect()
+    assert len(out) == len(vals)
+    for r in out:
+        assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
