@@ -29,6 +29,7 @@ _EXPECTED_REFUSALS = {
     "q_pca_power",
     "q_pq_ann",
     "q_pq_adc_seeded",
+    "q_logreg_step",
     # inference stats whose denominators are undefined on zero rows
     "q_kappa",
     "q_chi2",
