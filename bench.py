@@ -156,6 +156,7 @@ BENCH_NAMES = [
     "q_npy_ingest",
     "q_safetensors_ingest",
     "q_logreg_step",
+    "q_copurchase",
 ]
 
 

@@ -769,6 +769,45 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets over order baskets (market-basket mining):
+    distinct parts per order self-joined within the order key
+    (p_a < p_b), pair support counted, thresholded at >= 3, top-50 by
+    (support desc, pair asc).  Scale shape: the join key is the order —
+    baskets are small (O(lines/order)), so pair fan-out per order is
+    bounded and the shuffle moves basket-local pairs, never a global
+    cross join; support counting is a map-side-combined aggregate."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_partkey"]).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("p_a").asc(), F.col("p_b").asc()
+    ).limit(50)
+
+
+_SQL_COPURCHASE = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS support
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT p_a, p_b, support FROM pairs
+ORDER BY support DESC, p_a, p_b LIMIT 50
+"""
+
+
 def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch marketing attribution: for each user's FIRST
     purchase, the strictly-preceding event path (ordered by ts,
@@ -5168,6 +5207,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_ab_test", _q_ab_test, _SQL_AB_TEST, "Welch two-arm t-test"),
     QueryDef("q_survival", _q_survival, _SQL_SURVIVAL, "Kaplan-Meier survival curve"),
     QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
+    QueryDef("q_copurchase", _q_copurchase, _SQL_COPURCHASE, "frequent 2-itemset baskets"),
     QueryDef("q_attribution", _q_attribution, _SQL_ATTRIBUTION, "multi-touch attribution"),
     QueryDef("q_cusum", _q_cusum, _SQL_CUSUM, "CUSUM changepoint estimate"),
     QueryDef("q_npy_ingest", _q_npy_ingest, _SQL_VECTOR_ROUNDTRIP, ".npy shard round trip"),
