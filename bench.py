@@ -157,6 +157,8 @@ BENCH_NAMES = [
     "q_safetensors_ingest",
     "q_logreg_step",
     "q_copurchase",
+    "q_assoc_rules",
+    "q_item_sim",
 ]
 
 

@@ -808,6 +808,160 @@ ORDER BY support DESC, p_a, p_b LIMIT 50
 """
 
 
+def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the 2-itemset pairs: both directions of
+    every supported pair scored with confidence = supp(ab)/supp(a) and
+    lift = conf / (supp(b)/n_orders); kept at confidence >= 0.05
+    (the synthetic baskets are near-random, so absolute confidences
+    are small — the filter still separates the top decile), top-40
+    under a total order.  Per-item supports broadcast back onto
+    the (small) pair frame — nothing row-scale after the basket join."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_partkey"]).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_supp")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p_a") != F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 3)
+    )
+    rules = (
+        pairs.join(F.broadcast(item.withColumnRenamed("item", "p_a")), "p_a")
+        .withColumnRenamed("item_supp", "supp_a")
+        .join(F.broadcast(item.withColumnRenamed("item", "p_b")), "p_b")
+        .withColumnRenamed("item_supp", "supp_b")
+        .select(
+            "p_a",
+            "p_b",
+            "pair_supp",
+            (F.col("pair_supp") / F.col("supp_a")).alias("confidence"),
+            (
+                (F.col("pair_supp") / F.col("supp_a"))
+                / (F.col("supp_b") / F.lit(float(n_orders)))
+            ).alias("lift"),
+        )
+        .filter(F.col("confidence") >= 0.05)
+    )
+    return (
+        rules.orderBy(
+            F.col("confidence").desc(),
+            F.col("lift").desc(),
+            F.col("p_a").asc(),
+            F.col("p_b").asc(),
+        )
+        .limit(40)
+        .select(
+            "p_a",
+            "p_b",
+            "pair_supp",
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+    )
+
+
+_SQL_ASSOC_RULES = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM basket),
+item AS (
+  SELECT l_partkey AS item, COUNT(*) AS item_supp FROM basket GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS pair_supp
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), rules AS (
+  SELECT p.p_a, p.p_b, p.pair_supp,
+         p.pair_supp / CAST(ia.item_supp AS DOUBLE) AS confidence,
+         (p.pair_supp / CAST(ia.item_supp AS DOUBLE))
+           / (ib.item_supp / CAST((SELECT n FROM n) AS DOUBLE)) AS lift
+  FROM pairs p
+  JOIN item ia ON ia.item = p.p_a
+  JOIN item ib ON ib.item = p.p_b
+  WHERE p.pair_supp / CAST(ia.item_supp AS DOUBLE) >= 0.05
+)
+SELECT p_a, p_b, pair_supp,
+       round(confidence, 6) AS confidence, round(lift, 6) AS lift
+FROM rules
+ORDER BY confidence DESC, lift DESC, p_a, p_b LIMIT 40
+"""
+
+
+def _q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over basket
+    incidence vectors, computed WITHOUT materializing vectors —
+    co-count / sqrt(supp_a * supp_b) from the within-order pair join
+    (the 2-itemset shape) and broadcast per-item supports.  Top-3
+    neighbors per item among pairs co-occurring >= 2 times, total
+    order.  The recommend-similar-items primitive."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_partkey"]).distinct()
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_supp")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("p_a") != F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    scored = (
+        co.join(F.broadcast(item.withColumnRenamed("item", "p_a")), "p_a")
+        .withColumnRenamed("item_supp", "supp_a")
+        .join(F.broadcast(item.withColumnRenamed("item", "p_b")), "p_b")
+        .withColumnRenamed("item_supp", "supp_b")
+        .withColumn(
+            "cosine",
+            F.col("co") / F.sqrt(F.col("supp_a") * F.col("supp_b").cast("double")),
+        )
+    )
+    w = Window.partitionBy("p_a").orderBy(
+        F.col("cosine").desc(), F.col("p_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_a", "p_b", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+_SQL_ITEM_SIM = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+  SELECT l_partkey AS item, COUNT(*) AS item_supp FROM basket GROUP BY 1
+), co AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS co
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), scored AS (
+  SELECT c.p_a, c.p_b,
+         c.co / sqrt(ia.item_supp * CAST(ib.item_supp AS DOUBLE)) AS cosine
+  FROM co c
+  JOIN item ia ON ia.item = c.p_a
+  JOIN item ib ON ib.item = c.p_b
+), ranked AS (
+  SELECT p_a, p_b, cosine,
+         row_number() OVER (PARTITION BY p_a
+                            ORDER BY cosine DESC, p_b ASC) AS rank
+  FROM scored
+)
+SELECT p_a, p_b, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch marketing attribution: for each user's FIRST
     purchase, the strictly-preceding event path (ordered by ts,
@@ -5208,6 +5362,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_survival", _q_survival, _SQL_SURVIVAL, "Kaplan-Meier survival curve"),
     QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
     QueryDef("q_copurchase", _q_copurchase, _SQL_COPURCHASE, "frequent 2-itemset baskets"),
+    QueryDef("q_assoc_rules", _q_assoc_rules, _SQL_ASSOC_RULES, "association rules conf/lift"),
+    QueryDef("q_item_sim", _q_item_sim, _SQL_ITEM_SIM, "item-item CF cosine top-3"),
     QueryDef("q_attribution", _q_attribution, _SQL_ATTRIBUTION, "multi-touch attribution"),
     QueryDef("q_cusum", _q_cusum, _SQL_CUSUM, "CUSUM changepoint estimate"),
     QueryDef("q_npy_ingest", _q_npy_ingest, _SQL_VECTOR_ROUNDTRIP, ".npy shard round trip"),
