@@ -159,6 +159,8 @@ BENCH_NAMES = [
     "q_copurchase",
     "q_assoc_rules",
     "q_item_sim",
+    "q_rfm",
+    "q_abc_pareto",
 ]
 
 

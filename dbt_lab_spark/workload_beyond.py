@@ -769,6 +769,127 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days from last
+    order to corpus end), frequency (order count), monetary (exact
+    decimal spend), each scored 1-5 by percent_rank quintile (identical
+    (rank-1)/(n-1) definition in both engines; ties share a rank so
+    the buckets are deterministic).  Output: one row per RFM segment
+    with customer count and total spend — the classic CRM rollup."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    end = orders.agg(F.max("o_orderdate").alias("__end"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(money("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(end))
+        .withColumn("recency", F.datediff("__end", "__last"))
+    )
+
+    def quint(col, asc: bool) -> F.Column:
+        w = Window.orderBy(F.col(col).asc() if asc else F.col(col).desc())
+        return (F.least(F.floor(F.percent_rank().over(w) * 5), F.lit(4)) + 1).cast("int")
+
+    scored = per_cust.select(
+        "o_custkey",
+        quint("recency", asc=True).alias("r"),   # recent (small) = best = 1
+        quint("frequency", asc=False).alias("f"),
+        quint("monetary", asc=False).alias("m"),
+        "monetary",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_spend"),
+    )
+
+
+_SQL_RFM = """
+WITH endd AS (SELECT max(o_orderdate) AS e FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT e FROM endd)) AS recency,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary,
+         CAST(least(floor(percent_rank() OVER (ORDER BY recency ASC) * 5), 4) + 1 AS INT) AS r,
+         CAST(least(floor(percent_rank() OVER (ORDER BY frequency DESC) * 5), 4) + 1 AS INT) AS f,
+         CAST(least(floor(percent_rank() OVER (ORDER BY monetary DESC) * 5), 4) + 1 AS INT) AS m
+  FROM per_cust
+)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS total_spend
+FROM scored GROUP BY r, f, m
+"""
+
+
+def _q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classes: parts ranked by exact-decimal
+    revenue; class A = first 80% of cumulative revenue, B = next 15%,
+    C = tail.  The cumulative window runs over parts (already rolled
+    up), ordered (revenue desc, partkey) so the running share is a
+    deterministic sequential sum.  Output per class: part count,
+    revenue, share rounded to 6."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_extendedprice"])
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice")).alias("rev")
+    )
+    total = per_part.agg(F.sum("rev").alias("__tot"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.sum("rev").over(w))
+        .withColumn(
+            "cls",
+            F.when(
+                (F.col("__cum").cast("double") / F.col("__tot").cast("double")) <= 0.80,
+                F.lit("A"),
+            )
+            .when(
+                (F.col("__cum").cast("double") / F.col("__tot").cast("double")) <= 0.95,
+                F.lit("B"),
+            )
+            .otherwise(F.lit("C")),
+        )
+    )
+    return classed.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.max(F.col("__tot").cast("double")), 6
+        ).alias("share"),
+    )
+
+
+_SQL_ABC_PARETO = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT SUM(rev) AS t FROM per_part),
+classed AS (
+  SELECT l_partkey, rev,
+         CASE WHEN CAST(SUM(rev) OVER w AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(SUM(rev) OVER w AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM per_part
+  WINDOW w AS (ORDER BY rev DESC, l_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cls, COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       round(CAST(SUM(rev) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share
+FROM classed GROUP BY cls
+"""
+
+
 def _q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 2-itemsets over order baskets (market-basket mining):
     distinct parts per order self-joined within the order key
@@ -5362,6 +5483,8 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_survival", _q_survival, _SQL_SURVIVAL, "Kaplan-Meier survival curve"),
     QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
     QueryDef("q_copurchase", _q_copurchase, _SQL_COPURCHASE, "frequent 2-itemset baskets"),
+    QueryDef("q_rfm", _q_rfm, _SQL_RFM, "RFM quintile segmentation"),
+    QueryDef("q_abc_pareto", _q_abc_pareto, _SQL_ABC_PARETO, "ABC Pareto revenue classes"),
     QueryDef("q_assoc_rules", _q_assoc_rules, _SQL_ASSOC_RULES, "association rules conf/lift"),
     QueryDef("q_item_sim", _q_item_sim, _SQL_ITEM_SIM, "item-item CF cosine top-3"),
     QueryDef("q_attribution", _q_attribution, _SQL_ATTRIBUTION, "multi-touch attribution"),
