@@ -161,6 +161,7 @@ BENCH_NAMES = [
     "q_item_sim",
     "q_rfm",
     "q_abc_pareto",
+    "q_forecast_eval",
 ]
 
 

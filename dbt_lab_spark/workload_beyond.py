@@ -769,6 +769,84 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-baseline bakeoff on the hourly money-exact value
+    series: naive (lag 1), seasonal-naive (lag 24), and trailing-24h
+    moving average, each evaluated on the last 144 hours with MAE and
+    MAPE.  All three forecasts are lag/window expressions over the
+    rolled-up series — the deterministic sequential shapes — and the
+    holdout split is a fixed offset from the series end, so the whole
+    evaluation replays exactly in the oracle.  Output: one row per
+    method."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("ts", "value")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h"),
+            money("value").alias("v"),
+        )
+        .groupBy("h")
+        .agg(F.sum("v").cast("double").alias("y"))
+    )
+    w = Window.orderBy("h")
+    w_ma = Window.orderBy("h").rowsBetween(-24, -1)
+    preds = hourly.select(
+        "h",
+        "y",
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", 24).over(w).alias("snaive"),
+        F.avg("y").over(w_ma).alias("ma24"),
+    )
+    maxh = hourly.agg(F.max("h").alias("__mx"))
+    test = preds.crossJoin(F.broadcast(maxh)).filter(
+        F.col("h") > F.col("__mx") - 144
+    )
+    rows = []
+    for method in ("naive", "snaive", "ma24"):
+        rows.append(
+            test.filter(F.col(method).isNotNull()).agg(
+                F.lit(method).alias("method"),
+                F.round(F.avg(F.abs(F.col("y") - F.col(method))), 4).alias("mae"),
+                F.round(
+                    F.avg(F.abs(F.col("y") - F.col(method)) / F.abs(F.col("y"))), 6
+                ).alias("mape"),
+                F.count(F.lit(1)).alias("n_eval"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_SQL_FORECAST_EVAL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), preds AS (
+  SELECT h, y,
+         lag(y, 1) OVER (ORDER BY h) AS naive,
+         lag(y, 24) OVER (ORDER BY h) AS snaive,
+         avg(y) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ma24
+  FROM hourly
+), test AS (
+  SELECT * FROM preds WHERE h > (SELECT max(h) FROM hourly) - 144
+)
+SELECT 'naive' AS method, round(avg(abs(y - naive)), 4) AS mae,
+       round(avg(abs(y - naive) / abs(y)), 6) AS mape, COUNT(*) AS n_eval
+FROM test WHERE naive IS NOT NULL
+UNION ALL
+SELECT 'snaive', round(avg(abs(y - snaive)), 4),
+       round(avg(abs(y - snaive) / abs(y)), 6), COUNT(*)
+FROM test WHERE snaive IS NOT NULL
+UNION ALL
+SELECT 'ma24', round(avg(abs(y - ma24)), 4),
+       round(avg(abs(y - ma24) / abs(y)), 6), COUNT(*)
+FROM test WHERE ma24 IS NOT NULL
+"""
+
+
 def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer recency (days from last
     order to corpus end), frequency (order count), monetary (exact
@@ -5484,6 +5562,7 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_seasonal", _q_seasonal, _SQL_SEASONAL, "additive seasonal decomposition"),
     QueryDef("q_copurchase", _q_copurchase, _SQL_COPURCHASE, "frequent 2-itemset baskets"),
     QueryDef("q_rfm", _q_rfm, _SQL_RFM, "RFM quintile segmentation"),
+    QueryDef("q_forecast_eval", _q_forecast_eval, _SQL_FORECAST_EVAL, "forecast baselines MAE/MAPE"),
     QueryDef("q_abc_pareto", _q_abc_pareto, _SQL_ABC_PARETO, "ABC Pareto revenue classes"),
     QueryDef("q_assoc_rules", _q_assoc_rules, _SQL_ASSOC_RULES, "association rules conf/lift"),
     QueryDef("q_item_sim", _q_item_sim, _SQL_ITEM_SIM, "item-item CF cosine top-3"),
