@@ -162,6 +162,7 @@ BENCH_NAMES = [
     "q_rfm",
     "q_abc_pareto",
     "q_forecast_eval",
+    "q_fulfillment_latency",
 ]
 
 

@@ -769,6 +769,64 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: integer
+    day latencies from the orders-lineitem join, summarized with count,
+    mean (exact integer sum / count), and exact discrete p50/p95 via
+    the integer-rational PERCENTILE_DISC shape (rn*den >= num*n — no
+    p*n float).  The supply-chain SLA rollup."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_shipdate"])
+    lat = orders.join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lat"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lat", F.monotonically_increasing_id()
+    )
+    ranked = lat.select(
+        "o_orderpriority",
+        "lat",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+
+    def disc(num: int, den: int, alias: str):
+        return F.min(
+            F.when(F.col("rn") * den >= F.lit(num) * F.col("n"), F.col("lat"))
+        ).alias(alias)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("lat") / F.count(F.lit(1)), 4).alias("mean_days"),
+        disc(1, 2, "p50_days"),
+        disc(19, 20, "p95_days"),
+    )
+
+
+_SQL_FULFILLMENT_LATENCY = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lat
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), ranked AS (
+  SELECT o_orderpriority, lat,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY lat) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM lat
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       round(SUM(lat) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_days,
+       MIN(CASE WHEN rn * 2 >= 1 * n THEN lat END) AS p50_days,
+       MIN(CASE WHEN rn * 20 >= 19 * n THEN lat END) AS p95_days
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
 def _q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting-baseline bakeoff on the hourly money-exact value
     series: naive (lag 1), seasonal-naive (lag 24), and trailing-24h
@@ -5563,6 +5621,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_copurchase", _q_copurchase, _SQL_COPURCHASE, "frequent 2-itemset baskets"),
     QueryDef("q_rfm", _q_rfm, _SQL_RFM, "RFM quintile segmentation"),
     QueryDef("q_forecast_eval", _q_forecast_eval, _SQL_FORECAST_EVAL, "forecast baselines MAE/MAPE"),
+    QueryDef(
+        "q_fulfillment_latency", _q_fulfillment_latency, _SQL_FULFILLMENT_LATENCY,
+        "order-to-ship latency SLA rollup",
+    ),
     QueryDef("q_abc_pareto", _q_abc_pareto, _SQL_ABC_PARETO, "ABC Pareto revenue classes"),
     QueryDef("q_assoc_rules", _q_assoc_rules, _SQL_ASSOC_RULES, "association rules conf/lift"),
     QueryDef("q_item_sim", _q_item_sim, _SQL_ITEM_SIM, "item-item CF cosine top-3"),
