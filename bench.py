@@ -163,6 +163,8 @@ BENCH_NAMES = [
     "q_abc_pareto",
     "q_forecast_eval",
     "q_fulfillment_latency",
+    "q_anova",
+    "q_spearman",
 ]
 
 

@@ -267,3 +267,66 @@ def seasonal_decompose(
             (F.col("__detr") - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across k groups: one row
+    (f_stat, df_between, df_within, n).  Everything derives from group
+    sums/counts and the global mean — two hash aggregates and a scalar
+    formula; SSW computed as SST - SSB so no second data pass."""
+    v = F.col(value_col).cast("double")
+    g = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    tot = g.agg(
+        F.sum("__n").alias("n"),
+        F.sum("__s").alias("s"),
+        F.sum("__ss").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("sb"),
+    )
+    return tot.select(
+        (
+            ((F.col("sb") - F.col("s") * F.col("s") / F.col("n")) / (F.col("k") - 1))
+            / (
+                (F.col("ss") - F.col("sb"))
+                / (F.col("n") - F.col("k"))
+            )
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("int").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation: average ranks for ties on both
+    variables (row_number averaged within equal values), then the
+    Pearson formula on the ranks from exact sums.  One row
+    (spearman, n).  The rank windows order by value only — ties share
+    the mean of their row_number range, so the statistic is
+    deterministic and engine-portable."""
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    w_x = Window.orderBy(x_col)
+    w_y = Window.orderBy(y_col)
+    ranked = df.select(
+        F.avg(F.row_number().over(w_x)).over(Window.partitionBy(x_col)).alias("rx"),
+        F.avg(F.row_number().over(w_y)).over(Window.partitionBy(y_col)).alias("ry"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        F.when(den > 0, num / den).alias("spearman"), F.col("n").cast("bigint").alias("n")
+    )

@@ -769,6 +769,94 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — does the mean
+    differ by type?  functions/stats.py:anova_oneway: two hash
+    aggregates (group moments, global reduce) and a scalar formula;
+    nothing row-scale after the first aggregate.  F rounded to 4 (the
+    sum-of-squares accumulation order legitimately differs across
+    engines at ~1e-12 relative)."""
+    from dbt_lab_spark.functions.stats import anova_oneway
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("event_type", "value")
+    out = anova_oneway(ev, "event_type", "value")
+    return out.select(
+        F.round("f_stat", 4).alias("f_stat"), "df_between", "df_within", "n"
+    )
+
+
+_SQL_ANOVA = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DOUBLE)) AS s,
+         SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss, COUNT(*) AS k,
+         SUM(s * s / n) AS sb
+  FROM g
+)
+SELECT round(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k)), 4) AS f_stat,
+       CAST(k - 1 AS INT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       CAST(n AS BIGINT) AS n
+FROM tot
+"""
+
+
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between an order's total price and its
+    line count — the monotone-association complement to the Pearson
+    q_corr_matrix.  Average-rank ties + the Pearson formula on ranks
+    from exact sums (half-integer ranks and their products stay exact
+    in double; the big final products are single IEEE ops, identical
+    in both engines).  The rank windows are global over the per-order
+    rollup — at corpus scale rank via range-partitioned sort or the
+    sketch-NTILE path; the statistic itself stays one tiny reduce."""
+    from dbt_lab_spark.functions.stats import spearman_corr
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"])
+    li = scan(spark, cat, "lineitem", ["l_orderkey"])
+    per_order = orders.join(
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+            F.count(F.lit(1)).alias("n_lines")
+        ),
+        "o_orderkey",
+    ).select(money("o_totalprice").alias("price"), "n_lines")
+    out = spearman_corr(per_order, "price", "n_lines")
+    return out.select(F.round("spearman", 6).alias("spearman"), "n")
+
+
+_SQL_SPEARMAN = """
+WITH per_order AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS price, l.n_lines
+  FROM orders o JOIN (
+    SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+  ) l ON l.l_orderkey = o.o_orderkey
+), ranked AS (
+  SELECT avg(CAST(rx AS DOUBLE)) OVER (PARTITION BY price) AS rx,
+         avg(CAST(ry AS DOUBLE)) OVER (PARTITION BY n_lines) AS ry
+  FROM (
+    SELECT price, n_lines,
+           row_number() OVER (ORDER BY price) AS rx,
+           row_number() OVER (ORDER BY n_lines) AS ry
+    FROM per_order
+  )
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM ranked
+)
+SELECT round(CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END, 6) AS spearman,
+       CAST(n AS BIGINT) AS n
+FROM agg
+"""
+
+
 def _q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency distribution per order priority: integer
     day latencies from the orders-lineitem join, summarized with count,
@@ -5625,6 +5713,8 @@ BEYOND_QUERIES: list[QueryDef] = [
         "q_fulfillment_latency", _q_fulfillment_latency, _SQL_FULFILLMENT_LATENCY,
         "order-to-ship latency SLA rollup",
     ),
+    QueryDef("q_anova", _q_anova, _SQL_ANOVA, "one-way ANOVA F"),
+    QueryDef("q_spearman", _q_spearman, _SQL_SPEARMAN, "Spearman rank correlation"),
     QueryDef("q_abc_pareto", _q_abc_pareto, _SQL_ABC_PARETO, "ABC Pareto revenue classes"),
     QueryDef("q_assoc_rules", _q_assoc_rules, _SQL_ASSOC_RULES, "association rules conf/lift"),
     QueryDef("q_item_sim", _q_item_sim, _SQL_ITEM_SIM, "item-item CF cosine top-3"),

@@ -256,3 +256,31 @@ def test_seasonal_decompose_identity(spark, vals):
     assert len(out) == len(vals)
     for r in out:
         assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+
+
+def test_anova_matches_numpy_formula(spark):
+    from dbt_lab_spark.functions.stats import anova_oneway
+
+    rng = np.random.default_rng(11)
+    groups = {"a": rng.normal(5, 1, 30), "b": rng.normal(6, 1, 25), "c": rng.normal(5.5, 1, 40)}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    r = anova_oneway(_df(spark, rows, "g string, v double"), "g", "v").collect()[0]
+    all_v = np.concatenate(list(groups.values()))
+    grand = all_v.mean()
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    f = (ssb / 2) / (ssw / (len(all_v) - 3))
+    assert abs(r["f_stat"] - f) < 1e-6
+    assert r["df_between"] == 2 and r["df_within"] == len(all_v) - 3
+
+
+def test_spearman_monotone_and_ties(spark):
+    from dbt_lab_spark.functions.stats import spearman_corr
+
+    mono = _df(spark, [(float(i), float(i * i)) for i in range(1, 20)], "x double, y double")
+    assert abs(spearman_corr(mono, "x", "y").collect()[0]["spearman"] - 1.0) < 1e-12
+    anti = _df(spark, [(float(i), float(-i)) for i in range(1, 20)], "x double, y double")
+    assert abs(spearman_corr(anti, "x", "y").collect()[0]["spearman"] + 1.0) < 1e-12
+    # hand case with ties: x = 1,2,2,3 ; y = 10,20,20,30 -> rho 1 (avg ranks equal)
+    tied = _df(spark, [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 30.0)], "x double, y double")
+    assert abs(spearman_corr(tied, "x", "y").collect()[0]["spearman"] - 1.0) < 1e-12
