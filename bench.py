@@ -165,6 +165,9 @@ BENCH_NAMES = [
     "q_fulfillment_latency",
     "q_anova",
     "q_spearman",
+    "q_holt",
+    "q_trimmed_mean",
+    "q_entropy",
 ]
 
 

@@ -769,6 +769,175 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.1
+
+
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level + trend, the
+    TWO mutually recursive states — one step past the single-state
+    EWMA): l_t = a*x_t + (1-a)(l+b), b_t = B*(l_t - l) + (1-B)*b,
+    init l_1 = x_1, b_1 = 0.  Spark folds the ordered per-user series
+    with one JVM aggregate() over a struct accumulator; the oracle
+    replays the same recurrence as a recursive CTE carrying (l, b) —
+    both repeat the l_t expression inside the b_t update, so the float
+    sequence is operation-identical.  Output per user (< 30): n, last
+    level/trend, one-step forecast, rounded to 4."""
+    a, bb = _HOLT_ALPHA, _HOLT_BETA
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_id", "value")
+    ev = ev.filter(F.col("user_id") < 30)
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("__s")
+        )
+        .select(
+            "user_id",
+            F.transform("__s", lambda s: s["value"].cast("double")).alias("xs"),
+        )
+    )
+
+    def new_l(acc, x):
+        return F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])
+
+    state = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        lambda acc, x: F.struct(
+            new_l(acc, x).alias("l"),
+            (
+                F.lit(bb) * (new_l(acc, x) - acc["l"]) + F.lit(1 - bb) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return arr.select(
+        "user_id",
+        F.size("xs").alias("n_events"),
+        F.round(state["l"], 4).alias("level"),
+        F.round(state["b"], 4).alias("trend"),
+        F.round(state["l"] + state["b"], 4).alias("forecast_1"),
+    )
+
+
+_SQL_HOLT = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id < 30
+), rec(user_id, rn, n, l, b) AS (
+  SELECT user_id, rn, n, x, CAST(0.0 AS DOUBLE) FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n,
+         {_HOLT_ALPHA} * o.x + {1 - _HOLT_ALPHA} * (r.l + r.b),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * o.x + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+           + {1 - _HOLT_BETA} * r.b
+  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + b, 4) AS forecast_1
+FROM rec WHERE rn = n
+"""
+
+
+def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of extended price per return flag — the robust
+    center estimate: drop the lowest and highest decile by the
+    integer-rational rank rule (rn*10 > n AND rn*10 <= 9*n — no p*n
+    float), average the exact decimal middle.  One rank window over
+    the group, then a plain aggregate."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_returnflag", "l_extendedprice"])
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", F.monotonically_increasing_id()
+    )
+    ranked = li.select(
+        "l_returnflag",
+        money("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") * 10 > F.col("n")) & (F.col("rn") * 10 <= 9 * F.col("n"))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 4).alias("trimmed_mean"),
+    )
+
+
+_SQL_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n_kept,
+       round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS trimmed_mean
+FROM ranked WHERE rn * 10 > n AND rn * 10 <= 9 * n
+GROUP BY l_returnflag
+"""
+
+
+def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity audit: Shannon entropy (nats) of the language
+    mix per source, plus its normalized form (divided by ln of the
+    distinct-language count; 1-lang sources get 0).  Two hash
+    aggregates — the governance check that a source hasn't collapsed
+    to one language/domain."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "lang"])
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("k").cast("int").alias("n_langs"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.when(F.max("k") > 1,
+                       -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))
+                       / F.log(F.max("k").cast("double"))).otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy_norm"),
+        )
+    )
+
+
+_SQL_ENTROPY = """
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, SUM(c) AS n, COUNT(*) AS k FROM per GROUP BY 1
+)
+SELECT p.source,
+       MAX(t.n) AS n_docs,
+       CAST(MAX(t.k) AS INT) AS n_langs,
+       round(-SUM((c / CAST(t.n AS DOUBLE)) * ln(c / CAST(t.n AS DOUBLE))), 6) AS entropy,
+       round(CASE WHEN MAX(t.k) > 1
+                  THEN -SUM((c / CAST(t.n AS DOUBLE)) * ln(c / CAST(t.n AS DOUBLE)))
+                       / ln(CAST(MAX(t.k) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS entropy_norm
+FROM per p JOIN tot t ON t.source = p.source
+GROUP BY p.source
+"""
+
+
 def _q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of event value across event types — does the mean
     differ by type?  functions/stats.py:anova_oneway: two hash
@@ -5714,6 +5883,9 @@ BEYOND_QUERIES: list[QueryDef] = [
         "order-to-ship latency SLA rollup",
     ),
     QueryDef("q_anova", _q_anova, _SQL_ANOVA, "one-way ANOVA F"),
+    QueryDef("q_holt", _q_holt, _SQL_HOLT, "Holt level+trend smoothing"),
+    QueryDef("q_trimmed_mean", _q_trimmed_mean, _SQL_TRIMMED_MEAN, "10% trimmed mean"),
+    QueryDef("q_entropy", _q_entropy, _SQL_ENTROPY, "language-mix entropy per source"),
     QueryDef("q_spearman", _q_spearman, _SQL_SPEARMAN, "Spearman rank correlation"),
     QueryDef("q_abc_pareto", _q_abc_pareto, _SQL_ABC_PARETO, "ABC Pareto revenue classes"),
     QueryDef("q_assoc_rules", _q_assoc_rules, _SQL_ASSOC_RULES, "association rules conf/lift"),
