@@ -168,6 +168,7 @@ BENCH_NAMES = [
     "q_holt",
     "q_trimmed_mean",
     "q_entropy",
+    "q_mann_kendall",
 ]
 
 

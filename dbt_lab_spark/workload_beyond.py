@@ -938,6 +938,56 @@ GROUP BY p.source
 """
 
 
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the hourly money-exact value
+    series: S = sum over hour pairs i<j of sign(x_j - x_i), tau_a =
+    S / (n(n-1)/2).  The pair join runs over the ROLLED-UP series
+    (~hours^2, not events^2 — the audit-scale shape; at corpus scale
+    the series length stays bounded by the rollup grain, not the data
+    volume).  Integer S and exact decimal comparisons make the result
+    engine-exact.  One row: (s_stat, n_hours, tau_a)."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("ts", "value")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h"),
+            money("value").alias("v"),
+        )
+        .groupBy("h")
+        .agg(F.sum("v").alias("y"))
+    )
+    a = hourly.select(F.col("h").alias("hi"), F.col("y").alias("yi"))
+    b = hourly.select(F.col("h").alias("hj"), F.col("y").alias("yj"))
+    pairs = a.join(b, F.col("hi") < F.col("hj"))
+    agg = pairs.agg(
+        F.sum(F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("long")).alias(
+            "s_stat"
+        )
+    )
+    n = hourly.count()
+    return agg.select(
+        "s_stat",
+        F.lit(n).cast("bigint").alias("n_hours"),
+        F.round(F.col("s_stat") / F.lit(n * (n - 1) / 2.0), 6).alias("tau_a"),
+    )
+
+
+_SQL_MANN_KENDALL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h,
+         SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM hourly),
+s AS (
+  SELECT CAST(SUM(CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM hourly a JOIN hourly b ON a.h < b.h
+)
+SELECT s.s_stat, (SELECT n FROM n) AS n_hours,
+       round(s.s_stat / ((SELECT n FROM n) * ((SELECT n FROM n) - 1) / 2.0), 6) AS tau_a
+FROM s
+"""
+
+
 def _q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of event value across event types — does the mean
     differ by type?  functions/stats.py:anova_oneway: two hash
@@ -5883,6 +5933,7 @@ BEYOND_QUERIES: list[QueryDef] = [
         "order-to-ship latency SLA rollup",
     ),
     QueryDef("q_anova", _q_anova, _SQL_ANOVA, "one-way ANOVA F"),
+    QueryDef("q_mann_kendall", _q_mann_kendall, _SQL_MANN_KENDALL, "Mann-Kendall trend test"),
     QueryDef("q_holt", _q_holt, _SQL_HOLT, "Holt level+trend smoothing"),
     QueryDef("q_trimmed_mean", _q_trimmed_mean, _SQL_TRIMMED_MEAN, "10% trimmed mean"),
     QueryDef("q_entropy", _q_entropy, _SQL_ENTROPY, "language-mix entropy per source"),
