@@ -2274,6 +2274,316 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# precision/recall/F1 operating points (classifier-evaluation family)
+# ---------------------------------------------------------------------------
+
+_PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the heuristic quality score as a
+    lang=='en' classifier at nine fixed thresholds, in ONE pass: 27
+    conditional sums inside a single hash aggregate (map-side
+    combinable), then a 9-row stack() unpivot — never a thresholds x
+    rows fan-out.  All ratios are single IEEE divisions over exact
+    integer counts, so values are engine-exact (rounded to 6
+    defensively).  Completes the eval family next to q_auc_eval /
+    q_calibration with the thresholded operating-point view.
+    Reference capability evidence: aggregate surface,
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    from dbt_lab_spark.functions.text import quality_score
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    scored = docs.select(
+        quality_score("text").alias("q"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    aggs = []
+    for i, t in enumerate(_PR_THRESHOLDS):
+        pred = F.col("q") >= F.lit(float(t))
+        aggs.append(
+            F.sum(F.when(pred & (F.col("label") == 1), 1).otherwise(0))
+            .cast("long").alias(f"tp{i}")
+        )
+        aggs.append(
+            F.sum(F.when(pred & (F.col("label") == 0), 1).otherwise(0))
+            .cast("long").alias(f"fp{i}")
+        )
+        aggs.append(
+            F.sum(F.when((~pred) & (F.col("label") == 1), 1).otherwise(0))
+            .cast("long").alias(f"fn{i}")
+        )
+    wide = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), tp{i}, fp{i}, fn{i}"
+        for i, t in enumerate(_PR_THRESHOLDS)
+    )
+    rows = wide.select(
+        F.expr(f"stack({len(_PR_THRESHOLDS)}, {stack_args}) AS (t, tp, fp, fn)")
+    )
+    return rows.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))), 6
+        ).alias("prec"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))), 6
+        ).alias("rec"),
+        F.round(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("t")
+
+
+def _sql_pr_curve() -> str:
+    from dbt_lab_spark.workload_beyond import _SQL_QSCORE_PERDOC
+
+    ts = ", ".join(f"CAST({t} AS DOUBLE)" for t in _PR_THRESHOLDS)
+    return rf"""
+WITH {_SQL_QSCORE_PERDOC},
+th AS (SELECT unnest([{ts}]) AS t),
+agg AS (
+  SELECT t,
+         SUM(CASE WHEN q >= t AND label = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN q >= t AND label = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN q < t AND label = 1 THEN 1 ELSE 0 END) AS fn
+  FROM qscore, th
+  GROUP BY t
+)
+SELECT t, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END, 6) AS prec,
+       round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END, 6) AS rec,
+       round(CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+FROM agg
+ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over the hourly rollup
+# ---------------------------------------------------------------------------
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the hourly money-exact value series:
+    slope = exact-discrete lower median over all hour-pair slopes
+    (yj - yi)/(hj - hi); intercept = the same median rule over per-hour
+    residuals y - slope*h.  The pair join runs on the ROLLED-UP series
+    (hours^2, bounded by the rollup grain, not the event volume — the
+    same audit-scale shape as q_mann_kendall), and medians pick rank
+    (n+1)//2 of the value-ordered multiset, so both engines select the
+    same element.  Slopes are single IEEE divisions of exact decimal
+    diffs by integer hour gaps -> bit-identical cross-engine.
+    Reference capability evidence: join + aggregate surface,
+    qexec/PhysicalOperators (TestPhysicalOperatorsIIIStudents.java)."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("ts", "value")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h"),
+            money("value").alias("v"),
+        )
+        .groupBy("h")
+        .agg(F.sum("v").alias("y"))
+    )
+    n = hourly.count()
+    n_pairs = n * (n - 1) // 2
+    k_slope = (n_pairs + 1) // 2
+    k_icept = (n + 1) // 2
+    a = hourly.select(F.col("h").alias("hi"), F.col("y").alias("yi"))
+    b = hourly.select(F.col("h").alias("hj"), F.col("y").alias("yj"))
+    pairs = a.join(b, F.col("hi") < F.col("hj")).select(
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("hj") - F.col("hi")).cast("double")
+        ).alias("slope")
+    )
+    med = (
+        pairs.withColumn("rn", F.row_number().over(Window.orderBy("slope")))
+        .filter(F.col("rn") == k_slope)
+        .select(F.col("slope").alias("m"))
+    )
+    resid = hourly.crossJoin(F.broadcast(med)).select(
+        "m",
+        (F.col("y").cast("double") - F.col("m") * F.col("h").cast("double")).alias("r"),
+    )
+    out = (
+        resid.withColumn("rn", F.row_number().over(Window.orderBy("r")))
+        .filter(F.col("rn") == k_icept)
+    )
+    return out.select(
+        F.round("m", 6).alias("slope"),
+        F.round("r", 4).alias("intercept"),
+        F.lit(n).cast("bigint").alias("n_hours"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+    )
+
+
+_SQL_THEIL_SEN = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h,
+         SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+  FROM hourly a JOIN hourly b ON a.h < b.h
+), ps AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn, COUNT(*) OVER () AS np
+  FROM pairs
+), med AS (
+  SELECT slope AS m FROM ps WHERE rn = (np + 1) // 2
+), resid AS (
+  SELECT CAST(y AS DOUBLE) - (SELECT m FROM med) * CAST(h AS DOUBLE) AS r
+  FROM hourly
+), rs AS (
+  SELECT r, row_number() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS nh
+  FROM resid
+)
+SELECT round((SELECT m FROM med), 6) AS slope,
+       round((SELECT r FROM rs WHERE rn = (nh + 1) // 2), 4) AS intercept,
+       (SELECT COUNT(*) FROM hourly) AS n_hours,
+       (SELECT COUNT(*) FROM pairs) AS n_pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# ridge regression (2 features + unpenalized intercept, closed form)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 10.0
+
+
+def _q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression of order total price on (line
+    count, total quantity) with an unpenalized intercept: solve
+    (X'X + lambda*diag(0,1,1)) beta = X'y by Cramer's rule on the 3x3
+    normal equations.  The moment sums are EXACT (integer counts and
+    DECIMAL(18,2) products — the q_corr_matrix canonicalization), cast
+    to double once, and the Cramer expressions are written with
+    identical parenthesization in both engines, so every double op
+    matches bit-for-bit (rounded to 6 defensively).  Scale shape: one
+    join + one hash aggregate to 10 moments; the solve is O(1) on one
+    row.  The multi-feature step past q_ols's single-feature form.
+    Reference capability evidence: aggregate + join surface,
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"])
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_quantity"])
+    per = orders.join(
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(money("l_quantity")).alias("x2"),
+        ),
+        "o_orderkey",
+    ).select("x1", "x2", money("o_totalprice").alias("y"))
+    m = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    lam = F.lit(_RIDGE_LAMBDA)
+    a11 = F.col("n").cast("double")
+    a12 = F.col("s1").cast("double")
+    a13 = F.col("s2").cast("double")
+    a22 = F.col("s11").cast("double") + lam
+    a23 = F.col("s12").cast("double")
+    a33 = F.col("s22").cast("double") + lam
+    b1 = F.col("sy").cast("double")
+    b2 = F.col("s1y").cast("double")
+    b3 = F.col("s2y").cast("double")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    return m.select(
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"),
+        F.lit(_RIDGE_LAMBDA).alias("lam"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def _sql_ridge() -> str:
+    lam = _RIDGE_LAMBDA
+    return f"""
+WITH per AS (
+  SELECT l.x1, l.x2, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders o JOIN (
+    SELECT l_orderkey, COUNT(*) AS x1,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS x2
+    FROM lineitem GROUP BY 1
+  ) l ON l.l_orderkey = o.o_orderkey
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM per
+), d AS (
+  SELECT CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+         CAST(s2 AS DOUBLE) AS a13,
+         CAST(s11 AS DOUBLE) + {lam} AS a22, CAST(s12 AS DOUBLE) AS a23,
+         CAST(s22 AS DOUBLE) + {lam} AS a33,
+         CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+         CAST(s2y AS DOUBLE) AS b3, n
+  FROM m
+)
+SELECT round((b1 * (a22 * a33 - a23 * a23)
+              - a12 * (b2 * a33 - a23 * b3)
+              + a13 * (b2 * a23 - a22 * b3))
+             / (a11 * (a22 * a33 - a23 * a23)
+                - a12 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * a23 - a22 * a13)), 6) AS beta0,
+       round((a11 * (b2 * a33 - a23 * b3)
+              - b1 * (a12 * a33 - a23 * a13)
+              + a13 * (a12 * b3 - b2 * a13))
+             / (a11 * (a22 * a33 - a23 * a23)
+                - a12 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * a23 - a22 * a13)), 6) AS beta1,
+       round((a11 * (a22 * b3 - b2 * a23)
+              - a12 * (a12 * b3 - b2 * a13)
+              + b1 * (a12 * a23 - a22 * a13))
+             / (a11 * (a22 * a33 - a23 * a23)
+                - a12 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * a23 - a22 * a13)), 6) AS beta2,
+       CAST({lam} AS DOUBLE) AS lam,
+       CAST(n AS BIGINT) AS n
+FROM d
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -2330,4 +2640,7 @@ EXTRA_QUERIES: list[QueryDef] = [
         "q_ipynb_extract", _q_ipynb_extract, _SQL_IPYNB_EXTRACT,
         "notebook-JSON round trip (pure JVM)",
     ),
+    QueryDef("q_pr_curve", _q_pr_curve, _sql_pr_curve(), "precision/recall/F1 operating points"),
+    QueryDef("q_theil_sen", _q_theil_sen, _SQL_THEIL_SEN, "Theil-Sen robust trend (exact medians)"),
+    QueryDef("q_ridge", _q_ridge, _sql_ridge(), "closed-form 2-feature ridge regression"),
 ]
