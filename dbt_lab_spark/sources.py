@@ -1221,6 +1221,61 @@ def build_safetensors_shards(
     return _build_vector_shards(df, _packer, n_shards, vec_col, id_col)
 
 
+def build_arrow_ipc_shards(
+    df: DataFrame, n_shards: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Pack (vec_id, embedding) into Arrow IPC stream shard blobs —
+    one record batch per shard with columns (ids int64, embeddings
+    fixed_size_list<float32>[d]).  Arrow IPC is the zero-copy
+    interchange format Spark itself uses for Pandas UDF transport, so
+    this is the natural wire format for feature-store export/import;
+    serialization of a fixed batch is byte-deterministic.  One
+    applyInPandas group per shard, vec_id-ordered."""
+
+    def _packer(ids, mat):
+        import io as _io
+
+        import pyarrow as _pa
+
+        d = int(mat.shape[1]) if mat.ndim == 2 else 0
+        values = _pa.array(mat.reshape(-1), type=_pa.float32())
+        emb = _pa.FixedSizeListArray.from_arrays(values, d)
+        batch = _pa.record_batch(
+            [_pa.array(ids, type=_pa.int64()), emb], names=["ids", "embeddings"]
+        )
+        sink = _io.BytesIO()
+        with _pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_batch(batch)
+        return sink.getvalue()
+
+    return _build_vector_shards(df, _packer, n_shards, vec_col, id_col)
+
+
+def read_arrow_ipc_vectors(shards: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Unpack Arrow IPC vector shards to (vec_id, embedding) — map-only."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as _pa
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all, vecs_all = [], []
+            for blob in pdf[blob_col]:
+                with _pa.ipc.open_stream(_pa.BufferReader(bytes(blob))) as r:
+                    t = r.read_all()
+                ids_all.extend(int(i) for i in t.column("ids").to_pylist())
+                vecs_all.extend(
+                    [float(x) for x in v] for v in t.column("embeddings").to_pylist()
+                )
+            yield pd.DataFrame({"vec_id": ids_all, "embedding": vecs_all})
+
+    return shards.mapInPandas(_unpack, _VEC_SCHEMA)
+
+
 def read_safetensors_vectors(shards: DataFrame, blob_col: str = "blob") -> DataFrame:
     """Unpack safetensors vector shards to (vec_id, embedding)."""
     from collections.abc import Iterator

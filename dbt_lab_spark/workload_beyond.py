@@ -769,6 +769,21 @@ def _q_safetensors_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC stream shard round trip: pack (vec_id, embedding)
+    into record-batch stream blobs (sources.build_arrow_ipc_shards —
+    the zero-copy interchange format Spark's own Pandas UDF transport
+    uses), read back distributed, audit per bucket under the same
+    direct-from-table oracle as q_npy_ingest."""
+    from dbt_lab_spark.sources import build_arrow_ipc_shards, read_arrow_ipc_vectors
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    return _vector_roundtrip_audit(
+        read_arrow_ipc_vectors(build_arrow_ipc_shards(emb, n_shards=8))
+    )
+
+
 _HOLT_ALPHA, _HOLT_BETA = 0.3, 0.1
 
 
@@ -5944,6 +5959,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_attribution", _q_attribution, _SQL_ATTRIBUTION, "multi-touch attribution"),
     QueryDef("q_cusum", _q_cusum, _SQL_CUSUM, "CUSUM changepoint estimate"),
     QueryDef("q_npy_ingest", _q_npy_ingest, _SQL_VECTOR_ROUNDTRIP, ".npy shard round trip"),
+    QueryDef(
+        "q_arrow_ipc_ingest", _q_arrow_ipc_ingest, _SQL_VECTOR_ROUNDTRIP,
+        "Arrow IPC stream shard round trip",
+    ),
     QueryDef(
         "q_safetensors_ingest", _q_safetensors_ingest, _SQL_VECTOR_ROUNDTRIP,
         "safetensors shard round trip",

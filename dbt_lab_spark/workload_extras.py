@@ -2584,6 +2584,208 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap CI for the mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40
+_BOOT_SALT = "boot1"
+# Cumulative Poisson(1) CDF at k = 0..5 (weights above 6 are truncated);
+# repr()-exact literals so both engines parse the identical doubles.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+# discrete percentile ranks for the 2.5% / 97.5% bounds over B means
+_BOOT_LO_K = (_BOOT_B + 39) // 40          # ceil(0.025 * B)
+_BOOT_HI_K = (39 * _BOOT_B + 39) // 40     # ceil(0.975 * B)
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order total, via
+    the POISSON bootstrap — the resampling scheme that works on
+    distributed data: each (order, resample b) pair gets an i.i.d.-ish
+    Poisson(1) replication weight derived from an md5 hash (the
+    engine's no-RNG convention), so no global with-replacement sample
+    is ever materialized and the whole thing is one fan-out x B=40 and
+    one hash aggregate.  Resample means use exact decimal sums and a
+    single IEEE division; the CI takes exact-discrete percentile ranks
+    over the 40 means — every value engine-reproducible bit-for-bit.
+    Reference capability evidence: aggregate surface,
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"]).select(
+        "o_orderkey", money("o_totalprice").alias("y")
+    )
+    b = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    j = orders.crossJoin(F.broadcast(b))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                        F.lit(_BOOT_SALT),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.pow(F.lit(2.0), F.lit(60))
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), k).otherwise(w)
+    means = (
+        j.withColumn("w", w)
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("y")).alias("s"), F.sum("w").alias("nw"))
+        .filter(F.col("nw") > 0)
+        .select((F.col("s").cast("double") / F.col("nw")).alias("m"))
+    )
+    ranked = means.withColumn("rn", F.row_number().over(Window.orderBy("m")))
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == _BOOT_LO_K, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == _BOOT_HI_K, F.col("m"))).alias("ci_hi"),
+    )
+    base = orders.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mean_hat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        F.round("mean_hat", 6).alias("mean_hat"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        F.lit(_BOOT_B).cast("int").alias("b_resamples"),
+        "n_orders",
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"""
+WITH y AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders
+), b AS (
+  SELECT CAST(unnest(range({_BOOT_B})) AS INTEGER) AS b
+), u AS (
+  SELECT b.b, y.y,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                  || CAST(b.b AS VARCHAR) || '{_BOOT_SALT}'), 1, 15))
+              AS BIGINT) / POWER(2, 60) AS u
+  FROM y, b
+), w AS (
+  SELECT b, y, CASE {cases} ELSE 6 END AS w FROM u
+), m AS (
+  SELECT b, CAST(SUM(w * y) AS DOUBLE) / SUM(w) AS m
+  FROM w GROUP BY b HAVING SUM(w) > 0
+), r AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS rn FROM m
+), base AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_hat,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM y
+)
+SELECT round(mean_hat, 6) AS mean_hat,
+       round((SELECT m FROM r WHERE rn = {_BOOT_LO_K}), 6) AS ci_lo,
+       round((SELECT m FROM r WHERE rn = {_BOOT_HI_K}), 6) AS ci_hi,
+       CAST({_BOOT_B} AS INTEGER) AS b_resamples,
+       n_orders
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering for multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+_Z_BUCKETS_SHIFT = 18  # 24-bit z >> 18 -> 64 coarse layout buckets
+
+
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: interleave the bits of two
+    query dimensions — order date (days since 1992-01-01) and total
+    price (200-unit buckets from exact cents) — into one clustering
+    key, then show per 64-bucket z-range the min/max span of BOTH
+    dims.  This is the lakehouse multi-dim clustering trick: sorting
+    files by z keeps min/max column stats tight on BOTH dims at once,
+    so either predicate prunes files (repartitionByRange(z) at write
+    time is the production path; the audit here proves the bound
+    tightness).  Pure integer bit arithmetic -> engine-exact.
+    Reference capability evidence: IndexScan range pruning,
+    minidbs-core qexec IndexScanOperator."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    d = F.least(
+        F.greatest(F.datediff("o_orderdate", F.lit("1992-01-01")), F.lit(0)),
+        F.lit((1 << _Z_BITS) - 1),
+    ).cast("long")
+    cents = (money("o_totalprice") * 100).cast("long")
+    p = F.least(F.floor(cents / F.lit(20000.0)), F.lit((1 << _Z_BITS) - 1)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(d, i).bitwiseAND(F.lit(1)), 2 * i).cast("long")
+        z = z + F.shiftleft(F.shiftright(p, i).bitwiseAND(F.lit(1)), 2 * i + 1).cast("long")
+    rows = orders.select(
+        F.shiftright(z, _Z_BUCKETS_SHIFT).cast("long").alias("zbucket"),
+        d.alias("d"),
+        p.alias("p"),
+    )
+    return (
+        rows.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+            F.min("p").alias("min_pb"),
+            F.max("p").alias("max_pb"),
+            (
+                (F.max("d") - F.min("d") + 1) * (F.max("p") - F.min("p") + 1)
+            ).alias("bbox_area"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def _sql_zorder() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((d >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((p >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    cap = (1 << _Z_BITS) - 1
+    return f"""
+WITH dims AS (
+  SELECT least(greatest(datediff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)), 0), {cap}) AS d,
+         least(CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          / 20000.0) AS BIGINT), {cap}) AS p
+  FROM orders
+), keyed AS (
+  SELECT d, p, ({z}) >> {_Z_BUCKETS_SHIFT} AS zbucket FROM dims
+)
+SELECT CAST(zbucket AS BIGINT) AS zbucket, COUNT(*) AS n,
+       MIN(d) AS min_day, MAX(d) AS max_day,
+       MIN(p) AS min_pb, MAX(p) AS max_pb,
+       (MAX(d) - MIN(d) + 1) * (MAX(p) - MIN(p) + 1) AS bbox_area
+FROM keyed
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -2643,4 +2845,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_pr_curve", _q_pr_curve, _sql_pr_curve(), "precision/recall/F1 operating points"),
     QueryDef("q_theil_sen", _q_theil_sen, _SQL_THEIL_SEN, "Theil-Sen robust trend (exact medians)"),
     QueryDef("q_ridge", _q_ridge, _sql_ridge(), "closed-form 2-feature ridge regression"),
+    QueryDef(
+        "q_bootstrap_ci", _q_bootstrap_ci, _sql_bootstrap_ci(),
+        "deterministic Poisson-bootstrap mean CI",
+    ),
+    QueryDef("q_zorder", _q_zorder, _sql_zorder(), "Z-order multi-dim clustering audit"),
 ]
