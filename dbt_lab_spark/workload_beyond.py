@@ -3010,13 +3010,34 @@ def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++).  The
     sketch is mergeable, so partial aggregation works map-side and the
     shuffle carries fixed-size sketches, not values — THE way to count
-    distincts at 100 TB.  Estimates are engine-specific → no SQL
-    oracle; the pin test bounds the error vs exact NDV at 10%."""
+    distincts at 100 TB (the production form stops at approx_users).
+    Estimates are engine-specific, so the ORACLE CONTRACT is the
+    tolerance flag: the query also computes the exact NDV and asserts
+    |approx - exact| <= 10% inline; DuckDB recomputes the exact side
+    and expects the flag TRUE.  A drifting estimator now fails the
+    value-hash gate instead of hiding behind a rows-only check."""
     cat = Catalog(sf_dir)
     ev = scan(spark, cat, "events", ["event_type", "user_id"])
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("est_within_10pct"),
+    )
+
+
+_SQL_APPROX_NDV = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_10pct
+FROM events GROUP BY 1
+"""
 
 
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5779,19 +5800,19 @@ def _sql_pagerank() -> str:
     d = 0.85
     parts = [
         r"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY 1, 2
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-norm AS (
+norm AS MATERIALIZED (
   SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
 )"""
     ]
@@ -5800,7 +5821,7 @@ norm AS (
             f""", d{k} AS (
   SELECT COALESCE(SUM(rank), 0) AS dm FROM r{k}
   WHERE node NOT IN (SELECT src FROM norm)
-), r{k + 1} AS (
+), r{k + 1} AS MATERIALIZED (
   SELECT nodes.node,
          (1 - {d}) / (SELECT n FROM nn)
          + {d} * (COALESCE(f.inflow, 0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank
@@ -6002,7 +6023,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     ),
     QueryDef("q_argmax", _q_argmax, _SQL_ARGMAX, "arg-max via struct ordering"),
     QueryDef("q_vector_norms", _q_vector_norms, _SQL_VECTOR_NORMS, "per-label embedding norms"),
-    QueryDef("q_approx_ndv", _q_approx_ndv, None, "HLL approx distinct users"),
+    QueryDef(
+        "q_approx_ndv", _q_approx_ndv, _SQL_APPROX_NDV,
+        "HLL approx distinct users (tolerance-flag oracle)",
+    ),
     QueryDef("q_hash_sample", _q_hash_sample, _SQL_HASH_SAMPLE, "deterministic 10% sample"),
     QueryDef(
         "q_stratified_sample",

@@ -57,16 +57,21 @@ def _trade_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The src<>dst predicate depends only on the group keys, so it runs
+# AFTER the aggregate (HAVING): putting it in the join condition makes
+# DuckDB pick a customer x supplier inequality nested-loop join (21s at
+# sf0.1 vs 0.3s); MATERIALIZED stops re-evaluation when downstream CTEs
+# reference edges more than once.  Results are identical either way.
 _SQL_TRADE_EDGES = rf"""
-edges_all AS (
+edges_all AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY 1, 2
-), edges AS (
+  HAVING src <> dst
+), edges AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst,
            ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
@@ -2734,10 +2739,11 @@ def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     cents = (money("o_totalprice") * 100).cast("long")
     p = F.least(F.floor(cents / F.lit(20000.0)), F.lit((1 << _Z_BITS) - 1)).cast("long")
-    z = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
-        z = z + F.shiftleft(F.shiftright(d, i).bitwiseAND(F.lit(1)), 2 * i).cast("long")
-        z = z + F.shiftleft(F.shiftright(p, i).bitwiseAND(F.lit(1)), 2 * i + 1).cast("long")
+    # same round-robin interleave the layout writer uses (d at bit 2i,
+    # p at bit 2i+1), so this audit measures exactly write_zordered's key
+    from dbt_lab_spark.sources import zorder_key
+
+    z = zorder_key([d, p], bits=_Z_BITS)
     rows = orders.select(
         F.shiftright(z, _Z_BUCKETS_SHIFT).cast("long").alias("zbucket"),
         d.alias("d"),
@@ -2783,6 +2789,286 @@ SELECT CAST(zbucket AS BIGINT) AS zbucket, COUNT(*) AS n,
 FROM keyed
 GROUP BY zbucket
 ORDER BY zbucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+
+
+def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    public): score every document by the log-likelihood ratio of its
+    hashed n-gram features under the target distribution (here
+    lang=='en' docs) vs the raw corpus, add-1 smoothed over 1024
+    buckets, and select docs with score > 0 (more target-like than
+    raw).  Scale shape: word-count explode -> (doc, idx) aggregate,
+    a 1024-row feature-ratio table BROADCAST back, and exact-decimal
+    score sums — no per-doc Python, no quadratic step.  Determinism:
+    the only transcendental (ln of an exactly-shared double ratio) is
+    rounded to 6 and fixed into DECIMAL(18,6), so per-doc scores are
+    exact decimal sums — engine-identical.  Reference capability
+    evidence: bulk-operator extension surface,
+    mapred/qexec/examples/CountTuplesOperator.java:36-67."""
+    from dbt_lab_spark.llm.classifier import hash_features
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source"])
+    feats = hash_features(docs, n_features=_DSIR_B)  # (doc_id, idx, tf)
+    meta = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("is_t")
+    )
+    fl = feats.join(meta, "doc_id")
+    per_feat = fl.groupBy("idx").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(F.lit(0.0)))
+        .cast("long")
+        .alias("ct"),
+        F.sum("tf").cast("long").alias("cr"),
+    )
+    tot = per_feat.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    rat = per_feat.crossJoin(F.broadcast(tot)).select(
+        "idx",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tr") + _DSIR_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("tt") + _DSIR_B)).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    scored = (
+        fl.join(F.broadcast(rat), "idx")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("tf").cast("long") * F.col("lr")).alias("score"))
+    )
+    n_sel = F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_sel.cast("long").alias("n_selected"),
+            F.round(
+                F.when(
+                    n_sel > 0,
+                    F.sum(F.when(F.col("score") > 0, F.col("score"))).cast("double")
+                    / n_sel,
+                )
+            , 4).alias("avg_sel_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_dsir_sample() -> str:
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', m[{i}:{i}]) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, is_t,
+         list_concat(
+           t,
+           CASE WHEN len(t) < 2 THEN []
+                ELSE [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+           END
+         ) AS g
+  FROM toks WHERE len(t) > 0
+), hx AS (
+  SELECT doc_id, source, is_t, md5(u.u) AS m FROM grams, unnest(g) AS u(u)
+), feat AS (
+  SELECT doc_id, source, is_t, ({hex_to_int}) % {_DSIR_B} AS idx FROM hx
+), tf AS (
+  SELECT doc_id, source, is_t, idx, COUNT(*) AS tf FROM feat GROUP BY 1, 2, 3, 4
+), per_feat AS (
+  SELECT idx, SUM(CASE WHEN is_t = 1 THEN tf ELSE 0 END) AS ct, SUM(tf) AS cr
+  FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM per_feat
+), rat AS (
+  SELECT idx,
+         CAST(round(ln(CAST((ct + 1) * (tr + {_DSIR_B}) AS DOUBLE)
+                       / CAST((cr + 1) * (tt + {_DSIR_B}) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lr
+  FROM per_feat, tot
+), scored AS (
+  SELECT doc_id, source, SUM(tf * lr) AS score
+  FROM tf JOIN rat USING (idx) GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS n_selected,
+       round(CASE WHEN SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) > 0
+                  THEN CAST(SUM(CASE WHEN score > 0 THEN score END) AS DOUBLE)
+                       / SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) END, 4) AS avg_sel_score
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity of the top-3 trade graph: Pearson
+    correlation over edges of (out-degree of src, in-degree of dst) —
+    do high-degree exporters ship to high-degree importers?  Degrees
+    come from two hash aggregates broadcast back onto the edge list;
+    the correlation uses exact integer moment sums and the engine's
+    shared single-expression Pearson formula (q_corr_matrix
+    convention), so the statistic is engine-exact (rounded to 6).
+    Reference capability evidence: join + aggregate surface,
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    edges = _trade_edges_topk(spark, sf_dir)
+    dout = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    din = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    exy = (
+        edges.join(F.broadcast(dout), "src")
+        .join(F.broadcast(din), "dst")
+        .select("x", "y")
+    )
+    m = exy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        F.round(F.when(den > 0, (n * sxy - sx * sy) / den), 6).alias("assortativity"),
+        F.col("n").cast("bigint").alias("n_edges"),
+    )
+
+
+_SQL_ASSORTATIVITY = rf"""
+WITH {_SQL_TRADE_EDGES},
+dout AS (SELECT src, COUNT(*) AS x FROM edges GROUP BY 1),
+din AS (SELECT dst, COUNT(*) AS y FROM edges GROUP BY 1),
+exy AS (
+  SELECT dout.x, din.y
+  FROM edges JOIN dout USING (src) JOIN din USING (dst)
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM exy
+)
+SELECT round(CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS assortativity,
+       CAST(n AS BIGINT) AS n_edges
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (synchronous, fixed unroll)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    undirected top-3 trade graph: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors (ties -> smallest label); isolated nodes keep theirs.
+    Exactly _LPA_ROUNDS rounds, so the oracle UNROLLS the same update
+    as chained CTEs — a fully deterministic, hash-matchable take on an
+    iterative graph algorithm (the usual LPA nondeterminism comes from
+    async order and random tie-breaks, both removed here).  Scale
+    shape per round: one edge-labels join + one (node, label) count +
+    one max-by pick — all hash-partitioned on node; rounds are bounded
+    by the unroll, not the data.  Reference capability evidence:
+    Hadoop bulk-operator iteration surface,
+    mapred/qexec/examples/CountTuplesOperator.java:36-67."""
+    edges = _trade_edges_topk(spark, sf_dir)
+    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("u")).union(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    ).distinct()
+    nodes = und.select(F.col("v").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = und.join(labels.withColumnRenamed("node", "u"), "u").select(
+            "v", "lab"
+        )
+        counted = nbr.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+        picked = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("min_node"))
+        .orderBy("lab")
+    )
+
+
+def _sql_label_prop() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT und.v, {prev}.lab, COUNT(*) AS c
+  FROM und JOIN {prev} ON und.u = {prev}.node
+  GROUP BY 1, 2
+), p{r} AS (
+  SELECT v AS node, lab AS new_lab FROM (
+    SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+    FROM c{r})
+  WHERE rn = 1
+), l{r} AS (
+  SELECT {prev}.node, COALESCE(p{r}.new_lab, {prev}.lab) AS lab
+  FROM {prev} LEFT JOIN p{r} USING (node)
+)""")
+        prev = f"l{r}"
+    body = ",".join(rounds)
+    return rf"""
+WITH {_SQL_TRADE_EDGES},
+und AS MATERIALIZED (
+  SELECT src AS v, dst AS u FROM edges
+  UNION
+  SELECT dst AS v, src AS u FROM edges
+), nodes AS (SELECT DISTINCT v AS node FROM und),
+l0 AS (SELECT node, node AS lab FROM nodes),{body}
+SELECT lab, COUNT(*) AS n_members, MIN(node) AS min_node
+FROM {prev}
+GROUP BY lab
+ORDER BY lab
 """
 
 
@@ -2850,4 +3136,16 @@ EXTRA_QUERIES: list[QueryDef] = [
         "deterministic Poisson-bootstrap mean CI",
     ),
     QueryDef("q_zorder", _q_zorder, _sql_zorder(), "Z-order multi-dim clustering audit"),
+    QueryDef(
+        "q_dsir_sample", _q_dsir_sample, _sql_dsir_sample(),
+        "DSIR importance resampling (hashed-ngram LLR)",
+    ),
+    QueryDef(
+        "q_assortativity", _q_assortativity, _SQL_ASSORTATIVITY,
+        "degree assortativity (exact moments)",
+    ),
+    QueryDef(
+        "q_label_prop", _q_label_prop, _sql_label_prop(),
+        "label-propagation communities (unrolled oracle)",
+    ),
 ]

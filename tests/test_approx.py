@@ -1,7 +1,8 @@
 """Approximate aggregates (sketches) — error-bounded vs exact.
 
-Estimates are engine-specific so these carry the correctness weight
-for `q_approx_ndv` (no SQL oracle, rows-only driver check)."""
+`q_approx_ndv` now carries a tolerance-flag oracle (the query asserts
+|approx-exact| <= 10% inline and DuckDB expects TRUE); these tests pin
+the same bound per event type plus sketch mergeability."""
 
 from __future__ import annotations
 

@@ -1,0 +1,134 @@
+"""Pin tests for the wave-5 operators: DSIR importance resampling,
+degree assortativity, label-propagation communities, and the
+approx-NDV tolerance-flag oracle upgrade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.workload_extras import (
+    _LPA_ROUNDS,
+    _q_assortativity,
+    _q_dsir_sample,
+    _q_label_prop,
+    _trade_edges_topk,
+)
+
+
+def test_dsir_selects_target_like_docs(spark, sf_medium):
+    """The importance-resampling gate must enrich the target class:
+    the selected fraction among en docs exceeds the selected fraction
+    among non-en docs (that is the whole point of DSIR)."""
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.llm.classifier import hash_features
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.workload_extras import _DSIR_B
+
+    rows = {r["source"]: r for r in _q_dsir_sample(spark, sf_medium).collect()}
+    assert rows, "no sources scored"
+    for r in rows.values():
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        if r["n_selected"] > 0:
+            assert r["avg_sel_score"] > 0  # selected docs have positive LLR
+
+    # class-level enrichment, recomputed per doc
+    cat = Catalog(sf_medium)
+    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang"])
+    feats = hash_features(docs, n_features=_DSIR_B)
+    labels = docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("is_t"))
+    fl = feats.join(labels, "doc_id")
+    per_feat = fl.groupBy("idx").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(F.lit(0.0)))
+        .cast("long").alias("ct"),
+        F.sum("tf").cast("long").alias("cr"),
+    )
+    tot = per_feat.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    rat = per_feat.crossJoin(F.broadcast(tot)).select(
+        "idx",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("tr") + _DSIR_B)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("tt") + _DSIR_B)).cast("double")
+        ).alias("lr"),
+    )
+    sel = (
+        fl.join(F.broadcast(rat), "idx")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lr")).alias("s"))
+        .join(labels, "doc_id")
+        .groupBy("is_t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("k"),
+        )
+        .collect()
+    )
+    frac = {r["is_t"]: r["k"] / r["n"] for r in sel}
+    assert frac[1] > frac[0], frac
+
+
+def test_assortativity_matches_python_reference(spark, sf_small):
+    edges = [(r["src"], r["dst"]) for r in _trade_edges_topk(spark, sf_small).collect()]
+    from collections import Counter
+
+    dout = Counter(s for s, _ in edges)
+    din = Counter(d for _, d in edges)
+    xs = [dout[s] for s, d in edges]
+    ys = [din[d] for s, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    expected = (n * sxy - sx * sy) / den if den > 0 else None
+    row = _q_assortativity(spark, sf_small).collect()[0]
+    assert row["n_edges"] == n
+    if expected is None:
+        assert row["assortativity"] is None
+    else:
+        assert row["assortativity"] == pytest.approx(expected, abs=1e-5)
+
+
+def _lpa_ref(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Synchronous LPA, most-frequent neighbor label, ties -> min."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    lab = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v in lab:
+            c = Counter(lab[u] for u in nbrs[v])
+            if c:
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = lab[v]
+        lab = new
+    return lab
+
+
+def test_label_prop_matches_python_reference(spark, sf_small):
+    edges = [(r["src"], r["dst"]) for r in _trade_edges_topk(spark, sf_small).collect()]
+    ref = _lpa_ref(edges, _LPA_ROUNDS)
+    from collections import Counter
+
+    ref_sizes = Counter(ref.values())
+    rows = _q_label_prop(spark, sf_small).collect()
+    got_sizes = {r["lab"]: r["n_members"] for r in rows}
+    assert got_sizes == dict(ref_sizes)
+    # labels converge: fewer distinct labels than nodes (communities form)
+    assert len(got_sizes) <= len(ref)
+
+
+def test_approx_ndv_flag_is_true_everywhere(spark, sf_medium):
+    from dbt_lab_spark.workload_beyond import _q_approx_ndv
+
+    rows = _q_approx_ndv(spark, sf_medium).collect()
+    assert rows
+    assert all(r["est_within_10pct"] for r in rows)
+    assert all(r["exact_users"] > 0 for r in rows)
