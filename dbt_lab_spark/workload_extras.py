@@ -3072,6 +3072,179 @@ ORDER BY lab
 """
 
 
+# ---------------------------------------------------------------------------
+# approximate quantiles under a tolerance-flag oracle
+# ---------------------------------------------------------------------------
+
+_AQ_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+_AQ_ACC = 10_000  # rank error <= n / accuracy
+
+
+def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (Greenwald-Khanna style
+    percentile_approx) on lineitem prices — the sketch whose shuffle
+    carries summaries, not values, which is how percentiles work at
+    100 TB (the production form stops at the estimate).  Like
+    q_approx_ndv, the ORACLE CONTRACT is a tolerance flag: the query
+    computes the exact rank band [p - n/acc, p + n/acc] inline via two
+    inverse-rank lookups and asserts the estimate's VALUE lies inside
+    it; DuckDB recomputes the exact discrete percentiles and expects
+    TRUE.  Output: per-quantile exact value + in-band flag."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_extendedprice"]).select(
+        money("l_extendedprice").cast("double").alias("v")
+    )
+    n = li.count()
+    if n == 0:
+        approx = [None] * len(_AQ_PROBS)
+    else:
+        approx = li.agg(
+            F.percentile_approx("v", _AQ_PROBS, _AQ_ACC).alias("a")
+        ).collect()[0]["a"]
+    w = Window.orderBy("v")
+    ranked = li.withColumn("rn", F.row_number().over(w))
+    checks = []
+    for p, a in zip(_AQ_PROBS, approx):
+        lo_rank = max(1, int(p * n) - (n // _AQ_ACC) - 1)
+        hi_rank = min(n, int(p * n) + (n // _AQ_ACC) + 2) if n else 1
+        exact_rank = min(max(1, int(-(-p * n // 1))), n) if n else 1  # ceil(p*n)
+        checks.append(
+            F.struct(
+                F.lit(p).alias("p"),
+                F.min(F.when(F.col("rn") == exact_rank, F.col("v"))).alias("exact_v"),
+                (
+                    (F.lit(a) >= F.min(F.when(F.col("rn") == lo_rank, F.col("v"))))
+                    & (F.lit(a) <= F.min(F.when(F.col("rn") == hi_rank, F.col("v"))))
+                ).alias("est_in_band")
+                if a is not None
+                else F.lit(None).cast("boolean").alias("est_in_band"),
+            )
+        )
+    agg = ranked.agg(F.array(*checks).alias("qs"))
+    return (
+        agg.select(F.explode("qs").alias("q"))
+        .select("q.p", "q.exact_v", "q.est_in_band")
+        .orderBy("p")
+    )
+
+
+def _sql_approx_quantiles() -> str:
+    ps = ", ".join(str(p) for p in _AQ_PROBS)
+    return f"""
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+  FROM lineitem
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM v
+), p AS (SELECT unnest([{ps}]) AS p)
+SELECT p.p AS p,
+       (SELECT v FROM ranked
+        WHERE rn = least(greatest(1, CAST(ceil(p.p * (SELECT MAX(n) FROM ranked)) AS BIGINT)),
+                         (SELECT MAX(n) FROM ranked))) AS exact_v,
+       TRUE AS est_in_band
+FROM p
+ORDER BY p
+"""
+
+
+# ---------------------------------------------------------------------------
+# population stability index (PSI) drift per source
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of document length per source vs the
+    whole corpus — the model-monitoring drift score (PSI < 0.1 stable,
+    > 0.25 shifted): psi = sum_bins (p_src - p_all) * ln(p_src/p_all)
+    over 10 fixed log-width n_chars bins, add-1 smoothed.  Scale
+    shape: one hash aggregate to (source, bin) counts, tiny broadcast
+    of the corpus bin row, one reduce per source.  Determinism: the
+    DSIR convention — each ln() runs on an exactly-shared double and
+    is rounded to 6 and frozen to DECIMAL, making the per-source sum
+    an exact decimal reduce."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    binned = docs.select(
+        "source",
+        F.least(
+            F.floor(F.log2(F.col("n_chars").cast("double") + 1.0)).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    stot = sb.groupBy("source").agg(F.sum("c").alias("ns"))
+    ab = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ca"))
+    atot = ab.agg(F.sum("ca").alias("na"))
+    # dense (source x bin) grid so zero-count bins still contribute
+    grid = (
+        stot.crossJoin(F.broadcast(ab.crossJoin(atot)))
+        .join(sb, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            "ns",
+            "na",
+            "ca",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    # smoothed shares: (c+1)/(ns+BINS); ratio exactly shared -> ln -> round
+    term = (
+        (
+            (F.col("c") + 1) / (F.col("ns") + _PSI_BINS)
+            - (F.col("ca") + 1) / (F.col("na") + _PSI_BINS)
+        )
+        * F.round(
+            F.log(
+                ((F.col("c") + 1) * (F.col("na") + _PSI_BINS)).cast("double")
+                / ((F.col("ca") + 1) * (F.col("ns") + _PSI_BINS)).cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)")
+    ).cast("decimal(28,12)")
+    return (
+        grid.select("source", term.alias("t"))
+        .groupBy("source")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("psi"))
+        .orderBy("source")
+    )
+
+
+def _sql_psi() -> str:
+    return f"""
+WITH binned AS (
+  SELECT source,
+         least(CAST(floor(log2(CAST(n_chars AS DOUBLE) + 1.0)) AS INTEGER),
+               {_PSI_BINS - 1}) AS bin
+  FROM documents
+), sb AS (
+  SELECT source, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+), stot AS (
+  SELECT source, SUM(c) AS ns FROM sb GROUP BY 1
+), ab AS (
+  SELECT bin, COUNT(*) AS ca FROM binned GROUP BY 1
+), atot AS (
+  SELECT SUM(ca) AS na FROM ab
+), grid AS (
+  SELECT stot.source, ab.bin, stot.ns, atot.na, ab.ca, COALESCE(sb.c, 0) AS c
+  FROM stot CROSS JOIN ab CROSS JOIN atot
+  LEFT JOIN sb ON sb.source = stot.source AND sb.bin = ab.bin
+), terms AS (
+  SELECT source,
+         CAST((CAST(c + 1 AS DOUBLE) / (ns + {_PSI_BINS})
+               - CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BINS}))
+              * CAST(round(ln(CAST((c + 1) * (na + {_PSI_BINS}) AS DOUBLE)
+                               / CAST((ca + 1) * (ns + {_PSI_BINS}) AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) AS DECIMAL(28,12)) AS t
+  FROM grid
+)
+SELECT source, round(CAST(SUM(t) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -3148,4 +3321,9 @@ EXTRA_QUERIES: list[QueryDef] = [
         "q_label_prop", _q_label_prop, _sql_label_prop(),
         "label-propagation communities (unrolled oracle)",
     ),
+    QueryDef(
+        "q_approx_quantiles", _q_approx_quantiles, _sql_approx_quantiles(),
+        "mergeable approx quantiles (tolerance-band oracle)",
+    ),
+    QueryDef("q_psi", _q_psi, _sql_psi(), "PSI drift per source (frozen-ln decimal)"),
 ]

