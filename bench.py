@@ -30,6 +30,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # BENCH-QS (BASELINE.md §2) + beyond-reference headliners.
 BENCH_NAMES = [
+    # session-4 additions (stats/eval/resampling/layout/graph/LLM-curation)
+    "q_pr_curve",
+    "q_theil_sen",
+    "q_ridge",
+    "q_bootstrap_ci",
+    "q_zorder",
+    "q_arrow_ipc_ingest",
+    "q_dsir_sample",
+    "q_assortativity",
+    "q_label_prop",
+    "q_approx_quantiles",
+    "q_psi",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

@@ -2626,6 +2626,11 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"]).select(
         "o_orderkey", money("o_totalprice").alias("y")
     )
+    # spread the xB fan-out + md5 stage across all cores: a single input
+    # file otherwise pins the 6M-row hash stage to one partition (at
+    # cluster scale orders is already many splits and this is a no-op
+    # cost — a narrow 2-column shuffle)
+    orders = orders.repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
     b = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
     j = orders.crossJoin(F.broadcast(b))
     u = (
@@ -2647,11 +2652,15 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.pow(F.lit(2.0), F.lit(60))
     )
+    # project u ONCE: embedding `u` inside each branch of the CASE
+    # chain makes Catalyst inline 6 copies of the md5/conv tree per row
     w = F.lit(6)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[k]), k).otherwise(w)
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), k).otherwise(w)
     means = (
-        j.withColumn("w", w)
+        j.withColumn("u", u)
+        .withColumn("w", w)
+        .drop("u")
         .groupBy("b")
         .agg(F.sum(F.col("w") * F.col("y")).alias("s"), F.sum("w").alias("nw"))
         .filter(F.col("nw") > 0)
