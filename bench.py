@@ -42,6 +42,7 @@ BENCH_NAMES = [
     "q_label_prop",
     "q_approx_quantiles",
     "q_psi",
+    "q_hll_window",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

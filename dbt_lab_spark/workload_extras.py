@@ -3254,6 +3254,162 @@ FROM terms GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# sliding-window HLL rollup (mergeable sketches over time)
+# ---------------------------------------------------------------------------
+
+_HLLW_DAYS = 7
+
+
+def _q_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct-user estimates from MERGED daily HLL
+    sketches — the time-windowed rollup that makes sketches the 100 TB
+    answer: the raw stream reduces once to (day, bucket, max_rho)
+    daily sketches, and every window estimate is a max-merge of <= 7
+    tiny sketch rows, never a re-scan of the raw data.  Same
+    first-principles md5 bit-slice HLL as q_hll_sketch (so the sketch
+    AND the merge carry a full oracle); exact windowed NDV + rel_err
+    ride along per day.  The band join fans out only the 256-row-a-day
+    sketch table, bounded by window length."""
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("ts", "user_id")
+    keyed = ev.select(
+        F.floor(F.unix_millis("ts") / F.lit(86400000.0)).cast("long").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    ).distinct()
+    rest = F.substring("hx", 3, 14)
+    zchars = F.length(F.regexp_extract(rest, "^0*", 0))
+    first_nz = F.expr(
+        "substr(substr(hx, 3, 14), length(regexp_extract(substr(hx, 3, 14), '^0*', 0)) + 1, 1)"
+    )
+    extra = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(zchars == 14, F.lit(57)).otherwise(zchars * 4 + extra + 1)
+    daily = (
+        keyed.select(
+            "day",
+            F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    days = daily.select("day").distinct()
+    merged = (
+        daily.alias("s")
+        .join(
+            days.alias("d"),
+            (F.col("s.day") <= F.col("d.day"))
+            & (F.col("s.day") > F.col("d.day") - _HLLW_DAYS),
+        )
+        .groupBy(F.col("d.day").alias("day"), "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    agg = merged.groupBy("day").agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(57) - F.col("max_rho")).cast("decimal(38,0)")
+        ).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    exact = (
+        keyed.alias("k")
+        .join(
+            days.alias("d"),
+            (F.col("k.day") <= F.col("d.day"))
+            & (F.col("k.day") > F.col("d.day") - _HLLW_DAYS),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("hx").alias("exact_ndv"))
+    )
+    est_raw = (
+        F.lit(alpha * m * m)
+        / (
+            (
+                F.col("s").cast("double")
+                + (F.lit(m) - F.col("nonzero")) * F.pow(F.lit(2.0), F.lit(57))
+            )
+            / F.pow(F.lit(2.0), F.lit(57))
+        )
+    )
+    v = F.lit(m) - F.col("nonzero")
+    corrected = F.when(
+        (est_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(est_raw)
+    return (
+        agg.join(exact, "day")
+        .select(
+            "day",
+            F.round(corrected, 2).alias("est"),
+            "exact_ndv",
+            F.round(F.abs(corrected - F.col("exact_ndv")) / F.col("exact_ndv"), 3).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def _sql_hll_window() -> str:
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return rf"""
+WITH keyed AS MATERIALIZED (
+  SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), r AS (
+  SELECT day, CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) AS bucket,
+         length(regexp_extract(substr(hx, 3, 14), '^0*')) AS zchars,
+         substr(substr(hx, 3, 14),
+                length(regexp_extract(substr(hx, 3, 14), '^0*')) + 1, 1) AS fnz
+  FROM keyed
+), daily AS MATERIALIZED (
+  SELECT day, bucket,
+         MAX(CASE WHEN zchars = 14 THEN 57
+                  ELSE zchars * 4 + CASE WHEN fnz = '1' THEN 3
+                                         WHEN fnz IN ('2','3') THEN 2
+                                         WHEN fnz IN ('4','5','6','7') THEN 1
+                                         ELSE 0 END + 1 END) AS max_rho
+  FROM r GROUP BY day, bucket
+), days AS MATERIALIZED (SELECT DISTINCT day FROM daily),
+merged AS (
+  SELECT d.day AS day, s.bucket, MAX(s.max_rho) AS max_rho
+  FROM daily s JOIN days d ON s.day <= d.day AND s.day > d.day - {_HLLW_DAYS}
+  GROUP BY 1, 2
+), agg AS (
+  SELECT day, SUM(CAST(POWER(2, 57 - max_rho) AS DECIMAL(38,0))) AS s,
+         COUNT(*) AS nonzero
+  FROM merged GROUP BY day
+), ex AS (
+  SELECT d.day AS day, COUNT(DISTINCT k.hx) AS exact_ndv
+  FROM keyed k JOIN days d ON k.day <= d.day AND k.day > d.day - {_HLLW_DAYS}
+  GROUP BY 1
+), est AS (
+  SELECT day,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m}
+         / ((CAST(s AS DOUBLE) + ({m} - nonzero) * POWER(2, 57)) / POWER(2, 57)) AS est_raw,
+         {m} - nonzero AS v
+  FROM agg
+)
+SELECT est.day AS day,
+       ROUND(CASE WHEN est_raw <= 2.5 * {m} AND v > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                  ELSE est_raw END, 2) AS est,
+       exact_ndv,
+       ROUND(abs(CASE WHEN est_raw <= 2.5 * {m} AND v > 0
+                      THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                      ELSE est_raw END - exact_ndv) / exact_ndv, 3) AS rel_err
+FROM est JOIN ex ON ex.day = est.day
+ORDER BY day
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -3335,4 +3491,8 @@ EXTRA_QUERIES: list[QueryDef] = [
         "mergeable approx quantiles (tolerance-band oracle)",
     ),
     QueryDef("q_psi", _q_psi, _sql_psi(), "PSI drift per source (frozen-ln decimal)"),
+    QueryDef(
+        "q_hll_window", _q_hll_window, _sql_hll_window(),
+        "7-day sliding HLL merge (sketch rollup oracle)",
+    ),
 ]

@@ -184,3 +184,17 @@ def test_psi_identical_distribution_is_zeroish(spark):
     # both sources deviate from the pooled corpus equally here; the pin
     # is that PSI is symmetric-ish and clearly nonzero for the split
     assert rows["a"] > 0.25 and rows["b"] > 0.25
+
+
+def test_hll_window_merge_accuracy_and_monotonicity(spark, sf_medium):
+    """Windowed sketch estimates stay within HLL error of the exact
+    windowed NDV, and the first _HLLW_DAYS-1 days (growing window)
+    have nondecreasing exact counts."""
+    from dbt_lab_spark.workload_extras import _HLLW_DAYS, _q_hll_window
+
+    rows = sorted(_q_hll_window(spark, sf_medium).collect(), key=lambda r: r["day"])
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.25  # 256-bucket HLL worst case pin
+    heads = [r["exact_ndv"] for r in rows[: _HLLW_DAYS - 1]]
+    assert heads == sorted(heads)
