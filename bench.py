@@ -43,6 +43,7 @@ BENCH_NAMES = [
     "q_approx_quantiles",
     "q_psi",
     "q_hll_window",
+    "q_salted_join",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

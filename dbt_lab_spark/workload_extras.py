@@ -3410,6 +3410,64 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# salted skew join under the driver gate
+# ---------------------------------------------------------------------------
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-deviation per event type via operators.joins.salted_join on
+    the MOST skewed key in the corpus (5 event_type values over the
+    whole events table — every key is a hot key): the per-type mean is
+    joined back through the salted path (large side's key salted by
+    content hash, small side exploded across the salt domain), which
+    keeps every reducer bounded at corpus scale where a plain
+    broadcast-less equi-join would straggle.  Salting must be
+    result-invisible, so the ORACLE is the plain join — the driver
+    gate now proves the skew machinery changes nothing.  Deviations
+    are |v - mean| rounded to fixed point and summed in exact DECIMAL
+    (mean is a single IEEE division of exact decimal sums)."""
+    from dbt_lab_spark.operators.joins import salted_join
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "event_type", money("value").alias("v")
+    )
+    dim = ev.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v")
+    )
+    joined = salted_join(ev, dim, "event_type", salt_buckets=16)
+    dev = F.round(F.abs(F.col("v").cast("double") - F.col("mean_v")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dev).cast("double"), 2).alias("sum_abs_dev"),
+            F.round(F.min("mean_v"), 6).alias("mean_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_SALTED_JOIN = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+), dim AS (
+  SELECT event_type, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM ev GROUP BY 1
+)
+SELECT ev.event_type AS event_type, COUNT(*) AS n,
+       round(CAST(SUM(CAST(round(abs(CAST(ev.v AS DOUBLE) - dim.mean_v), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_abs_dev,
+       round(MIN(dim.mean_v), 6) AS mean_v
+FROM ev JOIN dim ON ev.event_type = dim.event_type
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -3494,5 +3552,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_hll_window", _q_hll_window, _sql_hll_window(),
         "7-day sliding HLL merge (sketch rollup oracle)",
+    ),
+    QueryDef(
+        "q_salted_join", _q_salted_join, _SQL_SALTED_JOIN,
+        "skew-salted join (result-invisible oracle)",
     ),
 ]

@@ -198,3 +198,25 @@ def test_hll_window_merge_accuracy_and_monotonicity(spark, sf_medium):
         assert r["rel_err"] <= 0.25  # 256-bucket HLL worst case pin
     heads = [r["exact_ndv"] for r in rows[: _HLLW_DAYS - 1]]
     assert heads == sorted(heads)
+
+
+def test_salted_join_equals_plain_join(spark, sf_medium):
+    """Salting is result-invisible: salted_join == plain join on the
+    same aggregate, and the salted plan carries no duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.expr import money
+    from dbt_lab_spark.operators.joins import salted_join
+    from dbt_lab_spark.workload_extras import _q_salted_join
+
+    cat = Catalog(sf_medium)
+    ev = cat.table(spark, "events").select("event_type", money("value").alias("v"))
+    dim = ev.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v")
+    )
+    plain = ev.join(dim, "event_type").count()
+    salted = salted_join(ev, dim, "event_type", salt_buckets=16).count()
+    assert plain == salted
+    rows = _q_salted_join(spark, sf_medium).collect()
+    assert sum(r["n"] for r in rows) == plain
