@@ -578,3 +578,46 @@ def test_skyline_aggregates_before_global_window(spark, sf_medium):
     idx_agg = plan.find("(1) Scan parquet")
     assert idx_agg != -1
 
+
+
+# --- session-4 additions -------------------------------------------------
+
+
+def test_pr_curve_single_aggregate_no_fanout(spark, sf_medium):
+    """The 9-threshold sweep is ONE aggregate over the scan — no
+    thresholds x rows join and exactly one exchange pair."""
+    plan = _plan(spark, sf_medium, "q_pr_curve")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # partial+final global aggregate over the doc scan
+    assert _nodes(plan, "HashAggregate") >= 2
+
+
+def test_bootstrap_fanout_hash_computed_once(spark, sf_medium):
+    """The Poisson-weight projection carries exactly ONE md5 call (the
+    CASE chain must reference the projected u column, not inline six
+    copies of the hash tree)."""
+    plan = _plan(spark, sf_medium, "q_bootstrap_ci")
+    assert plan.count("md5(") == 1, plan.count("md5(")
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_medium):
+    """The 1024-row feature-ratio table joins back by broadcast — the
+    doc-side explode never shuffles onto the ratio key."""
+    plan = _plan(spark, sf_medium, "q_dsir_sample")
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_zorder_audit_is_scan_plus_one_aggregate(spark, sf_medium):
+    plan = _plan(spark, sf_medium, "q_zorder")
+    assert _nodes(plan, "Exchange") <= 2  # partial agg + final (+ sort)
+    assert _nodes(plan, "BatchEvalPython") == 0
+
+
+def test_salted_join_no_skewed_single_partition(spark, sf_medium):
+    """The salted path joins on (key, salt): the join key count in the
+    plan must include the salt column, proving the hot key is spread."""
+    plan = _plan(spark, sf_medium, "q_salted_join")
+    assert "__salt" in plan
+    assert _nodes(plan, "BatchEvalPython") == 0
