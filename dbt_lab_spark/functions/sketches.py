@@ -110,3 +110,46 @@ def heavy_hitters(df: DataFrame, item: str | Column, *, k: int) -> DataFrame:
         .filter(F.col("n") * k >= F.col("total"))
         .select("item", "n")
     )
+
+
+def hll_day_sketch(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id", p: int = 8
+) -> DataFrame:
+    """Daily HyperLogLog sketch rows (day, bucket, max_rho) from first
+    principles — md5 bit-slicing, identical to the q_hll_sketch /
+    q_hll_window oracle plane: bucket = first 2 hex chars, rho =
+    leading-zero bits of the next 56 + 1.
+
+    Pure JVM expressions and ONE grouped max-aggregate, so the same
+    call runs over a batch frame or a readStream (where the grouped
+    max is the stateful op — state is bounded at days x 2^p rows, the
+    mergeable-sketch property in streaming form).  Duplicate keys per
+    day need no pre-distinct: max() absorbs them map-side, which also
+    beats a distinct-then-aggregate double shuffle."""
+    if p != 8:
+        raise ValueError("hll_day_sketch is pinned to p=8 (2-hex-char buckets)")
+    df = events.select(
+        F.floor(F.unix_millis(ts_col) / F.lit(86400000.0)).cast("long").alias("day"),
+        F.md5(F.col(key_col).cast("string")).alias("hx"),
+    )
+    rest = F.substring("hx", 3, 14)
+    zchars = F.length(F.regexp_extract(rest, "^0*", 0))
+    first_nz = F.expr(
+        "substr(substr(hx, 3, 14), length(regexp_extract(substr(hx, 3, 14), '^0*', 0)) + 1, 1)"
+    )
+    extra = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(zchars == 14, F.lit(57)).otherwise(zchars * 4 + extra + 1)
+    return (
+        df.select(
+            "day",
+            F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )

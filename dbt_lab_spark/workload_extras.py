@@ -3271,35 +3271,18 @@ def _q_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the merge carry a full oracle); exact windowed NDV + rel_err
     ride along per day.  The band join fans out only the 256-row-a-day
     sketch table, bounded by window length."""
+    from dbt_lab_spark.functions.sketches import hll_day_sketch
+
     m = 1 << _HLL_P
     alpha = 0.7213 / (1.0 + 1.079 / m)
     cat = Catalog(sf_dir)
     ev = cat.table(spark, "events").select("ts", "user_id")
+    # the same helper the streaming path uses (stream==batch pinned)
+    daily = hll_day_sketch(ev)
     keyed = ev.select(
         F.floor(F.unix_millis("ts") / F.lit(86400000.0)).cast("long").alias("day"),
         F.md5(F.col("user_id").cast("string")).alias("hx"),
     ).distinct()
-    rest = F.substring("hx", 3, 14)
-    zchars = F.length(F.regexp_extract(rest, "^0*", 0))
-    first_nz = F.expr(
-        "substr(substr(hx, 3, 14), length(regexp_extract(substr(hx, 3, 14), '^0*', 0)) + 1, 1)"
-    )
-    extra = (
-        F.when(first_nz == "1", 3)
-        .when(first_nz.isin("2", "3"), 2)
-        .when(first_nz.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rho = F.when(zchars == 14, F.lit(57)).otherwise(zchars * 4 + extra + 1)
-    daily = (
-        keyed.select(
-            "day",
-            F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
-            rho.alias("rho"),
-        )
-        .groupBy("day", "bucket")
-        .agg(F.max("rho").alias("max_rho"))
-    )
     days = daily.select("day").distinct()
     merged = (
         daily.alias("s")

@@ -220,3 +220,23 @@ def test_salted_join_equals_plain_join(spark, sf_medium):
     assert plain == salted
     rows = _q_salted_join(spark, sf_medium).collect()
     assert sum(r["n"] for r in rows) == plain
+
+
+def test_streaming_hll_sketch_matches_batch(spark, sf_medium):
+    """The daily HLL sketch helper over readStream equals the batch
+    sketch exactly — the mergeable-sketch aggregate is the stateful op
+    and its state is bounded at days x 256 rows."""
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.functions.sketches import hll_day_sketch
+    from dbt_lab_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    cat = Catalog(sf_medium)
+    batch = {
+        (r["day"], r["bucket"]): r["max_rho"]
+        for r in hll_day_sketch(cat.table(spark, "events")).collect()
+    }
+    got = run_stream_to_memory(
+        spark, hll_day_sketch(read_events_stream(spark, sf_medium)), "t_hll_sketch"
+    )
+    stream = {(r["day"], r["bucket"]): r["max_rho"] for r in got.collect()}
+    assert batch == stream and len(batch) > 0
