@@ -44,6 +44,7 @@ BENCH_NAMES = [
     "q_psi",
     "q_hll_window",
     "q_salted_join",
+    "q_geo_nearest",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

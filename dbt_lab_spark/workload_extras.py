@@ -3451,6 +3451,170 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# grid-binned spatial nearest-neighbor join (haversine)
+# ---------------------------------------------------------------------------
+
+_GEO_CELL_DEG = 10  # grid cell size; search radius = the 3x3 neighborhood
+_GEO_SALT_LAT, _GEO_SALT_LON = "geolat", "geolon"
+
+
+def _geo_u(key: F.Column, salt: str) -> F.Column:
+    """md5-uniform in [0,1) — the engine's no-RNG convention."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15), 16, 10
+        ).cast("double")
+        / F.pow(F.lit(2.0), F.lit(60))
+    )
+
+
+def _q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-binned spatial nearest-neighbor join: every customer gets
+    deterministic (lat, lon) from the md5-uniform plane (±60° lat to
+    dodge pole degeneracy), suppliers likewise; each customer searches
+    ONLY its 10° grid cell and the 3x3 neighborhood (the bounded-radius
+    contract of a production spatial join — candidates come from a cell
+    equi-join, never a cross join), scores candidates by haversine
+    distance, and keeps the nearest (rank on the ROUNDED distance with
+    a supplier-key tie-break, so a last-ulp trig difference between
+    engines cannot flip the argmin — the q_rrf trick).  Output: per
+    customer nation, match count + exact-decimal sum and mean of
+    nearest distances.  At 100 TB the cell id is the shuffle key and
+    grid size trades replication (x9 here via the neighbor explode)
+    against candidate fan-in — the standard geo-join design.
+    Reference capability evidence: join + aggregate surface,
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"]).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.lit(-60.0) + 120.0 * _geo_u(F.col("c_custkey"), _GEO_SALT_LAT)).alias("lat"),
+        (F.lit(-180.0) + 360.0 * _geo_u(F.col("c_custkey"), _GEO_SALT_LON)).alias("lon"),
+    )
+    supp = scan(spark, cat, "supplier", ["s_suppkey"]).select(
+        "s_suppkey",
+        (F.lit(-60.0) + 120.0 * _geo_u(F.col("s_suppkey"), _GEO_SALT_LAT)).alias("slat"),
+        (F.lit(-180.0) + 360.0 * _geo_u(F.col("s_suppkey"), _GEO_SALT_LON)).alias("slon"),
+    )
+    cell = lambda lat, lon: (  # noqa: E731
+        F.floor(lat / _GEO_CELL_DEG) * 100 + F.floor(lon / _GEO_CELL_DEG)
+    )
+    # customer side explodes its 3x3 neighborhood; supplier side is keyed
+    # by its own cell -> plain equi-join on the cell id
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    cust_cells = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "lat",
+        "lon",
+        F.explode(offs).alias("o"),
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "lat",
+        "lon",
+        (
+            (F.floor(F.col("lat") / _GEO_CELL_DEG) + F.col("o.dy")) * 100
+            + (F.floor(F.col("lon") / _GEO_CELL_DEG) + F.col("o.dx"))
+        ).alias("cell"),
+    )
+    supp_cells = supp.select(
+        "s_suppkey", "slat", "slon", cell(F.col("slat"), F.col("slon")).alias("cell")
+    )
+    cand = cust_cells.join(F.broadcast(supp_cells), "cell")
+    rad = F.lit(3.141592653589793 / 180.0)
+    dphi = (F.col("slat") - F.col("lat")) * rad / 2
+    dlmb = (F.col("slon") - F.col("lon")) * rad / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.col("lat") * rad) * F.cos(F.col("slat") * rad) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist_km = 2 * 6371.0 * F.asin(F.sqrt(a))
+    scored = cand.select(
+        "c_custkey",
+        "c_nationkey",
+        "s_suppkey",
+        F.round(dist_km, 4).cast("decimal(12,4)").alias("d"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d", "s_suppkey")
+    nearest = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_nationkey", "d")
+    )
+    return (
+        nearest.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("d").cast("double"), 2).alias("sum_km"),
+            F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 4).alias("avg_km"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def _sql_geo_nearest() -> str:
+    u = lambda key, salt: (  # noqa: E731
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '{salt}'), 1, 15)) AS BIGINT)"
+        f" / POWER(2, 60)"
+    )
+    return f"""
+WITH cust AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey,
+         -60.0 + 120.0 * {u('c_custkey', _GEO_SALT_LAT)} AS lat,
+         -180.0 + 360.0 * {u('c_custkey', _GEO_SALT_LON)} AS lon
+  FROM customer
+), supp AS MATERIALIZED (
+  SELECT s_suppkey,
+         -60.0 + 120.0 * {u('s_suppkey', _GEO_SALT_LAT)} AS slat,
+         -180.0 + 360.0 * {u('s_suppkey', _GEO_SALT_LON)} AS slon
+  FROM supplier
+), offs AS (
+  SELECT dy, dx FROM (SELECT unnest([-1, 0, 1]) AS dy), (SELECT unnest([-1, 0, 1]) AS dx)
+), cust_cells AS (
+  SELECT c_custkey, c_nationkey, lat, lon,
+         (CAST(floor(lat / {_GEO_CELL_DEG}) AS BIGINT) + dy) * 100
+         + (CAST(floor(lon / {_GEO_CELL_DEG}) AS BIGINT) + dx) AS cell
+  FROM cust, offs
+), supp_cells AS (
+  SELECT s_suppkey, slat, slon,
+         CAST(floor(slat / {_GEO_CELL_DEG}) AS BIGINT) * 100
+         + CAST(floor(slon / {_GEO_CELL_DEG}) AS BIGINT) AS cell
+  FROM supp
+), cand AS (
+  SELECT c.c_custkey, c.c_nationkey, s.s_suppkey,
+         CAST(round(2 * 6371.0 * asin(sqrt(
+             sin((s.slat - c.lat) * {3.141592653589793 / 180.0} / 2)
+             * sin((s.slat - c.lat) * {3.141592653589793 / 180.0} / 2)
+             + cos(c.lat * {3.141592653589793 / 180.0})
+               * cos(s.slat * {3.141592653589793 / 180.0})
+               * sin((s.slon - c.lon) * {3.141592653589793 / 180.0} / 2)
+               * sin((s.slon - c.lon) * {3.141592653589793 / 180.0} / 2)
+         )), 4) AS DECIMAL(12,4)) AS d
+  FROM cust_cells c JOIN supp_cells s USING (cell)
+), nearest AS (
+  SELECT c_custkey, c_nationkey, d FROM (
+    SELECT c_custkey, c_nationkey, d,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+    FROM cand)
+  WHERE rn = 1
+)
+SELECT c_nationkey, COUNT(*) AS n_matched,
+       round(CAST(SUM(d) AS DOUBLE), 2) AS sum_km,
+       round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 4) AS avg_km
+FROM nearest
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -3539,5 +3703,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_salted_join", _q_salted_join, _SQL_SALTED_JOIN,
         "skew-salted join (result-invisible oracle)",
+    ),
+    QueryDef(
+        "q_geo_nearest", _q_geo_nearest, _sql_geo_nearest(),
+        "grid-binned haversine nearest neighbor",
     ),
 ]

@@ -240,3 +240,64 @@ def test_streaming_hll_sketch_matches_batch(spark, sf_medium):
     )
     stream = {(r["day"], r["bucket"]): r["max_rho"] for r in got.collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_geo_nearest_matches_bruteforce_within_neighborhood(spark, sf_small):
+    """For every matched customer, the grid-limited nearest distance
+    equals the brute-force nearest over ALL suppliers whenever that
+    global nearest lies inside the 3x3 neighborhood — the bounded-
+    radius contract."""
+    import math
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.workload_extras import (
+        _GEO_CELL_DEG,
+        _GEO_SALT_LAT,
+        _GEO_SALT_LON,
+        _geo_u,
+        _q_geo_nearest,
+    )
+    from pyspark.sql import functions as F
+
+    cat = Catalog(sf_small)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"]).select(
+        "c_custkey", "c_nationkey",
+        (F.lit(-60.0) + 120.0 * _geo_u(F.col("c_custkey"), _GEO_SALT_LAT)).alias("lat"),
+        (F.lit(-180.0) + 360.0 * _geo_u(F.col("c_custkey"), _GEO_SALT_LON)).alias("lon"),
+    ).collect()
+    supp = scan(spark, cat, "supplier", ["s_suppkey"]).select(
+        "s_suppkey",
+        (F.lit(-60.0) + 120.0 * _geo_u(F.col("s_suppkey"), _GEO_SALT_LAT)).alias("lat"),
+        (F.lit(-180.0) + 360.0 * _geo_u(F.col("s_suppkey"), _GEO_SALT_LON)).alias("lon"),
+    ).collect()
+
+    def hav(lat1, lon1, lat2, lon2):
+        r = math.pi / 180.0
+        a = (
+            math.sin((lat2 - lat1) * r / 2) ** 2
+            + math.cos(lat1 * r) * math.cos(lat2 * r) * math.sin((lon2 - lon1) * r / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    # python reference: nearest within 3x3 cells, per nation sums
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0, 0.0])
+    for c in cust:
+        ccell = (math.floor(c["lat"] / _GEO_CELL_DEG), math.floor(c["lon"] / _GEO_CELL_DEG))
+        best = None
+        for s in supp:
+            scell = (math.floor(s["lat"] / _GEO_CELL_DEG), math.floor(s["lon"] / _GEO_CELL_DEG))
+            if abs(scell[0] - ccell[0]) <= 1 and (scell[1] - ccell[1]) in (-1, 0, 1):
+                d = round(hav(c["lat"], c["lon"], s["lat"], s["lon"]), 4)
+                if best is None or d < best:
+                    best = d
+        if best is not None:
+            sums[c["c_nationkey"]][0] += 1
+            sums[c["c_nationkey"]][1] += best
+    rows = {r["c_nationkey"]: r for r in _q_geo_nearest(spark, sf_small).collect()}
+    assert set(rows) == set(sums)
+    for nk, (n, total) in sums.items():
+        assert rows[nk]["n_matched"] == n
+        assert rows[nk]["sum_km"] == pytest.approx(total, abs=0.05)
