@@ -45,6 +45,9 @@ BENCH_NAMES = [
     "q_hll_window",
     "q_salted_join",
     "q_geo_nearest",
+    "q_burstiness",
+    "q_entropy_rate",
+    "q_vocab_overlap",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

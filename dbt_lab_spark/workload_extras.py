@@ -3615,6 +3615,228 @@ ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# behavioral burstiness (inter-arrival coefficient)
+# ---------------------------------------------------------------------------
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness histogram of user behavior: per user, B =
+    (sigma - mu)/(sigma + mu) over inter-arrival gaps (B -> -1
+    periodic, 0 Poisson, +1 bursty — Goh & Barabasi 2008, public),
+    bucketed to 0.1-wide bins.  Gaps are exact integer micros from one
+    lag window; per-user moments are exact integer sums, so sigma/mu/B
+    are fixed double expressions — engine-identical.  One user_id
+    shuffle + one tiny histogram aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # integer SECONDS: micros gaps overflow long when squared (a
+    # month-long gap is ~2.6e12 us -> 7e24 squared); seconds keep the
+    # sum of squares comfortably inside 2^63 with no burstiness impact
+    sec = F.expr("unix_micros(ts) div 1000000")
+    gaps = (
+        ev.select("user_id", (sec - F.lag(sec).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / n
+    var = (n * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")) / (n * n)
+    sigma = F.sqrt(var)
+    b = F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)).otherwise(F.lit(0.0))
+    binned = m.select(
+        F.greatest(
+            F.lit(-10), F.least(F.lit(9), F.floor(b * 10).cast("int"))
+        ).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("bin")
+    )
+
+
+_SQL_BURSTINESS = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+         - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+), g AS (
+  SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
+), m AS (
+  SELECT user_id, COUNT(*) AS n, SUM(gap) AS s, SUM(gap * gap) AS ss
+  FROM g GROUP BY 1 HAVING COUNT(*) >= 2
+), b AS (
+  SELECT CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+         THEN (sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         ELSE 0.0 END AS bv
+  FROM m
+)
+SELECT greatest(-10, least(9, CAST(floor(bv * 10) AS INTEGER))) AS bin,
+       COUNT(*) AS n_users
+FROM b
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the event-type process
+# ---------------------------------------------------------------------------
+
+
+def _q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = -sum_{s,t} (c_st / total) * ln(c_st / c_s) — how predictable
+    is the next event given the current one (the sequence-modeling
+    complement to q_entropy's marginal and q_transitions' matrix).
+    Transition counts come from one lag window + one hash aggregate;
+    determinism by the frozen-ln convention (each ln runs on an
+    exactly-shared double, rounded to 6, fixed to DECIMAL, weighted by
+    INTEGER c_st, summed exactly, divided by total once)."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("s"), F.col("event_type").alias("t")
+        )
+        .filter(F.col("s").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    c_s = trans.groupBy("s").agg(F.sum("c_st").alias("c_s"))
+    tot = trans.agg(F.sum("c_st").alias("total"))
+    term = (
+        F.col("c_st")
+        * F.round(
+            F.log(F.col("c_st").cast("double") / F.col("c_s").cast("double")), 6
+        ).cast("decimal(18,6)")
+    )
+    return (
+        trans.join(F.broadcast(c_s), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(term).cast("double") / F.max("total"), 6
+            ).alias("entropy_rate_nats"),
+            F.max("total").cast("bigint").alias("n_transitions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_state_pairs"),
+        )
+    )
+
+
+_SQL_ENTROPY_RATE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s,
+         event_type AS t
+  FROM events
+), trans AS (
+  SELECT s, t, COUNT(*) AS c_st FROM seq WHERE s IS NOT NULL GROUP BY 1, 2
+), cs AS (
+  SELECT s, SUM(c_st) AS c_s FROM trans GROUP BY 1
+), tot AS (SELECT SUM(c_st) AS total FROM trans)
+SELECT round(-CAST(SUM(c_st * CAST(round(ln(CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+             / MAX(total), 6) AS entropy_rate_nats,
+       CAST(MAX(total) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_state_pairs
+FROM trans JOIN cs USING (s), tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-source vocabulary overlap (pairwise Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity between sources' vocabularies — the
+    corpus-composition diagnostic (how much does one crawl share words
+    with another?).  Scale shape: reduce to DISTINCT (source, token)
+    FIRST (vocab grows far slower than the corpus), then the pair
+    intersection is a token-key equi-join of that small frame with
+    itself — never a doc-level cross join; union sizes come from the
+    per-source vocab counts by inclusion-exclusion.  Exact integer
+    counts; Jaccard is one division, rounded."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "text"])
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (F.col("nv_a") + F.col("nv_b") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SQL_VOCAB_OVERLAP = r"""
+WITH vocab AS MATERIALIZED (
+  SELECT DISTINCT source, u.tok
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS u(tok)
+  WHERE u.tok <> ''
+), sizes AS (
+  SELECT source, COUNT(*) AS nv FROM vocab GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter,
+       sa.nv + sb.nv - n_inter AS n_union,
+       round(n_inter / (sa.nv + sb.nv - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -3707,5 +3929,14 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_geo_nearest", _q_geo_nearest, _sql_geo_nearest(),
         "grid-binned haversine nearest neighbor",
+    ),
+    QueryDef("q_burstiness", _q_burstiness, _SQL_BURSTINESS, "inter-arrival burstiness histogram"),
+    QueryDef(
+        "q_entropy_rate", _q_entropy_rate, _SQL_ENTROPY_RATE,
+        "Markov entropy rate (frozen-ln decimal)",
+    ),
+    QueryDef(
+        "q_vocab_overlap", _q_vocab_overlap, _SQL_VOCAB_OVERLAP,
+        "pairwise source vocabulary Jaccard",
     ),
 ]

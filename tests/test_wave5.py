@@ -301,3 +301,75 @@ def test_geo_nearest_matches_bruteforce_within_neighborhood(spark, sf_small):
     for nk, (n, total) in sums.items():
         assert rows[nk]["n_matched"] == n
         assert rows[nk]["sum_km"] == pytest.approx(total, abs=0.05)
+
+
+def test_burstiness_poisson_near_zero(spark):
+    """A memoryless (geometric-gap) synthetic stream lands near B=0;
+    a periodic stream lands near B=-1."""
+    import pandas as pd
+
+    from dbt_lab_spark.workload_extras import _q_burstiness
+
+    # periodic user 1 (gap exactly 100s), bursty-ish user 2
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for i in range(200):
+        rows.append((1, t0 + pd.Timedelta(seconds=100 * i)))
+    gaps = [1, 1, 1, 1, 1000] * 40
+    t = t0
+    for g in gaps:
+        t = t + pd.Timedelta(seconds=g)
+        rows.append((2, t))
+    import os, tempfile
+
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    schema = pq.read_schema("/root/testdata/sf0.001/events.parquet")
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    for tname in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+        s2 = pq.read_schema(f"/root/testdata/sf0.001/{tname}.parquet")
+        pq.write_table(pa.table({f.name: pa.array([], type=f.type) for f in s2}),
+                       os.path.join(d, f"{tname}.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(df[[f.name for f in schema]], preserve_index=False).cast(schema),
+        os.path.join(d, "events.parquet"),
+    )
+    bins = {r["bin"]: r["n_users"] for r in _q_burstiness(spark, d).collect()}
+    # periodic user: sigma=0 -> B=-1 -> bin -10; bursty user: B>0
+    assert bins.get(-10, 0) == 1
+    assert sum(n for b, n in bins.items() if b >= 0) == 1
+
+
+def test_entropy_rate_bounds(spark, sf_medium):
+    """0 <= entropy rate <= ln(#states); uniform-independent process
+    would hit the upper bound."""
+    import math
+
+    from dbt_lab_spark.workload_extras import _q_entropy_rate
+
+    row = _q_entropy_rate(spark, sf_medium).collect()[0]
+    n_states = round(row["n_state_pairs"] ** 0.5)
+    assert 0 <= row["entropy_rate_nats"] <= math.log(max(2, n_states)) + 1e-9
+    assert row["n_transitions"] > 0
+
+
+def test_vocab_overlap_identity_bounds(spark, sf_small):
+    from dbt_lab_spark.workload_extras import _q_vocab_overlap
+
+    rows = _q_vocab_overlap(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1
+        assert r["n_inter"] <= r["n_union"]
+        assert r["src_a"] < r["src_b"]
