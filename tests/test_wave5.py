@@ -1,6 +1,11 @@
-"""Pin tests for the wave-5 operators: DSIR importance resampling,
-degree assortativity, label-propagation communities, and the
-approx-NDV tolerance-flag oracle upgrade."""
+"""Pin tests for the session-4 operators: DSIR importance resampling,
+degree assortativity, label-propagation communities, the
+approx-NDV/approx-quantile tolerance-flag oracles, PSI drift, the
+sliding HLL rollup (incl. streaming==batch), the skew-salted join,
+grid-binned geo nearest neighbor, burstiness, Markov entropy rate,
+and source vocabulary overlap — each against an independent Python
+reference or analytic bound, on top of the generic oracle-parity
+gate."""
 
 from __future__ import annotations
 
