@@ -48,6 +48,8 @@ BENCH_NAMES = [
     "q_burstiness",
     "q_entropy_rate",
     "q_vocab_overlap",
+    "q_top_paths",
+    "q_linkage_weights",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

@@ -3837,6 +3837,166 @@ ORDER BY src_a, src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# top event paths (3-step path mining)
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS_K = 10
+
+
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event paths across users (the clickstream
+    path-mining staple, one step past q_transitions' 2-step matrix):
+    two lag windows build (s1, s2, s3) triples per user, a hash
+    aggregate counts them, top-10 by (count desc, path) — exact
+    integers, deterministic ties.  One user_id shuffle + one tiny
+    triple aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("s1"),
+            F.lag("event_type", 1).over(w).alias("s2"),
+            F.col("event_type").alias("s3"),
+        )
+        .filter(F.col("s1").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        triples.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("n"), "s1", "s2", "s3")),
+        )
+        .filter(F.col("rn") <= _TOP_PATHS_K)
+        .select("rn", "s1", "s2", "s3", "n")
+        .orderBy("rn")
+    )
+
+
+_SQL_TOP_PATHS = f"""
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+         event_type AS s3
+  FROM events
+), triples AS (
+  SELECT s1, s2, s3, COUNT(*) AS n FROM seq WHERE s1 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT rn, s1, s2, s3, n FROM (
+  SELECT s1, s2, s3, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, s1, s2, s3) AS rn
+  FROM triples)
+WHERE rn <= {_TOP_PATHS_K}
+ORDER BY rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights
+# ---------------------------------------------------------------------------
+
+
+def _q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement weights (the probabilistic record
+    linkage foundation, public 1969 method): over the blocked
+    candidate name pairs (same noun token, distinct part names),
+    estimate per-feature m = P(agree | match) and u = P(agree |
+    non-match) with match proxied by edit distance <= 1, then the
+    log-likelihood weights ln(m/u) and ln((1-m)/(1-u)).  Counts are
+    add-1 smoothed exact integers from ONE aggregate over the
+    candidate pairs; ratios are single divisions; ln is rounded to 6
+    (frozen-ln convention).  Features: same token count, same first
+    token, levenshtein <= 2.  Scale: the quadratic verify runs on the
+    DISTINCT-name blocks only (the q_fuzzy_pairs argument).
+    Reference capability evidence: join + aggregate surface,
+    TestPhysicalOperatorsIIIStudents.java:231-299."""
+    cat = Catalog(sf_dir)
+    part = scan(spark, cat, "part", ["p_name"])
+    names = part.select("p_name").distinct().select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("__block")
+    )
+    a = names.select(F.col("p_name").alias("na"), "__block")
+    b = names.select(F.col("p_name").alias("nb"), "__block")
+    pairs = a.join(b, "__block").filter(F.col("na") < F.col("nb"))
+    lev = F.levenshtein(F.col("na"), F.col("nb"))
+    feats = pairs.select(
+        (lev <= 1).cast("int").alias("is_match"),
+        (F.size(F.split(F.col("na"), " ")) == F.size(F.split(F.col("nb"), " ")))
+        .cast("int")
+        .alias("f_ntok"),
+        (
+            F.split(F.col("na"), " ").getItem(0) == F.split(F.col("nb"), " ").getItem(0)
+        ).cast("int").alias("f_first"),
+        (lev <= 2).cast("int").alias("f_lev2"),
+    )
+    aggs = [
+        F.sum("is_match").alias("n_m"),
+        F.sum(1 - F.col("is_match")).alias("n_u"),
+    ]
+    for f in ("f_ntok", "f_first", "f_lev2"):
+        aggs.append(F.sum(F.col("is_match") * F.col(f)).alias(f"a_m_{f}"))
+        aggs.append(F.sum((1 - F.col("is_match")) * F.col(f)).alias(f"a_u_{f}"))
+    wide = feats.agg(*aggs)
+    entries = []
+    for f in ("f_ntok", "f_first", "f_lev2"):
+        m = (F.col(f"a_m_{f}") + 1).cast("double") / (F.col("n_m") + 2).cast("double")
+        uu = (F.col(f"a_u_{f}") + 1).cast("double") / (F.col("n_u") + 2).cast("double")
+        entries.append(
+            F.struct(
+                F.lit(f).alias("feature"),
+                F.round(m, 6).alias("m_prob"),
+                F.round(uu, 6).alias("u_prob"),
+                F.round(F.log(m / uu), 6).alias("w_agree"),
+                F.round(F.log((1 - m) / (1 - uu)), 6).alias("w_disagree"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.feature", "e.m_prob", "e.u_prob", "e.w_agree", "e.w_disagree")
+        .orderBy("feature")
+    )
+
+
+def _sql_linkage_weights() -> str:
+    selects = []
+    for f in ("f_ntok", "f_first", "f_lev2"):
+        selects.append(f"""SELECT '{f}' AS feature,
+  round(CAST(a_m_{f} + 1 AS DOUBLE) / (n_m + 2), 6) AS m_prob,
+  round(CAST(a_u_{f} + 1 AS DOUBLE) / (n_u + 2), 6) AS u_prob,
+  round(ln((CAST(a_m_{f} + 1 AS DOUBLE) / (n_m + 2))
+           / (CAST(a_u_{f} + 1 AS DOUBLE) / (n_u + 2))), 6) AS w_agree,
+  round(ln((1 - CAST(a_m_{f} + 1 AS DOUBLE) / (n_m + 2))
+           / (1 - CAST(a_u_{f} + 1 AS DOUBLE) / (n_u + 2))), 6) AS w_disagree
+FROM wide""")
+    body = "\nUNION ALL ".join(selects)
+    return f"""
+WITH names AS MATERIALIZED (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+), pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+), feats AS (
+  SELECT CASE WHEN levenshtein(na, nb) <= 1 THEN 1 ELSE 0 END AS is_match,
+         CASE WHEN len(string_split(na, ' ')) = len(string_split(nb, ' '))
+              THEN 1 ELSE 0 END AS f_ntok,
+         CASE WHEN string_split(na, ' ')[1] = string_split(nb, ' ')[1]
+              THEN 1 ELSE 0 END AS f_first,
+         CASE WHEN levenshtein(na, nb) <= 2 THEN 1 ELSE 0 END AS f_lev2
+  FROM pairs
+), wide AS (
+  SELECT SUM(is_match) AS n_m, SUM(1 - is_match) AS n_u,
+         SUM(is_match * f_ntok) AS a_m_f_ntok, SUM((1 - is_match) * f_ntok) AS a_u_f_ntok,
+         SUM(is_match * f_first) AS a_m_f_first, SUM((1 - is_match) * f_first) AS a_u_f_first,
+         SUM(is_match * f_lev2) AS a_m_f_lev2, SUM((1 - is_match) * f_lev2) AS a_u_f_lev2
+  FROM feats
+)
+SELECT * FROM ({body})
+ORDER BY feature
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -3938,5 +4098,10 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_vocab_overlap", _q_vocab_overlap, _SQL_VOCAB_OVERLAP,
         "pairwise source vocabulary Jaccard",
+    ),
+    QueryDef("q_top_paths", _q_top_paths, _SQL_TOP_PATHS, "top-10 3-step event paths"),
+    QueryDef(
+        "q_linkage_weights", _q_linkage_weights, _sql_linkage_weights(),
+        "Fellegi-Sunter linkage weights (frozen-ln)",
     ),
 ]

@@ -378,3 +378,40 @@ def test_vocab_overlap_identity_bounds(spark, sf_small):
         assert 0 < r["jaccard"] <= 1
         assert r["n_inter"] <= r["n_union"]
         assert r["src_a"] < r["src_b"]
+
+
+def test_top_paths_counts_match_python(spark, sf_small):
+    """Triple counts over the ordered per-user stream match a python
+    recount, and the rank order is (count desc, path)."""
+    from collections import Counter, defaultdict
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.workload_extras import _q_top_paths
+
+    cat = Catalog(sf_small)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        per_user[r["user_id"]].append(r["event_type"])
+    c = Counter()
+    for seq in per_user.values():
+        for i in range(2, len(seq)):
+            c[(seq[i - 2], seq[i - 1], seq[i])] += 1
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = _q_top_paths(spark, sf_small).collect()
+    got = [((r["s1"], r["s2"], r["s3"]), r["n"]) for r in sorted(rows, key=lambda r: r["rn"])]
+    assert got == expected
+
+
+def test_linkage_weights_discriminate(spark, sf_medium):
+    """Agreement on a feature must be MORE likely among matches than
+    non-matches (w_agree > 0 > w_disagree) for the edit-distance
+    feature, and probabilities are proper."""
+    from dbt_lab_spark.workload_extras import _q_linkage_weights
+
+    rows = {r["feature"]: r for r in _q_linkage_weights(spark, sf_medium).collect()}
+    assert set(rows) == {"f_ntok", "f_first", "f_lev2"}
+    for r in rows.values():
+        assert 0 < r["m_prob"] < 1 and 0 < r["u_prob"] < 1
+    lev = rows["f_lev2"]
+    assert lev["w_agree"] > 0 > lev["w_disagree"]
