@@ -50,6 +50,7 @@ BENCH_NAMES = [
     "q_vocab_overlap",
     "q_top_paths",
     "q_linkage_weights",
+    "q_feature_pit",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

@@ -3997,6 +3997,95 @@ ORDER BY feature
 """
 
 
+# ---------------------------------------------------------------------------
+# point-in-time feature assembly (leakage-free as-of composition)
+# ---------------------------------------------------------------------------
+
+
+def _q_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly — the feature-store
+    contract for training data: each label event (purchase) picks up,
+    per feature table, the latest value STRICTLY BEFORE its timestamp
+    (never at/after it — that is label leakage).  Two chained as-of
+    joins (last click value, last view value per user), strictness
+    implemented by probing at ts - 1 microsecond over the inclusive
+    asof operator; feature tables are pre-reduced to one row per
+    (user, ts) so tie-carry order cannot differ across engines.
+    Output: per user-hash bucket, example counts, per-feature coverage
+    and exact-decimal feature sums.  Scale: each as-of is ONE key
+    shuffle + ordered sweep (operators/joins.py:asof_join), linear in
+    labels+features — never a per-key range explosion.  Oracle:
+    DuckDB's native ASOF JOIN with strict '<'."""
+    from dbt_lab_spark.operators.joins import asof_join
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", "event_type", "value")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.expr("timestampadd(MICROSECOND, -1, ts)").alias("probe_ts"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(money("value")).alias("f_click"))
+        .withColumnRenamed("ts", "c_ts")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(money("value")).alias("f_view"))
+        .withColumnRenamed("ts", "v_ts")
+    )
+    with_click = asof_join(
+        labels, clicks, key="user_id", left_ts="probe_ts", right_ts="c_ts"
+    )
+    with_both = asof_join(
+        with_click, views, key="user_id", left_ts="probe_ts", right_ts="v_ts"
+    )
+    return (
+        with_both.groupBy((F.col("user_id") % 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.count("f_click").alias("n_click_feat"),
+            F.count("f_view").alias("n_view_feat"),
+            F.round(F.sum("f_click").cast("double"), 2).alias("sum_click_feat"),
+            F.round(F.sum("f_view").cast("double"), 2).alias("sum_view_feat"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_FEATURE_PIT = """
+WITH labels AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS c_ts, MAX(CAST(value AS DECIMAL(18,2))) AS f_click
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), views AS (
+  SELECT user_id, ts AS v_ts, MAX(CAST(value AS DECIMAL(18,2))) AS f_view
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), with_click AS (
+  SELECT l.user_id, l.ts, c.f_click
+  FROM labels l ASOF LEFT JOIN clicks c
+    ON l.user_id = c.user_id AND l.ts > c.c_ts
+), with_both AS (
+  SELECT w.user_id, w.ts, w.f_click, v.f_view
+  FROM with_click w ASOF LEFT JOIN views v
+    ON w.user_id = v.user_id AND w.ts > v.v_ts
+)
+SELECT user_id % 16 AS bucket,
+       COUNT(*) AS n_examples,
+       COUNT(f_click) AS n_click_feat,
+       COUNT(f_view) AS n_view_feat,
+       round(CAST(SUM(f_click) AS DOUBLE), 2) AS sum_click_feat,
+       round(CAST(SUM(f_view) AS DOUBLE), 2) AS sum_view_feat
+FROM with_both
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -4103,5 +4192,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_linkage_weights", _q_linkage_weights, _sql_linkage_weights(),
         "Fellegi-Sunter linkage weights (frozen-ln)",
+    ),
+    QueryDef(
+        "q_feature_pit", _q_feature_pit, _SQL_FEATURE_PIT,
+        "leakage-free point-in-time feature assembly",
     ),
 ]

@@ -415,3 +415,49 @@ def test_linkage_weights_discriminate(spark, sf_medium):
         assert 0 < r["m_prob"] < 1 and 0 < r["u_prob"] < 1
     lev = rows["f_lev2"]
     assert lev["w_agree"] > 0 > lev["w_disagree"]
+
+
+def test_feature_pit_excludes_same_instant(spark):
+    """Leakage check: a feature event at EXACTLY the label timestamp
+    must not be joined (strictly-before semantics)."""
+    import os, tempfile
+
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    from dbt_lab_spark.workload_extras import _q_feature_pit
+
+    t0 = pd.Timestamp("2024-01-05 12:00:00")
+    rows = [
+        # user 1: click at label instant only -> must NOT match
+        (1, t0, "purchase", 50.0),
+        (2, t0, "click", 99.0),
+        # user 2: click strictly before -> must match with value 7
+        (3, t0 - pd.Timedelta(hours=1), "click", 7.0),
+        (4, t0, "purchase", 60.0),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [1, 1, 2, 2],
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+            "props": "{}",
+        }
+    )
+    d = tempfile.mkdtemp()
+    for tname in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+        s2 = pq.read_schema(f"/root/testdata/sf0.001/{tname}.parquet")
+        pq.write_table(pa.table({f.name: pa.array([], type=f.type) for f in s2}),
+                       os.path.join(d, f"{tname}.parquet"))
+    schema = pq.read_schema("/root/testdata/sf0.001/events.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(df[[f.name for f in schema]], preserve_index=False).cast(schema),
+        os.path.join(d, "events.parquet"),
+    )
+    rows_out = {r["bucket"]: r for r in _q_feature_pit(spark, d).collect()}
+    assert rows_out[1]["n_click_feat"] == 0   # same-instant click excluded
+    assert rows_out[2]["n_click_feat"] == 1   # strictly-before click joined
+    assert rows_out[2]["sum_click_feat"] == 7.0
