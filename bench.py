@@ -51,6 +51,7 @@ BENCH_NAMES = [
     "q_top_paths",
     "q_linkage_weights",
     "q_feature_pit",
+    "q_cv_ols",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

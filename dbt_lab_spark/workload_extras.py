@@ -4086,6 +4086,132 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# one-pass k-fold cross-validated OLS (moment subtraction)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+_CV_SALT = "cvfold"
+
+
+def _q_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (order total ~ line count) in
+    ONE data pass: rows get md5-deterministic folds, a single hash
+    aggregate collects per-fold exact-decimal moments, and each fold's
+    TRAINING moments are total-minus-fold subtraction — so train/eval
+    for all k folds costs one scan, never k re-scans (the set-based CV
+    trick that matters when the table is 100 TB).  Held-out SSE
+    expands algebraically from the same fold moments (SSE = Syy
+    - 2a*Sy - 2b*Sxy + a^2*n + 2ab*Sx + b^2*Sxx), so no second pass
+    scores predictions either.  Exact integer/decimal moments; the
+    solve and RMSE are fixed double expressions rounded to 6."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"])
+    li = scan(spark, cat, "lineitem", ["l_orderkey"])
+    per = orders.join(
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+            F.count(F.lit(1)).alias("x")
+        ),
+        "o_orderkey",
+    ).select(
+        "o_orderkey",
+        "x",
+        money("o_totalprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(_CV_SALT))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CV_FOLDS
+        ).alias("fold"),
+    )
+    fm = per.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = fm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = fm.crossJoin(F.broadcast(tot))
+    trn = (F.col("tn") - F.col("n")).cast("double")
+    trsx = (F.col("tsx") - F.col("sx")).cast("double")
+    trsy = (F.col("tsy") - F.col("sy")).cast("double")
+    trsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    trsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    b = (trn * trsxy - trsx * trsy) / (trn * trsxx - trsx * trsx)
+    a = (trsy - b * trsx) / trn
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    sse = syy - 2 * a * sy - 2 * b * sxy + a * a * n + 2 * a * b * sx + b * b * sxx
+    return j.select(
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n").cast("bigint").alias("n_test"),
+        F.round(b, 6).alias("slope"),
+        F.round(a, 6).alias("intercept"),
+        F.round(F.sqrt(sse / n), 6).alias("rmse"),
+    ).orderBy("fold")
+
+
+def _sql_cv_ols() -> str:
+    return f"""
+WITH per AS (
+  SELECT o.o_orderkey, l.x, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y,
+         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '{_CV_SALT}'), 1, 15))
+              AS BIGINT) % {_CV_FOLDS} AS fold
+  FROM orders o JOIN (
+    SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY 1
+  ) l ON l.l_orderkey = o.o_orderkey
+), fm AS (
+  SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM per GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+         SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+  FROM fm
+), solved AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+          - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+         / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+            - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)) AS b,
+         tn, tsx, tsy
+  FROM fm, tot
+), ab AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy, b,
+         (CAST(tsy - sy AS DOUBLE) - b * CAST(tsx - sx AS DOUBLE))
+         / CAST(tn - n AS DOUBLE) AS a
+  FROM solved
+)
+SELECT CAST(fold AS INTEGER) AS fold, CAST(n AS BIGINT) AS n_test,
+       round(b, 6) AS slope, round(a, 6) AS intercept,
+       round(sqrt((CAST(syy AS DOUBLE) - 2 * a * CAST(sy AS DOUBLE)
+                   - 2 * b * CAST(sxy AS DOUBLE) + a * a * CAST(n AS DOUBLE)
+                   + 2 * a * b * CAST(sx AS DOUBLE) + b * b * CAST(sxx AS DOUBLE))
+                  / CAST(n AS DOUBLE)), 6) AS rmse
+FROM ab
+ORDER BY fold
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -4196,5 +4322,9 @@ EXTRA_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_feature_pit", _q_feature_pit, _SQL_FEATURE_PIT,
         "leakage-free point-in-time feature assembly",
+    ),
+    QueryDef(
+        "q_cv_ols", _q_cv_ols, _sql_cv_ols(),
+        "one-pass 5-fold CV OLS (moment subtraction)",
     ),
 ]

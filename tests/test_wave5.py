@@ -461,3 +461,38 @@ def test_feature_pit_excludes_same_instant(spark):
     assert rows_out[1]["n_click_feat"] == 0   # same-instant click excluded
     assert rows_out[2]["n_click_feat"] == 1   # strictly-before click joined
     assert rows_out[2]["sum_click_feat"] == 7.0
+
+
+def test_cv_ols_folds_partition_and_match_sklearn_style(spark, sf_small):
+    """The 5 folds partition the orders, and each fold's (slope,
+    intercept, rmse) matches a NumPy recomputation of train-on-rest /
+    eval-on-fold."""
+    import numpy as np
+
+    from dbt_lab_spark.workload_extras import _CV_FOLDS, _q_cv_ols
+    import duckdb
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT CAST(l.x AS DOUBLE),
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+                   CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || 'cvfold'), 1, 15))
+                        AS BIGINT) % {_CV_FOLDS}
+            FROM parquet_scan('{sf_small}/orders.parquet') o JOIN (
+              SELECT l_orderkey, COUNT(*) AS x
+              FROM parquet_scan('{sf_small}/lineitem.parquet') GROUP BY 1
+            ) l ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    x = np.array([r[0] for r in data])
+    y = np.array([r[1] for r in data])
+    f = np.array([r[2] for r in data])
+    rows = {r["fold"]: r for r in _q_cv_ols(spark, sf_small).collect()}
+    assert sum(r["n_test"] for r in rows.values()) == len(x)
+    for k in rows:
+        tr, te = f != k, f == k
+        b, a = np.polyfit(x[tr], y[tr], 1)
+        pred = a + b * x[te]
+        rmse = float(np.sqrt(np.mean((y[te] - pred) ** 2)))
+        assert rows[k]["slope"] == pytest.approx(b, rel=1e-4)
+        assert rows[k]["intercept"] == pytest.approx(a, rel=1e-4)
+        assert rows[k]["rmse"] == pytest.approx(rmse, rel=1e-4)
