@@ -52,6 +52,7 @@ BENCH_NAMES = [
     "q_linkage_weights",
     "q_feature_pit",
     "q_cv_ols",
+    "q_ks_test",
     "q_scan_filter",
     "q_count",
     "q_group_customers",

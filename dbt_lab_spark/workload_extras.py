@@ -4212,6 +4212,81 @@ ORDER BY fold
 """
 
 
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov (integer-rational D)
+# ---------------------------------------------------------------------------
+
+
+def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between 'view' and
+    'purchase' event-value distributions — the nonparametric drift
+    test next to q_psi's binned score.  ENTIRELY integer-rational:
+    reduce to per-distinct-value counts first (the domain compresses
+    under DECIMAL(18,2) canonicalization), one cumulative window over
+    the ordered distinct values, and D's numerator is
+    max |c1*n2 - c2*n1| — an exact integer max, divided once at the
+    end.  No floating comparisons anywhere until the final division,
+    so both engines agree bit-for-bit.  Output: (d_stat, d_num, n1,
+    n2, crossings)."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("event_type", money("value").alias("v"))
+    per_v = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+        )
+    )
+    tot = per_v.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v",
+        F.sum("a").over(w).alias("c1"),
+        F.sum("b").over(w).alias("c2"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("g"),
+        "n1",
+        "n2",
+    )
+    return gap.agg(
+        F.round(
+            F.max("g").cast("double") / (F.max("n1") * F.max("n2")).cast("double"), 6
+        ).alias("d_stat"),
+        F.max("g").cast("bigint").alias("d_num"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),
+    )
+
+
+_SQL_KS_TEST = """
+WITH per_v AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(a) AS n1, SUM(b) AS n2 FROM per_v
+), cum AS (
+  SELECT v,
+         SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM per_v
+), gap AS (
+  SELECT abs(c1 * n2 - c2 * n1) AS g, n1, n2 FROM cum, tot
+)
+SELECT round(CAST(MAX(g) AS DOUBLE) / CAST(MAX(n1) * MAX(n2) AS DOUBLE), 6) AS d_stat,
+       CAST(MAX(g) AS BIGINT) AS d_num,
+       CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_values
+FROM gap
+"""
+
+
 EXTRA_QUERIES: list[QueryDef] = [
     QueryDef("q_bfs_hops", _q_bfs_hops, _SQL_BFS_HOPS, "single-source BFS vs recursive CTE"),
     QueryDef("q_triangles", _q_triangles, _SQL_TRIANGLES, "oriented-wedge triangle counts"),
@@ -4327,4 +4402,5 @@ EXTRA_QUERIES: list[QueryDef] = [
         "q_cv_ols", _q_cv_ols, _sql_cv_ols(),
         "one-pass 5-fold CV OLS (moment subtraction)",
     ),
+    QueryDef("q_ks_test", _q_ks_test, _SQL_KS_TEST, "exact integer-rational 2-sample KS"),
 ]

@@ -496,3 +496,32 @@ def test_cv_ols_folds_partition_and_match_sklearn_style(spark, sf_small):
         assert rows[k]["slope"] == pytest.approx(b, rel=1e-4)
         assert rows[k]["intercept"] == pytest.approx(a, rel=1e-4)
         assert rows[k]["rmse"] == pytest.approx(rmse, rel=1e-4)
+
+
+def test_ks_test_matches_scipy_style_reference(spark, sf_small):
+    """The integer-rational D equals a python recount of
+    max |F1 - F2| over the pooled support."""
+    import duckdb
+
+    from dbt_lab_spark.workload_extras import _q_ks_test
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+            FROM parquet_scan('{sf_small}/events.parquet')
+            WHERE event_type IN ('view', 'purchase')"""
+    ).fetchall()
+    a = sorted(v for t, v in rows if t == "view")
+    b = sorted(v for t, v in rows if t == "purchase")
+    import bisect
+
+    support = sorted(set(a) | set(b))
+    d = 0.0
+    for x in support:
+        f1 = bisect.bisect_right(a, x) / len(a)
+        f2 = bisect.bisect_right(b, x) / len(b)
+        d = max(d, abs(f1 - f2))
+    row = _q_ks_test(spark, sf_small).collect()[0]
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert row["d_stat"] == pytest.approx(d, abs=1e-6)
+    assert row["d_num"] == round(d * len(a) * len(b))
