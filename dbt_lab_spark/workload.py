@@ -1563,6 +1563,13 @@ def all_queries() -> list[QueryDef]:
     + vectors."""
     from dbt_lab_spark.workload_beyond import BEYOND_QUERIES
     from dbt_lab_spark.workload_extras import EXTRA_QUERIES
+    from dbt_lab_spark.workload_r3s5 import SESSION5_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
-    return CORE_QUERIES + TPCH_EXTRA_QUERIES + BEYOND_QUERIES + EXTRA_QUERIES
+    return (
+        CORE_QUERIES
+        + TPCH_EXTRA_QUERIES
+        + BEYOND_QUERIES
+        + EXTRA_QUERIES
+        + SESSION5_QUERIES
+    )
