@@ -192,6 +192,15 @@ BENCH_NAMES = [
     "q_trimmed_mean",
     "q_entropy",
     "q_mann_kendall",
+    # r3-session-5 additions: rank/order stats + interval analytics
+    "q_mann_whitney",
+    "q_bh_fdr",
+    "q_max_concurrent",
+    "q_drawdown",
+    "q_link_pred",
+    "q_mutual_info",
+    "q_streaks",
+    "q_changepoint",
 ]
 
 
