@@ -201,6 +201,12 @@ BENCH_NAMES = [
     "q_mutual_info",
     "q_streaks",
     "q_changepoint",
+    # r3-session-5 wave B: calibration/series/scoring/graph/experimentation
+    "q_isotonic",
+    "q_dtw",
+    "q_woe_iv",
+    "q_hits",
+    "q_cuped",
 ]
 
 

@@ -852,3 +852,566 @@ SESSION5_QUERIES: list[QueryDef] = [
         "least-squares single change-point (prefix-sum SSE)",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# weighted isotonic regression via the minimax formula (no iteration)
+# ---------------------------------------------------------------------------
+
+
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of mean purchase value on
+    hour-of-day — the monotone-calibration fit (same statistic PAVA
+    computes), expressed DECLARATIVELY via the minimax identity
+    f(i) = max_{j<=i} min_{k>=i} wavg(y[j..k]): no iterative pooling,
+    so Catalyst sees plain joins + aggregates and both engines agree
+    bit-for-bit (prefix sums stay in exact DECIMAL/INTEGER; each
+    interval average is ONE identically-parenthesized double
+    division).  Scale: the triple join is over the compressed hour
+    domain (24 rows -> <=24^3 tuples), never raw events; the events
+    pass is one hash aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(F.col("event_type") == "purchase")
+    hourly = (
+        ev.select(F.hour("ts").alias("h"), money("value").alias("y"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("y").alias("s"))
+    )
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = hourly.select(
+        "h",
+        "w",
+        "s",
+        F.row_number().over(Window.orderBy("h")).alias("i"),
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("s").over(wc).alias("cs"),
+    )
+    pj = pre.select(
+        F.col("i").alias("ji"),
+        (F.col("cw") - F.col("w")).alias("cwj"),
+        (F.col("cs") - F.col("s")).alias("csj"),
+    )
+    pk = pre.select(
+        F.col("i").alias("ki"), F.col("cw").alias("cwk"), F.col("cs").alias("csk")
+    )
+    avgs = (
+        pj.join(pk, pj.ji <= pk.ki)
+        .select(
+            "ji",
+            "ki",
+            (
+                (F.col("csk") - F.col("csj")).cast(_D)
+                / (F.col("cwk") - F.col("cwj")).cast(_D)
+            ).alias("av"),
+        )
+    )
+    pi = pre.select("i", "h", "w", "s")
+    tri = avgs.join(
+        pi, (F.col("ji") <= F.col("i")) & (F.col("i") <= F.col("ki"))
+    )
+    inner = tri.groupBy("i", "ji").agg(F.min("av").alias("mn"))
+    fit = inner.groupBy("i").agg(F.max("mn").alias("fitted"))
+    return (
+        fit.join(pi, "i")
+        .select(
+            F.col("h").cast("int").alias("hour"),
+            F.col("w").cast("bigint").alias("n_events"),
+            F.round(F.col("s").cast(_D) / F.col("w").cast(_D), 6).alias("raw_avg"),
+            F.round("fitted", 6).alias("fitted"),
+        )
+        .orderBy("hour")
+    )
+
+
+_SQL_ISOTONIC = """
+WITH hourly AS (
+  SELECT hour(ts) AS h, COUNT(*) AS w,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pre AS MATERIALIZED (
+  SELECT h, w, s,
+         ROW_NUMBER() OVER (ORDER BY h) AS i,
+         SUM(w) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(s) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cs
+  FROM hourly
+), avgs AS MATERIALIZED (
+  SELECT j.i AS ji, k.i AS ki,
+         CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+         / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS av
+  FROM pre j JOIN pre k ON j.i <= k.i
+), inner_min AS (
+  SELECT p.i, a.ji, MIN(a.av) AS mn
+  FROM avgs a JOIN pre p ON a.ji <= p.i AND p.i <= a.ki
+  GROUP BY 1, 2
+), fit AS (
+  SELECT i, MAX(mn) AS fitted FROM inner_min GROUP BY 1
+)
+SELECT CAST(p.h AS INT) AS hour, CAST(p.w AS BIGINT) AS n_events,
+       round(CAST(p.s AS DOUBLE) / CAST(p.w AS DOUBLE), 6) AS raw_avg,
+       round(f.fitted, 6) AS fitted
+FROM fit f JOIN pre p USING (i)
+ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# dynamic time warping between hour-of-day profiles (applyInPandas DP)
+# ---------------------------------------------------------------------------
+
+_DTW_N = 24
+
+
+def _q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between each event type's 24-point hour-of-day
+    value profile and the 'view' profile — elastic series matching
+    where Euclidean comparison fails on phase shifts.  The genuinely
+    ITERATIVE recurrence dp[i][j] = c + min(left, up, diag) runs as an
+    Arrow-batched applyInPandas NumPy DP per event type (the
+    custom-operator escape hatch: one group per series pair, series
+    pre-aggregated to 24 points, so state is O(N^2) tiny while the
+    events pass stays one hash aggregate).  Profiles are frozen to
+    round-6 doubles before the DP; every DP cell is then a uniquely
+    determined IEEE double (min/add only, no reassociation), so the
+    oracle — the SAME recurrence unrolled over the 47 anti-diagonals
+    as chained SQL CTEs — matches bit-for-bit.  The self-pair
+    (view vs view) rides along as a built-in zero check."""
+    import numpy as np
+    import pandas as pd
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "event_type", F.hour("ts").alias("h"), money("value").alias("y")
+    )
+    prof = (
+        ev.groupBy("event_type", "h")
+        .agg(
+            F.round(
+                F.sum("y").cast(_D) / F.count(F.lit(1)).cast(_D), 6
+            ).alias("p")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    hours = spark.range(_DTW_N).select(F.col("id").cast("int").alias("h"))
+    dense = (
+        types.crossJoin(hours)
+        .join(prof, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("p", F.lit(0.0)).alias("p"))
+    )
+    bprof = dense.filter(F.col("event_type") == "view").select(
+        "h", F.col("p").alias("pb")
+    )
+    paired = dense.join(F.broadcast(bprof), "h")
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        a = pdf["p"].to_numpy(dtype=np.float64)
+        b = pdf["pb"].to_numpy(dtype=np.float64)
+        n = len(a)
+        dp = np.full((n + 1, n + 1), np.inf)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        d = float(dp[n, n])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "dtw_dist": [round(d, 6)],
+                "dtw_per_step": [round(d / (2 * n), 6)],
+            }
+        )
+
+    return (
+        paired.groupBy("event_type")
+        .applyInPandas(dtw, "event_type string, dtw_dist double, dtw_per_step double")
+        .orderBy("event_type")
+    )
+
+
+def _sql_dtw() -> str:
+    """Oracle for _q_dtw: the identical DP unrolled over anti-diagonals
+    i+j = k as a chain of 47 CTEs (cells of diagonal k depend only on
+    diagonals k-1 and k-2, so each stage is one 3-way left join of
+    tiny cell sets — no recursion needed and no ordering ambiguity)."""
+    n = _DTW_N
+    parts = [
+        f"""WITH prof AS MATERIALIZED (
+  SELECT event_type AS t, hour(ts) AS h,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS p
+  FROM events GROUP BY 1, 2
+), types AS (SELECT DISTINCT event_type AS t FROM events),
+hours AS (SELECT CAST(range AS INT) AS h FROM range({n})),
+dense AS MATERIALIZED (
+  SELECT ty.t, hh.h, COALESCE(p.p, 0.0) AS p
+  FROM types ty CROSS JOIN hours hh
+  LEFT JOIN prof p ON p.t = ty.t AND p.h = hh.h
+), bprof AS (SELECT h, p AS pb FROM dense WHERE t = 'view'),
+cost AS MATERIALIZED (
+  SELECT d.t, d.h + 1 AS i, b.h + 1 AS j, abs(d.p - b.pb) AS c
+  FROM dense d CROSS JOIN bprof b
+),
+dp2 AS MATERIALIZED (SELECT t, i, j, c AS v FROM cost WHERE i = 1 AND j = 1)"""
+    ]
+    for k in range(3, 2 * n + 1):
+        diag = (
+            f"LEFT JOIN dp{k - 2} d ON d.t = c.t AND d.i = c.i - 1 AND d.j = c.j - 1"
+            if k > 3
+            else ""
+        )
+        dterm = "COALESCE(d.v, 1e300)" if k > 3 else "1e300"
+        parts.append(
+            f""",
+dp{k} AS MATERIALIZED (
+  SELECT c.t, c.i, c.j,
+         c.c + least(COALESCE(a.v, 1e300), COALESCE(b.v, 1e300), {dterm}) AS v
+  FROM cost c
+  LEFT JOIN dp{k - 1} a ON a.t = c.t AND a.i = c.i - 1 AND a.j = c.j
+  LEFT JOIN dp{k - 1} b ON b.t = c.t AND b.i = c.i AND b.j = c.j - 1
+  {diag}
+  WHERE c.i + c.j = {k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT t AS event_type, round(v, 6) AS dtw_dist,
+       round(v / {2 * n}.0, 6) AS dtw_per_step
+FROM dp{2 * n} ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# WOE / information value over totalprice deciles
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 10
+
+
+def _q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value of order total
+    price against the URGENT-priority target — the credit-scoring
+    feature-screening classic.  Deciles come from ntile over the TOTAL
+    order (money(o_totalprice), o_orderkey) so bin membership is
+    deterministic; each WOE is a frozen-ln DECIMAL(18,6); the IV sum
+    multiplies INTEGER (g_b*B - b_b*G) weights by the frozen WOEs
+    (exact), dividing by G*B once at the end.  Scale: one window rank
+    over orders + a 10-row reduce."""
+    cat = Catalog(sf_dir)
+    orders = scan(
+        spark, cat, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    binned = orders.select(
+        F.ntile(_WOE_BINS)
+        .over(Window.orderBy(money("o_totalprice"), "o_orderkey"))
+        .alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("bad"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bad").alias("nb")
+    ).withColumn("ng", F.col("n") - F.col("nb"))
+    wall = Window.partitionBy()
+    tot = per_bin.select(
+        "*",
+        F.sum("ng").over(wall).alias("gt"),
+        F.sum("nb").over(wall).alias("bt"),
+    )
+    woe_dec = F.round(
+        F.log(
+            (F.col("ng").cast(_D) * F.col("bt").cast(_D))
+            / (F.col("nb").cast(_D) * F.col("gt").cast(_D))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = tot.withColumn("woe_dec", woe_dec)
+    iv = F.round(
+        F.sum(
+            (F.col("ng") * F.col("bt") - F.col("nb") * F.col("gt")) * F.col("woe_dec")
+        )
+        .over(wall)
+        .cast(_D)
+        / (F.col("gt").cast(_D) * F.col("bt").cast(_D)),
+        6,
+    )
+    return scored.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("nb").cast("bigint").alias("n_bad"),
+        F.col("woe_dec").cast(_D).alias("woe"),
+        iv.alias("iv_total"),
+    ).orderBy("bin")
+
+
+_SQL_WOE_IV = f"""
+WITH binned AS (
+  SELECT NTILE({_WOE_BINS}) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                  o_orderkey) AS bin,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS bad
+  FROM orders
+), per_bin AS (
+  SELECT bin, COUNT(*) AS n, SUM(bad) AS nb, COUNT(*) - SUM(bad) AS ng
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT *, SUM(ng) OVER () AS gt, SUM(nb) OVER () AS bt FROM per_bin
+), scored AS (
+  SELECT *, CAST(round(ln((CAST(ng AS DOUBLE) * CAST(bt AS DOUBLE))
+                          / (CAST(nb AS DOUBLE) * CAST(gt AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS woe_dec
+  FROM tot
+)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n_orders,
+       CAST(nb AS BIGINT) AS n_bad,
+       CAST(woe_dec AS DOUBLE) AS woe,
+       round(CAST(SUM((ng * bt - nb * gt) * woe_dec) OVER () AS DOUBLE)
+             / (CAST(gt AS DOUBLE) * CAST(bt AS DOUBLE)), 6) AS iv_total
+FROM scored
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities, 2 exact-integer unrolled iterations
+# ---------------------------------------------------------------------------
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled HITS iterations on the directed top-3 trade graph:
+    a1 = indegree, h1 = E a1, a2 = E^T h1, h2 = E a2 — hubs-and-
+    authorities as EXACT INTEGERS (normalization is scale-invariant,
+    so it is deferred entirely to the output, one double division by
+    the max).  Distinct from q_pagerank's damped walk: HITS separates
+    'points at good pages' from 'is pointed at by good hubs'.  Scale:
+    each iteration is one edges-groupBy, the same shape as the
+    unrolled q_label_prop oracle."""
+    edges = _trade_edges_topk(spark, sf_dir)
+    nation = scan(spark, Catalog(sf_dir), "nation", ["n_nationkey", "n_name"])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    a1 = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("a2").alias("h2"))
+    )
+    scored = (
+        nodes.join(a2, nodes.node == a2.dst, "left")
+        .join(h2, nodes.node == h2.src, "left")
+        .select(
+            "node",
+            F.coalesce("a2", F.lit(0)).alias("auth"),
+            F.coalesce("h2", F.lit(0)).alias("hub"),
+        )
+    )
+    wall = Window.partitionBy()
+    normed = scored.select(
+        "node",
+        "auth",
+        "hub",
+        F.max("auth").over(wall).alias("ma"),
+        F.max("hub").over(wall).alias("mh"),
+    )
+    return (
+        normed.join(F.broadcast(nation), normed.node == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("auth").cast("bigint").alias("auth_score"),
+            F.col("hub").cast("bigint").alias("hub_score"),
+            F.round(F.col("auth").cast(_D) / F.col("ma").cast(_D), 6).alias(
+                "auth_norm"
+            ),
+            F.round(F.col("hub").cast(_D) / F.col("mh").cast(_D), 6).alias("hub_norm"),
+        )
+        .orderBy(F.desc("auth_score"), "n_name")
+    )
+
+
+_SQL_HITS = rf"""
+WITH {_SQL_TRADE_EDGES},
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), a1 AS (
+  SELECT dst, COUNT(*) AS a1 FROM edges GROUP BY 1
+), h1 AS (
+  SELECT e.src, SUM(a1.a1) AS h1 FROM edges e JOIN a1 ON a1.dst = e.dst GROUP BY 1
+), a2 AS (
+  SELECT e.dst, SUM(h1.h1) AS a2 FROM edges e JOIN h1 ON h1.src = e.src GROUP BY 1
+), h2 AS (
+  SELECT e.src, SUM(a2.a2) AS h2 FROM edges e JOIN a2 ON a2.dst = e.dst GROUP BY 1
+), scored AS (
+  SELECT n.node, COALESCE(a2.a2, 0) AS auth, COALESCE(h2.h2, 0) AS hub
+  FROM nodes n
+  LEFT JOIN a2 ON a2.dst = n.node
+  LEFT JOIN h2 ON h2.src = n.node
+), normed AS (
+  SELECT node, auth, hub, MAX(auth) OVER () AS ma, MAX(hub) OVER () AS mh
+  FROM scored
+)
+SELECT n_name, CAST(auth AS BIGINT) AS auth_score, CAST(hub AS BIGINT) AS hub_score,
+       round(CAST(auth AS DOUBLE) / CAST(ma AS DOUBLE), 6) AS auth_norm,
+       round(CAST(hub AS DOUBLE) / CAST(mh AS DOUBLE), 6) AS hub_norm
+FROM normed JOIN nation ON n_nationkey = node
+ORDER BY auth_score DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B estimate (no-RNG arms, exact moments)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+def _q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B means: per-user pre-period value (x, before
+    2024-01-16) as the covariate for the post-period metric (y),
+    theta = cov(x,y)/var(x) pooled, adj_mean = raw - theta*(x_arm -
+    x_all) — the variance-reduction estimator every experimentation
+    platform runs.  Arms are the no-RNG md5 split (first hex digit
+    0-7 -> A); x, y are exact integer CENTS; all five moments are
+    exact integer sums cast to double ONCE for identically-
+    parenthesized formulas.  Scale: one events aggregate per user,
+    one 2-row arm reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "ts", money("value").alias("v"))
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("ts") < split, F.col("v"))), F.lit(0))
+            * 100
+        )
+        .cast("long")
+        .alias("x"),
+        (
+            F.coalesce(F.sum(F.when(F.col("ts") >= split, F.col("v"))), F.lit(0))
+            * 100
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    armed = per_user.withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("cuped"))), 1, 1
+            ).isin(*list("01234567")),
+            "A",
+        ).otherwise("B"),
+    )
+    tot = armed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    j = per_arm.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast(_D)
+    cov = nd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)
+    varx = nd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    vary = nd * F.col("syy").cast(_D) - F.col("sy").cast(_D) * F.col("sy").cast(_D)
+    theta = cov / varx
+    raw_mean = F.col("sya").cast(_D) / F.col("na").cast(_D) / F.lit(100.0)
+    adj = raw_mean - theta * (
+        F.col("sxa").cast(_D) / F.col("na").cast(_D) / F.lit(100.0)
+        - F.col("sx").cast(_D) / nd / F.lit(100.0)
+    )
+    return j.select(
+        "arm",
+        F.col("na").cast("bigint").alias("n_users"),
+        F.round(raw_mean, 6).alias("raw_mean"),
+        F.round(adj, 6).alias("adj_mean"),
+        F.round(theta, 6).alias("theta"),
+        F.round(cov * cov / (varx * vary), 6).alias("rho2"),
+    ).orderBy("arm")
+
+
+_SQL_CUPED = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                        THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                        THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS y
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT *, CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'cuped'), 1, 1)
+                 BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm
+  FROM per_user
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM armed
+), per_arm AS (
+  SELECT arm, COUNT(*) AS na, SUM(x) AS sxa, SUM(y) AS sya
+  FROM armed GROUP BY 1
+)
+SELECT arm, CAST(na AS BIGINT) AS n_users,
+       round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) AS raw_mean,
+       round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0), 6) AS adj_mean,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho2
+FROM per_arm CROSS JOIN tot
+ORDER BY arm
+"""
+
+
+SESSION5_QUERIES.extend(
+    [
+        QueryDef(
+            "q_isotonic", _q_isotonic, _SQL_ISOTONIC,
+            "weighted isotonic fit via the minimax identity",
+        ),
+        QueryDef(
+            "q_dtw", _q_dtw, _sql_dtw(),
+            "DTW profile distance (pandas DP vs unrolled-diagonal SQL)",
+        ),
+        QueryDef(
+            "q_woe_iv", _q_woe_iv, _SQL_WOE_IV,
+            "WOE bins + information value (frozen-ln, exact IV sum)",
+        ),
+        QueryDef(
+            "q_hits", _q_hits, _SQL_HITS,
+            "HITS hubs/authorities, 2 exact-integer iterations",
+        ),
+        QueryDef(
+            "q_cuped", _q_cuped, _SQL_CUPED,
+            "CUPED variance-reduced A/B means (no-RNG arms)",
+        ),
+    ]
+)
