@@ -207,6 +207,12 @@ BENCH_NAMES = [
     "q_woe_iv",
     "q_hits",
     "q_cuped",
+    # r3-session-6: causal/sequential/robust-TS/order-stats/UQ
+    "q_did",
+    "q_sprt",
+    "q_hampel",
+    "q_weighted_median",
+    "q_conformal",
 ]
 
 

@@ -1564,6 +1564,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_beyond import BEYOND_QUERIES
     from dbt_lab_spark.workload_extras import EXTRA_QUERIES
     from dbt_lab_spark.workload_r3s5 import SESSION5_QUERIES
+    from dbt_lab_spark.workload_r3s6 import SESSION6_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     return (
@@ -1572,4 +1573,5 @@ def all_queries() -> list[QueryDef]:
         + BEYOND_QUERIES
         + EXTRA_QUERIES
         + SESSION5_QUERIES
+        + SESSION6_QUERIES
     )
