@@ -213,6 +213,11 @@ BENCH_NAMES = [
     "q_hampel",
     "q_weighted_median",
     "q_conformal",
+    "q_kcore",
+    "q_qq_plot",
+    "q_runs_test",
+    "q_split_gain",
+    "q_elasticity",
 ]
 
 

@@ -569,3 +569,495 @@ SESSION6_QUERIES: list[QueryDef] = [
         "split-conformal 90% interval with holdout coverage",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# k-core: 3 unrolled peel rounds on the undirected trade graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership after 3 unrolled peel rounds on the
+    undirected top-3 trade graph: each round drops nodes whose degree
+    in the CURRENT induced subgraph is < k, the classic cohesive-core
+    decomposition step (distinct from q_triangles' local clustering
+    and q_bfs_hops' reachability).  Degrees are exact integer counts;
+    the round count is fixed so the oracle can unroll the identical
+    peel as chained CTEs (the q_label_prop pattern); the test suite
+    pins that 3 rounds reach the fixpoint on this topology.  Scale:
+    each round is one edges-groupBy + one semi-join."""
+    from dbt_lab_spark.workload_extras import _trade_edges_topk
+
+    edges = _trade_edges_topk(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    alive = sym.select("u").distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        cur = (
+            sym.join(alive, "u")
+            .join(alive.select(F.col("u").alias("v")), "v")
+        )
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= _KCORE_K).select("u")
+    nation = scan(spark, Catalog(sf_dir), "nation", ["n_nationkey", "n_name"])
+    nodes = sym.select("u").distinct()
+    out = (
+        nodes.join(deg, "u", "left")
+        .join(alive.withColumn("in_core", F.lit(True)), "u", "left")
+        .join(F.broadcast(nation), F.col("u") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("last_degree"),
+            F.coalesce("in_core", F.lit(False)).alias("in_core"),
+        )
+    )
+    return out.orderBy(F.desc("in_core"), F.desc("last_degree"), "n_name")
+
+
+def _sql_kcore() -> str:
+    from dbt_lab_spark.workload_extras import _SQL_TRADE_EDGES
+
+    parts = [
+        f"""WITH {_SQL_TRADE_EDGES},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+), sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+alive0 AS MATERIALIZED (SELECT DISTINCT u FROM sym)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+deg{r} AS MATERIALIZED (
+  SELECT s.u, COUNT(*) AS deg
+  FROM sym s
+  JOIN alive{r - 1} x ON x.u = s.u
+  JOIN alive{r - 1} y ON y.u = s.v
+  GROUP BY 1
+), alive{r} AS MATERIALIZED (
+  SELECT u FROM deg{r} WHERE deg >= {_KCORE_K}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n_name,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS last_degree,
+       (a.u IS NOT NULL) AS in_core
+FROM alive0 n0
+LEFT JOIN deg{_KCORE_ROUNDS} d ON d.u = n0.u
+LEFT JOIN alive{_KCORE_ROUNDS} a ON a.u = n0.u
+JOIN nation ON n_nationkey = n0.u
+ORDER BY in_core DESC, last_degree DESC, n_name"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Q-Q plot: exact discrete quantile ladder, view vs purchase values
+# ---------------------------------------------------------------------------
+
+
+def _q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q comparison of the 'view' vs 'purchase' value distributions
+    at the 19 vigintiles (5%..95%): each side's quantile is the EXACT
+    discrete order statistic at rank ceil(q*n/100), found on the
+    COMPRESSED per-distinct-value cumulative-count frame (the
+    q_ks_test compression), so no raw-row sort ever happens.  The
+    rank uses pure integer arithmetic ((q*n + 99) div 100); the
+    (rank > cum - cnt AND rank <= cum) band match selects EXACTLY one
+    compressed row per quantile.  Scale: two hash aggregates + a
+    19 x |distinct-values| band join on the compressed domain."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "event_type", money("value").alias("v")
+    ).filter(F.col("event_type").isin("view", "purchase"))
+    cum = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            "v",
+            "cnt",
+            F.sum("cnt")
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        )
+    )
+    qs = spark.range(1, 20).select((F.col("id") * 5).cast("int").alias("q"))
+    hit = qs.join(
+        cum,
+        (F.expr("(q * n + 99) div 100") > F.col("cum") - F.col("cnt"))
+        & (F.expr("(q * n + 99) div 100") <= F.col("cum")),
+    )
+    pivoted = (
+        hit.groupBy("q")
+        .pivot("event_type", ["view", "purchase"])
+        .agg(F.min("v"))
+        .select(
+            "q",
+            F.col("view").cast(_D).alias("q_view"),
+            F.col("purchase").cast(_D).alias("q_purchase"),
+            (F.col("purchase").cast(_D) - F.col("view").cast(_D)).alias("qq_diff"),
+        )
+    )
+    return pivoted.orderBy("q")
+
+
+_SQL_QQ_PLOT = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+), cum AS MATERIALIZED (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM (SELECT event_type, v, COUNT(*) AS cnt FROM ev GROUP BY 1, 2)
+), qs AS (SELECT CAST(range * 5 AS INT) AS q FROM range(1, 20)),
+hit AS (
+  SELECT qs.q, c.event_type, c.v
+  FROM qs JOIN cum c
+    ON (qs.q * c.n + 99) // 100 > c.cum - c.cnt
+   AND (qs.q * c.n + 99) // 100 <= c.cum
+)
+SELECT q,
+       CAST(MIN(CASE WHEN event_type = 'view' THEN v END) AS DOUBLE) AS q_view,
+       CAST(MIN(CASE WHEN event_type = 'purchase' THEN v END) AS DOUBLE) AS q_purchase,
+       CAST(MIN(CASE WHEN event_type = 'purchase' THEN v END) AS DOUBLE)
+       - CAST(MIN(CASE WHEN event_type = 'view' THEN v END) AS DOUBLE) AS qq_diff
+FROM hit GROUP BY q
+ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily event-count moves
+# ---------------------------------------------------------------------------
+
+
+def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily
+    event-count up/down sequence: count sign runs among nonzero
+    day-over-day moves, compare with the null mean 2*n1*n2/(n1+n2)+1 —
+    the nonparametric trend-free randomness check next to
+    q_mann_kendall's monotone-trend test.  Runs, n1, n2 are exact
+    integers from two lag windows; z is one identically-parenthesized
+    double formula.  Scale: one events hash aggregate to the day
+    grain, then two windows over ~30 rows."""
+    cat = Catalog(sf_dir)
+    daily = (
+        cat.table(spark, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wd = Window.orderBy("day")
+    signs = (
+        daily.select(
+            "day", (F.col("y") - F.lag("y").over(wd)).alias("d")
+        )
+        .filter(F.col("d").isNotNull() & (F.col("d") != 0))
+        .select("day", F.signum("d").cast("int").alias("s"))
+    )
+    ws = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(ws).isNull() | (F.lag("s").over(ws) != F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n1d = F.col("n1").cast(_D)
+    n2d = F.col("n2").cast(_D)
+    mu = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n1d + n2d - 1.0)
+    z = (F.col("runs").cast(_D) - mu) / F.sqrt(var)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_up"),
+        F.col("n2").cast("bigint").alias("n_down"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+        F.round(mu, 6).alias("mu_runs"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+_SQL_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1
+), signs AS (
+  SELECT day, CAST(sign(d) AS INT) AS s FROM (
+    SELECT day, y - lag(y) OVER (ORDER BY day) AS d FROM daily
+  ) WHERE d IS NOT NULL AND d <> 0
+), runs AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                   OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2,
+         SUM(new_run) AS runs
+  FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+       CAST(runs AS BIGINT) AS n_runs,
+       round(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0, 6) AS mu_runs,
+       round((CAST(runs AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+             / sqrt(((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0) - 1.0)
+                    * ((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0) - 2.0)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)), 6) AS z_stat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# histogram-based best-split gain (the GBDT tree-learner primitive)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BIN_CENTS = 50000  # 500.00 acctbal per histogram bin
+
+
+def _q_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split search — the LightGBM/XGBoost
+    tree-learner inner loop — for predicting order totalprice from
+    customer acctbal: bin the feature into fixed 500.00-wide bins,
+    accumulate per-bin gradient sums, and score every split boundary
+    with gain = GL^2/(HL+1) + GR^2/(HR+1) (squared-loss gradients,
+    lambda = 1; the parent term vanishes because residuals sum to 0).
+    Gradients are kept EXACT by the n-scaling trick (g_i = n*y_i - S
+    in integer cents, accumulated in DECIMAL(38,0)); each candidate's
+    gain is one identically-parenthesized double formula on the
+    n-normalized GL.  Scale: one broadcast join + one per-bin hash
+    aggregate; the split scan is a window over ~25 bins."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.floor((money("c_acctbal") * 100).cast("long") / F.lit(float(_SPLIT_BIN_CENTS)))
+        .cast("long")
+        .alias("bin"),
+        (money("o_totalprice") * 100).cast("long").alias("yc"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("yc").alias("s")
+    )
+    tot = per_bin.agg(
+        F.sum("c").alias("n"), F.sum("s").cast("decimal(38,0)").alias("st")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "st",
+        F.sum("c").over(wb).alias("cl"),
+        F.sum(F.col("s").cast("decimal(38,0)")).over(wb).alias("sl"),
+        F.max("bin").over(Window.partitionBy()).alias("maxbin"),
+    )
+    # GL in true-cent units: (n*sl - cl*st) / n, as a double
+    gl = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sl")
+            - F.col("cl").cast("decimal(38,0)") * F.col("st")
+        ).cast(_D)
+        / F.col("n").cast(_D)
+        / F.lit(100.0)
+    )
+    hl = F.col("cl").cast(_D)
+    hr = (F.col("n") - F.col("cl")).cast(_D)
+    gain = gl * gl / (hl + 1.0) + (gl * gl) / (hr + 1.0)
+    scored = cum.filter(F.col("bin") < F.col("maxbin")).select(
+        "bin",
+        "cl",
+        "n",
+        "sl",
+        "st",
+        gain.alias("gain"),
+    )
+    best = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("gain"), "bin"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("bin").cast("bigint").alias("split_bin"),
+        ((F.col("bin") + 1) * F.lit(_SPLIT_BIN_CENTS / 100.0)).alias("split_value"),
+        F.col("cl").cast("bigint").alias("n_left"),
+        (F.col("n") - F.col("cl")).cast("bigint").alias("n_right"),
+        F.round(F.col("sl").cast(_D) / F.col("cl").cast(_D) / 100.0, 6).alias(
+            "mean_left"
+        ),
+        F.round(
+            (F.col("st") - F.col("sl")).cast(_D)
+            / (F.col("n") - F.col("cl")).cast(_D)
+            / 100.0,
+            6,
+        ).alias("mean_right"),
+        F.round(F.col("gain"), 4).alias("gain"),
+    )
+
+
+_SQL_SPLIT_GAIN = f"""
+WITH base AS (
+  SELECT CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    / {float(_SPLIT_BIN_CENTS)}) AS BIGINT) AS bin,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), per_bin AS (
+  SELECT bin, COUNT(*) AS c, SUM(yc) AS s FROM base GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n, CAST(SUM(s) AS DECIMAL(38,0)) AS st FROM per_bin
+), cum AS (
+  SELECT bin, n, st,
+         SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cl,
+         SUM(CAST(s AS DECIMAL(38,0))) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS sl,
+         MAX(bin) OVER () AS maxbin
+  FROM per_bin CROSS JOIN tot
+), scored AS (
+  SELECT bin, cl, n, sl, st,
+         (CAST(CAST(n AS DECIMAL(38,0)) * sl
+               - CAST(cl AS DECIMAL(38,0)) * st AS DOUBLE)
+          / CAST(n AS DOUBLE) / 100.0)
+         * (CAST(CAST(n AS DECIMAL(38,0)) * sl
+                 - CAST(cl AS DECIMAL(38,0)) * st AS DOUBLE)
+            / CAST(n AS DOUBLE) / 100.0)
+         / (CAST(cl AS DOUBLE) + 1.0)
+         + (CAST(CAST(n AS DECIMAL(38,0)) * sl
+                 - CAST(cl AS DECIMAL(38,0)) * st AS DOUBLE)
+            / CAST(n AS DOUBLE) / 100.0)
+           * (CAST(CAST(n AS DECIMAL(38,0)) * sl
+                   - CAST(cl AS DECIMAL(38,0)) * st AS DOUBLE)
+              / CAST(n AS DOUBLE) / 100.0)
+           / (CAST(n - cl AS DOUBLE) + 1.0) AS gain
+  FROM cum WHERE bin < maxbin
+)
+SELECT CAST(bin AS BIGINT) AS split_bin,
+       (bin + 1) * {_SPLIT_BIN_CENTS / 100.0} AS split_value,
+       CAST(cl AS BIGINT) AS n_left,
+       CAST(n - cl AS BIGINT) AS n_right,
+       round(CAST(sl AS DOUBLE) / CAST(cl AS DOUBLE) / 100.0, 6) AS mean_left,
+       round(CAST(st - sl AS DOUBLE) / CAST(n - cl AS DOUBLE) / 100.0, 6) AS mean_right,
+       round(gain, 4) AS gain
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, bin) AS rn FROM scored
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped log-log price elasticity per part brand
+# ---------------------------------------------------------------------------
+
+
+def _q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part brand: the grouped
+    OLS slope of ln(quantity) on ln(line price) — 25 simultaneous
+    regressions in ONE aggregate pass (the grouped-regression shape;
+    q_ols/q_cv_ols fit one global model).  Both logs are frozen to
+    round-6 DECIMAL(18,6) before any accumulation, so all five moments
+    per brand are exact decimals and the slope is one
+    identically-parenthesized double formula.  Scale: lineitem-part
+    equi-join (part broadcast at these SFs, shuffle-hash beyond) +
+    one 25-group hash aggregate."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"])
+    part = scan(spark, cat, "part", ["p_partkey", "p_brand"])
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.log(money("l_extendedprice").cast(_D)), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("l_quantity").cast(_D)), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    mom = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast(_D)
+    slope = (nd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)) / (
+        nd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    )
+    return mom.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(F.col("sy").cast(_D) / nd, 6).alias("mean_ln_qty"),
+    ).orderBy("p_brand")
+
+
+_SQL_ELASTICITY = """
+WITH base AS (
+  SELECT p_brand,
+         CAST(round(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(CAST(l_quantity AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), mom AS (
+  SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM base GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_ln_qty
+FROM mom
+ORDER BY p_brand
+"""
+
+
+SESSION6_QUERIES.extend(
+    [
+        QueryDef(
+            "q_kcore", _q_kcore, _sql_kcore(),
+            "3-core membership via 3 unrolled peel rounds",
+        ),
+        QueryDef(
+            "q_qq_plot", _q_qq_plot, _SQL_QQ_PLOT,
+            "Q-Q vigintile ladder on the compressed value domain",
+        ),
+        QueryDef(
+            "q_runs_test", _q_runs_test, _SQL_RUNS_TEST,
+            "Wald-Wolfowitz runs test on daily moves",
+        ),
+        QueryDef(
+            "q_split_gain", _q_split_gain, _SQL_SPLIT_GAIN,
+            "histogram best-split gain (GBDT inner loop), exact gradients",
+        ),
+        QueryDef(
+            "q_elasticity", _q_elasticity, _SQL_ELASTICITY,
+            "grouped log-log elasticity, 25 regressions in one pass",
+        ),
+    ]
+)
