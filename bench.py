@@ -218,6 +218,11 @@ BENCH_NAMES = [
     "q_runs_test",
     "q_split_gain",
     "q_elasticity",
+    "q_event_study",
+    "q_hte_segments",
+    "q_tost",
+    "q_permutation_test",
+    "q_seasonal_strength",
 ]
 
 

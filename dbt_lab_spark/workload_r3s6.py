@@ -1061,3 +1061,483 @@ SESSION6_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# event study: outcomes aligned to each user's first purchase
+# ---------------------------------------------------------------------------
+
+_ES_HORIZON = 7
+
+
+def _q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel event study: align every user's event stream to their
+    FIRST purchase (relative day 0) and average event value by
+    relative day over [-7, +7] — the standard around-the-treatment
+    dynamics plot.  The anchor is a per-user conditional MIN window
+    (no self-join); means are exact DECIMAL sums over integer counts
+    with ONE double division.  Scale: one user-partitioned window +
+    one 15-group hash aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        money("value").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    anchored = ev.withColumn(
+        "anchor",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).over(wu),
+    ).filter(F.col("anchor").isNotNull())
+    rel = anchored.select(
+        F.datediff("day", "anchor").alias("rel_day"), "v"
+    ).filter(F.abs(F.col("rel_day")) <= _ES_HORIZON)
+    return (
+        rel.groupBy("rel_day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(
+            F.col("rel_day").cast("int").alias("rel_day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("s").cast(_D) / F.col("n").cast(_D), 6).alias("mean_value"),
+        )
+        .orderBy("rel_day")
+    )
+
+
+_SQL_EVENT_STUDY = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), anchored AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN day END)
+              OVER (PARTITION BY user_id) AS anchor
+  FROM ev
+), rel AS (
+  SELECT CAST(date_diff('day', anchor, day) AS INT) AS rel_day, v
+  FROM anchored
+  WHERE anchor IS NOT NULL
+    AND abs(date_diff('day', anchor, day)) <= {_ES_HORIZON}
+)
+SELECT rel_day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+FROM rel GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous treatment effect by acctbal quintile
+# ---------------------------------------------------------------------------
+
+
+def _q_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effect: per-customer total spend under
+    the md5 A/B arm split, contrasted WITHIN acctbal quintiles — the
+    segment-level uplift readout that follows any flat A/B result.
+    Quintiles come from ntile over (acctbal, custkey) so membership is
+    deterministic; spend sums stay exact DECIMAL (customers with no
+    orders count as 0); each segment mean is one double division and
+    the uplift subtracts the two means.  Scale: one orders rollup +
+    broadcast-joined customer frame, one ntile window over customers,
+    one 10-cell aggregate."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("spend")
+    )
+    seg = cust.select(
+        "c_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(money("c_acctbal"), "c_custkey"))
+        .alias("segment"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("hte"))), 1, 1
+            ).isin(*list("01234567")),
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    joined = seg.join(spend, seg.c_custkey == spend.o_custkey, "left").select(
+        "segment",
+        "arm",
+        F.coalesce("spend", F.lit(0).cast("decimal(18,2)")).alias("y"),
+    )
+    cells = joined.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y"))).alias("sb"),
+    )
+    ma = F.col("sa").cast(_D) / F.col("na").cast(_D)
+    mb = F.col("sb").cast(_D) / F.col("nb").cast(_D)
+    return cells.select(
+        F.col("segment").cast("int").alias("segment"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("uplift"),
+    ).orderBy("segment")
+
+
+_SQL_HTE_SEGMENTS = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+), seg AS (
+  SELECT c_custkey,
+         NTILE(5) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS segment,
+         CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR) || 'hte'), 1, 1)
+              BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm
+  FROM customer
+), joined AS (
+  SELECT segment, arm,
+         COALESCE(spend, CAST(0 AS DECIMAL(18,2))) AS y
+  FROM seg LEFT JOIN spend ON c_custkey = o_custkey
+), cells AS (
+  SELECT segment,
+         SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN arm = 'A' THEN y END) AS sa,
+         SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+         SUM(CASE WHEN arm = 'B' THEN y END) AS sb
+  FROM joined GROUP BY 1
+)
+SELECT CAST(segment AS INT) AS segment,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS mean_a,
+       round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_b,
+       round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS uplift
+FROM cells
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (two one-sided Welch t's)
+# ---------------------------------------------------------------------------
+
+_TOST_DELTA_CENTS = 100  # equivalence margin: +/- 1.00
+
+
+def _q_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test between the 'view' and 'purchase' value
+    means with margin +/-1.00: both one-sided Welch t statistics must
+    clear 1.645 to declare equivalence — the A/B gate for 'prove
+    NOTHING changed', the mirror image of q_ab_test's difference
+    test.  Moments are exact integer CENTS; the two t's are
+    identically-parenthesized double formulas sharing one Welch SE.
+    Scale: one 6-moment events aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_type", (money("value") * 100).cast("long").alias("c")
+    )
+    mom = ev.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("c"))).alias("s1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("c") * F.col("c"))
+        ).alias("q1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("c"))).alias("s2"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("c") * F.col("c"))
+        ).alias("q2"),
+    )
+    n1, n2 = F.col("n1").cast(_D), F.col("n2").cast(_D)
+    m1 = F.col("s1").cast(_D) / n1 / 100.0
+    m2 = F.col("s2").cast(_D) / n2 / 100.0
+    v1 = (n1 * F.col("q1").cast(_D) - F.col("s1").cast(_D) * F.col("s1").cast(_D)) / (
+        n1 * (n1 - 1.0)
+    ) / 10000.0
+    v2 = (n2 * F.col("q2").cast(_D) - F.col("s2").cast(_D) * F.col("s2").cast(_D)) / (
+        n2 * (n2 - 1.0)
+    ) / 10000.0
+    se = F.sqrt(v1 / n1 + v2 / n2)
+    delta = _TOST_DELTA_CENTS / 100.0
+    diff = m1 - m2
+    t_lower = (diff + delta) / se
+    t_upper = (delta - diff) / se
+    return mom.select(
+        F.col("n1").cast("bigint").alias("n_view"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(se, 6).alias("welch_se"),
+        F.round(t_lower, 6).alias("t_lower"),
+        F.round(t_upper, 6).alias("t_upper"),
+        (F.least(t_lower, t_upper) > 1.645).alias("equivalent"),
+    )
+
+
+_SQL_TOST = f"""
+WITH ev AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+), mom AS (
+  SELECT SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_type = 'view' THEN c END) AS s1,
+         SUM(CASE WHEN event_type = 'view' THEN c * c END) AS q1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN event_type = 'purchase' THEN c END) AS s2,
+         SUM(CASE WHEN event_type = 'purchase' THEN c * c END) AS q2
+  FROM ev
+), t AS (
+  SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+         - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS diff,
+         sqrt(((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 10000.0
+               / CAST(n1 AS DOUBLE))
+              + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) / 10000.0
+                 / CAST(n2 AS DOUBLE))) AS se
+  FROM mom
+)
+SELECT n_view, n_purchase,
+       round(diff, 6) AS mean_diff,
+       round(se, 6) AS welch_se,
+       round((diff + {_TOST_DELTA_CENTS / 100.0}) / se, 6) AS t_lower,
+       round(({_TOST_DELTA_CENTS / 100.0} - diff) / se, 6) AS t_upper,
+       least((diff + {_TOST_DELTA_CENTS / 100.0}) / se,
+             ({_TOST_DELTA_CENTS / 100.0} - diff) / se) > 1.645 AS equivalent
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# sign-flip permutation test with md5-derived flips (no RNG)
+# ---------------------------------------------------------------------------
+
+_PERM_B = 64
+
+
+def _q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test on per-user (purchase - view)
+    value totals: 64 deterministic md5-derived sign patterns stand in
+    for random flips (the q_bootstrap_ci no-RNG convention), p =
+    (1 + #{|sum_b| >= |observed|}) / (B + 1) — the distribution-free
+    alternative to the paired t-test.  EVERYTHING is integer cents:
+    each flipped sum and the observed sum are exact, so the extreme
+    count is an integer compare.  Scale: one per-user aggregate, one
+    x64 fan-out (documented fan-out class, like the bootstrap), one
+    map-side-combined reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", money("value"))
+                ),
+                F.lit(0),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("p"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "view", money("value"))),
+                F.lit(0),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("v"),
+    ).select("user_id", (F.col("p") - F.col("v")).alias("d"))
+    obs = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d").alias("obs")
+    )
+    bs = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+    flipped = per_user.crossJoin(F.broadcast(bs)).select(
+        "b",
+        (
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit("perm"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(*list("02468ace")),
+                F.col("d"),
+            ).otherwise(-F.col("d"))
+        ).alias("sd"),
+    )
+    stats = flipped.groupBy("b").agg(F.sum("sd").alias("stat"))
+    extreme = stats.crossJoin(F.broadcast(obs)).agg(
+        F.max("n").alias("n"),
+        F.max("obs").alias("obs"),
+        F.sum(
+            (F.abs(F.col("stat")) >= F.abs(F.col("obs"))).cast("long")
+        ).alias("n_extreme"),
+    )
+    return extreme.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("obs").cast(_D) / F.col("n").cast(_D) / 100.0, 6).alias(
+            "obs_mean_diff"
+        ),
+        F.col("n_extreme").cast("bigint").alias("n_extreme"),
+        F.round(
+            (1.0 + F.col("n_extreme").cast(_D)) / F.lit(float(_PERM_B + 1)), 6
+        ).alias("p_value"),
+    )
+
+
+_SQL_PERMUTATION_TEST = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT)
+         - CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                          THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT)
+         AS d
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+), obs AS (
+  SELECT COUNT(*) AS n, SUM(d) AS obs FROM per_user
+), bs AS (SELECT CAST(range AS BIGINT) AS b FROM range(1, {_PERM_B + 1})),
+stats AS (
+  SELECT b, SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)
+                            || 'perm' || CAST(b AS VARCHAR)), 1, 1)
+                          IN ('0','2','4','6','8','a','c','e')
+                     THEN d ELSE -d END) AS stat
+  FROM per_user CROSS JOIN bs GROUP BY 1
+)
+SELECT CAST(o.n AS BIGINT) AS n_users,
+       round(CAST(o.obs AS DOUBLE) / CAST(o.n AS DOUBLE) / 100.0, 6) AS obs_mean_diff,
+       CAST(SUM(CASE WHEN abs(s.stat) >= abs(o.obs) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme,
+       round((1.0 + CAST(SUM(CASE WHEN abs(s.stat) >= abs(o.obs) THEN 1 ELSE 0 END)
+                    AS DOUBLE)) / {float(_PERM_B + 1)}, 6) AS p_value
+FROM stats s CROSS JOIN obs o
+GROUP BY o.n, o.obs
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal strength of the hourly series (variance-explained ratio)
+# ---------------------------------------------------------------------------
+
+
+def _q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of the hourly event-count series: 1 -
+    var(residual)/var(total) after removing the hour-of-day profile —
+    the STL-style forecastability score (complements q_seasonal's
+    profile extraction with a single strength number).  The seasonal
+    component is frozen to a round-6 DECIMAL mean per hour-of-day, so
+    every residual y - s is an EXACT decimal and both variance
+    numerators are exact decimal sums — only the final ratio is a
+    double.  Scale: one events hash aggregate to the hourly grain,
+    one 24-row profile aggregate, one broadcast join back."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("y"))
+    hod = hourly.select("h", "y", (F.col("h") % 24).alias("hod"))
+    prof = hod.groupBy("hod").agg(
+        F.round(F.sum("y").cast(_D) / F.count(F.lit(1)).cast(_D), 6)
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    # residual in exact integer MICRO-units: y has scale 0, s scale 6,
+    # so (y - s) * 1e6 is an exact integer; its square accumulates in
+    # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact.
+    joined = hod.join(F.broadcast(prof), "hod").select(
+        "y",
+        ((F.col("y") - F.col("s")) * 1000000).cast("long").alias("rm"),
+    )
+    mom = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("rm").alias("sr"),
+        F.sum(F.col("rm").cast("decimal(38,0)") * F.col("rm")).alias("srr"),
+    )
+    nd = F.col("n").cast(_D)
+    var_tot = (nd * F.col("syy").cast(_D) - F.col("sy").cast(_D) * F.col("sy").cast(_D))
+    var_res = (
+        nd * F.col("srr").cast(_D) - F.col("sr").cast(_D) * F.col("sr").cast(_D)
+    ) / 1e12
+    strength = F.greatest(F.lit(0.0), 1.0 - var_res / var_tot)
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(var_tot / (nd * nd), 6).alias("var_total"),
+        F.round(var_res / (nd * nd), 6).alias("var_resid"),
+        F.round(strength, 6).alias("seasonal_strength"),
+    )
+
+
+_SQL_SEASONAL_STRENGTH = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h, COUNT(*) AS y
+  FROM events GROUP BY 1
+), hod AS (
+  SELECT h, y, h % 24 AS hod FROM hourly
+), prof AS (
+  SELECT hod, CAST(round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS DECIMAL(18,6)) AS s
+  FROM hod GROUP BY 1
+), joined AS (
+  SELECT y, CAST((y - s) * 1000000 AS BIGINT) AS rm FROM hod JOIN prof USING (hod)
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(y) AS sy,
+         SUM(y * y) AS syy,
+         SUM(rm) AS sr,
+         SUM(CAST(rm AS HUGEINT) * rm) AS srr
+  FROM joined
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       round((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_total,
+       round(((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+               - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / 1e12)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_resid,
+       round(greatest(0.0, 1.0 - ((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / 1e12)
+                                 / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS seasonal_strength
+FROM mom
+"""
+
+
+SESSION6_QUERIES.extend(
+    [
+        QueryDef(
+            "q_event_study", _q_event_study, _SQL_EVENT_STUDY,
+            "event study aligned to first purchase",
+        ),
+        QueryDef(
+            "q_hte_segments", _q_hte_segments, _SQL_HTE_SEGMENTS,
+            "heterogeneous uplift by acctbal quintile",
+        ),
+        QueryDef(
+            "q_tost", _q_tost, _SQL_TOST,
+            "TOST equivalence test (two one-sided Welch t's)",
+        ),
+        QueryDef(
+            "q_permutation_test", _q_permutation_test, _SQL_PERMUTATION_TEST,
+            "md5 sign-flip permutation test, exact integer stats",
+        ),
+        QueryDef(
+            "q_seasonal_strength", _q_seasonal_strength, _SQL_SEASONAL_STRENGTH,
+            "STL-style seasonal strength (exact-decimal residual variance)",
+        ),
+    ]
+)
