@@ -223,6 +223,10 @@ BENCH_NAMES = [
     "q_tost",
     "q_permutation_test",
     "q_seasonal_strength",
+    # r3-session-7: power planning, robust moments, GBDT round
+    "q_mde_power",
+    "q_winsorized_stats",
+    "q_gbm_round",
 ]
 
 

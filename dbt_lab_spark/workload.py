@@ -1565,6 +1565,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_extras import EXTRA_QUERIES
     from dbt_lab_spark.workload_r3s5 import SESSION5_QUERIES
     from dbt_lab_spark.workload_r3s6 import SESSION6_QUERIES
+    from dbt_lab_spark.workload_r3s7 import SESSION7_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     return (
@@ -1574,4 +1575,5 @@ def all_queries() -> list[QueryDef]:
         + EXTRA_QUERIES
         + SESSION5_QUERIES
         + SESSION6_QUERIES
+        + SESSION7_QUERIES
     )
