@@ -227,6 +227,9 @@ BENCH_NAMES = [
     "q_mde_power",
     "q_winsorized_stats",
     "q_gbm_round",
+    "q_markov_attribution",
+    "q_hurst",
+    "q_median_polish",
 ]
 
 

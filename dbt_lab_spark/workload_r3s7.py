@@ -432,3 +432,578 @@ SESSION7_QUERIES: list[QueryDef] = [
         "one full GBDT round: stump + shrinkage + loss audit",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (unrolled truncated absorption)
+# ---------------------------------------------------------------------------
+
+_MA_STEPS = 6
+_MA_CHANNELS = ("click", "view", "signup", "error")
+
+
+def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov attribution with removal effects: build the
+    user-journey transition matrix (start -> channels -> conv on first
+    purchase / null at journey end), then for each channel compute the
+    conversion probability of the chain WITH THAT CHANNEL REMOVED
+    (its outgoing AND incoming mass routed to null) and attribute by
+    normalized removal effect — the data-driven alternative to
+    last-touch that marketing stacks run.  Absorption probabilities
+    use a 6-step truncated iteration v_{k+1}(s) = sum_t P(s,t) v_k(t)
+    with P frozen round-6 DECIMAL and v re-frozen to round-6 after
+    every step, so both engines walk identical numbers.
+
+    Architecture (the llm/similarity.py Lloyd-loop precedent): Spark
+    does the DISTRIBUTED work — one lag window + one hash aggregate
+    from raw events down to the <=49-row transition matrix — and the
+    O(states^2) absorption solve runs driver-side in exact
+    decimal.Decimal arithmetic that replicates the engines' round
+    semantics bit-for-bit (HALF_UP on the shortest-repr double, the
+    same thing F.round and DuckDB round() do to the exact decimal
+    sums).  An earlier all-DataFrame unroll was correct but spent ~30s
+    of tiny-stage scheduling overhead on 49 rows; the matrix is
+    O(|event types|^2) at ANY corpus size, so the driver pull is
+    scale-safe.  Normalization sums ROUND-6 DECIMAL removal effects
+    (order-free), never raw doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "state")
+    seq = ev.select(
+        "user_id",
+        "state",
+        F.row_number().over(wu).alias("rn"),
+        F.min(F.when(F.col("state") == "conv", F.col("ts"))).over(
+            Window.partitionBy("user_id")
+        ).alias("conv_ts"),
+        "ts",
+    ).filter(F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = seq.select(
+        "user_id",
+        F.coalesce(F.lag("state").over(wj), F.lit("start")).alias("s"),
+        F.col("state").alias("t"),
+        "rn",
+        F.max("rn").over(Window.partitionBy("user_id")).alias("last_rn"),
+    )
+    tails = (
+        steps.filter((F.col("rn") == F.col("last_rn")) & (F.col("t") != "conv"))
+        .select(F.col("t").alias("s"), F.lit("null").alias("t"))
+    )
+    trans = (
+        steps.select("s", "t")
+        .unionAll(tails)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = trans.collect()  # <= (|types|+2)^2 rows — bounded driver pull
+
+    six = Decimal("0.000001")
+
+    def round6(x: float) -> Decimal:
+        # F.round / DuckDB round(): HALF_UP on the shortest-repr double
+        return Decimal(repr(float(x))).quantize(six, rounding=ROUND_HALF_UP)
+
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r["s"]] = tot.get(r["s"], 0) + r["cnt"]
+    # p frozen exactly like the engines: double division, then round-6
+    p = {(r["s"], r["t"]): round6(r["cnt"] / tot[r["s"]]) for r in rows}
+    states = {s for s, _ in p} | {t for _, t in p}
+
+    def absorb(removed: str | None) -> float:
+        v = {s: Decimal(1) if s == "conv" else Decimal(0) for s in states}
+        for _ in range(_MA_STEPS):
+            nxt = {}
+            for s in states:
+                if s == "conv":
+                    nxt[s] = Decimal(1)
+                    continue
+                if s == removed:
+                    nxt[s] = Decimal(0)
+                    continue
+                acc = Decimal(0)  # exact scale-12 sum, like SUM(p*v)
+                for (a, b), pv in p.items():
+                    if a == s and b != removed:
+                        acc += pv * v[b]
+                nxt[s] = round6(float(acc))  # CAST AS DOUBLE -> round 6
+            v = nxt
+        return float(v.get("start", Decimal(0)))
+
+    base = absorb(None)
+    pconv = {c: absorb(c) for c in _MA_CHANNELS}
+    re6 = {c: round6((base - pconv[c]) / base) for c in _MA_CHANNELS}
+    re_tot = sum(re6.values())  # exact decimal sum of round-6 effects
+    out = [
+        (
+            c,
+            float(round6(base)),
+            float(round6(pconv[c])),
+            float(re6[c]),
+            float(round6(float(re6[c]) / float(re_tot))),
+        )
+        for c in _MA_CHANNELS
+    ]
+    out.sort()
+    return spark.createDataFrame(
+        out,
+        "channel string, base_pconv double, removed_pconv double, "
+        "removal_effect double, attribution double",
+    )
+
+
+
+def _sql_markov_attribution() -> str:
+    chans = ", ".join(f"('{c}')" for c in ("none",) + _MA_CHANNELS)
+    parts = [
+        f"""WITH ev AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state
+  FROM events
+), seq AS (
+  SELECT * FROM (
+    SELECT user_id, state, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, state) AS rn,
+           MIN(CASE WHEN state = 'conv' THEN ts END)
+             OVER (PARTITION BY user_id) AS conv_ts
+    FROM ev
+  ) WHERE conv_ts IS NULL OR ts <= conv_ts
+), steps AS MATERIALIZED (
+  SELECT user_id,
+         COALESCE(lag(state) OVER (PARTITION BY user_id ORDER BY rn), 'start') AS s,
+         state AS t, rn,
+         MAX(rn) OVER (PARTITION BY user_id) AS last_rn
+  FROM seq
+), trans AS MATERIALIZED (
+  SELECT s, t, COUNT(*) AS cnt FROM (
+    SELECT s, t FROM steps
+    UNION ALL
+    SELECT t AS s, 'null' AS t FROM steps WHERE rn = last_rn AND t <> 'conv'
+  ) GROUP BY 1, 2
+), probs AS MATERIALIZED (
+  SELECT s, t,
+         CAST(round(CAST(cnt AS DOUBLE)
+                    / CAST(SUM(cnt) OVER (PARTITION BY s) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS p
+  FROM trans
+), removed AS (SELECT * FROM (VALUES {chans}) AS r(removed)),
+pr AS MATERIALIZED (
+  SELECT removed, s, t, p FROM removed CROSS JOIN probs
+  WHERE s <> removed AND t <> removed
+), states AS MATERIALIZED (
+  SELECT DISTINCT removed, state FROM removed CROSS JOIN (
+    SELECT t AS state FROM probs UNION SELECT s FROM probs)
+),
+v0 AS MATERIALIZED (
+  SELECT removed, state,
+         CASE WHEN state = 'conv' THEN CAST(1.000000 AS DECIMAL(18,6))
+              ELSE CAST(0.000000 AS DECIMAL(18,6)) END AS v
+  FROM states
+)"""
+    ]
+    for k in range(1, _MA_STEPS + 1):
+        parts.append(
+            f""",
+v{k} AS MATERIALIZED (
+  SELECT st.removed, st.state,
+         CASE WHEN st.state = 'conv' THEN CAST(1.000000 AS DECIMAL(18,6))
+              ELSE COALESCE(sv.v, CAST(0.000000 AS DECIMAL(18,6))) END AS v
+  FROM states st
+  LEFT JOIN (
+    SELECT pr.removed, pr.s AS state,
+           CAST(round(CAST(SUM(pr.p * pv.v) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+    FROM pr JOIN v{k - 1} pv ON pv.removed = pr.removed AND pv.state = pr.t
+    GROUP BY 1, 2
+  ) sv ON sv.removed = st.removed AND sv.state = st.state
+)"""
+        )
+    parts.append(
+        f""",
+at_start AS (
+  SELECT removed, CAST(v AS DOUBLE) AS pconv
+  FROM v{_MA_STEPS} WHERE state = 'start'
+), eff AS (
+  SELECT a.removed AS channel, a.pconv, b.pconv AS base,
+         CAST(round((b.pconv - a.pconv) / b.pconv, 6) AS DECIMAL(18,6)) AS re6
+  FROM at_start a CROSS JOIN (SELECT pconv FROM at_start WHERE removed = 'none') b
+  WHERE a.removed <> 'none'
+)
+SELECT channel,
+       round(base, 6) AS base_pconv,
+       round(pconv, 6) AS removed_pconv,
+       CAST(re6 AS DOUBLE) AS removal_effect,
+       round(CAST(re6 AS DOUBLE) / CAST(SUM(re6) OVER () AS DOUBLE), 6) AS attribution
+FROM eff
+ORDER BY channel"""
+    )
+    return "".join(parts)
+
+
+SESSION7_QUERIES.append(
+    QueryDef(
+        "q_markov_attribution", _q_markov_attribution, _sql_markov_attribution(),
+        "Markov removal-effect attribution (unrolled absorption)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+_HURST_BLOCKS = (45, 90, 180, 360)
+
+
+def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by classic R/S
+    analysis: for block sizes m in {45,90,180,360}, split the series
+    into floor(T/m) blocks, compute each block's rescaled range
+    R/S (range of the demeaned cumulative sum over the population
+    std), average per m, and fit ln(R/S) = H ln(m) + c by OLS over the
+    four points — H>0.5 = long memory, the forecastability diagnostic
+    beside q_seasonal_strength.  The demeaned cumsum uses the exact
+    integer m*cum - k*tot scaling (the q_drawdown trick), so R's
+    numerator and the std moments are exact integers; each block's
+    R/S is one double formula, per-m means sum ROUND-6 DECIMALS
+    (order-free), and the final regression runs on 4 frozen points.
+    Scale: one events hash aggregate + one window per block size over
+    the ~720-row hourly grain."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("y"))
+    idx = hourly.select(
+        "h", "y", (F.row_number().over(Window.orderBy("h")) - 1).alias("i")
+    )
+    # ONE pass for all block sizes: explode each hour across the 4 m's
+    # with a tiny multiplier join, then a single (m, b)-partitioned
+    # window — 4 separate union branches would re-derive the events
+    # scan per m and pay 4x the stage overhead (measured 8.7s -> ~1s).
+    mult = spark.createDataFrame([(m,) for m in _HURST_BLOCKS], "m int")
+    blk = (
+        idx.select(
+            "y", "i", F.count(F.lit(1)).over(Window.partitionBy()).alias("t")
+        )
+        .crossJoin(F.broadcast(mult))
+        .select(
+            "y",
+            "m",
+            F.floor(F.col("i") / F.col("m")).cast("long").alias("b"),
+            (F.col("i") % F.col("m")).alias("k"),
+            F.col("t"),
+        )
+        .filter(F.col("b") < F.floor(F.col("t") / F.col("m")).cast("long"))
+        .drop("t")
+    )
+    wb = Window.partitionBy("m", "b").orderBy("k")
+    wall = Window.partitionBy("m", "b")
+    scanned = blk.select(
+        "m",
+        "b",
+        F.sum("y").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.row_number().over(wb).alias("kk"),
+        F.sum("y").over(wall).alias("tot"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("totsq"),
+    )
+    dev = scanned.select(
+        "m",
+        "b",
+        "tot",
+        "totsq",
+        (F.col("m") * F.col("cum") - F.col("kk") * F.col("tot")).alias("s"),
+    )
+    per_block = dev.groupBy("m", "b", "tot", "totsq").agg(
+        F.max("s").alias("smax"), F.min("s").alias("smin")
+    )
+    md = F.col("m").cast(_D)
+    r = (
+        F.greatest(F.col("smax"), F.lit(0)).cast(_D)
+        - F.least(F.col("smin"), F.lit(0)).cast(_D)
+    ) / md
+    s = F.sqrt(
+        (md * F.col("totsq").cast(_D) - F.col("tot").cast(_D) * F.col("tot").cast(_D))
+    ) / md
+    per_m = per_block.select(
+        "m",
+        F.round(r / s, 6).cast("decimal(18,6)").alias("rs"),
+    )
+    mean_rs = per_m.groupBy("m").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.round(F.sum("rs").cast(_D) / F.count(F.lit(1)).cast(_D), 6).alias("mean_rs"),
+    )
+    pts = mean_rs.select(
+        "m",
+        "nb",
+        "mean_rs",
+        F.round(F.log(F.col("m").cast(_D)), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("mean_rs"), 6).cast("decimal(18,6)").alias("yy"),
+    )
+    wall = Window.partitionBy()
+    mom = pts.select(
+        "*",
+        F.count(F.lit(1)).over(wall).alias("np"),
+        F.sum("x").over(wall).alias("sx"),
+        F.sum("yy").over(wall).alias("sy"),
+        F.sum(F.col("x") * F.col("yy")).over(wall).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wall).alias("sxx"),
+    )
+    npd = F.col("np").cast(_D)
+    hurst = (
+        npd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)
+    ) / (npd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D))
+    return mom.select(
+        F.col("m").cast("int").alias("block_size"),
+        F.col("nb").cast("bigint").alias("n_blocks"),
+        F.col("mean_rs").cast(_D).alias("mean_rs"),
+        F.round(hurst, 6).alias("hurst"),
+    ).orderBy("block_size")
+
+
+def _sql_hurst() -> str:
+    blocks = []
+    for m in _HURST_BLOCKS:
+        blocks.append(
+            f"""
+  SELECT m, CAST(round(
+    ((CASE WHEN smax > 0 THEN CAST(smax AS DOUBLE) ELSE 0 END
+      - CASE WHEN smin < 0 THEN CAST(smin AS DOUBLE) ELSE 0 END) / CAST(m AS DOUBLE))
+    / (sqrt(CAST(m AS DOUBLE) * CAST(totsq AS DOUBLE)
+            - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(m AS DOUBLE)), 6)
+    AS DECIMAL(18,6)) AS rs
+  FROM (
+    SELECT b, m, tot, totsq, MAX(s) AS smax, MIN(s) AS smin
+    FROM (
+      SELECT b, m, tot, totsq, m * cum - kk * tot AS s
+      FROM (
+        SELECT b, {m} AS m, y,
+               SUM(y) OVER (PARTITION BY b ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY k) AS kk,
+               SUM(y) OVER (PARTITION BY b) AS tot,
+               SUM(y * y) OVER (PARTITION BY b) AS totsq
+        FROM (
+          SELECT y, (i // {m}) AS b, (i % {m}) AS k,
+                 COUNT(*) OVER () AS t
+          FROM idx
+        ) WHERE b < t // {m}
+      )
+    ) GROUP BY 1, 2, 3, 4
+  )"""
+        )
+    rs_union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h, COUNT(*) AS y
+  FROM events GROUP BY 1
+), idx AS MATERIALIZED (
+  SELECT h, y, ROW_NUMBER() OVER (ORDER BY h) - 1 AS i FROM hourly
+), rs AS MATERIALIZED ({rs_union}
+), mean_rs AS (
+  SELECT m, COUNT(*) AS nb,
+         round(CAST(SUM(rs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_rs
+  FROM rs GROUP BY 1
+), pts AS (
+  SELECT m, nb, mean_rs,
+         CAST(round(ln(CAST(m AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(mean_rs), 6) AS DECIMAL(18,6)) AS yy
+  FROM mean_rs
+), mom AS (
+  SELECT *, COUNT(*) OVER () AS np,
+         SUM(x) OVER () AS sx, SUM(yy) OVER () AS sy,
+         SUM(x * yy) OVER () AS sxy, SUM(x * x) OVER () AS sxx
+  FROM pts
+)
+SELECT CAST(m AS INT) AS block_size, CAST(nb AS BIGINT) AS n_blocks,
+       CAST(mean_rs AS DOUBLE) AS mean_rs,
+       round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hurst
+FROM mom
+ORDER BY block_size
+"""
+
+
+SESSION7_QUERIES.append(
+    QueryDef(
+        "q_hurst", _q_hurst, _sql_hurst(),
+        "Hurst exponent via R/S analysis (4 block sizes)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish of the nation x priority median-price table
+# ---------------------------------------------------------------------------
+
+_MP_ITERS = 2
+
+
+def _q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the 25x5 nation x order-priority table
+    of median order prices: alternately sweep out row and column
+    medians (2 full iterations) to split each cell into row effect +
+    column effect + residual — the robust two-way decomposition that
+    survives wild cells where a mean-based ANOVA table would not.
+    Cell medians are EXACT lower order statistics (rank (n+1)/2) in
+    canonical DECIMAL(18,2); every sweep subtracts exact decimals, so
+    the whole decomposition is float-free.
+
+    Architecture (the q_markov_attribution / Lloyd-loop precedent):
+    Spark reduces orders+customer to the 125-cell median table (the
+    distributed work: one broadcast join + per-cell rank pick); the
+    4 polish sweeps run driver-side on the collected 125 decimals —
+    O(|nations| x |priorities|) at ANY data size.  The oracle unrolls
+    the identical sweeps as chained SQL CTEs."""
+    from decimal import Decimal
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", money("o_totalprice").alias("y"))
+    )
+    wc = Window.partitionBy("n_name", "o_orderpriority").orderBy("y")
+    cells = (
+        base.select(
+            "n_name",
+            "o_orderpriority",
+            "y",
+            F.row_number().over(wc).alias("r"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("n_name", "o_orderpriority")
+            ).alias("cnt"),
+        )
+        .filter(F.col("r") * 2 == F.col("cnt") + (F.col("cnt") % 2))
+        .select("n_name", "o_orderpriority", F.col("y").alias("cell"))
+    )
+    rows = cells.collect()  # bounded: |nations| x |priorities| rows
+
+    cell = {(r["n_name"], r["o_orderpriority"]): Decimal(r["cell"]) for r in rows}
+    ns = sorted({a for a, _ in cell})
+    ps = sorted({b for _, b in cell})
+
+    def lower_median(vals: list[Decimal]) -> Decimal:
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    row_eff = {a: Decimal(0) for a in ns}
+    col_eff = {b: Decimal(0) for b in ps}
+    work = dict(cell)
+    for _ in range(_MP_ITERS):
+        for a in ns:
+            med = lower_median([work[(a, b)] for b in ps if (a, b) in work])
+            row_eff[a] += med
+            for b in ps:
+                if (a, b) in work:
+                    work[(a, b)] -= med
+        for b in ps:
+            med = lower_median([work[(a, b)] for a in ns if (a, b) in work])
+            col_eff[b] += med
+            for a in ns:
+                if (a, b) in work:
+                    work[(a, b)] -= med
+    out = [
+        (
+            a,
+            b,
+            float(cell[(a, b)]),
+            float(row_eff[a]),
+            float(col_eff[b]),
+            float(work[(a, b)]),
+        )
+        for (a, b) in sorted(cell)
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_name string, o_orderpriority string, cell_median double, "
+        "row_effect double, col_effect double, residual double",
+    )
+
+
+def _sql_median_polish() -> str:
+    head = """
+WITH base AS (
+  SELECT n_name, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), cells0 AS MATERIALIZED (
+  SELECT n_name, o_orderpriority, y AS cell FROM (
+    SELECT n_name, o_orderpriority, y,
+           ROW_NUMBER() OVER (PARTITION BY n_name, o_orderpriority ORDER BY y) AS r,
+           COUNT(*) OVER (PARTITION BY n_name, o_orderpriority) AS cnt
+    FROM base
+  ) WHERE r * 2 = cnt + (cnt % 2)
+)"""
+    parts = [head]
+    cur = "cells0"
+    row_terms, col_terms = [], []
+    for it in range(1, _MP_ITERS + 1):
+        rm, after_r = f"rmed{it}", f"cells_r{it}"
+        parts.append(
+            f""",
+{rm} AS MATERIALIZED (
+  SELECT n_name, cell AS med FROM (
+    SELECT n_name, cell,
+           ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cell) AS r,
+           COUNT(*) OVER (PARTITION BY n_name) AS cnt
+    FROM {cur}
+  ) WHERE r * 2 = cnt + (cnt % 2)
+), {after_r} AS MATERIALIZED (
+  SELECT c.n_name, c.o_orderpriority, c.cell - m.med AS cell
+  FROM {cur} c JOIN {rm} m USING (n_name)
+)"""
+        )
+        cm, after_c = f"cmed{it}", f"cells_c{it}"
+        parts.append(
+            f""",
+{cm} AS MATERIALIZED (
+  SELECT o_orderpriority, cell AS med FROM (
+    SELECT o_orderpriority, cell,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cell) AS r,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+    FROM {after_r}
+  ) WHERE r * 2 = cnt + (cnt % 2)
+), {after_c} AS MATERIALIZED (
+  SELECT c.n_name, c.o_orderpriority, c.cell - m.med AS cell
+  FROM {after_r} c JOIN {cm} m USING (o_orderpriority)
+)"""
+        )
+        cur = after_c
+        row_terms.append(f"(SELECT med FROM rmed{it} r WHERE r.n_name = c0.n_name)")
+        col_terms.append(
+            f"(SELECT med FROM cmed{it} m WHERE m.o_orderpriority = c0.o_orderpriority)"
+        )
+    parts.append(
+        f"""
+SELECT c0.n_name, c0.o_orderpriority,
+       CAST(c0.cell AS DOUBLE) AS cell_median,
+       CAST({' + '.join(row_terms)} AS DOUBLE) AS row_effect,
+       CAST({' + '.join(col_terms)} AS DOUBLE) AS col_effect,
+       CAST(f.cell AS DOUBLE) AS residual
+FROM cells0 c0 JOIN {cur} f USING (n_name, o_orderpriority)
+ORDER BY c0.n_name, c0.o_orderpriority"""
+    )
+    return "".join(parts)
+
+
+SESSION7_QUERIES.append(
+    QueryDef(
+        "q_median_polish", _q_median_polish, _sql_median_polish(),
+        "Tukey median polish, 2 exact-decimal iterations",
+    )
+)
