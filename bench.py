@@ -230,6 +230,10 @@ BENCH_NAMES = [
     "q_markov_attribution",
     "q_hurst",
     "q_median_polish",
+    "q_wasserstein",
+    "q_kendall_tau",
+    "q_hill_tail",
+    "q_funnel_time",
 ]
 
 

@@ -1007,3 +1007,389 @@ SESSION7_QUERIES.append(
         "Tukey median polish, 2 exact-decimal iterations",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) distance, exact integer numerator
+# ---------------------------------------------------------------------------
+
+
+def _q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth mover's) distance between the
+    'view' and 'purchase' value distributions: W1 = integral of
+    |CDF1 - CDF2| = sum over consecutive pooled distinct values of
+    |c1*n2 - c2*n1| * gap / (n1*n2) — the optimal-transport metric
+    beside q_ks_test's sup-distance, and EXACT: counts, the scaled
+    CDF difference, and the cent-unit gaps are all integers, so the
+    accumulated numerator is one exact integer and W1 is a single
+    final division.  Scale: one hash aggregate to the compressed
+    pooled value domain + one cumulative window + one lead."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", money("value").alias("v"))
+    per_v = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    wv = Window.orderBy("v")
+    wc = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum("a").over(wc).alias("ca"),
+        F.sum("b").over(wc).alias("cb"),
+        F.sum("a").over(wall).alias("n1"),
+        F.sum("b").over(wall).alias("n2"),
+        ((F.lead("v").over(wv) - F.col("v")) * 100).cast("long").alias("gap_cents"),
+    ).filter(F.col("gap_cents").isNotNull())
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.abs(
+                F.col("ca").cast("decimal(38,0)") * F.col("n2")
+                - F.col("cb").cast("decimal(38,0)") * F.col("n1")
+            )
+            * F.col("gap_cents")
+        ).alias("num"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_view"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        F.col("n_steps").cast("bigint").alias("n_steps"),
+        F.round(
+            F.col("num").cast(_D)
+            / (F.col("n1").cast(_D) * F.col("n2").cast(_D))
+            / 100.0,
+            6,
+        ).alias("w1_dist"),
+    )
+
+
+_SQL_WASSERSTEIN = """
+WITH per_v AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+), cum AS (
+  SELECT v,
+         SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(a) OVER () AS n1, SUM(b) OVER () AS n2,
+         CAST((lead(v) OVER (ORDER BY v) - v) * 100 AS BIGINT) AS gap_cents
+  FROM per_v
+), agg AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2, COUNT(*) AS n_steps,
+         SUM(abs(CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1)
+             * gap_cents) AS num
+  FROM cum WHERE gap_cents IS NOT NULL
+)
+SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+       CAST(n_steps AS BIGINT) AS n_steps,
+       round(CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / 100.0, 6) AS w1_dist
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b via the compressed contingency table
+# ---------------------------------------------------------------------------
+
+
+def _q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between customer acctbal decile and order-count
+    decile: concordant/discordant pairs counted EXACTLY on the 10x10
+    contingency table (cell x cell double sum — 10^4 combinations,
+    never the n^2 customer pairs), with full tie corrections — the
+    rank-correlation complement to q_spearman that tolerates heavy
+    ties.  Every count, C, D, and the tie terms are exact integers;
+    tau-b is one double formula.  Scale: one orders rollup, two ntile
+    windows over customers, one 100-cell aggregate, one 100x100
+    self-join."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey"])
+    cnts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    joined = cust.join(cnts, cust.c_custkey == cnts.o_custkey, "left").select(
+        "c_custkey",
+        money("c_acctbal").alias("bal"),
+        F.coalesce("k", F.lit(0)).alias("k"),
+    )
+    binned = joined.select(
+        F.ntile(10).over(Window.orderBy("bal", "c_custkey")).alias("x"),
+        F.ntile(10).over(Window.orderBy("k", "c_custkey")).alias("y"),
+    )
+    cells = binned.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    other = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    pairs = cells.crossJoin(other)
+    conc = pairs.filter(
+        (F.col("x2") > F.col("x")) & (F.col("y2") > F.col("y"))
+    ).agg(F.sum(F.col("n") * F.col("n2")).alias("c"))
+    disc = pairs.filter(
+        (F.col("x2") > F.col("x")) & (F.col("y2") < F.col("y"))
+    ).agg(F.sum(F.col("n") * F.col("n2")).alias("d"))
+    tx = cells.groupBy("x").agg(F.sum("n").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"),
+        F.sum("t").alias("n")
+    )
+    ty = cells.groupBy("y").agg(F.sum("n").alias("u")).agg(
+        F.sum(F.col("u") * (F.col("u") - 1) / 2).cast("long").alias("n2t")
+    )
+    j = conc.crossJoin(disc).crossJoin(tx).crossJoin(ty)
+    nd = F.col("n").cast(_D)
+    n0 = nd * (nd - 1.0) / 2.0
+    tau = (F.col("c") - F.col("d")).cast(_D) / F.sqrt(
+        (n0 - F.col("n1").cast(_D)) * (n0 - F.col("n2t").cast(_D))
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        F.col("n1").cast("bigint").alias("ties_x"),
+        F.col("n2t").cast("bigint").alias("ties_y"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+_SQL_KENDALL_TAU = """
+WITH cnts AS (
+  SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1
+), joined AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         COALESCE(k, 0) AS k
+  FROM customer LEFT JOIN cnts ON c_custkey = o_custkey
+), binned AS (
+  SELECT NTILE(10) OVER (ORDER BY bal, c_custkey) AS x,
+         NTILE(10) OVER (ORDER BY k, c_custkey) AS y
+  FROM joined
+), cells AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS n FROM binned GROUP BY 1, 2
+), conc AS (
+  SELECT SUM(a.n * b.n) AS c FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+), disc AS (
+  SELECT SUM(a.n * b.n) AS d FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+), tx AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1, SUM(t) AS n
+  FROM (SELECT SUM(n) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(u * (u - 1) / 2) AS BIGINT) AS n2t
+  FROM (SELECT SUM(n) AS u FROM cells GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       CAST(n1 AS BIGINT) AS ties_x, CAST(n2t AS BIGINT) AS ties_y,
+       round(CAST(c - d AS DOUBLE)
+             / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(n1 AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                       - CAST(n2t AS DOUBLE))), 6) AS tau_b
+FROM conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator for the heavy-tail index
+# ---------------------------------------------------------------------------
+
+
+def _q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index of order totalprice: with
+    x_min the exact discrete P90 order statistic, alpha = n_tail /
+    sum(ln(x_i / x_min)) over the strict tail — the standard
+    heavy-tail (power-law) diagnostic for revenue distributions.
+    The log terms are frozen per COMPRESSED distinct value (round-6
+    DECIMAL times the integer count), so the accumulated denominator
+    is exact and only alpha is a double.  Scale: one cumulative
+    window over the compressed value domain + one tail aggregate."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_totalprice"])
+    per_v = orders.select(money("o_totalprice").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    xmin = cum.filter(
+        (F.expr("(90 * n + 99) div 100") > F.col("cum") - F.col("cnt"))
+        & (F.expr("(90 * n + 99) div 100") <= F.col("cum"))
+    ).select(F.col("v").alias("xmin"))
+    tail = per_v.crossJoin(F.broadcast(xmin)).filter(F.col("v") > F.col("xmin"))
+    terms = tail.select(
+        "cnt",
+        "xmin",
+        (
+            F.round(F.log(F.col("v").cast(_D) / F.col("xmin").cast(_D)), 6)
+            .cast("decimal(18,6)")
+            * F.col("cnt")
+        ).alias("term"),
+    )
+    agg = terms.groupBy("xmin").agg(
+        F.sum("cnt").alias("n_tail"), F.sum("term").alias("denom")
+    )
+    alpha = F.col("n_tail").cast(_D) / F.col("denom").cast(_D)
+    return agg.select(
+        F.col("xmin").cast(_D).alias("x_min"),
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        F.round(alpha, 6).alias("hill_alpha"),
+        F.round(alpha / F.sqrt(F.col("n_tail").cast(_D)), 6).alias("alpha_se"),
+    )
+
+
+_SQL_HILL_TAIL = """
+WITH per_v AS MATERIALIZED (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM per_v
+), xmin AS (
+  SELECT v AS xmin FROM cum
+  WHERE (90 * n + 99) // 100 > cum - cnt AND (90 * n + 99) // 100 <= cum
+), agg AS (
+  SELECT xmin, SUM(cnt) AS n_tail,
+         SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(xmin AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) * cnt) AS denom
+  FROM per_v CROSS JOIN xmin WHERE v > xmin
+  GROUP BY 1
+)
+SELECT CAST(xmin AS DOUBLE) AS x_min, CAST(n_tail AS BIGINT) AS n_tail,
+       round(CAST(n_tail AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS hill_alpha,
+       round(CAST(n_tail AS DOUBLE) / CAST(denom AS DOUBLE)
+             / sqrt(CAST(n_tail AS DOUBLE)), 6) AS alpha_se
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+
+def _q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first
+    'view' to the first 'purchase' AFTER it, summarized as exact
+    discrete P25/P50/P75/P90 over users plus the mean — the latency
+    readout that turns q_funnel's step counts into durations.
+    Latencies are exact integer seconds; the percentile picks use the
+    compressed cumulative-rank pattern; the mean divides an exact
+    integer sum once.  Scale: one per-user aggregate + one compressed
+    quantile pass."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("user_id", "event_type", F.unix_seconds(F.col("ts")).alias("sec"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("tv")
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user.filter(F.col("tv").isNotNull()), "user_id")
+        .filter(F.col("sec") >= F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("sec").alias("tp"))
+        .select((F.col("tp") - F.col("tv")).alias("lat"))
+    )
+    per_v = first_p.groupBy("lat").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("lat").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "lat",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum(F.col("lat") * F.col("cnt")).over(Window.partitionBy()).alias("s"),
+    )
+
+    def pick(q: int, alias: str):
+        rank = F.expr(f"({q} * n + 99) div 100")
+        return (
+            cum.filter((rank > F.col("cum") - F.col("cnt")) & (rank <= F.col("cum")))
+            .select(F.col("lat").alias(alias), F.col("n").alias(f"n_{alias}"),
+                    F.col("s").alias(f"s_{alias}"))
+        )
+
+    out = (
+        pick(25, "p25")
+        .crossJoin(pick(50, "p50").select("p50"))
+        .crossJoin(pick(75, "p75").select("p75"))
+        .crossJoin(pick(90, "p90").select("p90"))
+    )
+    return out.select(
+        F.col("n_p25").cast("bigint").alias("n_users"),
+        F.col("p25").cast("bigint").alias("p25_secs"),
+        F.col("p50").cast("bigint").alias("p50_secs"),
+        F.col("p75").cast("bigint").alias("p75_secs"),
+        F.col("p90").cast("bigint").alias("p90_secs"),
+        F.round(F.col("s_p25").cast(_D) / F.col("n_p25").cast(_D), 2).alias(
+            "mean_secs"
+        ),
+    )
+
+
+_SQL_FUNNEL_TIME = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) // 1000 AS sec
+  FROM events WHERE event_type IN ('view', 'purchase')
+), per_user AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN sec END) AS tv
+  FROM ev GROUP BY 1
+), lats AS (
+  SELECT e.user_id, MIN(e.sec) - p.tv AS lat
+  FROM ev e JOIN per_user p USING (user_id)
+  WHERE e.event_type = 'purchase' AND p.tv IS NOT NULL AND e.sec >= p.tv
+  GROUP BY e.user_id, p.tv
+), cum AS MATERIALIZED (
+  SELECT lat, cnt,
+         SUM(cnt) OVER (ORDER BY lat ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n,
+         SUM(lat * cnt) OVER () AS s
+  FROM (SELECT lat, COUNT(*) AS cnt FROM lats GROUP BY 1)
+)
+SELECT CAST(p25.n AS BIGINT) AS n_users,
+       CAST(p25.lat AS BIGINT) AS p25_secs,
+       CAST(p50.lat AS BIGINT) AS p50_secs,
+       CAST(p75.lat AS BIGINT) AS p75_secs,
+       CAST(p90.lat AS BIGINT) AS p90_secs,
+       round(CAST(p25.s AS DOUBLE) / CAST(p25.n AS DOUBLE), 2) AS mean_secs
+FROM (SELECT * FROM cum WHERE (25 * n + 99) // 100 > cum - cnt
+                          AND (25 * n + 99) // 100 <= cum) p25
+CROSS JOIN (SELECT lat FROM cum WHERE (50 * n + 99) // 100 > cum - cnt
+                                  AND (50 * n + 99) // 100 <= cum) p50
+CROSS JOIN (SELECT lat FROM cum WHERE (75 * n + 99) // 100 > cum - cnt
+                                  AND (75 * n + 99) // 100 <= cum) p75
+CROSS JOIN (SELECT lat FROM cum WHERE (90 * n + 99) // 100 > cum - cnt
+                                  AND (90 * n + 99) // 100 <= cum) p90
+"""
+
+
+SESSION7_QUERIES.extend(
+    [
+        QueryDef(
+            "q_wasserstein", _q_wasserstein, _SQL_WASSERSTEIN,
+            "exact 1-Wasserstein distance (integer numerator)",
+        ),
+        QueryDef(
+            "q_kendall_tau", _q_kendall_tau, _SQL_KENDALL_TAU,
+            "Kendall tau-b via the compressed contingency table",
+        ),
+        QueryDef(
+            "q_hill_tail", _q_hill_tail, _SQL_HILL_TAIL,
+            "Hill heavy-tail index at the exact P90 cut",
+        ),
+        QueryDef(
+            "q_funnel_time", _q_funnel_time, _SQL_FUNNEL_TIME,
+            "funnel time-to-convert exact percentiles",
+        ),
+    ]
+)
