@@ -234,6 +234,10 @@ BENCH_NAMES = [
     "q_kendall_tau",
     "q_hill_tail",
     "q_funnel_time",
+    "q_skew_audit",
+    "q_zipf_fit",
+    "q_dispersion",
+    "q_cronbach",
 ]
 
 

@@ -1393,3 +1393,350 @@ SESSION7_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# partition-skew audit on md5-replicable buckets
+# ---------------------------------------------------------------------------
+
+_SKEW_BUCKETS = 32
+
+
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit of the lineitem join key: bucket
+    l_orderkey into 32 md5-derived buckets (the engine-portable stand-
+    in for a shuffle partitioner) and report the size histogram's
+    skew diagnostics — max/avg ratio, top-bucket share, and the CV —
+    the pre-flight check that tells you whether a 100 TB shuffle on
+    this key needs salting BEFORE the job runs.  All counts exact;
+    the three ratios are one double formula each.  Scale: one hash
+    aggregate to the 32-row bucket grain."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _SKEW_BUCKETS
+    )
+    per_b = li.select(bucket.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wall = Window.partitionBy()
+    stats = per_b.select(
+        "b",
+        "n",
+        F.sum("n").over(wall).alias("tot"),
+        F.max("n").over(wall).alias("mx"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+        F.sum(F.col("n") * F.col("n")).over(wall).alias("nsq"),
+    ).filter(F.col("n") == F.col("mx")).limit(1)
+    totd = F.col("tot").cast(_D)
+    nbd = F.col("nb").cast(_D)
+    avg = totd / nbd
+    var = (nbd * F.col("nsq").cast(_D) - totd * totd) / (nbd * nbd)
+    return stats.select(
+        F.col("nb").cast("int").alias("n_buckets"),
+        F.col("tot").cast("bigint").alias("n_rows"),
+        F.col("mx").cast("bigint").alias("max_bucket"),
+        F.round(F.col("mx").cast(_D) / avg, 6).alias("skew_factor"),
+        F.round(F.col("mx").cast(_D) / totd, 6).alias("top_share"),
+        F.round(F.sqrt(var) / avg, 6).alias("cv"),
+    )
+
+
+_SQL_SKEW_AUDIT = f"""
+WITH per_b AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+         % {_SKEW_BUCKETS} AS b,
+         COUNT(*) AS n
+  FROM lineitem
+  GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS nb, SUM(n) AS tot, MAX(n) AS mx,
+         SUM(n * n) AS nsq
+  FROM per_b
+)
+SELECT CAST(nb AS INT) AS n_buckets,
+       CAST(tot AS BIGINT) AS n_rows,
+       CAST(mx AS BIGINT) AS max_bucket,
+       round(CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+         AS skew_factor,
+       round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top_share,
+       round(sqrt((CAST(nb AS DOUBLE) * CAST(nsq AS DOUBLE)
+                   - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                  / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+             / (CAST(tot AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS cv
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus token distribution: OLS slope
+    of ln(freq) on ln(rank) over the top-100 tokens (count-desc,
+    token tie-break) — the vocabulary-shape diagnostic for training
+    corpora (natural text sits near -1; templated/synthetic text
+    drifts flatter).  Both logs are frozen round-6 DECIMALS, the five
+    moments are exact decimal sums, and the slope/intercept are one
+    double formula each.  Scale: one explode + token hash aggregate
+    (the q_word_count shape), top-k, then a 100-row reduce."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["text"])
+    freqs = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        freqs.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+        )
+        .filter(F.col("rank") <= _ZIPF_TOP)
+    )
+    pts = top.select(
+        F.round(F.log(F.col("rank").cast(_D)), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("n").cast(_D)), 6).cast("decimal(18,6)").alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    kd = F.col("k").cast(_D)
+    slope = (kd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)) / (
+        kd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    )
+    intercept = (F.col("sy").cast(_D) - slope * F.col("sx").cast(_D)) / kd
+    return mom.select(
+        F.col("k").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("ln_c"),
+    )
+
+
+_SQL_ZIPF_FIT = rf"""
+WITH freqs AS (
+  SELECT token, COUNT(*) AS n
+  FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS u(token)
+  WHERE token <> ''
+  GROUP BY 1
+), top AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM freqs
+  QUALIFY rank <= {_ZIPF_TOP}
+), pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM top
+), mom AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_tokens,
+       round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 6) AS ln_c
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-model overdispersion (negative-binomial method of moments)
+# ---------------------------------------------------------------------------
+
+
+def _q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostics of per-user event counts by type:
+    variance/mean ratio (Poisson = 1) and the negative-binomial
+    method-of-moments dispersion alpha = (var - mean)/mean^2 — the
+    count-model selection check before fitting arrival models.
+    Per-user counts and their squares are exact integers from one
+    aggregate pair; the two ratios are double formulas.  Scale: one
+    (user,type) aggregate + one 5-row moment reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    mom = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("sq"),
+    )
+    nd = F.col("n").cast(_D)
+    mean = F.col("s").cast(_D) / nd
+    var = (nd * F.col("sq").cast(_D) - F.col("s").cast(_D) * F.col("s").cast(_D)) / (
+        nd * (nd - 1.0)
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(var / mean, 6).alias("vmr"),
+        F.round((var - mean) / (mean * mean), 6).alias("nb_alpha"),
+    ).orderBy("event_type")
+
+
+_SQL_DISPERSION = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS k FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, COUNT(*) AS n, SUM(k) AS s, SUM(k * k) AS sq
+  FROM per_user GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_count,
+       round((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_count,
+       round(((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr,
+       round((((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS nb_alpha
+FROM mom
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha over the event-type "items"
+# ---------------------------------------------------------------------------
+
+
+def _q_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating the 5 event types as test items and
+    per-user event counts as item scores: alpha = k/(k-1) *
+    (1 - sum(var_i)/var_total) — the internal-consistency coefficient
+    (do users who do more of one thing do more of everything?).
+    Per-item and total variances come from exact integer moments of
+    the SAME user x item count matrix (missing cells are true zeros);
+    alpha is one double formula.  Scale: one (user,type) aggregate,
+    one pivot to per-user totals, two tiny moment reduces."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select("user_id", "event_type")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    per_cell = (
+        users.crossJoin(types)
+        .join(
+            ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k")),
+            ["user_id", "event_type"],
+            "left",
+        )
+        .select("user_id", "event_type", F.coalesce("k", F.lit(0)).alias("k"))
+    )
+    item_var = per_cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("sq"),
+    )
+    nd = F.col("n").cast(_D)
+    ivar = (nd * F.col("sq").cast(_D) - F.col("s").cast(_D) * F.col("s").cast(_D)) / (
+        nd * (nd - 1.0)
+    )
+    sum_ivar = item_var.select(ivar.alias("v")).agg(
+        F.sum("v").alias("sum_item_var"), F.count(F.lit(1)).alias("k_items")
+    )
+    per_user_tot = per_cell.groupBy("user_id").agg(F.sum("k").alias("t"))
+    tot_mom = per_user_tot.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("s"),
+        F.sum(F.col("t") * F.col("t")).alias("sq"),
+    )
+    ntd = F.col("n").cast(_D)
+    tvar = (ntd * F.col("sq").cast(_D) - F.col("s").cast(_D) * F.col("s").cast(_D)) / (
+        ntd * (ntd - 1.0)
+    )
+    j = sum_ivar.crossJoin(F.broadcast(tot_mom))
+    kd = F.col("k_items").cast(_D)
+    alpha = (kd / (kd - 1.0)) * (1.0 - F.col("sum_item_var") / tvar)
+    return j.select(
+        F.col("k_items").cast("int").alias("k_items"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("sum_item_var"), 6).alias("sum_item_var"),
+        F.round(tvar, 6).alias("total_var"),
+        F.round(alpha, 6).alias("cronbach_alpha"),
+    )
+
+
+_SQL_CRONBACH = """
+WITH per_cell AS MATERIALIZED (
+  SELECT u.user_id, t.event_type, COALESCE(k.k, 0) AS k
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS k
+             FROM events GROUP BY 1, 2) k
+    ON k.user_id = u.user_id AND k.event_type = t.event_type
+), item_var AS (
+  SELECT event_type,
+         (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(k * k) AS DOUBLE)
+          - CAST(SUM(k) AS DOUBLE) * CAST(SUM(k) AS DOUBLE))
+         / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS v
+  FROM per_cell GROUP BY 1
+), sum_ivar AS (
+  SELECT SUM(v) AS sum_item_var, COUNT(*) AS k_items FROM item_var
+), tot_mom AS (
+  SELECT COUNT(*) AS n, SUM(t) AS s, SUM(t * t) AS sq FROM (
+    SELECT user_id, SUM(k) AS t FROM per_cell GROUP BY 1
+  )
+)
+SELECT CAST(k_items AS INT) AS k_items,
+       CAST(n AS BIGINT) AS n_users,
+       round(sum_item_var, 6) AS sum_item_var,
+       round((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS total_var,
+       round((CAST(k_items AS DOUBLE) / (CAST(k_items AS DOUBLE) - 1.0))
+             * (1.0 - sum_item_var
+                / ((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6)
+         AS cronbach_alpha
+FROM sum_ivar CROSS JOIN tot_mom
+"""
+
+
+SESSION7_QUERIES.extend(
+    [
+        QueryDef(
+            "q_skew_audit", _q_skew_audit, _SQL_SKEW_AUDIT,
+            "partition-skew audit on md5 buckets",
+        ),
+        QueryDef(
+            "q_zipf_fit", _q_zipf_fit, _SQL_ZIPF_FIT,
+            "Zipf exponent of the token distribution",
+        ),
+        QueryDef(
+            "q_dispersion", _q_dispersion, _SQL_DISPERSION,
+            "negative-binomial overdispersion by event type",
+        ),
+        QueryDef(
+            "q_cronbach", _q_cronbach, _SQL_CRONBACH,
+            "Cronbach's alpha over event-type items",
+        ),
+    ]
+)
