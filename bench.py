@@ -238,6 +238,10 @@ BENCH_NAMES = [
     "q_zipf_fit",
     "q_dispersion",
     "q_cronbach",
+    "q_mmd",
+    "q_cmh_test",
+    "q_ndcg",
+    "q_evt_gumbel",
 ]
 
 

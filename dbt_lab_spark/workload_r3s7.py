@@ -1740,3 +1740,419 @@ SESSION7_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# MMD^2 with a quadratic kernel, expanded into exact moments
+# ---------------------------------------------------------------------------
+
+
+def _q_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum mean discrepancy (biased V-statistic) between the
+    'view' and 'purchase' value samples under the quadratic kernel
+    k(x,y) = (1 + xy)^2 — the kernel two-sample test WITHOUT the n^2
+    pair join: the kernel expands to 1 + 2xy + x^2 y^2, so every
+    expectation is a product of per-sample moments, and the moments
+    (in integer cents up to the 2nd power) come from ONE aggregate.
+    MMD^2 = Exx' + Eyy' - 2Exy with identically-parenthesized double
+    formulas.  Scale: one 6-moment hash aggregate, period."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", (money("value")).cast(_D).alias("x"))
+    # moments in DOLLARS as doubles would break exactness; use cents
+    evc = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", (money("value") * 100).cast("long").alias("c"))
+    mom = evc.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("c"))).alias("s1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("c") * F.col("c"))
+        ).alias("q1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("c"))).alias("s2"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("c") * F.col("c"))
+        ).alias("q2"),
+    )
+    m1 = F.col("s1").cast(_D) / F.col("n1").cast(_D) / 100.0
+    m2 = F.col("s2").cast(_D) / F.col("n2").cast(_D) / 100.0
+    r1 = F.col("q1").cast(_D) / F.col("n1").cast(_D) / 10000.0
+    r2 = F.col("q2").cast(_D) / F.col("n2").cast(_D) / 10000.0
+    exx = 1.0 + 2.0 * m1 * m1 + r1 * r1
+    eyy = 1.0 + 2.0 * m2 * m2 + r2 * r2
+    exy = 1.0 + 2.0 * m1 * m2 + r1 * r2
+    return mom.select(
+        F.col("n1").cast("bigint").alias("n_view"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        F.round(exx, 6).alias("e_xx"),
+        F.round(eyy, 6).alias("e_yy"),
+        F.round(exy, 6).alias("e_xy"),
+        F.round(exx + eyy - 2.0 * exy, 6).alias("mmd2"),
+    )
+
+
+_SQL_MMD = """
+WITH mom AS (
+  SELECT SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_type = 'view' THEN c END) AS s1,
+         SUM(CASE WHEN event_type = 'view' THEN c * c END) AS q1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN event_type = 'purchase' THEN c END) AS s2,
+         SUM(CASE WHEN event_type = 'purchase' THEN c * c END) AS q2
+  FROM (
+    SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type IN ('view', 'purchase')
+  )
+)
+SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+       round(1.0 + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+             + (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0)
+               * (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0), 6) AS e_xx,
+       round(1.0 + 2.0 * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+                       * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+             + (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0)
+               * (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0), 6) AS e_yy,
+       round(1.0 + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+                       * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+             + (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0)
+               * (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0), 6) AS e_xy,
+       round((1.0 + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+                        * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+              + (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0)
+                * (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0))
+             + (1.0 + 2.0 * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+                          * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+                + (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0)
+                  * (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0))
+             - 2.0 * (1.0 + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+                                * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+                      + (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0)
+                        * (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0)), 6)
+         AS mmd2
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel test across nation strata
+# ---------------------------------------------------------------------------
+
+
+def _q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of (top-half acctbal within
+    nation) x (has an URGENT order) association, stratified by the 25
+    customer nations — the confounder-adjusted 2x2 test (a naive
+    pooled chi-square would be Simpson-vulnerable).  Per-stratum cell
+    counts a,b,c,d are exact integers; each stratum's E[a] and
+    variance term are frozen to round-6 DECIMALS so the two
+    accumulations are exact order-free decimal sums; the final CMH
+    statistic is one double formula.  Scale: one per-customer rollup,
+    one nation-partitioned median-rank window, one 25-stratum
+    aggregate."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    wn = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(money("c_acctbal")), "c_custkey"
+    )
+    wcnt = Window.partitionBy("c_nationkey")
+    base = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            money("c_acctbal").alias("bal"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .select(
+            "c_nationkey",
+            "y",
+            (
+                F.row_number().over(
+                    Window.partitionBy("c_nationkey").orderBy(F.desc("bal"), "c_custkey")
+                )
+                * 2
+                <= F.count(F.lit(1)).over(wcnt)
+            )
+            .cast("int")
+            .alias("e"),
+        )
+    )
+    cells = base.groupBy("c_nationkey").agg(
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 0), 1).otherwise(0)).alias("d"),
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ea = (
+        (F.col("a") + F.col("b")).cast(_D)
+        * (F.col("a") + F.col("c")).cast(_D)
+        / n_i.cast(_D)
+    )
+    vr = (
+        (F.col("a") + F.col("b")).cast(_D)
+        * (F.col("c") + F.col("d")).cast(_D)
+        * (F.col("a") + F.col("c")).cast(_D)
+        * (F.col("b") + F.col("d")).cast(_D)
+        / (n_i.cast(_D) * n_i.cast(_D) * (n_i.cast(_D) - 1.0))
+    )
+    frozen = cells.select(
+        "a",
+        F.round(ea, 6).cast("decimal(18,6)").alias("ea6"),
+        F.round(vr, 6).cast("decimal(18,6)").alias("vr6"),
+    )
+    agg = frozen.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("a").alias("sa"),
+        F.sum("ea6").alias("sea"),
+        F.sum("vr6").alias("svr"),
+    )
+    num = F.col("sa").cast(_D) - F.col("sea").cast(_D)
+    stat = num * num / F.col("svr").cast(_D)
+    return agg.select(
+        F.col("k").cast("int").alias("n_strata"),
+        F.col("sa").cast("bigint").alias("sum_a"),
+        F.round(F.col("sea").cast(_D), 6).alias("sum_expected"),
+        F.round(F.col("svr").cast(_D), 6).alias("sum_var"),
+        F.round(stat, 6).alias("cmh_stat"),
+    )
+
+
+_SQL_CMH_TEST = """
+WITH urgent AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c_nationkey, COALESCE(y, 0) AS y,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) * 2
+              <= COUNT(*) OVER (PARTITION BY c_nationkey)
+              THEN 1 ELSE 0 END AS e
+  FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+), cells AS (
+  SELECT c_nationkey,
+         SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+  FROM base GROUP BY 1
+), frozen AS (
+  SELECT a,
+         CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 6) AS DECIMAL(18,6)) AS ea6,
+         CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                    / (CAST(a + b + c + d AS DOUBLE)
+                       * CAST(a + b + c + d AS DOUBLE)
+                       * (CAST(a + b + c + d AS DOUBLE) - 1.0)), 6)
+              AS DECIMAL(18,6)) AS vr6
+  FROM cells
+), agg AS (
+  SELECT COUNT(*) AS k, SUM(a) AS sa, SUM(ea6) AS sea, SUM(vr6) AS svr
+  FROM frozen
+)
+SELECT CAST(k AS INT) AS n_strata, CAST(sa AS BIGINT) AS sum_a,
+       round(CAST(sea AS DOUBLE), 6) AS sum_expected,
+       round(CAST(svr AS DOUBLE), 6) AS sum_var,
+       round((CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE))
+             * (CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE))
+             / CAST(svr AS DOUBLE), 6) AS cmh_stat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# NDCG@100 of the acctbal ranking against order-count relevance
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 100
+
+
+def _q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@100 of ranking customers by account balance when the true
+    relevance is their order count — the position-discounted ranking
+    metric beside q_auc_eval's threshold-free and q_pr_curve's
+    threshold-swept views.  Discounts 1/log2(i+1) are frozen round-6
+    DECIMALS, so DCG and ideal DCG are exact decimal sums of
+    integer-relevance x frozen-weight products; NDCG is one double
+    division.  Scale: one orders rollup + two rank windows + a
+    100-row position join."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey"])
+    rel = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("rel"))
+    base = cust.join(rel, cust.c_custkey == rel.o_custkey, "left").select(
+        "c_custkey",
+        money("c_acctbal").alias("bal"),
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    ranked = base.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bal"), "c_custkey"))
+        .alias("i"),
+    ).filter(F.col("i") <= _NDCG_K)
+    ideal = base.select(
+        F.col("rel").alias("irel"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), "c_custkey"))
+        .alias("i"),
+    ).filter(F.col("i") <= _NDCG_K)
+    w = F.round(
+        1.0 / F.log2(F.col("i").cast(_D) + 1.0), 6
+    ).cast("decimal(18,6)")
+    dcg = ranked.select((F.col("rel") * w).alias("term")).agg(
+        F.sum("term").alias("dcg")
+    )
+    idcg = ideal.select((F.col("irel") * w).alias("term")).agg(
+        F.sum("term").alias("idcg")
+    )
+    j = dcg.crossJoin(F.broadcast(idcg))
+    return j.select(
+        F.lit(_NDCG_K).cast("int").alias("k"),
+        F.round(F.col("dcg").cast(_D), 6).alias("dcg"),
+        F.round(F.col("idcg").cast(_D), 6).alias("idcg"),
+        F.round(F.col("dcg").cast(_D) / F.col("idcg").cast(_D), 6).alias("ndcg"),
+    )
+
+
+_SQL_NDCG = f"""
+WITH rel AS (
+  SELECT o_custkey, COUNT(*) AS rel FROM orders GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         COALESCE(rel, 0) AS rel
+  FROM customer LEFT JOIN rel ON c_custkey = o_custkey
+), ranked AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY bal DESC, c_custkey) AS i FROM base
+  QUALIFY i <= {_NDCG_K}
+), ideal AS (
+  SELECT rel AS irel, ROW_NUMBER() OVER (ORDER BY rel DESC, c_custkey) AS i FROM base
+  QUALIFY i <= {_NDCG_K}
+), dcg AS (
+  SELECT SUM(rel * CAST(round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6)
+                        AS DECIMAL(18,6))) AS dcg
+  FROM ranked
+), idcg AS (
+  SELECT SUM(irel * CAST(round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6)
+                         AS DECIMAL(18,6))) AS idcg
+  FROM ideal
+)
+SELECT CAST({_NDCG_K} AS INT) AS k,
+       round(CAST(dcg AS DOUBLE), 6) AS dcg,
+       round(CAST(idcg AS DOUBLE), 6) AS idcg,
+       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gumbel extreme-value fit on daily maxima (method of moments)
+# ---------------------------------------------------------------------------
+
+# frozen constants: sqrt(6)/pi and the Euler-Mascheroni gamma
+_EVT_SQRT6_PI = 0.779697
+_EVT_GAMMA = 0.577216
+# -ln(-ln(0.99)): the 99% Gumbel quantile multiplier
+_EVT_Q99 = 4.600149
+
+
+def _q_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on the daily maxima of purchase
+    values (method of moments): beta = s*sqrt(6)/pi, mu = m - gamma*
+    beta, and the implied 99th-percentile daily max mu + beta*4.600149
+    — block-maxima EVT, the tail-risk counterpart to q_hill_tail's
+    full-tail index.  Daily maxima are exact decimals; their two
+    moments are exact integer-cent sums; the three estimates are
+    double formulas with frozen constants.  Scale: one daily-max
+    aggregate + one 2-moment reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (F.max(money("value")) * 100).cast("long").alias("mx")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sq"),
+    )
+    nd = F.col("n").cast(_D)
+    m = F.col("s").cast(_D) / nd / 100.0
+    var = (nd * F.col("sq").cast(_D) - F.col("s").cast(_D) * F.col("s").cast(_D)) / (
+        nd * (nd - 1.0)
+    ) / 10000.0
+    beta = F.lit(_EVT_SQRT6_PI) * F.sqrt(var)
+    mu = m - F.lit(_EVT_GAMMA) * beta
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(m, 6).alias("mean_daily_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(mu + beta * F.lit(_EVT_Q99), 6).alias("p99_daily_max"),
+    )
+
+
+_SQL_EVT_GUMBEL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(MAX(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS mx
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(mx) AS s, SUM(mx * mx) AS sq FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_daily_max,
+       round({_EVT_SQRT6_PI} * sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                                    / 10000.0), 6) AS gumbel_beta,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+             - {_EVT_GAMMA} * ({_EVT_SQRT6_PI}
+               * sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                      / 10000.0)), 6) AS gumbel_mu,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+              - {_EVT_GAMMA} * ({_EVT_SQRT6_PI}
+                * sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                       / 10000.0)))
+             + ({_EVT_SQRT6_PI}
+                * sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                       / 10000.0)) * {_EVT_Q99}, 6) AS p99_daily_max
+FROM mom
+"""
+
+
+SESSION7_QUERIES.extend(
+    [
+        QueryDef(
+            "q_mmd", _q_mmd, _SQL_MMD,
+            "moment-expanded quadratic-kernel MMD^2",
+        ),
+        QueryDef(
+            "q_cmh_test", _q_cmh_test, _SQL_CMH_TEST,
+            "Cochran-Mantel-Haenszel stratified 2x2 test",
+        ),
+        QueryDef(
+            "q_ndcg", _q_ndcg, _SQL_NDCG,
+            "NDCG@100 with frozen log2 discounts",
+        ),
+        QueryDef(
+            "q_evt_gumbel", _q_evt_gumbel, _SQL_EVT_GUMBEL,
+            "Gumbel EVT fit on daily maxima",
+        ),
+    ]
+)
