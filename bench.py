@@ -242,6 +242,12 @@ BENCH_NAMES = [
     "q_cmh_test",
     "q_ndcg",
     "q_evt_gumbel",
+    # r3-session-8: causality, risk, shrinkage, indexes, engagement
+    "q_granger",
+    "q_var_es",
+    "q_eb_shrinkage",
+    "q_price_index",
+    "q_dau_wau",
 ]
 
 

@@ -1566,6 +1566,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r3s5 import SESSION5_QUERIES
     from dbt_lab_spark.workload_r3s6 import SESSION6_QUERIES
     from dbt_lab_spark.workload_r3s7 import SESSION7_QUERIES
+    from dbt_lab_spark.workload_r3s8 import SESSION8_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     return (
@@ -1576,4 +1577,5 @@ def all_queries() -> list[QueryDef]:
         + SESSION5_QUERIES
         + SESSION6_QUERIES
         + SESSION7_QUERIES
+        + SESSION8_QUERIES
     )

@@ -1,0 +1,565 @@
+"""r3 session-8 additions: time-series causality (Granger), financial
+risk (VaR / expected shortfall), hierarchical shrinkage (empirical
+Bayes), price indexes (Laspeyres / Paasche / Fisher), and product
+engagement (DAU/WAU stickiness).  Same (builder, oracle) contract as
+dbt_lab_spark.workload.
+
+Reference capability evidence: the reference's aggregate + join +
+sort physical operators (qexec/PhysicalOperators*.java) and its
+Hadoop bulk-operator extension point
+(mapred/qexec/examples/CountTuplesOperator.java:36-67); each query
+re-expresses one distributed shape a user of that surface would
+build, Spark-first.
+
+Determinism: integer/decimal moments end-to-end, frozen round-6
+decimals wherever a rational would leak into accumulation, identical
+double-formula parenthesization in both engines, deterministic ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.expr import money
+from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.workload import QueryDef
+
+_D = "double"
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1): do views help predict purchases?
+# ---------------------------------------------------------------------------
+
+
+def _q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality test of daily view counts on daily
+    purchase counts: fit y_t ~ y_{t-1} (restricted) and y_t ~ y_{t-1}
+    + x_{t-1} (unrestricted) by OLS and compare with the F statistic
+    ((RSS_r - RSS_u)/1) / (RSS_u/(n-3)) — the standard
+    does-one-series-help-forecast-another test.  All ten moments are
+    exact integers from ONE aggregate over the lagged day frame; the
+    unrestricted normal equations solve by 3x3 Cramer determinants
+    (the q_ridge pattern) and each RSS collapses algebraically to
+    Syy - sum(coef_i * rhs_i) — no residual pass.  Scale: one events
+    rollup + two lag windows + a 1-row moment reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+    )
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y").over(wd).alias("y1"),
+        F.lag("x").over(wd).alias("x1"),
+    ).filter(F.col("y1").isNotNull())
+    mom = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("sy1"),
+        F.sum("x1").alias("sx1"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y") * F.col("y1")).alias("syy1"),
+        F.sum(F.col("y") * F.col("x1")).alias("syx1"),
+        F.sum(F.col("y1") * F.col("y1")).alias("sy1y1"),
+        F.sum(F.col("y1") * F.col("x1")).alias("sy1x1"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+    )
+    nd = F.col("n").cast(_D)
+    sy = F.col("sy").cast(_D)
+    sy1 = F.col("sy1").cast(_D)
+    sx1 = F.col("sx1").cast(_D)
+    syy = F.col("syy").cast(_D)
+    syy1 = F.col("syy1").cast(_D)
+    syx1 = F.col("syx1").cast(_D)
+    sy1y1 = F.col("sy1y1").cast(_D)
+    sy1x1 = F.col("sy1x1").cast(_D)
+    sx1x1 = F.col("sx1x1").cast(_D)
+    # restricted: y ~ a + b*y1
+    br = (nd * syy1 - sy1 * sy) / (nd * sy1y1 - sy1 * sy1)
+    ar = (sy - br * sy1) / nd
+    rss_r = syy - (ar * sy + br * syy1)
+    # unrestricted: y ~ a + b*y1 + c*x1 via 3x3 Cramer
+    det = (
+        nd * (sy1y1 * sx1x1 - sy1x1 * sy1x1)
+        - sy1 * (sy1 * sx1x1 - sy1x1 * sx1)
+        + sx1 * (sy1 * sy1x1 - sy1y1 * sx1)
+    )
+    det_a = (
+        sy * (sy1y1 * sx1x1 - sy1x1 * sy1x1)
+        - sy1 * (syy1 * sx1x1 - sy1x1 * syx1)
+        + sx1 * (syy1 * sy1x1 - sy1y1 * syx1)
+    )
+    det_b = (
+        nd * (syy1 * sx1x1 - sy1x1 * syx1)
+        - sy * (sy1 * sx1x1 - sy1x1 * sx1)
+        + sx1 * (sy1 * syx1 - syy1 * sx1)
+    )
+    det_c = (
+        nd * (sy1y1 * syx1 - syy1 * sy1x1)
+        - sy1 * (sy1 * syx1 - syy1 * sx1)
+        + sy * (sy1 * sy1x1 - sy1y1 * sx1)
+    )
+    au = det_a / det
+    bu = det_b / det
+    cu = det_c / det
+    rss_u = syy - (au * sy + bu * syy1 + cu * syx1)
+    fstat = (rss_r - rss_u) / (rss_u / (nd - 3.0))
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(br, 6).alias("ar1_coef"),
+        F.round(cu, 6).alias("x_lag_coef"),
+        F.round(rss_r, 4).alias("rss_restricted"),
+        F.round(rss_u, 4).alias("rss_unrestricted"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+_SQL_GRANGER = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+), lagged AS (
+  SELECT y, y1, x1 FROM (
+    SELECT y, lag(y) OVER (ORDER BY day) AS y1, lag(x) OVER (ORDER BY day) AS x1
+    FROM daily
+  ) WHERE y1 IS NOT NULL
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y1) AS DOUBLE) AS sy1,
+         CAST(SUM(x1) AS DOUBLE) AS sx1,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(y * y1) AS DOUBLE) AS syy1,
+         CAST(SUM(y * x1) AS DOUBLE) AS syx1,
+         CAST(SUM(y1 * y1) AS DOUBLE) AS sy1y1,
+         CAST(SUM(y1 * x1) AS DOUBLE) AS sy1x1,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS sx1x1,
+         COUNT(*) AS n_int
+  FROM lagged
+), fit AS (
+  SELECT *,
+         (n * syy1 - sy1 * sy) / (n * sy1y1 - sy1 * sy1) AS br,
+         (n * (sy1y1 * sx1x1 - sy1x1 * sy1x1)
+          - sy1 * (sy1 * sx1x1 - sy1x1 * sx1)
+          + sx1 * (sy1 * sy1x1 - sy1y1 * sx1)) AS det,
+         (sy * (sy1y1 * sx1x1 - sy1x1 * sy1x1)
+          - sy1 * (syy1 * sx1x1 - sy1x1 * syx1)
+          + sx1 * (syy1 * sy1x1 - sy1y1 * syx1)) AS det_a,
+         (n * (syy1 * sx1x1 - sy1x1 * syx1)
+          - sy * (sy1 * sx1x1 - sy1x1 * sx1)
+          + sx1 * (sy1 * syx1 - syy1 * sx1)) AS det_b,
+         (n * (sy1y1 * syx1 - syy1 * sy1x1)
+          - sy1 * (sy1 * syx1 - syy1 * sx1)
+          + sy * (sy1 * sy1x1 - sy1y1 * sx1)) AS det_c
+  FROM mom
+), rss AS (
+  SELECT *,
+         syy - (((sy - br * sy1) / n) * sy + br * syy1) AS rss_r,
+         syy - ((det_a / det) * sy + (det_b / det) * syy1
+                + (det_c / det) * syx1) AS rss_u
+  FROM fit
+)
+SELECT CAST(n_int AS BIGINT) AS n_days,
+       round(br, 6) AS ar1_coef,
+       round(det_c / det, 6) AS x_lag_coef,
+       round(rss_r, 4) AS rss_restricted,
+       round(rss_u, 4) AS rss_unrestricted,
+       round((rss_r - rss_u) / (rss_u / (n - 3.0)), 6) AS f_stat
+FROM rss
+"""
+
+
+# ---------------------------------------------------------------------------
+# Value-at-Risk and expected shortfall, exact discrete
+# ---------------------------------------------------------------------------
+
+_VAR_Q = 95
+
+
+def _q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk (exact discrete P95) and expected shortfall (mean
+    of the worst 5% tail) of purchase values — the financial risk pair
+    where ES needs PARTIAL counts at the cutoff: the tail is exactly
+    the top n - rank95 observations, so copies of the cutoff value
+    beyond rank95 enter the tail sum with multiplicity cum_cut -
+    rank95.  Everything is exact integer cents on the compressed
+    domain; ES is one division.  Scale: one hash aggregate + one
+    cumulative window + one tail reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(F.col("event_type") == "purchase")
+    per_v = ev.select((money("value") * 100).cast("long").alias("c")).groupBy(
+        "c"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    rank = F.expr(f"({_VAR_Q} * n + 99) div 100")
+    cut = cum.filter((rank > F.col("cum") - F.col("cnt")) & (rank <= F.col("cum"))).select(
+        F.col("c").alias("cut"),
+        F.col("cum").alias("cum_cut"),
+        F.col("n").alias("n"),
+        rank.alias("rank95"),
+    )
+    tail_above = (
+        per_v.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("cut"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("cnt")), F.lit(0)).alias("s_above"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_above"),
+        )
+    )
+    j = tail_above.crossJoin(F.broadcast(cut))
+    bnd = F.col("cum_cut") - F.col("rank95")
+    tail_n = F.col("n_above") + bnd
+    tail_s = F.col("s_above") + F.col("cut") * bnd
+    return j.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        (F.col("cut").cast(_D) / 100.0).alias("var95"),
+        F.col("n_above").cast("bigint").alias("n_strictly_above"),
+        tail_n.cast("bigint").alias("n_tail"),
+        F.round(tail_s.cast(_D) / tail_n.cast(_D) / 100.0, 6).alias("es95"),
+    )
+
+
+_SQL_VAR_ES = f"""
+WITH per_v AS MATERIALIZED (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c, COUNT(*) AS cnt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), cum AS (
+  SELECT c, cnt,
+         SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM per_v
+), cut AS (
+  SELECT c AS cut, cum AS cum_cut, n, ({_VAR_Q} * n + 99) // 100 AS rank95
+  FROM cum
+  WHERE ({_VAR_Q} * n + 99) // 100 > cum - cnt AND ({_VAR_Q} * n + 99) // 100 <= cum
+), tail_above AS (
+  SELECT COALESCE(SUM(c * cnt), 0) AS s_above, COALESCE(SUM(cnt), 0) AS n_above
+  FROM per_v CROSS JOIN cut WHERE c > cut
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       CAST(cut AS DOUBLE) / 100.0 AS var95,
+       CAST(n_above AS BIGINT) AS n_strictly_above,
+       CAST(n_above + (cum_cut - rank95) AS BIGINT) AS n_tail,
+       round(CAST(s_above + cut * (cum_cut - rank95) AS DOUBLE)
+             / CAST(n_above + (cum_cut - rank95) AS DOUBLE) / 100.0, 6) AS es95
+FROM tail_above CROSS JOIN cut
+"""
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes (beta-binomial) shrinkage of per-nation rates
+# ---------------------------------------------------------------------------
+
+
+def _q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation urgent-order rates
+    toward the portfolio prior: fit a beta prior by method of moments
+    on the 25 raw rates (m, v -> alpha+beta = m(1-m)/v - 1), then
+    report each nation's posterior-mean rate (k + alpha)/(n + alpha +
+    beta) — the small-sample-stabilized leaderboard every marketplace
+    runs.  Raw rates and their moments are frozen to round-6 decimals
+    (order-free sums); alpha/beta are computed once and re-frozen, so
+    the shrunken rates are identical double formulas.  Scale: one
+    per-customer rollup, one 25-row rate frame, two tiny reduces."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    nation = scan(spark, cat, "nation", ["n_nationkey", "n_name"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    per_nation = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("y", F.lit(0))).alias("k"),
+        )
+    )
+    rates = per_nation.select(
+        "c_nationkey",
+        "n",
+        "k",
+        F.round(F.col("k").cast(_D) / F.col("n").cast(_D), 6)
+        .cast("decimal(18,6)")
+        .alias("r"),
+    )
+    prior = rates.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    )
+    gd = F.col("g").cast(_D)
+    m = F.col("sr").cast(_D) / gd
+    v = (gd * F.col("srr").cast(_D) - F.col("sr").cast(_D) * F.col("sr").cast(_D)) / (
+        gd * (gd - 1.0)
+    )
+    s = m * (1.0 - m) / v - 1.0
+    pf = prior.select(
+        F.round(m * s, 6).cast("decimal(18,6)").alias("alpha"),
+        F.round((1.0 - m) * s, 6).cast("decimal(18,6)").alias("beta"),
+        F.round(m, 6).alias("prior_mean"),
+    )
+    j = rates.crossJoin(F.broadcast(pf)).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    shrunk = (F.col("k").cast(_D) + F.col("alpha").cast(_D)) / (
+        F.col("n").cast(_D) + F.col("alpha").cast(_D) + F.col("beta").cast(_D)
+    )
+    return j.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("k").cast("bigint").alias("n_urgent"),
+        F.col("r").cast(_D).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.col("prior_mean").alias("prior_mean"),
+    ).orderBy("n_name")
+
+
+_SQL_EB_SHRINKAGE = """
+WITH urgent AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY 1
+), per_nation AS (
+  SELECT c_nationkey, COUNT(*) AS n, SUM(COALESCE(y, 0)) AS k
+  FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+  GROUP BY 1
+), rates AS MATERIALIZED (
+  SELECT c_nationkey, n, k,
+         CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS r
+  FROM per_nation
+), prior AS MATERIALIZED (
+  SELECT CAST(round((CAST(sr AS DOUBLE) / g)
+                    * ((CAST(sr AS DOUBLE) / g) * (1.0 - CAST(sr AS DOUBLE) / g)
+                       / ((g * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+                           * CAST(sr AS DOUBLE)) / (g * (g - 1.0))) - 1.0), 6)
+              AS DECIMAL(18,6)) AS alpha,
+         CAST(round((1.0 - CAST(sr AS DOUBLE) / g)
+                    * ((CAST(sr AS DOUBLE) / g) * (1.0 - CAST(sr AS DOUBLE) / g)
+                       / ((g * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+                           * CAST(sr AS DOUBLE)) / (g * (g - 1.0))) - 1.0), 6)
+              AS DECIMAL(18,6)) AS beta,
+         round(CAST(sr AS DOUBLE) / g, 6) AS prior_mean
+  FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS g, SUM(r) AS sr, SUM(r * r) AS srr
+    FROM rates
+  )
+)
+SELECT n_name,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS n_urgent,
+       CAST(r AS DOUBLE) AS raw_rate,
+       round((CAST(k AS DOUBLE) + CAST(alpha AS DOUBLE))
+             / (CAST(n AS DOUBLE) + CAST(alpha AS DOUBLE)
+                + CAST(beta AS DOUBLE)), 6) AS shrunk_rate,
+       prior_mean
+FROM rates CROSS JOIN prior
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes, 1996 -> 1997
+# ---------------------------------------------------------------------------
+
+_PI_Y0 = 1996
+_PI_Y1 = 1997
+
+
+def _q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indexes for 1997 vs the
+    1996 base year over the parts traded in BOTH years: per-part unit
+    prices are frozen round-6 decimals (sum extprice / sum qty per
+    part-year), quantities are exact integers, so all four cross
+    baskets (p0q0, p1q0, p0q1, p1q1) are exact decimal sums and each
+    index is one double division (Fisher = sqrt of the product) —
+    the canonical inflation arithmetic.  Scale: one lineitem+orders
+    aggregate to the part-year grain + one part-keyed join."""
+    cat = Catalog(sf_dir)
+    li = scan(
+        spark, cat, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"]
+    )
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderdate"])
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_partkey",
+            F.year("o_orderdate").alias("yr"),
+            money("l_extendedprice").alias("s"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .filter(F.col("yr").isin(_PI_Y0, _PI_Y1))
+    )
+    per_py = base.groupBy("l_partkey", "yr").agg(
+        F.sum("s").alias("s"), F.sum("q").alias("q")
+    ).select(
+        "l_partkey",
+        "yr",
+        "q",
+        F.round(F.col("s").cast(_D) / F.col("q").cast(_D), 6)
+        .cast("decimal(18,6)")
+        .alias("p"),
+    )
+    y0 = per_py.filter(F.col("yr") == _PI_Y0).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    y1 = per_py.filter(F.col("yr") == _PI_Y1).select(
+        F.col("l_partkey").alias("pk1"), F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    both = y0.join(y1, y0.l_partkey == y1.pk1)
+    baskets = both.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+        F.sum(F.col("p1") * F.col("q0")).alias("p1q0"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p0q1"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p1q1"),
+    )
+    lasp = F.col("p1q0").cast(_D) / F.col("p0q0").cast(_D)
+    paas = F.col("p1q1").cast(_D) / F.col("p0q1").cast(_D)
+    return baskets.select(
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+_SQL_PRICE_INDEX = f"""
+WITH base AS (
+  SELECT l_partkey, year(o_orderdate) AS yr,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS s,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN ({_PI_Y0}, {_PI_Y1})
+), per_py AS (
+  SELECT l_partkey, yr, SUM(q) AS q,
+         CAST(round(CAST(SUM(s) AS DOUBLE) / CAST(SUM(q) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS p
+  FROM base GROUP BY 1, 2
+), both_y AS (
+  SELECT y0.l_partkey, y0.p AS p0, y0.q AS q0, y1.p AS p1, y1.q AS q1
+  FROM (SELECT * FROM per_py WHERE yr = {_PI_Y0}) y0
+  JOIN (SELECT * FROM per_py WHERE yr = {_PI_Y1}) y1 USING (l_partkey)
+), baskets AS (
+  SELECT COUNT(*) AS n_parts,
+         SUM(p0 * q0) AS p0q0, SUM(p1 * q0) AS p1q0,
+         SUM(p0 * q1) AS p0q1, SUM(p1 * q1) AS p1q1
+  FROM both_y
+)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+       round(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6) AS laspeyres,
+       round(CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE), 6) AS paasche,
+       round(sqrt((CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE))
+                  * (CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE))), 6) AS fisher
+FROM baskets
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+def _q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    engagement ratio (how many of this week's actives showed up
+    today).  Distinct (day, user) pairs FIRST (the compression), then
+    a 7-day band join re-counts distinct users per window end; both
+    counts are exact integers and stickiness is one division.  Days
+    with under 7 days of history are reported with their partial
+    window (window_days says how many).  Scale: one distinct
+    aggregate + a 7-wide band join on the day grain."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = dau.select(F.col("day").alias("d"))
+    wau = (
+        days.join(
+            du,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct("day").alias("window_days"),
+        )
+    )
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("window_days").cast("int").alias("window_days"),
+            F.round(F.col("dau").cast(_D) / F.col("wau").cast(_D), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_DAU_WAU = """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY 1
+), wau AS (
+  SELECT d.day AS d, COUNT(DISTINCT du.user_id) AS wau,
+         COUNT(DISTINCT du.day) AS window_days
+  FROM (SELECT DISTINCT day FROM du) d
+  JOIN du ON du.day <= d.day AND du.day >= d.day - INTERVAL 6 DAY
+  GROUP BY 1
+)
+SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(window_days AS INT) AS window_days,
+       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.day
+ORDER BY dau.day
+"""
+
+
+SESSION8_QUERIES: list[QueryDef] = [
+    QueryDef(
+        "q_granger", _q_granger, _SQL_GRANGER,
+        "lag-1 Granger causality (Cramer-solved nested OLS)",
+    ),
+    QueryDef(
+        "q_var_es", _q_var_es, _SQL_VAR_ES,
+        "VaR95 + expected shortfall with exact boundary multiplicity",
+    ),
+    QueryDef(
+        "q_eb_shrinkage", _q_eb_shrinkage, _SQL_EB_SHRINKAGE,
+        "empirical-Bayes beta-binomial rate shrinkage",
+    ),
+    QueryDef(
+        "q_price_index", _q_price_index, _SQL_PRICE_INDEX,
+        "Laspeyres/Paasche/Fisher price indexes",
+    ),
+    QueryDef(
+        "q_dau_wau", _q_dau_wau, _SQL_DAU_WAU,
+        "DAU/WAU stickiness over a 7-day band join",
+    ),
+]
