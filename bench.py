@@ -248,6 +248,10 @@ BENCH_NAMES = [
     "q_eb_shrinkage",
     "q_price_index",
     "q_dau_wau",
+    "q_dbscan_core",
+    "q_srm_check",
+    "q_graph_stats",
+    "q_higher_moments",
 ]
 
 

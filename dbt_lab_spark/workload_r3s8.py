@@ -563,3 +563,413 @@ SESSION8_QUERIES: list[QueryDef] = [
         "DAU/WAU stickiness over a 7-day band join",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# grid-DBSCAN density classification (core / border / noise)
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 1.5
+_DB_MINPTS = 4
+_DB_SPAN = 100.0
+
+
+def _db_u(key: F.Column, salt: str) -> F.Column:
+    """md5-uniform in [0,1) — the engine's no-RNG convention (the
+    q_geo_nearest generator on a planar [0,100)^2 space)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15), 16, 10
+        ).cast("double")
+        / F.pow(F.lit(2.0), F.lit(60))
+    )
+
+
+def _q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification of customers on the deterministic
+    md5 plane: core (>= 4 points within eps=1.5, self included),
+    border (non-core with a core neighbor), noise — the density
+    clustering primitive, done the scalable way: grid cells of size
+    eps so candidates come from a 3x3 CELL EQUI-JOIN (x9 replication),
+    never an all-pairs distance join; the eps test compares the
+    ROUND-6 squared distance so a last-ulp difference cannot flip
+    membership (the q_geo_nearest trick).  Output: per-class point
+    counts and exact mean neighbor counts.  Scale: the cell id is the
+    shuffle key; density per cell bounds the fan-in."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey"]).select(
+        "c_custkey",
+        (_db_u(F.col("c_custkey"), "dbx") * _DB_SPAN).alias("x"),
+        (_db_u(F.col("c_custkey"), "dby") * _DB_SPAN).alias("y"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    probe = cust.select(
+        F.col("c_custkey").alias("p"),
+        "x",
+        "y",
+        F.explode(offs).alias("o"),
+    ).select(
+        "p",
+        "x",
+        "y",
+        (
+            (F.floor(F.col("x") / _DB_EPS) + F.col("o.dx")) * 1000
+            + (F.floor(F.col("y") / _DB_EPS) + F.col("o.dy"))
+        ).alias("cell"),
+    )
+    build = cust.select(
+        F.col("c_custkey").alias("q"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        (
+            F.floor(F.col("x") / _DB_EPS) * 1000 + F.floor(F.col("y") / _DB_EPS)
+        ).alias("cell"),
+    )
+    d2 = F.round(
+        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
+        6,
+    )
+    pairs = (
+        probe.join(build, "cell")
+        .filter(d2 <= F.lit(_DB_EPS * _DB_EPS))
+        .select("p", "q")
+    )
+    ncount = pairs.groupBy("p").agg(F.count(F.lit(1)).alias("nn"))
+    flags = ncount.select(
+        "p", "nn", (F.col("nn") >= _DB_MINPTS).alias("is_core")
+    )
+    cores = flags.filter(F.col("is_core")).select(F.col("p").alias("q"))
+    has_core_nb = (
+        pairs.join(cores, "q").select("p").distinct().withColumn("near_core", F.lit(True))
+    )
+    classed = (
+        flags.join(has_core_nb, "p", "left")
+        .select(
+            "nn",
+            F.when(F.col("is_core"), "core")
+            .when(F.coalesce("near_core", F.lit(False)), "border")
+            .otherwise("noise")
+            .alias("cls"),
+        )
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("nn").alias("snn"),
+        )
+        .select(
+            "cls",
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.round(F.col("snn").cast(_D) / F.col("n_points").cast(_D), 6).alias(
+                "mean_neighbors"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+_SQL_DBSCAN_CORE = f"""
+WITH cust AS MATERIALIZED (
+  SELECT c_custkey,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || 'dbx'), 1, 15))
+              AS BIGINT) / power(2.0, 60) * {_DB_SPAN} AS x,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || 'dby'), 1, 15))
+              AS BIGINT) / power(2.0, 60) * {_DB_SPAN} AS y
+  FROM customer
+), probe AS (
+  SELECT c_custkey AS p, x, y,
+         (floor(x / {_DB_EPS}) + o.dx) * 1000 + (floor(y / {_DB_EPS}) + o.dy) AS cell
+  FROM cust CROSS JOIN (
+    SELECT dx, dy FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy)
+  ) o
+), build AS (
+  SELECT c_custkey AS q, x AS qx, y AS qy,
+         floor(x / {_DB_EPS}) * 1000 + floor(y / {_DB_EPS}) AS cell
+  FROM cust
+), pairs AS MATERIALIZED (
+  SELECT p, q FROM probe JOIN build USING (cell)
+  WHERE round((x - qx) * (x - qx) + (y - qy) * (y - qy), 6)
+        <= {_DB_EPS * _DB_EPS}
+), flags AS MATERIALIZED (
+  SELECT p, COUNT(*) AS nn, COUNT(*) >= {_DB_MINPTS} AS is_core
+  FROM pairs GROUP BY 1
+), has_core_nb AS (
+  SELECT DISTINCT pr.p FROM pairs pr
+  JOIN flags f ON f.p = pr.q AND f.is_core
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(CAST(SUM(nn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_neighbors
+FROM (
+  SELECT f.nn,
+         CASE WHEN f.is_core THEN 'core'
+              WHEN h.p IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS cls
+  FROM flags f LEFT JOIN has_core_nb h ON h.p = f.p
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio mismatch check
+# ---------------------------------------------------------------------------
+
+
+def _q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on the md5 A/B split of customers:
+    chi-square of the observed arm counts against the designed 50/50 —
+    the first health check every experimentation platform runs before
+    reading any metric.  Counts exact; the statistic is one double
+    formula; the flag compares against the frozen 5% critical value
+    3.841459.  Scale: one 2-cell aggregate."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey"])
+    agg = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("srm"))),
+                    1,
+                    1,
+                ).isin(*list("01234567")),
+                1,
+            ).otherwise(0)
+        ).alias("na"),
+    )
+    nd = F.col("n").cast(_D)
+    nad = F.col("na").cast(_D)
+    nbd = nd - nad
+    e = nd / 2.0
+    chi2 = (nad - e) * (nad - e) / e + (nbd - e) * (nbd - e) / e
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        F.col("na").cast("bigint").alias("n_a"),
+        (F.col("n") - F.col("na")).cast("bigint").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+_SQL_SRM_CHECK = """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR) || 'srm'), 1, 1)
+                  BETWEEN '0' AND '7' THEN 1 ELSE 0 END) AS na
+  FROM customer
+)
+SELECT CAST(n AS BIGINT) AS n_units, CAST(na AS BIGINT) AS n_a,
+       CAST(n - na AS BIGINT) AS n_b,
+       round((CAST(na AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(na AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0)
+             + ((CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+                - CAST(n AS DOUBLE) / 2.0)
+               * ((CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+                  - CAST(n AS DOUBLE) / 2.0)
+               / (CAST(n AS DOUBLE) / 2.0), 6) AS chi2,
+       ((CAST(na AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+        * (CAST(na AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+        / (CAST(n AS DOUBLE) / 2.0)
+        + ((CAST(n AS DOUBLE) - CAST(na AS DOUBLE)) - CAST(n AS DOUBLE) / 2.0)
+          * ((CAST(n AS DOUBLE) - CAST(na AS DOUBLE)) - CAST(n AS DOUBLE) / 2.0)
+          / (CAST(n AS DOUBLE) / 2.0)) > 3.841459 AS srm_flag
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# directed-graph summary statistics
+# ---------------------------------------------------------------------------
+
+
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary statistics of the directed top-3 trade graph:
+    reciprocity (share of edges whose reverse also exists, via one
+    self-join), density e/(n(n-1)), and exact out-degree mean/max —
+    the one-row graph health card next to the per-node centrality
+    queries.  All counts exact integers; three double divisions.
+    Scale: the edge frame is the trade-edge extraction; everything
+    after is O(|edges|)."""
+    from dbt_lab_spark.workload_extras import _trade_edges_topk
+
+    edges = _trade_edges_topk(spark, sf_dir)
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    recip = edges.join(rev, ["src", "dst"]).agg(F.count(F.lit(1)).alias("r"))
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nn"))
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    dstats = outd.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("od").alias("ne"),
+        F.max("od").alias("max_od"),
+    )
+    j = dstats.crossJoin(F.broadcast(recip)).crossJoin(F.broadcast(nodes))
+    nnd = F.col("nn").cast(_D)
+    return j.select(
+        F.col("nn").cast("int").alias("n_nodes"),
+        F.col("ne").cast("bigint").alias("n_edges"),
+        F.round(F.col("r").cast(_D) / F.col("ne").cast(_D), 6).alias("reciprocity"),
+        F.round(F.col("ne").cast(_D) / (nnd * (nnd - 1.0)), 6).alias("density"),
+        F.round(F.col("ne").cast(_D) / F.col("n_src").cast(_D), 6).alias(
+            "mean_out_degree"
+        ),
+        F.col("max_od").cast("int").alias("max_out_degree"),
+    )
+
+
+def _sql_graph_stats() -> str:
+    from dbt_lab_spark.workload_extras import _SQL_TRADE_EDGES
+
+    return f"""
+WITH {_SQL_TRADE_EDGES},
+recip AS (
+  SELECT COUNT(*) AS r FROM edges e
+  JOIN edges x ON x.src = e.dst AND x.dst = e.src
+), nodes AS (
+  SELECT COUNT(*) AS nn FROM (
+    SELECT DISTINCT u FROM (
+      SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges))
+), dstats AS (
+  SELECT COUNT(*) AS n_src, SUM(od) AS ne, MAX(od) AS max_od FROM (
+    SELECT src, COUNT(*) AS od FROM edges GROUP BY 1)
+)
+SELECT CAST(nn AS INT) AS n_nodes, CAST(ne AS BIGINT) AS n_edges,
+       round(CAST(r AS DOUBLE) / CAST(ne AS DOUBLE), 6) AS reciprocity,
+       round(CAST(ne AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)), 6)
+         AS density,
+       round(CAST(ne AS DOUBLE) / CAST(n_src AS DOUBLE), 6) AS mean_out_degree,
+       CAST(max_od AS INT) AS max_out_degree
+FROM dstats CROSS JOIN recip CROSS JOIN nodes
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact higher moments: skewness and excess kurtosis per event type
+# ---------------------------------------------------------------------------
+
+
+def _q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of event values per
+    type from EXACT raw power sums: S1..S4 in integer cents, with the
+    3rd/4th powers accumulated in DECIMAL(38,0)/HUGEINT (a single c^4
+    already overflows int64) — the shape diagnostics beyond
+    q_stats_agg's mean/std.  Central moments expand algebraically
+    from the raw sums in identically-parenthesized doubles; the two
+    shape statistics are scale-invariant so cents need no
+    normalization.  Scale: ONE hash aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "event_type", (money("value") * 100).cast("long").alias("c")
+    )
+    cc = F.col("c") * F.col("c")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(cc).alias("s2"),
+        F.sum(cc.cast("decimal(38,0)") * F.col("c")).alias("s3"),
+        F.sum(cc.cast("decimal(38,0)") * cc).alias("s4"),
+    )
+    nd = F.col("n").cast(_D)
+    m = F.col("s1").cast(_D) / nd
+    m2 = F.col("s2").cast(_D) / nd - m * m
+    m3 = F.col("s3").cast(_D) / nd - 3.0 * m * (F.col("s2").cast(_D) / nd) + 2.0 * m * m * m
+    m4 = (
+        F.col("s4").cast(_D) / nd
+        - 4.0 * m * (F.col("s3").cast(_D) / nd)
+        + 6.0 * m * m * (F.col("s2").cast(_D) / nd)
+        - 3.0 * m * m * m * m
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(m / 100.0, 6).alias("mean_value"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+_SQL_HIGHER_MOMENTS = """
+WITH mom AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2,
+         SUM(CAST(c * c AS HUGEINT) * c) AS s3,
+         SUM(CAST(c * c AS HUGEINT) * c * c) AS s4
+  FROM (
+    SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+  ) GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_value,
+       round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+         AS skewness,
+       round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 6)
+         AS excess_kurtosis
+FROM mom
+ORDER BY event_type
+"""
+
+
+SESSION8_QUERIES.extend(
+    [
+        QueryDef(
+            "q_dbscan_core", _q_dbscan_core, _SQL_DBSCAN_CORE,
+            "grid-DBSCAN core/border/noise classification",
+        ),
+        QueryDef(
+            "q_srm_check", _q_srm_check, _SQL_SRM_CHECK,
+            "sample-ratio-mismatch chi-square check",
+        ),
+        QueryDef(
+            "q_graph_stats", _q_graph_stats, _sql_graph_stats(),
+            "directed-graph health card (reciprocity, density, degrees)",
+        ),
+        QueryDef(
+            "q_higher_moments", _q_higher_moments, _SQL_HIGHER_MOMENTS,
+            "exact skewness / excess kurtosis from raw power sums",
+        ),
+    ]
+)
