@@ -252,6 +252,9 @@ BENCH_NAMES = [
     "q_srm_check",
     "q_graph_stats",
     "q_higher_moments",
+    "q_ecod_outliers",
+    "q_shapley_r2",
+    "q_ratio_delta",
 ]
 
 

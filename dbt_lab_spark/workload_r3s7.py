@@ -539,6 +539,11 @@ def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(v.get("start", Decimal(0)))
 
     base = absorb(None)
+    if base == 0.0:
+        raise ValueError(
+            "markov attribution needs at least one converting journey "
+            "(empty corpus or no purchases)"
+        )
     pconv = {c: absorb(c) for c in _MA_CHANNELS}
     re6 = {c: round6((base - pconv[c]) / base) for c in _MA_CHANNELS}
     re_tot = sum(re6.values())  # exact decimal sum of round-6 effects

@@ -973,3 +973,319 @@ SESSION8_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# ECOD-style tail-probability outliers (2-D, exact ECDF)
+# ---------------------------------------------------------------------------
+
+_ECOD_TOPK = 10
+
+
+def _q_ecod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD-style outlier scoring of customers on (acctbal, order
+    count): per dimension, the exact two-sided empirical tail
+    probability min(P(X <= x), P(X >= x)) from tie-inclusive RANGE-
+    frame counts; the score sums the frozen round-6 -ln tails across
+    dimensions (the parameter-free ECDF outlier detector, simplified
+    to the two-sided variant).  Tail counts are exact integers; the
+    per-dim ln is frozen to DECIMAL so the 2-term score sum is exact;
+    top-10 with (score desc, custkey) determinism.  Scale: two
+    RANGE-frame windows per dimension + a top-k."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey"])
+    cnts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    base = cust.join(cnts, cust.c_custkey == cnts.o_custkey, "left").select(
+        "c_custkey",
+        (money("c_acctbal") * 100).cast("long").alias("x1"),
+        F.coalesce("k", F.lit(0)).cast("long").alias("x2"),
+    )
+    wall = Window.partitionBy()
+
+    def dim_score(col: str) -> F.Column:
+        wl = Window.orderBy(col).rangeBetween(Window.unboundedPreceding, 0)
+        wr = Window.orderBy(F.col(col).desc()).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        le = F.count(F.lit(1)).over(wl)
+        ge = F.count(F.lit(1)).over(wr)
+        n = F.count(F.lit(1)).over(wall)
+        tail = F.least(le, ge).cast(_D) / n.cast(_D)
+        return F.round(-F.log(tail), 6).cast("decimal(18,6)")
+
+    scored = base.select(
+        "c_custkey",
+        "x1",
+        "x2",
+        (dim_score("x1") + dim_score("x2")).alias("score"),
+    )
+    top = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("score"), "c_custkey"))
+    ).filter(F.col("rn") <= _ECOD_TOPK)
+    return top.select(
+        "c_custkey",
+        (F.col("x1").cast(_D) / 100.0).alias("acctbal"),
+        F.col("x2").cast("bigint").alias("n_orders"),
+        F.col("score").cast(_D).alias("ecod_score"),
+        F.col("rn").cast("int").alias("rank"),
+    ).orderBy("rank")
+
+
+_SQL_ECOD_OUTLIERS = f"""
+WITH cnts AS (
+  SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1
+), base AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+         CAST(COALESCE(k, 0) AS BIGINT) AS x2
+  FROM customer LEFT JOIN cnts ON c_custkey = o_custkey
+), scored AS (
+  SELECT c_custkey, x1, x2,
+         CAST(round(-ln(CAST(least(
+             COUNT(*) OVER (ORDER BY x1 RANGE UNBOUNDED PRECEDING),
+             COUNT(*) OVER (ORDER BY x1 DESC RANGE UNBOUNDED PRECEDING))
+           AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)), 6) AS DECIMAL(18,6))
+         + CAST(round(-ln(CAST(least(
+             COUNT(*) OVER (ORDER BY x2 RANGE UNBOUNDED PRECEDING),
+             COUNT(*) OVER (ORDER BY x2 DESC RANGE UNBOUNDED PRECEDING))
+           AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)), 6) AS DECIMAL(18,6))
+         AS score
+  FROM base
+)
+SELECT c_custkey,
+       CAST(x1 AS DOUBLE) / 100.0 AS acctbal,
+       x2 AS n_orders,
+       CAST(score AS DOUBLE) AS ecod_score,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) AS rn FROM scored
+) WHERE rn <= {_ECOD_TOPK}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shapley decomposition of R^2 over two features
+# ---------------------------------------------------------------------------
+
+
+def _q_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley decomposition of regression R^2 between two
+    features (acctbal, order count) predicting per-customer total
+    spend: with v(S) = R^2 of the OLS on subset S, phi_i =
+    ((v({i}) - v(0)) + (v(both) - v({j}))) / 2 — model explainability
+    with the EXACT game-theoretic attribution (2 features = closed
+    form, no sampling).  All v(S) values derive from one 9-moment
+    integer-cent aggregate: single-feature R^2 is the squared
+    correlation; the two-feature R^2 solves the 3x3 normal equations
+    by Cramer and collapses RSS algebraically (the q_granger
+    machinery).  Scale: one rollup + one moment reduce."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("y"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+        (money("c_acctbal") * 100).cast("long").alias("a"),
+        F.coalesce("k", F.lit(0)).cast("long").alias("b"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("y")).alias("say"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("y")).alias("sby"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast(_D)
+    sa, sb, sy = (F.col(c).cast(_D) for c in ("sa", "sb", "sy"))
+    saa, sbb, sab = (F.col(c).cast(_D) for c in ("saa", "sbb", "sab"))
+    say, sby, syy = (F.col(c).cast(_D) for c in ("say", "sby", "syy"))
+    cay = nd * say - sa * sy
+    cby = nd * sby - sb * sy
+    vaa = nd * saa - sa * sa
+    vbb = nd * sbb - sb * sb
+    vab = nd * sab - sa * sb
+    vyy = nd * syy - sy * sy
+    r2_a = cay * cay / (vaa * vyy)
+    r2_b = cby * cby / (vbb * vyy)
+    # two-feature R^2 from the centered 2x2 normal equations
+    det = vaa * vbb - vab * vab
+    beta_a = (cay * vbb - cby * vab) / det
+    beta_b = (cby * vaa - cay * vab) / det
+    r2_full = (beta_a * cay + beta_b * cby) / vyy
+    shap_a = ((r2_a - 0.0) + (r2_full - r2_b)) / 2.0
+    shap_b = ((r2_b - 0.0) + (r2_full - r2_a)) / 2.0
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(r2_a, 6).alias("r2_acctbal"),
+        F.round(r2_b, 6).alias("r2_orders"),
+        F.round(r2_full, 6).alias("r2_full"),
+        F.round(shap_a, 6).alias("shapley_acctbal"),
+        F.round(shap_b, 6).alias("shapley_orders"),
+    )
+
+
+_SQL_SHAPLEY_R2 = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+         COUNT(*) AS k
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
+         CAST(COALESCE(k, 0) AS BIGINT) AS b,
+         COALESCE(y, 0) AS y
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_int,
+         CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+         CAST(SUM(b * b) AS DOUBLE) AS sbb,
+         CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(a AS HUGEINT) * y) AS DOUBLE) AS say,
+         CAST(SUM(CAST(b AS HUGEINT) * y) AS DOUBLE) AS sby,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM base
+), c AS (
+  SELECT n_int,
+         n * say - sa * sy AS cay, n * sby - sb * sy AS cby,
+         n * saa - sa * sa AS vaa, n * sbb - sb * sb AS vbb,
+         n * sab - sa * sb AS vab, n * syy - sy * sy AS vyy
+  FROM mom
+), fit AS (
+  SELECT *,
+         cay * cay / (vaa * vyy) AS r2_a,
+         cby * cby / (vbb * vyy) AS r2_b,
+         ((cay * vbb - cby * vab) / (vaa * vbb - vab * vab) * cay
+          + (cby * vaa - cay * vab) / (vaa * vbb - vab * vab) * cby) / vyy AS r2_full
+  FROM c
+)
+SELECT CAST(n_int AS BIGINT) AS n_customers,
+       round(r2_a, 6) AS r2_acctbal,
+       round(r2_b, 6) AS r2_orders,
+       round(r2_full, 6) AS r2_full,
+       round(((r2_a - 0.0) + (r2_full - r2_b)) / 2.0, 6) AS shapley_acctbal,
+       round(((r2_b - 0.0) + (r2_full - r2_a)) / 2.0, 6) AS shapley_orders
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# delta-method CI for a ratio-of-means metric
+# ---------------------------------------------------------------------------
+
+
+def _q_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for the ratio metric
+    'purchase value per view' with the USER as the randomization unit:
+    R = sum(x_u)/sum(y_u), var(R) ~= (s_xx - 2R s_xy + R^2 s_yy) /
+    (n ybar^2) — the correct CI for ratio metrics (a naive per-event
+    mean ignores user-level correlation).  Per-user x (purchase
+    cents) and y (view count) are exact integers; the five moments
+    come from one aggregate; R, the SE, and the frozen-z CI are
+    identically-parenthesized doubles.  Scale: one per-user aggregate
+    + a 1-row reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", money("value"))),
+                F.lit(0),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast(_D)
+    sx, sy = F.col("sx").cast(_D), F.col("sy").cast(_D)
+    sxx, sxy, syy = (F.col(c).cast(_D) for c in ("sxx", "sxy", "syy"))
+    r = sx / sy
+    vxx = (nd * sxx - sx * sx) / (nd * (nd - 1.0))
+    vxy = (nd * sxy - sx * sy) / (nd * (nd - 1.0))
+    vyy = (nd * syy - sy * sy) / (nd * (nd - 1.0))
+    ybar = sy / nd
+    se = F.sqrt((vxx - 2.0 * r * vxy + r * r * vyy) / nd) / ybar
+    z = 1.959964
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(r / 100.0, 6).alias("ratio"),
+        F.round(se / 100.0, 6).alias("se"),
+        F.round((r - z * se) / 100.0, 6).alias("ci_lo"),
+        F.round((r + z * se) / 100.0, 6).alias("ci_hi"),
+    )
+
+
+_SQL_RATIO_DELTA = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100
+              AS BIGINT) AS x,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_int,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM per_user
+), fit AS (
+  SELECT n_int, n, sx / sy AS r, sy / n AS ybar,
+         (n * sxx - sx * sx) / (n * (n - 1.0)) AS vxx,
+         (n * sxy - sx * sy) / (n * (n - 1.0)) AS vxy,
+         (n * syy - sy * sy) / (n * (n - 1.0)) AS vyy
+  FROM mom
+), res AS (
+  SELECT n_int, r,
+         sqrt((vxx - 2.0 * r * vxy + r * r * vyy) / n) / ybar AS se
+  FROM fit
+)
+SELECT CAST(n_int AS BIGINT) AS n_users,
+       round(r / 100.0, 6) AS ratio,
+       round(se / 100.0, 6) AS se,
+       round((r - 1.959964 * se) / 100.0, 6) AS ci_lo,
+       round((r + 1.959964 * se) / 100.0, 6) AS ci_hi
+FROM res
+"""
+
+
+SESSION8_QUERIES.extend(
+    [
+        QueryDef(
+            "q_ecod_outliers", _q_ecod_outliers, _SQL_ECOD_OUTLIERS,
+            "ECOD-style exact-ECDF tail outliers, top-10",
+        ),
+        QueryDef(
+            "q_shapley_r2", _q_shapley_r2, _SQL_SHAPLEY_R2,
+            "exact Shapley decomposition of 2-feature R^2",
+        ),
+        QueryDef(
+            "q_ratio_delta", _q_ratio_delta, _SQL_RATIO_DELTA,
+            "delta-method CI for a ratio-of-means metric",
+        ),
+    ]
+)

@@ -30,6 +30,7 @@ _EXPECTED_REFUSALS = {
     "q_pq_ann",
     "q_pq_adc_seeded",
     "q_logreg_step",
+    "q_markov_attribution",  # needs >=1 converting journey (base p=0)
     # inference stats whose denominators are undefined on zero rows
     "q_kappa",
     "q_chi2",
