@@ -255,6 +255,9 @@ BENCH_NAMES = [
     "q_ecod_outliers",
     "q_shapley_r2",
     "q_ratio_delta",
+    "q_rolling_beta",
+    "q_partial_corr",
+    "q_burrows_delta",
 ]
 
 

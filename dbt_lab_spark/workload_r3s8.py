@@ -1289,3 +1289,349 @@ SESSION8_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day regression beta (windowed moments)
+# ---------------------------------------------------------------------------
+
+_RB_WIN = 7
+
+
+def _q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day regression slope of daily purchase value on daily
+    view count: per day, the OLS beta over the trailing window from
+    WINDOWED exact integer moments (sum, sum-of-products over a ROWS
+    frame) — rolling regression without per-window refits, the
+    streaming-friendly way.  Each day's beta and correlation are
+    identically-parenthesized doubles over window sums.  Scale: one
+    daily rollup + one 4-sum ROWS window."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", money("value"))),
+                F.lit(0),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RB_WIN - 1), Window.currentRow)
+    mom = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).over(w).alias("syy"),
+    ).filter(F.col("n") == _RB_WIN)
+    nd = F.col("n").cast(_D)
+    cov = nd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)
+    vx = nd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    vy = nd * F.col("syy").cast(_D) - F.col("sy").cast(_D) * F.col("sy").cast(_D)
+    return mom.select(
+        "day",
+        F.col("n").cast("int").alias("window_n"),
+        F.round(cov / vx / 100.0, 6).alias("beta"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    ).orderBy("day")
+
+
+_SQL_ROLLING_BETA = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100
+              AS BIGINT) AS y
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+), mom AS (
+  SELECT day,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {_RB_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS INT) AS window_n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6) AS beta,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+FROM mom WHERE n = {_RB_WIN}
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# partial correlation controlling for a confounder
+# ---------------------------------------------------------------------------
+
+
+def _q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of customer acctbal and total spend
+    CONTROLLING for order count: r_xy.z = (r_xy - r_xz r_zy) /
+    sqrt((1 - r_xz^2)(1 - r_zy^2)) — does balance relate to spend
+    beyond the mechanical does-more-orders channel?  The three raw
+    correlations come from one 9-moment integer-cent aggregate (the
+    q_shapley_r2 frame); the partial is one double formula.  Scale:
+    one rollup + a 1-row reduce."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("y"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+        (money("c_acctbal") * 100).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+        F.coalesce("k", F.lit(0)).cast("long").alias("z"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("z")).alias("syz"),
+    )
+    nd = F.col("n").cast(_D)
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast(_D) - F.col(sa).cast(_D) * F.col(sb).cast(_D)
+        da = nd * F.col(saa).cast(_D) - F.col(sa).cast(_D) * F.col(sa).cast(_D)
+        db = nd * F.col(sbb).cast(_D) - F.col(sb).cast(_D) * F.col(sb).cast(_D)
+        return num / F.sqrt(da * db)
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    rzy = corr("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * rzy) / F.sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(rxy, 6).alias("r_bal_spend"),
+        F.round(rxz, 6).alias("r_bal_orders"),
+        F.round(rzy, 6).alias("r_spend_orders"),
+        F.round(partial, 6).alias("partial_r"),
+    )
+
+
+_SQL_PARTIAL_CORR = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+         COUNT(*) AS k
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         COALESCE(y, 0) AS y, CAST(COALESCE(k, 0) AS BIGINT) AS z
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_int,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(z) AS DOUBLE) AS sz,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(SUM(z * z) AS DOUBLE) AS szz,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * z) AS DOUBLE) AS sxz,
+         CAST(SUM(CAST(y AS HUGEINT) * z) AS DOUBLE) AS syz
+  FROM base
+), cors AS (
+  SELECT n_int,
+         (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS rzy
+  FROM mom
+)
+SELECT CAST(n_int AS BIGINT) AS n_customers,
+       round(rxy, 6) AS r_bal_spend,
+       round(rxz, 6) AS r_bal_orders,
+       round(rzy, 6) AS r_spend_orders,
+       round((rxy - rxz * rzy) / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 6)
+         AS partial_r
+FROM cors
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_BD_TOPK = 30
+
+
+def _q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between document sources: for the top-30 corpus
+    tokens, z-score each source's relative frequency across sources
+    and report the mean |z1 - z2| per source pair — the classic
+    stylometric authorship distance, distributed: one token explode,
+    two tiny aggregates, one pair join on the 30-token frame.
+    Relative frequencies are frozen to round-9 DECIMALS (they live at
+    1e-3 scale), z-scores re-freeze to round-6, so the per-pair mean
+    is an exact decimal sum over 30 terms with one final division.
+    Scale: the explode+count is the q_word_count shape; everything
+    after runs on |sources| x 30 rows."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "text"])
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+        )
+        .filter(F.col("rk") <= _BD_TOPK)
+        .select("token")
+    )
+    per_src_tok = (
+        toks.join(F.broadcast(top), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    srcs = src_tot.select("source")
+    dense = (
+        srcs.crossJoin(top)
+        .join(per_src_tok, ["source", "token"], "left")
+        .join(src_tot, "source")
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.coalesce("c", F.lit(0)).cast(_D) / F.col("tot").cast(_D), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("f"),
+        )
+    )
+    wt = Window.partitionBy("token")
+    stats = dense.select(
+        "source",
+        "token",
+        "f",
+        F.count(F.lit(1)).over(wt).alias("ns"),
+        F.sum("f").over(wt).alias("sf"),
+        F.sum(F.col("f") * F.col("f")).over(wt).alias("sff"),
+    )
+    nsd = F.col("ns").cast(_D)
+    mean = F.col("sf").cast(_D) / nsd
+    std = F.sqrt(
+        (nsd * F.col("sff").cast(_D) - F.col("sf").cast(_D) * F.col("sf").cast(_D))
+        / (nsd * (nsd - 1.0))
+    )
+    z = dense.join(
+        stats.select("source", "token", "ns", "sf", "sff"), ["source", "token"]
+    ).select(
+        "source",
+        "token",
+        F.round((F.col("f").cast(_D) - mean) / std, 6)
+        .cast("decimal(18,6)")
+        .alias("z"),
+    )
+    z2 = z.select(
+        F.col("source").alias("source2"),
+        "token",
+        F.col("z").alias("zz"),
+    )
+    pairs = (
+        z.join(z2, "token")
+        .filter(F.col("source") < F.col("source2"))
+        .groupBy("source", "source2")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.abs(F.col("z") - F.col("zz"))).alias("sd"),
+        )
+    )
+    return pairs.select(
+        "source",
+        "source2",
+        F.col("k").cast("bigint").alias("n_tokens"),
+        F.round(F.col("sd").cast(_D) / F.col("k").cast(_D), 6).alias("delta"),
+    ).orderBy("source", "source2")
+
+
+_SQL_BURROWS_DELTA = rf"""
+WITH toks AS MATERIALIZED (
+  SELECT source, token
+  FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS u(token)
+  WHERE token <> ''
+), top AS MATERIALIZED (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+    FROM toks GROUP BY token
+  ) WHERE rk <= {_BD_TOPK}
+), per_src_tok AS (
+  SELECT source, token, COUNT(*) AS c FROM toks JOIN top USING (token)
+  GROUP BY 1, 2
+), src_tot AS MATERIALIZED (
+  SELECT source, COUNT(*) AS tot FROM toks GROUP BY 1
+), dense AS MATERIALIZED (
+  SELECT s.source, t.token,
+         CAST(round(CAST(COALESCE(p.c, 0) AS DOUBLE) / CAST(st.tot AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS f
+  FROM (SELECT source FROM src_tot) s
+  CROSS JOIN top t
+  LEFT JOIN per_src_tok p ON p.source = s.source AND p.token = t.token
+  JOIN src_tot st ON st.source = s.source
+), stats AS (
+  SELECT token, COUNT(*) AS ns, SUM(f) AS sf, SUM(f * f) AS sff
+  FROM dense GROUP BY 1
+), z AS MATERIALIZED (
+  SELECT d.source, d.token,
+         CAST(round((CAST(d.f AS DOUBLE)
+                     - CAST(s.sf AS DOUBLE) / CAST(s.ns AS DOUBLE))
+                    / sqrt((CAST(s.ns AS DOUBLE) * CAST(s.sff AS DOUBLE)
+                            - CAST(s.sf AS DOUBLE) * CAST(s.sf AS DOUBLE))
+                           / (CAST(s.ns AS DOUBLE)
+                              * (CAST(s.ns AS DOUBLE) - 1.0))), 6)
+              AS DECIMAL(18,6)) AS z
+  FROM dense d JOIN stats s USING (token)
+)
+SELECT a.source, b.source AS source2,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(abs(a.z - b.z)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS delta
+FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+SESSION8_QUERIES.extend(
+    [
+        QueryDef(
+            "q_rolling_beta", _q_rolling_beta, _SQL_ROLLING_BETA,
+            "rolling 7-day OLS beta from windowed moments",
+        ),
+        QueryDef(
+            "q_partial_corr", _q_partial_corr, _SQL_PARTIAL_CORR,
+            "partial correlation controlling for order count",
+        ),
+        QueryDef(
+            "q_burrows_delta", _q_burrows_delta, _SQL_BURROWS_DELTA,
+            "Burrows' Delta stylometric source distance",
+        ),
+    ]
+)
