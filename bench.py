@@ -258,6 +258,11 @@ BENCH_NAMES = [
     "q_rolling_beta",
     "q_partial_corr",
     "q_burrows_delta",
+    # r3-session-9: regression diagnostics + multi-change-point
+    "q_breusch_pagan",
+    "q_durbin_watson",
+    "q_cooks_distance",
+    "q_changepoint2",
 ]
 
 

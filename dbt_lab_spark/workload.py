@@ -1567,6 +1567,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r3s6 import SESSION6_QUERIES
     from dbt_lab_spark.workload_r3s7 import SESSION7_QUERIES
     from dbt_lab_spark.workload_r3s8 import SESSION8_QUERIES
+    from dbt_lab_spark.workload_r3s9 import SESSION9_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     return (
@@ -1578,4 +1579,5 @@ def all_queries() -> list[QueryDef]:
         + SESSION6_QUERIES
         + SESSION7_QUERIES
         + SESSION8_QUERIES
+        + SESSION9_QUERIES
     )

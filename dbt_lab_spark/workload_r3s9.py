@@ -1,0 +1,548 @@
+"""r3 session-9 additions: the regression-diagnostics suite
+(Breusch-Pagan heteroscedasticity, Durbin-Watson autocorrelation,
+Cook's-distance influence) and multi-change-point segmentation.
+Same (builder, oracle) contract as dbt_lab_spark.workload.
+
+The shared trick: freeze the OLS coefficients to round-6 DECIMALS
+(broadcast from one exact-moment fit, the q_gbm_round f0 pattern),
+then every residual is an exact decimal — rounded once to whole cents
+so its SQUARES and FOURTH powers stay inside DECIMAL(38,0)/HUGEINT —
+and all diagnostic statistics become exact-moment reductions.
+
+Reference capability evidence: the reference's aggregate + join +
+sort physical operators (qexec/PhysicalOperators*.java); each query
+re-expresses one distributed shape a user of that surface would
+build, Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.expr import money
+from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.workload import QueryDef
+
+_D = "double"
+
+
+def _cust_spend_fit(spark: SparkSession, sf_dir: str):
+    """Shared frame: per-customer (x = acctbal cents, y = spend cents)
+    plus the frozen round-6 OLS coefficients (a, b) and the moment row
+    broadcast alongside."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("y")
+    )
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+        "c_custkey",
+        (money("c_acctbal") * 100).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast(_D)
+    b = (nd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)) / (
+        nd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    )
+    a = (F.col("sy").cast(_D) - b * F.col("sx").cast(_D)) / nd
+    fit = mom.select(
+        "n",
+        "sx",
+        "sxx",
+        F.round(a, 6).cast("decimal(18,6)").alias("a"),
+        F.round(b, 6).cast("decimal(18,6)").alias("b"),
+    )
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "c_custkey",
+        "x",
+        "y",
+        "n",
+        "sx",
+        "sxx",
+        # frozen-coefficient residual, rounded once to whole cents so
+        # its 2nd/4th powers fit exact integer accumulators
+        F.round(F.col("y") - (F.col("a") + F.col("b") * F.col("x")), 0)
+        .cast("long")
+        .alias("e"),
+    )
+    return resid
+
+
+_SQL_CUST_SPEND_FIT = """
+spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         COALESCE(y, 0) AS y
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), fitmom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_int,
+         CAST(SUM(x) AS DOUBLE) AS sxd, SUM(x) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxxd,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM base
+), fit AS MATERIALIZED (
+  SELECT n_int AS n, sx, sxx,
+         CAST(round((sy - ((n * sxy - sxd * sy) / (n * sxxd - sxd * sxd)) * sxd)
+                    / n, 6) AS DECIMAL(18,6)) AS a,
+         CAST(round((n * sxy - sxd * sy) / (n * sxxd - sxd * sxd), 6)
+              AS DECIMAL(18,6)) AS b
+  FROM fitmom
+), resid AS MATERIALIZED (
+  SELECT c_custkey, x, y, f.n, f.sx, f.sxx,
+         CAST(round(y - (f.a + f.b * x), 0) AS BIGINT) AS e
+  FROM base CROSS JOIN fit f
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test
+# ---------------------------------------------------------------------------
+
+
+def _q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker studentized) heteroscedasticity test on
+    the spend ~ acctbal fit: regress the squared frozen residuals on x
+    and report LM = n * R^2_aux against the chi2(1) 5% critical value
+    — does error variance grow with the predictor?  The auxiliary
+    R^2 needs residual powers up to e^4: with residuals rounded to
+    integer cents they accumulate exactly in DECIMAL(38,0)/HUGEINT.
+    Scale: one rollup + one frozen-fit broadcast + ONE 5-moment
+    reduce."""
+    resid = _cust_spend_fit(spark, sf_dir)
+    e2 = F.col("e").cast("decimal(38,0)") * F.col("e")
+    aux = resid.agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+        F.sum(e2).alias("se2"),
+        F.sum(e2 * F.col("x")).alias("se2x"),
+        F.sum(e2 * e2).alias("se4"),
+    )
+    nd = F.col("n").cast(_D)
+    cov = nd * F.col("se2x").cast(_D) - F.col("sx").cast(_D) * F.col("se2").cast(_D)
+    vx = nd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    ve2 = nd * F.col("se4").cast(_D) - F.col("se2").cast(_D) * F.col("se2").cast(_D)
+    r2_aux = cov * cov / (vx * ve2)
+    lm = nd * r2_aux
+    return aux.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(cov / vx, 6).alias("aux_slope"),
+        F.round(r2_aux, 6).alias("r2_aux"),
+        F.round(lm, 6).alias("lm_stat"),
+        (lm > 3.841459).alias("heteroscedastic"),
+    )
+
+
+_SQL_BREUSCH_PAGAN = f"""
+WITH {_SQL_CUST_SPEND_FIT}, aux AS (
+  SELECT MAX(n) AS n, MAX(sx) AS sx, MAX(sxx) AS sxx,
+         SUM(CAST(e AS HUGEINT) * e) AS se2,
+         SUM(CAST(e AS HUGEINT) * e * x) AS se2x,
+         SUM(CAST(CAST(e AS HUGEINT) * e AS HUGEINT)
+             * (CAST(e AS HUGEINT) * e)) AS se4
+  FROM resid
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS aux_slope,
+       round(((CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(se4 AS DOUBLE)
+                   - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE))), 6) AS r2_aux,
+       round(CAST(n AS DOUBLE)
+             * ((CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(se4 AS DOUBLE)
+                   - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE))), 6) AS lm_stat,
+       CAST(n AS DOUBLE)
+       * ((CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(se2x AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE)))
+       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(se4 AS DOUBLE)
+             - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE))) > 3.841459
+         AS heteroscedastic
+FROM aux
+"""
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation of daily-revenue trend residuals
+# ---------------------------------------------------------------------------
+
+
+def _q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from the daily-revenue
+    linear trend: DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) — the
+    serial-correlation check every forecasting fit needs.  The trend
+    coefficients are frozen round-6 decimals, residuals round to
+    integer cents, so both sums are exact integers and DW is one
+    division; rho_hat = 1 - DW/2 rides along.  Scale: one daily
+    rollup + one lag window + a 1-row reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg((F.sum(money("value")) * 100).cast("long").alias("y"))
+        .select(
+            "day",
+            "y",
+            (F.row_number().over(Window.orderBy("day"))).alias("t"),
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    nd = F.col("n").cast(_D)
+    b = (nd * F.col("sty").cast(_D) - F.col("st").cast(_D) * F.col("sy").cast(_D)) / (
+        nd * F.col("stt").cast(_D) - F.col("st").cast(_D) * F.col("st").cast(_D)
+    )
+    a = (F.col("sy").cast(_D) - b * F.col("st").cast(_D)) / nd
+    fit = mom.select(
+        F.round(a, 6).cast("decimal(18,6)").alias("a"),
+        F.round(b, 6).cast("decimal(18,6)").alias("b"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "day",
+        F.round(F.col("y") - (F.col("a") + F.col("b") * F.col("t")), 0)
+        .cast("long")
+        .alias("e"),
+    )
+    lagd = resid.select(
+        "e", F.lag("e").over(Window.orderBy("day")).alias("e1")
+    )
+    agg = lagd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("se2"),
+        F.sum(
+            F.when(
+                F.col("e1").isNotNull(),
+                (F.col("e") - F.col("e1")).cast("decimal(38,0)")
+                * (F.col("e") - F.col("e1")),
+            )
+        ).alias("sd2"),
+    )
+    dw = F.col("sd2").cast(_D) / F.col("se2").cast(_D)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho_hat"),
+    )
+
+
+_SQL_DURBIN_WATSON = """
+WITH daily AS (
+  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+  )
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(t * t) AS DOUBLE) AS stt, CAST(SUM(t * y) AS DOUBLE) AS sty
+  FROM daily
+), fit AS (
+  SELECT CAST(round((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st)
+                    / n, 6) AS DECIMAL(18,6)) AS a,
+         CAST(round((n * sty - st * sy) / (n * stt - st * st), 6)
+              AS DECIMAL(18,6)) AS b
+  FROM mom
+), resid AS (
+  SELECT day, CAST(round(y - (f.a + f.b * t), 0) AS BIGINT) AS e
+  FROM daily CROSS JOIN fit f
+), lagd AS (
+  SELECT e, lag(e) OVER (ORDER BY day) AS e1 FROM resid
+), agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(e AS HUGEINT) * e) AS se2,
+         SUM(CASE WHEN e1 IS NOT NULL
+                  THEN CAST(e - e1 AS HUGEINT) * (e - e1) END) AS sd2
+  FROM lagd
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE), 6) AS dw_stat,
+       round(1.0 - CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) / 2.0, 6) AS rho_hat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance: top-10 influential customers
+# ---------------------------------------------------------------------------
+
+_COOKS_TOPK = 10
+
+
+def _q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most influential observations of the spend ~ acctbal fit
+    by Cook's distance D_i = e_i^2 h_ii / (2 s^2 (1 - h_ii)^2) with
+    leverage h_ii = 1/n + (x_i - xbar)^2 / Sxx — which single
+    customers most move the fitted line?  Residuals are the shared
+    frozen-fit integer cents; s^2 = sum(e^2)/(n-2) is an exact-moment
+    broadcast; each D_i is one double formula; top-10 ranks on
+    (D desc, custkey).  Scale: frozen-fit frame + one broadcast + one
+    top-k."""
+    resid = _cust_spend_fit(spark, sf_dir)
+    s2row = resid.agg(
+        F.max("n").alias("n2"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("se2"),
+    )
+    scored = resid.crossJoin(F.broadcast(s2row))
+    nd = F.col("n").cast(_D)
+    xbar = F.col("sx").cast(_D) / nd
+    sxx_c = F.col("sxx").cast(_D) - F.col("sx").cast(_D) * xbar
+    h = 1.0 / nd + (F.col("x").cast(_D) - xbar) * (F.col("x").cast(_D) - xbar) / sxx_c
+    s2 = F.col("se2").cast(_D) / (nd - 2.0)
+    d = (
+        F.col("e").cast(_D)
+        * F.col("e").cast(_D)
+        * h
+        / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+    )
+    top = scored.select(
+        "c_custkey",
+        (F.col("x").cast(_D) / 100.0).alias("acctbal"),
+        (F.col("y").cast(_D) / 100.0).alias("spend"),
+        F.round(h, 6).alias("leverage"),
+        F.round(d, 6).alias("cooks_d"),
+    ).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cooks_d"), "c_custkey"))
+    ).filter(F.col("rank") <= _COOKS_TOPK)
+    return top.select(
+        "c_custkey", "acctbal", "spend", "leverage", "cooks_d",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("rank")
+
+
+_SQL_COOKS_DISTANCE = f"""
+WITH {_SQL_CUST_SPEND_FIT}, s2row AS (
+  SELECT MAX(n) AS n2, SUM(CAST(e AS HUGEINT) * e) AS se2 FROM resid
+), scored AS (
+  SELECT c_custkey,
+         CAST(x AS DOUBLE) / 100.0 AS acctbal,
+         CAST(y AS DOUBLE) / 100.0 AS spend,
+         round(1.0 / CAST(n AS DOUBLE)
+               + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS leverage,
+         round(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+               * (1.0 / CAST(n AS DOUBLE)
+                  + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+               / (2.0 * (CAST(se2 AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0))
+                  * (1.0 - (1.0 / CAST(n AS DOUBLE)
+                     + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)
+                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+                  * (1.0 - (1.0 / CAST(n AS DOUBLE)
+                     + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)
+                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))), 6)
+           AS cooks_d
+  FROM resid CROSS JOIN s2row
+)
+SELECT c_custkey, acctbal, spend, leverage, cooks_d, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cooks_d DESC, c_custkey) AS rn
+  FROM scored
+) WHERE rn <= {_COOKS_TOPK}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-change-point segmentation of the hourly series
+# ---------------------------------------------------------------------------
+
+
+def _q_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares TWO-change-point segmentation of the hourly
+    event-count series: the (k1 < k2) pair minimizing the 3-segment
+    SSE, every candidate scored from the SAME exact-integer prefix
+    sums (the q_changepoint machinery squared: a band self-join of
+    the cumulative frame, ~|hours|^2/2 pairs on the COMPRESSED hourly
+    grain — never a rescan per candidate).  One identically-
+    parenthesized double formula per pair, argmin tie-broken on
+    (k1, k2).  Scale: the pair join is bounded by the rollup grain
+    (720 hours -> ~260k pairs), independent of raw event count."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("y"))
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = hourly.select(
+        "h",
+        F.row_number().over(Window.orderBy("h")).alias("k"),
+        F.sum("y").over(wc).alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wc).alias("cyy"),
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).alias("hh"),
+        F.sum("y").alias("ty"),
+        F.sum(F.col("y") * F.col("y")).alias("tyy"),
+    )
+    p1 = pre.select(
+        F.col("h").alias("h1"),
+        F.col("k").alias("k1"),
+        F.col("cy").alias("cy1"),
+        F.col("cyy").alias("cyy1"),
+    )
+    p2 = pre.select(
+        F.col("h").alias("h2"),
+        F.col("k").alias("k2"),
+        F.col("cy").alias("cy2"),
+        F.col("cyy").alias("cyy2"),
+    )
+    pairs = (
+        p1.join(p2, F.col("k1") < F.col("k2"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("k2") < F.col("hh"))
+    )
+
+    def seg(cyy_hi, cyy_lo, cy_hi, cy_lo, n):
+        sd = (F.col(cy_hi) - (F.lit(0) if cy_lo is None else F.col(cy_lo))).cast(_D)
+        qd = (F.col(cyy_hi) - (F.lit(0) if cyy_lo is None else F.col(cyy_lo))).cast(_D)
+        return qd - sd * sd / n
+
+    n1 = F.col("k1").cast(_D)
+    n2 = (F.col("k2") - F.col("k1")).cast(_D)
+    n3 = (F.col("hh") - F.col("k2")).cast(_D)
+    sse = (
+        (F.col("cyy1").cast(_D) - F.col("cy1").cast(_D) * F.col("cy1").cast(_D) / n1)
+        + (
+            (F.col("cyy2") - F.col("cyy1")).cast(_D)
+            - (F.col("cy2") - F.col("cy1")).cast(_D)
+            * (F.col("cy2") - F.col("cy1")).cast(_D)
+            / n2
+        )
+        + (
+            (F.col("tyy") - F.col("cyy2")).cast(_D)
+            - (F.col("ty") - F.col("cy2")).cast(_D)
+            * (F.col("ty") - F.col("cy2")).cast(_D)
+            / n3
+        )
+    )
+    best = (
+        pairs.select("h1", "h2", "k1", "k2", "hh", "cy1", "cy2", "ty", sse.alias("sse"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("sse", "k1", "k2")))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("h1").cast("bigint").alias("split1_hour"),
+        F.col("h2").cast("bigint").alias("split2_hour"),
+        F.round(F.col("cy1").cast(_D) / F.col("k1").cast(_D), 6).alias("mean_seg1"),
+        F.round(
+            (F.col("cy2") - F.col("cy1")).cast(_D)
+            / (F.col("k2") - F.col("k1")).cast(_D),
+            6,
+        ).alias("mean_seg2"),
+        F.round(
+            (F.col("ty") - F.col("cy2")).cast(_D)
+            / (F.col("hh") - F.col("k2")).cast(_D),
+            6,
+        ).alias("mean_seg3"),
+        F.round(F.col("sse"), 6).alias("sse_best"),
+    )
+
+
+_SQL_CHANGEPOINT2 = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h, COUNT(*) AS y
+  FROM events GROUP BY 1
+), pre AS MATERIALIZED (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS k,
+         SUM(y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cy,
+         SUM(y * y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cyy
+  FROM hourly
+), tot AS (
+  SELECT COUNT(*) AS hh, SUM(y) AS ty, SUM(y * y) AS tyy FROM hourly
+), pairs AS (
+  SELECT p1.h AS h1, p2.h AS h2, p1.k AS k1, p2.k AS k2,
+         p1.cy AS cy1, p1.cyy AS cyy1, p2.cy AS cy2, p2.cyy AS cyy2,
+         t.hh, t.ty, t.tyy,
+         (CAST(p1.cyy AS DOUBLE)
+          - CAST(p1.cy AS DOUBLE) * CAST(p1.cy AS DOUBLE) / CAST(p1.k AS DOUBLE))
+         + (CAST(p2.cyy - p1.cyy AS DOUBLE)
+            - CAST(p2.cy - p1.cy AS DOUBLE) * CAST(p2.cy - p1.cy AS DOUBLE)
+              / CAST(p2.k - p1.k AS DOUBLE))
+         + (CAST(t.tyy - p2.cyy AS DOUBLE)
+            - CAST(t.ty - p2.cy AS DOUBLE) * CAST(t.ty - p2.cy AS DOUBLE)
+              / CAST(t.hh - p2.k AS DOUBLE)) AS sse
+  FROM pre p1
+  JOIN pre p2 ON p1.k < p2.k
+  CROSS JOIN tot t
+  WHERE p2.k < t.hh
+)
+SELECT CAST(h1 AS BIGINT) AS split1_hour, CAST(h2 AS BIGINT) AS split2_hour,
+       round(CAST(cy1 AS DOUBLE) / CAST(k1 AS DOUBLE), 6) AS mean_seg1,
+       round(CAST(cy2 - cy1 AS DOUBLE) / CAST(k2 - k1 AS DOUBLE), 6) AS mean_seg2,
+       round(CAST(ty - cy2 AS DOUBLE) / CAST(hh - k2 AS DOUBLE), 6) AS mean_seg3,
+       round(sse, 6) AS sse_best
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sse, k1, k2) AS rn FROM pairs
+) WHERE rn = 1
+"""
+
+
+SESSION9_QUERIES: list[QueryDef] = [
+    QueryDef(
+        "q_breusch_pagan", _q_breusch_pagan, _SQL_BREUSCH_PAGAN,
+        "Breusch-Pagan LM test with frozen-fit integer residuals",
+    ),
+    QueryDef(
+        "q_durbin_watson", _q_durbin_watson, _SQL_DURBIN_WATSON,
+        "Durbin-Watson serial correlation of trend residuals",
+    ),
+    QueryDef(
+        "q_cooks_distance", _q_cooks_distance, _SQL_COOKS_DISTANCE,
+        "top-10 influence by Cook's distance",
+    ),
+    QueryDef(
+        "q_changepoint2", _q_changepoint2, _SQL_CHANGEPOINT2,
+        "two-change-point segmentation from prefix-sum pairs",
+    ),
+]
