@@ -263,6 +263,9 @@ BENCH_NAMES = [
     "q_durbin_watson",
     "q_cooks_distance",
     "q_changepoint2",
+    "q_jarque_bera",
+    "q_theil_index",
+    "q_spc_chart",
 ]
 
 

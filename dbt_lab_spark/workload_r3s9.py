@@ -546,3 +546,265 @@ SESSION9_QUERIES: list[QueryDef] = [
         "two-change-point segmentation from prefix-sum pairs",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test per event type
+# ---------------------------------------------------------------------------
+
+
+def _q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of event values per type: JB =
+    n/6 * (g1^2 + g2^2/4) from the same exact raw power sums as
+    q_higher_moments (S3/S4 in DECIMAL(38,0)/HUGEINT), flagged
+    against the chi2(2) 5% critical value 5.991465 — the
+    is-this-Gaussian gate before any z-test assumption.  One
+    aggregate, double formulas.  Scale: one hash aggregate."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "event_type", (money("value") * 100).cast("long").alias("c")
+    )
+    cc = F.col("c") * F.col("c")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(cc).alias("s2"),
+        F.sum(cc.cast("decimal(38,0)") * F.col("c")).alias("s3"),
+        F.sum(cc.cast("decimal(38,0)") * cc).alias("s4"),
+    )
+    nd = F.col("n").cast(_D)
+    m = F.col("s1").cast(_D) / nd
+    m2 = F.col("s2").cast(_D) / nd - m * m
+    m3 = (
+        F.col("s3").cast(_D) / nd
+        - 3.0 * m * (F.col("s2").cast(_D) / nd)
+        + 2.0 * m * m * m
+    )
+    m4 = (
+        F.col("s4").cast(_D) / nd
+        - 4.0 * m * (F.col("s3").cast(_D) / nd)
+        + 6.0 * m * m * (F.col("s2").cast(_D) / nd)
+        - 3.0 * m * m * m * m
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb > 5.991465).alias("non_normal"),
+    ).orderBy("event_type")
+
+
+_SQL_JARQUE_BERA = """
+WITH mom AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_int,
+         CAST(SUM(c) AS DOUBLE) AS s1, CAST(SUM(c * c) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(c * c AS HUGEINT) * c) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(c * c AS HUGEINT) * c * c) AS DOUBLE) AS s4
+  FROM (
+    SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+  ) GROUP BY 1
+), shaped AS (
+  SELECT event_type, n_int, n,
+         (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+         / sqrt((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) AS g1,
+         (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+          + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
+           AS g2
+  FROM mom
+)
+SELECT event_type, CAST(n_int AS BIGINT) AS n_events,
+       round(g1, 6) AS skewness,
+       round(g2, 6) AS excess_kurtosis,
+       round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 4) AS jb_stat,
+       n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) > 5.991465 AS non_normal
+FROM shaped
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index on the compressed value domain
+# ---------------------------------------------------------------------------
+
+
+def _q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend per nation's market:
+    T = (1/n) sum (x_i/mu) ln(x_i/mu) over positive spends — the
+    decomposable inequality measure beside q_gini's rank-based one.
+    Each ln(x/mu) is frozen per COMPRESSED distinct spend value
+    (round-6 DECIMAL x the exact integer count and the exact integer
+    value), so the accumulation is an exact decimal and T is one
+    final division.  Scale: one per-customer rollup, one compressed
+    aggregate."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("x")
+    )
+    per_v = spend.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_v.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("cnt")).alias("sx"),
+    )
+    j = per_v.crossJoin(F.broadcast(tot))
+    mu = F.col("sx").cast(_D) / F.col("n").cast(_D)
+    term = (
+        F.round(F.log(F.col("x").cast(_D) / mu), 6).cast("decimal(18,6)")
+        * F.col("x")
+        * F.col("cnt")
+    )
+    agg = j.groupBy("n", "sx").agg(F.sum(term).alias("st"))
+    theil = F.col("st").cast(_D) / F.col("sx").cast(_D)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("sx").cast(_D) / F.col("n").cast(_D) / 100.0, 2).alias(
+            "mean_spend"
+        ),
+        F.round(theil, 6).alias("theil_t"),
+    )
+
+
+_SQL_THEIL_INDEX = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), per_v AS MATERIALIZED (
+  SELECT x, COUNT(*) AS cnt FROM spend GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS n, SUM(CAST(x AS HUGEINT) * cnt) AS sx FROM per_v
+), agg AS (
+  SELECT n, sx,
+         SUM(CAST(round(ln(CAST(x AS DOUBLE)
+                           / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                  AS DECIMAL(18,6)) * x * cnt) AS st
+  FROM per_v CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2) AS mean_spend,
+       round(CAST(st AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS theil_t
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shewhart x-bar control chart on daily mean purchase value
+# ---------------------------------------------------------------------------
+
+
+def _q_spc_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart x-bar control chart on the daily mean purchase value:
+    center line and 3-sigma limits from the grand moments (sigma of
+    the daily means), each day flagged in- or out-of-control — the
+    SPC monitor every data-quality pipeline wants.  Daily sums stay
+    exact DECIMAL; each daily mean is one double division; the limits
+    are frozen round-6 decimals broadcast to every day so the compare
+    is engine-stable.  Scale: one daily rollup + one 30-row moment
+    reduce + one broadcast."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("m"), F.sum(money("value")).alias("s")
+    )
+    means = daily.select(
+        "day",
+        "m",
+        (F.col("s").cast(_D) / F.col("m").cast(_D)).alias("xbar"),
+    )
+    mom = means.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(F.col("xbar"), 6).cast("decimal(18,6)")).alias("sm"),
+        F.sum(
+            F.round(F.col("xbar"), 6).cast("decimal(18,6)")
+            * F.round(F.col("xbar"), 6).cast("decimal(18,6)")
+        ).alias("smm"),
+    )
+    kd = F.col("k").cast(_D)
+    cl = F.col("sm").cast(_D) / kd
+    sd = F.sqrt(
+        (kd * F.col("smm").cast(_D) - F.col("sm").cast(_D) * F.col("sm").cast(_D))
+        / (kd * (kd - 1.0))
+    )
+    limits = mom.select(
+        F.round(cl, 6).cast("decimal(18,6)").alias("cl"),
+        F.round(cl - 3.0 * sd, 6).cast("decimal(18,6)").alias("lcl"),
+        F.round(cl + 3.0 * sd, 6).cast("decimal(18,6)").alias("ucl"),
+    )
+    flagged = means.crossJoin(F.broadcast(limits)).select(
+        "day",
+        F.col("m").cast("bigint").alias("n_obs"),
+        F.round("xbar", 6).alias("daily_mean"),
+        F.col("cl").cast(_D).alias("center"),
+        F.col("lcl").cast(_D).alias("lcl"),
+        F.col("ucl").cast(_D).alias("ucl"),
+        (
+            (F.round(F.col("xbar"), 6).cast("decimal(18,6)") < F.col("lcl"))
+            | (F.round(F.col("xbar"), 6).cast("decimal(18,6)") > F.col("ucl"))
+        ).alias("out_of_control"),
+    )
+    return flagged.orderBy("day")
+
+
+_SQL_SPC_CHART = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS m,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), means AS MATERIALIZED (
+  SELECT day, m, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS xbar FROM daily
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(CAST(round(xbar, 6) AS DECIMAL(18,6))) AS sm,
+         SUM(CAST(round(xbar, 6) AS DECIMAL(18,6))
+             * CAST(round(xbar, 6) AS DECIMAL(18,6))) AS smm
+  FROM means
+), limits AS (
+  SELECT CAST(round(CAST(sm AS DOUBLE) / k, 6) AS DECIMAL(18,6)) AS cl,
+         CAST(round(CAST(sm AS DOUBLE) / k
+                    - 3.0 * sqrt((k * CAST(smm AS DOUBLE)
+                                  - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                                 / (k * (k - 1.0))), 6) AS DECIMAL(18,6)) AS lcl,
+         CAST(round(CAST(sm AS DOUBLE) / k
+                    + 3.0 * sqrt((k * CAST(smm AS DOUBLE)
+                                  - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                                 / (k * (k - 1.0))), 6) AS DECIMAL(18,6)) AS ucl
+  FROM mom
+)
+SELECT day, CAST(m AS BIGINT) AS n_obs,
+       round(xbar, 6) AS daily_mean,
+       CAST(cl AS DOUBLE) AS center,
+       CAST(lcl AS DOUBLE) AS lcl,
+       CAST(ucl AS DOUBLE) AS ucl,
+       (CAST(round(xbar, 6) AS DECIMAL(18,6)) < lcl
+        OR CAST(round(xbar, 6) AS DECIMAL(18,6)) > ucl) AS out_of_control
+FROM means CROSS JOIN limits
+ORDER BY day
+"""
+
+
+SESSION9_QUERIES.extend(
+    [
+        QueryDef(
+            "q_jarque_bera", _q_jarque_bera, _SQL_JARQUE_BERA,
+            "Jarque-Bera normality test from exact power sums",
+        ),
+        QueryDef(
+            "q_theil_index", _q_theil_index, _SQL_THEIL_INDEX,
+            "Theil T inequality on the compressed spend domain",
+        ),
+        QueryDef(
+            "q_spc_chart", _q_spc_chart, _SQL_SPC_CHART,
+            "Shewhart x-bar chart with frozen 3-sigma limits",
+        ),
+    ]
+)
