@@ -266,6 +266,9 @@ BENCH_NAMES = [
     "q_jarque_bera",
     "q_theil_index",
     "q_spc_chart",
+    "q_kruskal_wallis",
+    "q_mcnemar",
+    "q_gains_chart",
 ]
 
 

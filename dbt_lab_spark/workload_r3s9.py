@@ -808,3 +808,284 @@ SESSION9_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test across all event types
+# ---------------------------------------------------------------------------
+
+
+def _q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of value location across ALL five event
+    types — the k-sample generalization of q_mann_whitney, and like it
+    ENTIRELY integer until the final statistic: per-distinct-value
+    counts, one pooled cumulative window, doubled average ranks
+    2R = sum a_v (2 before_v + t_v + 1), group rank sums as exact
+    integers, and the tie correction from exact t^3 - t sums.  Scale:
+    the window runs over the compressed pooled value domain, never
+    raw events; one group reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").select(
+        "event_type", money("value").alias("v")
+    )
+    per_tv = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("a"))
+    per_v = per_tv.groupBy("v").agg(F.sum("a").alias("tv"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v",
+        "tv",
+        (F.sum("tv").over(wc) - F.col("tv")).alias("before"),
+    )
+    joined = per_tv.join(cum, "v").select(
+        "event_type",
+        "a",
+        "tv",
+        # doubled average pooled rank of every copy at value v
+        (F.col("a").cast("decimal(38,0)") * (2 * F.col("before") + F.col("tv") + 1))
+        .alias("r2"),
+    )
+    per_t = joined.groupBy("event_type").agg(
+        F.sum("a").alias("nt"), F.sum("r2").alias("r2t")
+    )
+    ties = per_v.agg(
+        F.sum("tv").alias("n"),
+        F.sum(
+            F.col("tv").cast("decimal(38,0)") * F.col("tv") * F.col("tv")
+            - F.col("tv")
+        ).alias("tie3"),
+    )
+    j = per_t.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast(_D)
+    # H = 12/(n(n+1)) * sum((R_t)^2/n_t) - 3(n+1); R_t = r2t/2
+    term = (
+        F.col("r2t").cast(_D)
+        * F.col("r2t").cast(_D)
+        / 4.0
+        / F.col("nt").cast(_D)
+    )
+    agg = j.groupBy("n", "tie3").agg(
+        F.count(F.lit(1)).alias("k"), F.sum(term).alias("sterm")
+    )
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("sterm") - 3.0 * (nd + 1.0)
+    c = 1.0 - F.col("tie3").cast(_D) / (nd * nd * nd - nd)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / c, 6).alias("h_tie_corrected"),
+        (h / c > 9.487729).alias("significant"),  # chi2(4) 5%
+    )
+
+
+_SQL_KRUSKAL_WALLIS = """
+WITH per_tv AS MATERIALIZED (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, COUNT(*) AS a
+  FROM events GROUP BY 1, 2
+), per_v AS MATERIALIZED (
+  SELECT v, SUM(a) AS tv FROM per_tv GROUP BY 1
+), cum AS (
+  SELECT v, tv,
+         SUM(tv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - tv AS before
+  FROM per_v
+), per_t AS (
+  SELECT event_type, SUM(a) AS nt,
+         SUM(CAST(a AS HUGEINT) * (2 * before + tv + 1)) AS r2t
+  FROM per_tv JOIN cum USING (v)
+  GROUP BY 1
+), ties AS (
+  SELECT SUM(tv) AS n,
+         SUM(CAST(tv AS HUGEINT) * tv * tv - tv) AS tie3
+  FROM per_v
+), agg AS (
+  SELECT n, tie3, COUNT(*) AS k,
+         SUM(CAST(r2t AS DOUBLE) * CAST(r2t AS DOUBLE) / 4.0
+             / CAST(nt AS DOUBLE)) AS sterm
+  FROM per_t CROSS JOIN ties
+  GROUP BY 1, 2
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(k - 1 AS INT) AS df,
+       round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sterm
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+       round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sterm
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie3 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE))), 6) AS h_tie_corrected,
+       (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sterm
+        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+       / (1.0 - CAST(tie3 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             - CAST(n AS DOUBLE))) > 9.487729 AS significant
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-proportions test
+# ---------------------------------------------------------------------------
+
+
+def _q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test of paired per-customer indicators (ever placed an
+    URGENT order vs ever placed a 2-HIGH order): only the DISCORDANT
+    cells b (urgent-only) and c (high-only) matter; the statistic
+    (b-c)^2/(b+c) and its continuity-corrected form are pure integer
+    arithmetic until two divisions — the paired version of a
+    proportions z-test.  Scale: one per-customer aggregate + one
+    4-cell reduce."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority"])
+    per_c = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("u"),
+        F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias("h"),
+    )
+    cells = per_c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("u") == 1) & (F.col("h") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("u") == 0) & (F.col("h") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("u") == 1) & (F.col("h") == 1), 1).otherwise(0)).alias("both"),
+    )
+    bd = F.col("b").cast(_D)
+    cd = F.col("c").cast(_D)
+    stat = (bd - cd) * (bd - cd) / (bd + cd)
+    statc = (F.abs(bd - cd) - 1.0) * (F.abs(bd - cd) - 1.0) / (bd + cd)
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("b").cast("bigint").alias("urgent_only"),
+        F.col("c").cast("bigint").alias("high_only"),
+        F.col("both").cast("bigint").alias("both_kinds"),
+        F.round(stat, 6).alias("mcnemar_stat"),
+        F.round(statc, 6).alias("mcnemar_corrected"),
+        (statc > 3.841459).alias("significant"),
+    )
+
+
+_SQL_MCNEMAR = """
+WITH per_c AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS u,
+         MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS h
+  FROM orders GROUP BY 1
+), cells AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN u = 1 AND h = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN u = 0 AND h = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN u = 1 AND h = 1 THEN 1 ELSE 0 END) AS bb
+  FROM per_c
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(b AS BIGINT) AS urgent_only, CAST(c AS BIGINT) AS high_only,
+       CAST(bb AS BIGINT) AS both_kinds,
+       round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+             * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+             / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS mcnemar_stat,
+       round((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+             * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+             / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS mcnemar_corrected,
+       (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+       * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+       / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) > 3.841459 AS significant
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains chart by score decile
+# ---------------------------------------------------------------------------
+
+
+def _q_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains chart treating account balance as the model
+    score and total spend as the response: decile customers by score
+    (desc, custkey tie-break), report each decile's share of total
+    spend, the cumulative share, and the cumulative lift vs random
+    targeting — the campaign-targeting readout beside q_auc_eval's
+    classifier view.  Spend sums stay exact DECIMAL; shares and lifts
+    are single divisions; the cumulative sums run over the 10-row
+    decile frame.  Scale: one rollup + one ntile window + a 10-row
+    window pass."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("y")
+    )
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+        F.ntile(10)
+        .over(Window.orderBy(F.desc(money("c_acctbal")), "c_custkey"))
+        .alias("decile"),
+        F.coalesce("y", F.lit(0).cast("decimal(18,2)")).alias("y"),
+    )
+    per_d = base.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_d.select(
+        "decile",
+        "n",
+        "s",
+        F.sum("s").over(wall).alias("st"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("n").over(wcum).alias("cn"),
+    )
+    share = F.col("s").cast(_D) / F.col("st").cast(_D)
+    cshare = F.col("cs").cast(_D) / F.col("st").cast(_D)
+    cpop = F.col("cn").cast(_D) / F.col("nt").cast(_D)
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(share, 6).alias("spend_share"),
+        F.round(cshare, 6).alias("cum_share"),
+        F.round(cshare / cpop, 6).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+_SQL_GAINS_CHART = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT NTILE(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC,
+                         c_custkey) AS decile,
+         COALESCE(y, CAST(0 AS DECIMAL(18,2))) AS y
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), per_d AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS s FROM base GROUP BY 1
+), cum AS (
+  SELECT decile, n, s,
+         SUM(s) OVER () AS st,
+         SUM(s) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cs,
+         SUM(n) OVER () AS nt,
+         SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cn
+  FROM per_d
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n AS BIGINT) AS n_customers,
+       round(CAST(s AS DOUBLE) / CAST(st AS DOUBLE), 6) AS spend_share,
+       round(CAST(cs AS DOUBLE) / CAST(st AS DOUBLE), 6) AS cum_share,
+       round((CAST(cs AS DOUBLE) / CAST(st AS DOUBLE))
+             / (CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS cum_lift
+FROM cum
+ORDER BY decile
+"""
+
+
+SESSION9_QUERIES.extend(
+    [
+        QueryDef(
+            "q_kruskal_wallis", _q_kruskal_wallis, _SQL_KRUSKAL_WALLIS,
+            "Kruskal-Wallis H with exact doubled ranks and tie correction",
+        ),
+        QueryDef(
+            "q_mcnemar", _q_mcnemar, _SQL_MCNEMAR,
+            "McNemar paired-proportions test",
+        ),
+        QueryDef(
+            "q_gains_chart", _q_gains_chart, _SQL_GAINS_CHART,
+            "cumulative gains / lift by score decile",
+        ),
+    ]
+)
