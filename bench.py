@@ -6,6 +6,14 @@ plus the beyond-reference training-data ops) at $SPARK_GRAFT_SF_DIR
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The driver records only the last ~2000 chars of stdout, so the stdout
+line must stay SHORT: `queries` holds the HEADLINE subset only (the
+r1-common core + TPC-H + the r3-flagged six), plus the full-set total
+and count.  The complete per-query map is written to
+BENCH_LOCAL_latest.json in the repo root (committed per round as
+BENCH_LOCAL_r{N}.json), so the ledger survives any tail window.
+All progress chatter goes to stderr; console progress is disabled.
+
 Timing: median of 3 runs per query after 1 warm-up; each run fully
 materializes the result via the noop sink (no driver collect cost).
 """
@@ -283,12 +291,31 @@ def _q_sort_ext(spark, sf_dir: str) -> DataFrame:
     return sort(li, ["l_extendedprice", "l_shipdate", "l_orderkey"], [False, True, True])
 
 
+# stdout-line subset: core reference queries + TPC-H + the queries the
+# r3 verdict flagged — small enough that the driver's 2000-char stdout
+# tail always contains the complete JSON line.
+HEADLINE = [
+    "q_scan_filter", "q_count", "q_group_customers", "q_multiway",
+    "q_merge_join", "q_sort_ext",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q9", "q_tpch_q10", "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
+    "q_window_rank", "q_sessionize", "q_asof_join",
+    "q_word_count", "q_tfidf", "q_time_range_frame", "q_seq_match",
+    "q_heavy_hitters", "q_corpus_prep", "q_gap_fill",
+    "q_minhash_pairs", "q_ngram_jaccard", "q_knn_bruteforce",
+    "q_semantic_dedup", "q_knn_ivf_seeded", "q_lineitem_partitioned",
+]
+
+
 def materialize(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
-    spark = get_spark(app_name="dbt-lab-spark-bench")
+    spark = get_spark(
+        app_name="dbt-lab-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     builders = {q.name: q.build for q in all_queries()}
     builders["q_sort_ext"] = _q_sort_ext
     names = BENCH_NAMES[:5] + ["q_sort_ext"] + BENCH_NAMES[5:]
@@ -320,7 +347,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    full = {
         "metric": "bench_qs_total_wall",
         "value": total,
         "unit": "sec",
@@ -328,8 +355,34 @@ def main() -> None:
         "sf": float(sf),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    # Full per-query ledger -> repo file (survives the driver's stdout
+    # tail window; committed per round as BENCH_LOCAL_r{N}.json).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL_latest.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"# BENCH_LOCAL_latest.json not written: {exc}", file=sys.stderr)
+    # stdout: ONE compact line that fits a 2000-char tail — headline
+    # queries only, but the authoritative total/count cover the FULL set.
+    head = {n: timings[n] for n in HEADLINE if n in timings}
+    out = {
+        "metric": "bench_qs_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": head,
+        "queries_run": len(timings),
+        "errors_n": len(errors),
+        "detail": "BENCH_LOCAL_latest.json",
+        "sf": float(sf),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # hard guarantee: never outgrow the tail window
+        out["queries"] = {n: head[n] for n in list(head)[:16]}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -3102,7 +3102,11 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-doc ranking window.  df is broadcast back onto tf (token
     dim is small relative to the token-instance fact), N rides along as
     a broadcast scalar; at 100 TB this is two shuffles (tf, df) + one
-    window.  Ranking uses the INTEGER keys (tf desc, df asc, token) so
+    window.  The doc_id < 50 output selection is applied to tf BEFORE
+    the join + ranking window (df and N are still computed over the
+    FULL corpus, so values are unchanged) — the window sorts only the
+    selected docs' rows (r4: 122k -> ~600 window rows at sf0.1).
+    Ranking uses the INTEGER keys (tf desc, df asc, token) so
     both engines pick identical rows regardless of libm ulp differences;
     the float tfidf is an output value (4dp-rounded compare)."""
     cat = Catalog(sf_dir)
@@ -3114,14 +3118,15 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
+        .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf", "rank")
     )
 
@@ -3179,7 +3184,11 @@ def _q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE window frame: per event, the user's trailing
     1-hour sum of value.  RANGE (not ROWS) — peers at equal timestamps
     all join the frame, so the result is deterministic under ties; the
-    decimal sum keeps it order-independent.  One shuffle on user_id."""
+    exact integer-cent sum keeps it order-independent.  One shuffle on
+    user_id.  r4 perf: the frame sums a LONG cents column (primitive
+    window aggregation) instead of DECIMAL(18,2); cents/100.0 is the
+    correctly-rounded double of the same exact rational the decimal-sum
+    cast produced, so values are bit-identical to the oracle."""
     cat = Catalog(sf_dir)
     ev = scan(spark, cat, "events", ["event_id", "user_id", "ts", "value"])
     w = (
@@ -3187,11 +3196,12 @@ def _q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_millis(F.col("ts")))
         .rangeBetween(-3_600_000, 0)
     )
+    cents = (money("value") * 100).cast("long")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.sum(money("value")).over(w).cast("double").alias("trailing_1h_value"),
+        (F.sum(cents).over(w) / 100.0).alias("trailing_1h_value"),
     )
 
 
@@ -3379,8 +3389,10 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["text"])
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    src = docs.filter(F.size(toks) >= 2).select(F.explode(bigrams("text")).alias("bigram"))
+    # No size->=2 prefilter: bigrams() of a <2-token doc is an empty
+    # array and explode() drops it — the filter only re-tokenized every
+    # row a second time (r4 perf fix).
+    src = docs.select(F.explode(bigrams("text")).alias("bigram"))
     return (
         heavy_hitters(src, "bigram", k=2000)
         .select(F.col("item").alias("bigram"), "n")
@@ -3409,14 +3421,22 @@ def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc/token accounting.  Every stage is an already-parity-tested
     primitive, so the composition has a full SQL oracle.  Two shuffles
     total (fingerprint group, final group); the sample is a narrow
-    filter (no shuffle, partition-independent)."""
-    from dbt_lab_spark.llm.dedup import exact_dedup
+    filter (no shuffle, partition-independent).  r4: the dedup stage is
+    min(struct(doc_id, ...)) in ONE hash-agg — map-side combine keeps
+    one candidate row per fingerprint per partition and there is no
+    join-back shuffle (exact_dedup's keep-ids join would re-shuffle the
+    full rows on doc_id; same keep-min-id semantics either way)."""
+    from dbt_lab_spark.functions.text import fingerprint
     from dbt_lab_spark.llm.sampling import hash_sample
 
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source"])
     kept = docs.filter(token_count("text") >= 20)
-    deduped = exact_dedup(kept, "text", "doc_id")
+    deduped = (
+        kept.groupBy(fingerprint("text").alias("__fp"))
+        .agg(F.min(F.struct("doc_id", "text", "lang", "source")).alias("__r"))
+        .select("__r.*")
+    )
     sampled = hash_sample(deduped, "doc_id", 0.5)
     return (
         sampled.groupBy("lang", "source")
