@@ -184,6 +184,30 @@ def adc_tables(queries: list[tuple[int, np.ndarray]], codebooks: np.ndarray) -> 
     return out
 
 
+def _collect_queries(
+    queries: DataFrame, query_id_col: str, vec_col: str, max_queries: int
+) -> list[tuple[int, np.ndarray]]:
+    """Bounded driver pull of the QUERY side (r4, VERDICT r3 #6).
+
+    The ADC design intentionally brings query vectors to the driver to
+    build per-query lookup tables — correct for the intended
+    'small query batch vs huge corpus' shape, and O(|queries| x m x 256)
+    driver memory.  This guard makes the bound EXPLICIT: limit(max+1)
+    caps what is ever transferred, and exceeding `max_queries` raises
+    instead of silently growing the driver.  For corpus-scale query
+    sets, run the batch in chunks or use the distributed brute-force /
+    LSH paths in llm/similarity.py instead."""
+    rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"ADC query set exceeds max_queries={max_queries}: the ADC table "
+            "path is designed for small query batches vs a huge corpus. "
+            "Chunk the query batch, raise max_queries explicitly, or use the "
+            "distributed knn paths in llm/similarity.py."
+        )
+    return [(int(r[query_id_col]), np.asarray(r[vec_col], dtype=np.float64)) for r in rows]
+
+
 def pq_adc_knn(
     codes: DataFrame,
     queries: DataFrame,
@@ -191,16 +215,14 @@ def pq_adc_knn(
     k: int = 10,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """ADC top-k: broadcast the per-query tables, score each corpus row
     with m lookups (vectorized fancy indexing over the whole Arrow
     batch), window top-k.  Returns (query_id, neighbor_id, approx_d2,
     rank)."""
     m = codebooks.shape[0]
-    qrows = [
-        (int(r[query_id_col]), np.asarray(r[vec_col], dtype=np.float64))
-        for r in queries.select(query_id_col, vec_col).collect()
-    ]
+    qrows = _collect_queries(queries, query_id_col, vec_col, max_queries)
     tables = adc_tables(qrows, codebooks)
     sc = codes.sparkSession.sparkContext
     bt = sc.broadcast(tables)
@@ -297,6 +319,7 @@ def ivfpq_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """The full FAISS IVF-PQ read path: route each query to its
     `nprobe` nearest coarse centroids, ADC-score ONLY the rows in
@@ -316,10 +339,7 @@ def ivfpq_knn(
     )
     codes = pq_encode(corpus, codebooks, vec_col, id_col).join(assigned, "vec_id")
 
-    qrows = [
-        (int(r[query_id_col]), np.asarray(r[vec_col], dtype=np.float64))
-        for r in queries.select(query_id_col, vec_col).collect()
-    ]
+    qrows = _collect_queries(queries, query_id_col, vec_col, max_queries)
     tables = adc_tables(qrows, codebooks)
     probes = []
     for qid, qv in qrows:

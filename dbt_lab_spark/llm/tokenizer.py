@@ -95,10 +95,30 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 100,
     min_freq: int = 2,
+    word_min_freq: int = 2,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed word counting + driver-side merge training (see
-    module docstring for why the split lands there)."""
-    rows = word_counts(df, text_col).collect()
+    module docstring for why the split lands there).
+
+    The driver collect is BOUNDED (r4): hapax-and-below words
+    (cnt < word_min_freq) are filtered distributed-side, and a
+    deterministic top-`max_vocab` cap (cnt desc, word asc — a
+    TakeOrdered, no full sort) covers the web-scale long tail of
+    typos/URLs/hashes that would otherwise stream the entire distinct-
+    word domain to the driver.  On natural corpora this does not change
+    trained merges in practice: each sub-threshold word contributes at
+    most cnt < word_min_freq to any pair, and merge choices are decided
+    by the head of the Zipf curve, orders of magnitude above the tail's
+    aggregate (unchanged-merges pinned on the test corpus in
+    tests/test_llm_ops.py).  Pass word_min_freq=1, max_vocab=None to
+    reproduce the exact unfiltered statistics on a small corpus."""
+    counts = word_counts(df, text_col)
+    if word_min_freq > 1:
+        counts = counts.filter(F.col("cnt") >= word_min_freq)
+    if max_vocab is not None:
+        counts = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab)
+    rows = counts.collect()
     return train_bpe_from_counts({r["word"]: r["cnt"] for r in rows}, num_merges, min_freq)
 
 

@@ -3013,9 +3013,13 @@ def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     distincts at 100 TB (the production form stops at approx_users).
     Estimates are engine-specific, so the ORACLE CONTRACT is the
     tolerance flag: the query also computes the exact NDV and asserts
-    |approx - exact| <= 10% inline; DuckDB recomputes the exact side
+    |approx - exact| <= 15% inline; DuckDB recomputes the exact side
     and expects the flag TRUE.  A drifting estimator now fails the
-    value-hash gate instead of hiding behind a rows-only check."""
+    value-hash gate instead of hiding behind a rows-only check.  The
+    inline bound is 15% (~3 sigma at rsd=0.05) so a legitimate 2-sigma
+    excursion on a future data drop can't deterministically fail the
+    gate (r4 ADVICE); the tighter 10% check lives in
+    tests/test_approx.py where a probabilistic miss is inspectable."""
     cat = Catalog(sf_dir)
     ev = scan(spark, cat, "events", ["event_type", "user_id"])
     agg = ev.groupBy("event_type").agg(
@@ -3027,15 +3031,15 @@ def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.1 * F.col("exact_users")
-        ).alias("est_within_10pct"),
+            <= 0.15 * F.col("exact_users")
+        ).alias("est_within_15pct"),
     )
 
 
 _SQL_APPROX_NDV = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS est_within_10pct
+       TRUE AS est_within_15pct
 FROM events GROUP BY 1
 """
 

@@ -547,6 +547,15 @@ def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pconv = {c: absorb(c) for c in _MA_CHANNELS}
     re6 = {c: round6((base - pconv[c]) / base) for c in _MA_CHANNELS}
     re_tot = sum(re6.values())  # exact decimal sum of round-6 effects
+    if re_tot == 0:
+        # Conversions exist but never pass through any tracked channel:
+        # every removal effect is 0 and attribution shares are undefined.
+        # Same explicit refusal contract as the base == 0 case above
+        # (registered in tests/test_empty_inputs.py semantics).
+        raise ValueError(
+            "markov attribution: no tracked channel has a nonzero removal "
+            "effect (conversions bypass all tracked channels)"
+        )
     out = [
         (
             c,

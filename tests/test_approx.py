@@ -1,8 +1,11 @@
 """Approximate aggregates (sketches) — error-bounded vs exact.
 
-`q_approx_ndv` now carries a tolerance-flag oracle (the query asserts
-|approx-exact| <= 10% inline and DuckDB expects TRUE); these tests pin
-the same bound per event type plus sketch mergeability."""
+`q_approx_ndv` carries a tolerance-flag oracle (the query asserts
+|approx-exact| <= 15% ~ 3 sigma inline and DuckDB expects TRUE); these
+tests pin the tighter 10% (~2 sigma) bound per event type on the
+current datasets — where a probabilistic excursion shows up as an
+inspectable test failure, not a deterministic gate mismatch — plus
+sketch mergeability."""
 
 from __future__ import annotations
 

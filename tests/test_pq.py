@@ -120,3 +120,26 @@ def test_ivfpq_pipeline_recall_and_pruning(spark):
     pruned = ivfpq_knn(corpus, queries, cents, cb, k=10, nprobe=4)
     p = {(r["query_id"], r["neighbor_id"]) for r in pruned.collect()}
     assert len(p & e) / len(e) >= 0.5
+
+
+def test_adc_query_collect_is_guarded(spark):
+    """r4 scale guard (VERDICT r3 #6): the ADC paths pull the QUERY set
+    to the driver to build lookup tables; exceeding max_queries must
+    raise with a clear redirect instead of silently growing the driver,
+    and limit(max+1) means nothing beyond the bound is transferred."""
+    from dbt_lab_spark.llm.pq import ivfpq_knn, pq_adc_knn
+    from dbt_lab_spark.llm.similarity import ivf_centroids
+
+    df = _corpus(spark, n=60, d=16, seed=7)
+    queries = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = df.filter(F.col("vec_id") >= 5)
+    cb = pq_train(corpus, m=4, ks=16, iters=3)
+    codes = pq_encode(corpus, cb)
+
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_adc_knn(codes, queries, cb, k=3, max_queries=4)
+    cents = ivf_centroids(corpus, num_centroids=4, iters=3, dim=16)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_knn(corpus, queries, cents, cb, k=3, nprobe=4, max_queries=4)
+    # at the bound: works unchanged
+    assert pq_adc_knn(codes, queries, cb, k=3, max_queries=5).count() > 0

@@ -135,7 +135,7 @@ def test_approx_ndv_flag_is_true_everywhere(spark, sf_medium):
 
     rows = _q_approx_ndv(spark, sf_medium).collect()
     assert rows
-    assert all(r["est_within_10pct"] for r in rows)
+    assert all(r["est_within_15pct"] for r in rows)
     assert all(r["exact_users"] > 0 for r in rows)
 
 
