@@ -89,6 +89,7 @@ BENCH_NAMES = [
     "q_heavy_hitters",
     "q_corpus_prep",
     "q_gap_fill",
+    "q_lineitem_partitioned",
     "q_window_suite",
     "q_text_chunks",
     "q_winnow",

@@ -3505,6 +3505,78 @@ FROM events
 """
 
 
+def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf, idempotent) a Hive-partitioned
+    multi-file layout of lineitem under the repo-local layout cache and
+    return its path.  This is the scan-parallelism fixture VERDICT r3
+    #5 asked for: every driver-shipped sf table is ONE parquet file
+    with ONE row group, so every bench scan stage is a single task —
+    the first thing that breaks at 100x.  Partitioning by ship YEAR
+    (the classic warehouse time-partitioning) yields one directory per
+    year (x input-split files each): the read side gets >1 scan task
+    plus real PartitionFilters pruning."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(repo_root, ".layout_cache", sf_tag, "lineitem_by_shipyear")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from dbt_lab_spark.sources import write_partitioned
+
+        cat = Catalog(sf_dir)
+        li = scan(
+            spark, cat, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).withColumn("ship_year", F.year("l_shipdate"))
+        # >=4 files per partition dir so the scan parallelizes even at
+        # tiny SFs (the shipped single-file table would write 1).
+        write_partitioned(li.repartition(4), path, ["ship_year"])
+    return path
+
+
+def _q_lineitem_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue for two ship years, read from the PARTITIONED
+    multi-file lineitem layout (see partitioned_lineitem_path).  The
+    ship_year predicate is a PartitionFilter — every other year's
+    directory is pruned BEFORE any I/O — and the scan runs >1 task
+    (pinned in tests/test_plan_shapes.py).  Results are hash-identical
+    to the same aggregation over the shipped single-file table, which
+    is what the DuckDB oracle computes."""
+    path = partitioned_lineitem_path(spark, sf_dir)
+    # Explicit schema: an empty source writes a layout with zero data
+    # files, which must read back as an empty frame (not an inference
+    # error) to honor the empty-input contract.
+    layout_schema = (
+        "l_orderkey bigint, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp, ship_year int"
+    )
+    li = spark.read.schema(layout_schema).parquet(path).filter(
+        F.col("ship_year").isin(1996, 1997)
+    )
+    return (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_extendedprice") * (1 - money("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_SQL_LINEITEM_PARTITIONED = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE year(l_shipdate) IN (1996, 1997)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def _q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking/navigation window-function surface in one
     query: rank, dense_rank, percent_rank, cume_dist, lag-with-default,
@@ -6026,6 +6098,10 @@ BEYOND_QUERIES: list[QueryDef] = [
     QueryDef("q_heavy_hitters", _q_heavy_hitters, _SQL_HEAVY_HITTERS, "CMS-pruned heavy hitters"),
     QueryDef("q_corpus_prep", _q_corpus_prep, _sql_corpus_prep(), "e2e corpus prep pipeline"),
     QueryDef("q_gap_fill", _q_gap_fill, _SQL_GAP_FILL, "LOCF forward fill"),
+    QueryDef(
+        "q_lineitem_partitioned", _q_lineitem_partitioned, _SQL_LINEITEM_PARTITIONED,
+        "partition-pruned multi-file scan",
+    ),
     QueryDef("q_window_suite", _q_window_suite, _SQL_WINDOW_SUITE, "8 window fns, one Window"),
     QueryDef("q_mode", _q_mode, _SQL_MODE, "deterministic per-group mode"),
     QueryDef("q_kfold", _q_kfold, _sql_kfold(), "5-fold CV assignment"),
