@@ -2257,7 +2257,8 @@ def decode_payload(payload: bytes) -> list[float]:
     raise NotImplementedError(
         f"no codec for payload format '{fmt}' in this container "
         "(BMP/PPM/PGM/WAV/PNG/GIF/JPEG/FLAC are decoded natively; "
-        "MP3/... need an external codec library)"
+        "MP3/... need an external codec library for AUDIO — stream "
+        "metadata still parses via parse_mp3_meta/parse_id3v2)"
     )
 
 
@@ -2450,6 +2451,136 @@ def parse_id3v2(payload: bytes) -> dict:
                 out[name] = text.split(b"\x00")[0].decode("utf-8", "replace")
         pos += 10 + flen
     return out
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio frame HEADERS (ISO/IEC 11172-3 / 13818-3): MP3 audio decode
+# stays out of scope (entropy decoding needs a codec library), but the
+# 4-byte frame headers are plain bit fields — so ingest-time stream
+# metadata (version/layer/bitrate/samplerate/channels, frame count,
+# exact duration) parses without any decoder, the same structural-only
+# posture as parse_id3v2/EXIF (r4, VERDICT r3 #7).
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed by the 4-bit bitrate_index field
+_MP3_BITRATES = {
+    # (version_group, layer): 1 = MPEG1; 2 = MPEG2/2.5
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# samplerate tables indexed by the 2-bit field; keyed by version bits
+_MP3_SAMPLERATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+_MP3_VERSION_NAME = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}
+_MP3_CHANNEL_MODE = {0: "stereo", 1: "joint_stereo", 2: "dual_channel", 3: "mono"}
+
+
+def _mp3_frame_geometry(ver_bits: int, layer: int, bitrate_kbps: int, sr: int, pad: int):
+    """(frame_length_bytes, samples_per_frame) for one header."""
+    br = bitrate_kbps * 1000
+    if layer == 1:
+        return (12 * br // sr + pad) * 4, 384
+    if layer == 2:
+        return 144 * br // sr + pad, 1152
+    if ver_bits == 3:  # MPEG1 Layer 3
+        return 144 * br // sr + pad, 1152
+    return 72 * br // sr + pad, 576  # MPEG2/2.5 Layer 3
+
+
+def build_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    samplerate: int = 44100,
+    layer: int = 3,
+    channel_mode: int = 3,
+    id3: bytes = b"",
+) -> bytes:
+    """Header-valid MPEG audio stream: `n_frames` frames with correct
+    4-byte headers and zeroed (silent/garbage) payload bytes — the
+    deterministic fixture for the metadata path (the audio content is
+    never decoded, so the payload bytes are irrelevant by design)."""
+    by_sr = {v: (vb, i) for vb, rates in _MP3_SAMPLERATES.items() for i, v in enumerate(rates)}
+    if samplerate not in by_sr:
+        raise ValueError(f"no MPEG version carries samplerate {samplerate}")
+    ver_bits, sr_idx = by_sr[samplerate]
+    group = 1 if ver_bits == 3 else 2
+    table = _MP3_BITRATES[(group, layer)]
+    if bitrate_kbps not in table:
+        raise ValueError(f"bitrate {bitrate_kbps} not in the {_MP3_VERSION_NAME[ver_bits]} L{layer} table")
+    br_idx = table.index(bitrate_kbps)
+    layer_bits = {1: 3, 2: 2, 3: 1}[layer]
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,  # protection=1: no CRC
+            (br_idx << 4) | (sr_idx << 2),  # padding=0, private=0
+            channel_mode << 6,
+        ]
+    )
+    flen, _ = _mp3_frame_geometry(ver_bits, layer, bitrate_kbps, samplerate, 0)
+    return id3 + (hdr + bytes(flen - 4)) * n_frames
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk the MPEG audio frame headers of an MP3 payload (skipping a
+    leading ID3v2 tag) and return stream metadata WITHOUT decoding:
+    version, layer, bitrate_kbps (first frame), samplerate,
+    channel_mode, n_frames, vbr flag, and the exact duration_ms
+    (sum of samples-per-frame/samplerate as a rational, floored to
+    ms).  Returns {} when no valid frame sync is found."""
+    from fractions import Fraction
+
+    pos = 0
+    if payload[:3] == b"ID3":
+        pos = 10 + _unsyncsafe(payload[6:10])
+    n = len(payload)
+    first = None
+    n_frames = 0
+    bitrates: set[int] = set()
+    dur = Fraction(0)
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if first is None:
+                pos += 1  # resync until the first frame is found
+                continue
+            break
+        ver_bits = (b1 >> 3) & 0x3
+        layer_bits = (b1 >> 1) & 0x3
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 0x1
+        if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            if first is None:
+                pos += 1
+                continue
+            break
+        layer = {3: 1, 2: 2, 1: 3}[layer_bits]
+        sr = _MP3_SAMPLERATES[ver_bits][sr_idx]
+        group = 1 if ver_bits == 3 else 2
+        kbps = _MP3_BITRATES[(group, layer)][br_idx]
+        flen, spf = _mp3_frame_geometry(ver_bits, layer, kbps, sr, pad)
+        if first is None:
+            first = {
+                "version": _MP3_VERSION_NAME[ver_bits],
+                "layer": layer,
+                "bitrate_kbps": kbps,
+                "samplerate": sr,
+                "channel_mode": _MP3_CHANNEL_MODE[(b3 >> 6) & 0x3],
+            }
+        n_frames += 1
+        bitrates.add(kbps)
+        dur += Fraction(spf, sr)
+        pos += flen
+    if first is None:
+        return {}
+    first["n_frames"] = n_frames
+    first["vbr"] = len(bitrates) > 1
+    first["duration_ms"] = int(dur * 1000)  # exact rational, floored
+    return first
 
 
 # ---------------------------------------------------------------------------
