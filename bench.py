@@ -278,6 +278,10 @@ BENCH_NAMES = [
     "q_kruskal_wallis",
     "q_mcnemar",
     "q_gains_chart",
+    # r4 additions
+    "q_mp3_meta",
+    "q_minhash_recall",
+    "q_simhash_recall",
 ]
 
 

@@ -1568,6 +1568,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r3s7 import SESSION7_QUERIES
     from dbt_lab_spark.workload_r3s8 import SESSION8_QUERIES
     from dbt_lab_spark.workload_r3s9 import SESSION9_QUERIES
+    from dbt_lab_spark.workload_r4 import R4_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     return (
@@ -1580,4 +1581,5 @@ def all_queries() -> list[QueryDef]:
         + SESSION7_QUERIES
         + SESSION8_QUERIES
         + SESSION9_QUERIES
+        + R4_QUERIES
     )
