@@ -282,6 +282,12 @@ BENCH_NAMES = [
     "q_mp3_meta",
     "q_minhash_recall",
     "q_simhash_recall",
+    "q_ohlc",
+    "q_bollinger",
+    "q_mrr",
+    "q_adamic_adar",
+    "q_js_divergence",
+    "q_ljung_box",
 ]
 
 

@@ -284,7 +284,7 @@ def _sql_adamic_adar() -> str:
     from dbt_lab_spark.workload_extras import _SQL_TRADE_EDGES
 
     return f"""
-WITH edges AS ({_SQL_TRADE_EDGES}),
+WITH {_SQL_TRADE_EDGES},
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
 ),
