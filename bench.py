@@ -288,6 +288,12 @@ BENCH_NAMES = [
     "q_adamic_adar",
     "q_js_divergence",
     "q_ljung_box",
+    "q_friedman",
+    "q_levene_bf",
+    "q_grubbs",
+    "q_chow_test",
+    "q_vif",
+    "q_engle_granger",
 ]
 
 

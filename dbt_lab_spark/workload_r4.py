@@ -558,3 +558,637 @@ R4_QUERIES: list[QueryDef] = [
         "Ljung-Box portmanteau autocorrelation test",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: blocked nonparametric treatment comparison
+# ---------------------------------------------------------------------------
+
+
+def _q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the 25 nation blocks: does order
+    priority (k=5 treatments) shift per-nation spend?  Within each
+    block the five priority spends are average-ranked via the exact
+    doubled-rank idiom (2*(rank-1) + ties + 1 — integers throughout,
+    the q_kruskal_wallis convention), column rank sums stay integer,
+    and the chi-square statistic is one double formula.  (Plain
+    Friedman statistic; ties across a block's five DISTINCT priority
+    sums are vanishingly rare but still handled exactly by the
+    averaged ranks.)  Scale: one (nation, priority) rollup + one
+    5-row-per-block window + a k-row reduce."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_nationkey"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    cell = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("x"))
+    )
+    wb = Window.partitionBy("c_nationkey").orderBy("x")
+    we = Window.partitionBy("c_nationkey", "x")
+    ranked = cell.select(
+        "c_nationkey",
+        "o_orderpriority",
+        (2 * (F.rank().over(wb) - 1) + F.count(F.lit(1)).over(we) + 1).alias("r2"),
+    )
+    col_sums = ranked.groupBy("o_orderpriority").agg(
+        F.sum("r2").alias("r2j"), F.count(F.lit(1)).alias("n_blocks")
+    )
+    agg = col_sums.agg(
+        F.max("n_blocks").cast(_D).alias("n"),
+        F.count(F.lit(1)).cast(_D).alias("k"),
+        F.sum(
+            (F.col("r2j").cast("decimal(38,0)") * F.col("r2j")).cast("decimal(38,0)")
+        ).alias("s4"),  # sum of (2*Rj)^2
+    )
+    n, k = F.col("n"), F.col("k")
+    chi2 = (12.0 / (n * k * (k + 1.0))) * (F.col("s4").cast(_D) / 4.0) - 3.0 * n * (
+        k + 1.0
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        F.round(chi2, 4).alias("chi2_stat"),
+    )
+
+
+_SQL_FRIEDMAN = """
+WITH cell AS (
+  SELECT c_nationkey, o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_nationkey, o_orderpriority,
+         2 * (RANK() OVER (PARTITION BY c_nationkey ORDER BY x) - 1)
+           + COUNT(*) OVER (PARTITION BY c_nationkey, x) + 1 AS r2
+  FROM cell
+), col_sums AS (
+  SELECT o_orderpriority, SUM(r2) AS r2j, COUNT(*) AS n_blocks
+  FROM ranked GROUP BY 1
+), agg AS (
+  SELECT CAST(MAX(n_blocks) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(CAST(r2j AS DECIMAL(38,0)) * r2j) AS s4
+  FROM col_sums
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(k AS INT) AS k_treatments,
+       round((12.0 / (n * k * (k + 1.0))) * (CAST(s4 AS DOUBLE) / 4.0)
+             - 3.0 * n * (k + 1.0), 4) AS chi2_stat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+def _q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test: are purchase-value spreads homogeneous
+    across event types?  Per group, center at the EXACT discrete lower
+    median (rank rule rn=(n+1)//2 — never float p*n), z = |x - med| in
+    exact integer cents, then the one-way ANOVA F over z from exact
+    integer moments; one double formula at the end.  Scale: one
+    (type, value) compression, one median rank lookup, one z-moment
+    aggregate."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "value"]).select(
+        "event_type", (money("value") * 100).cast("long").alias("x")
+    )
+    # row_number over (x) alone: tie ORDER is arbitrary but the VALUE
+    # at rank (n+1)//2 is tie-invariant, which is all the median needs.
+    wr = Window.partitionBy("event_type").orderBy("x")
+    numbered = ev.select("event_type", "x", F.row_number().over(wr).alias("rn"))
+    counts = numbered.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        numbered.join(counts, "event_type")
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        .select("event_type", F.col("x").alias("med"))
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("z").alias("szi"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szzi"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast(_D).alias("k"),
+        F.sum("ni").cast(_D).alias("n"),
+        F.sum("szi").cast(_D).alias("sz"),
+        F.sum(F.col("szzi")).cast("decimal(38,0)").alias("szz"),
+        F.sum(
+            (F.col("szi").cast("decimal(38,0)") * F.col("szi")).cast("decimal(38,10)")
+            / F.col("ni")
+        ).cast(_D).alias("sgm"),  # sum of (group sum)^2 / ni
+    )
+    n, k = F.col("n"), F.col("k")
+    ssb = F.col("sgm") - (F.col("sz") * F.col("sz")) / n
+    ssw = F.col("szz").cast(_D) - F.col("sgm")
+    fstat = (ssb / (k - 1.0)) / (ssw / (n - k))
+    return agg.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(fstat, 4).alias("f_stat"),
+    )
+
+
+_SQL_LEVENE_BF = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+), numbered AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), med AS (
+  SELECT event_type, x AS med FROM numbered WHERE rn = (n + 1) // 2
+), z AS (
+  SELECT ev.event_type, ABS(x - med) AS z
+  FROM ev JOIN med ON ev.event_type = med.event_type
+), g AS (
+  SELECT event_type, COUNT(*) AS ni, SUM(z) AS szi,
+         SUM(CAST(z AS DECIMAL(38,0)) * z) AS szzi
+  FROM z GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(ni) AS DOUBLE) AS n,
+         CAST(SUM(szi) AS DOUBLE) AS sz,
+         CAST(SUM(szzi) AS DOUBLE) AS szz,
+         CAST(SUM(CAST(CAST(szi AS DECIMAL(38,0)) * szi AS DECIMAL(38,10)) / ni)
+              AS DOUBLE) AS sgm
+  FROM g
+)
+SELECT CAST(k AS INT) AS k_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       round(((sgm - (sz * sz) / n) / (k - 1.0))
+             / ((szz - sgm) / (n - k)), 4) AS f_stat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grubbs' outlier test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def _q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test (maximum studentized deviate) on daily purchase
+    revenue: which day deviates most from the mean, and by how many
+    sample standard deviations?  The argmax is decided on the EXACT
+    integer |n*x - sum| (never a float |x - xbar| — ties break on the
+    day), so both engines pick the same day; G is one double formula
+    from exact integer moments.  Scale: one daily rollup + one 1-row
+    moment reduce + one broadcast argmax pass."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(F.sum(cents).alias("x"))
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    dev = daily.crossJoin(F.broadcast(mom)).select(
+        "d",
+        "x",
+        "n",
+        "sx",
+        "sxx",
+        # exact integer |n*x - sum|: n*xbar-scaled deviation
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("sx")
+        ).alias("ndev"),
+    )
+    top = dev.orderBy(F.desc("ndev"), "d").limit(1)
+    n = F.col("n").cast(_D)
+    mean = F.col("sx").cast(_D) / n / 100.0
+    var = (n * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)) / (
+        n * (n - 1.0)
+    ) / 10000.0
+    g = (F.col("ndev").cast(_D) / n / 100.0) / F.sqrt(var)
+    return top.select(
+        F.col("d").alias("outlier_day"),
+        (F.col("x") / 100.0).alias("day_value"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(mean, 4).alias("mean_value"),
+        F.round(g, 4).alias("g_stat"),
+    )
+
+
+_SQL_GRUBBS = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM daily
+), dev AS (
+  SELECT d, x, n, sx, sxx,
+         ABS(CAST(n AS DECIMAL(38,0)) * x - sx) AS ndev
+  FROM daily CROSS JOIN mom
+), top AS (
+  SELECT * FROM dev ORDER BY ndev DESC, d LIMIT 1
+)
+SELECT d AS outlier_day,
+       x / 100.0 AS day_value,
+       CAST(n AS BIGINT) AS n_days,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS mean_value,
+       round((CAST(ndev AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0),
+             4) AS g_stat
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test on the daily revenue trend
+# ---------------------------------------------------------------------------
+
+_CHOW_SPLIT_FRACTION = 0.5
+
+
+def _q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test: does the daily-revenue-on-time OLS trend break at the
+    series midpoint?  Pooled and per-segment fits use the frozen
+    round-6 coefficient pattern (q_breusch_pagan): coefficients from
+    exact integer moments, residuals rounded once to whole cents, RSS
+    as exact HUGEINT sums, the F statistic one double formula.
+    Scale: one daily rollup, three 1-row moment reduces, one
+    residual pass."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(F.sum(cents).alias("y"))
+    w = Window.orderBy("d")
+    seq = daily.select("d", "y", F.row_number().over(w).alias("t"))
+    nrow = seq.agg(F.count(F.lit(1)).alias("n_all"))
+    seq = seq.crossJoin(F.broadcast(nrow)).withColumn(
+        "seg", (F.col("t") * 2 > F.col("n_all")).cast("int")  # 0 first half, 1 second
+    )
+
+    def fit(df):
+        mom = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+            F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
+        )
+        nd = F.col("n").cast(_D)
+        b = (nd * F.col("sty").cast(_D) - F.col("st").cast(_D) * F.col("sy").cast(_D)) / (
+            nd * F.col("stt").cast(_D) - F.col("st").cast(_D) * F.col("st").cast(_D)
+        )
+        a = (F.col("sy").cast(_D) - b * F.col("st").cast(_D)) / nd
+        return mom.select(
+            F.round(a, 6).cast("decimal(18,6)").alias("a"),
+            F.round(b, 6).cast("decimal(18,6)").alias("b"),
+        )
+
+    def rss(df, coefs):
+        e = F.round(
+            F.col("y") - (F.col("a") + F.col("b") * F.col("t")), 0
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(coefs))
+            .select((e.cast("decimal(38,0)") * e).alias("e2"))
+            .agg(F.sum("e2").alias("rss"))
+        )
+
+    pooled = rss(seq, fit(seq)).select(F.col("rss").alias("rss_p"))
+    r1 = rss(seq.filter("seg = 0"), fit(seq.filter("seg = 0"))).select(
+        F.col("rss").alias("rss_1")
+    )
+    r2 = rss(seq.filter("seg = 1"), fit(seq.filter("seg = 1"))).select(
+        F.col("rss").alias("rss_2")
+    )
+    j = pooled.crossJoin(r1).crossJoin(r2).crossJoin(F.broadcast(nrow))
+    n = F.col("n_all").cast(_D)
+    rp, ra, rb = (F.col(c).cast(_D) for c in ("rss_p", "rss_1", "rss_2"))
+    fstat = ((rp - (ra + rb)) / 2.0) / ((ra + rb) / (n - 4.0))
+    return j.select(
+        F.col("n_all").cast("bigint").alias("n_days"),
+        F.round(fstat, 4).alias("f_stat"),
+    )
+
+
+def _sql_chow_test() -> str:
+    fit = """
+  SELECT CAST(round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * CAST(st AS DOUBLE))
+            / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS a,
+         CAST(round((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS DECIMAL(18,6)) AS b
+  FROM {mom}"""
+    mom = """(SELECT COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+                  SUM(CAST(t AS DECIMAL(38,0)) * t) AS stt,
+                  SUM(CAST(t AS DECIMAL(38,0)) * y) AS sty
+           FROM {src})"""
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), seq AS (
+  SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS t,
+         COUNT(*) OVER () AS n_all
+  FROM daily
+), seq2 AS (
+  SELECT *, CASE WHEN t * 2 > n_all THEN 1 ELSE 0 END AS seg FROM seq
+), fit_p AS ({fit.format(mom=mom.format(src='seq2'))}),
+fit_1 AS ({fit.format(mom=mom.format(src='(SELECT * FROM seq2 WHERE seg = 0)'))}),
+fit_2 AS ({fit.format(mom=mom.format(src='(SELECT * FROM seq2 WHERE seg = 1)'))}),
+rss_p AS (
+  SELECT SUM(CAST(CAST(round(y - (a + b * t), 0) AS BIGINT) AS DECIMAL(38,0))
+             * CAST(round(y - (a + b * t), 0) AS BIGINT)) AS rss
+  FROM seq2 CROSS JOIN fit_p
+), rss_1 AS (
+  SELECT SUM(CAST(CAST(round(y - (a + b * t), 0) AS BIGINT) AS DECIMAL(38,0))
+             * CAST(round(y - (a + b * t), 0) AS BIGINT)) AS rss
+  FROM seq2 CROSS JOIN fit_1 WHERE seg = 0
+), rss_2 AS (
+  SELECT SUM(CAST(CAST(round(y - (a + b * t), 0) AS BIGINT) AS DECIMAL(38,0))
+             * CAST(round(y - (a + b * t), 0) AS BIGINT)) AS rss
+  FROM seq2 CROSS JOIN fit_2 WHERE seg = 1
+)
+SELECT CAST((SELECT MAX(n_all) FROM seq2) AS BIGINT) AS n_days,
+       round(((CAST(rss_p.rss AS DOUBLE) - (CAST(rss_1.rss AS DOUBLE) + CAST(rss_2.rss AS DOUBLE))) / 2.0)
+             / ((CAST(rss_1.rss AS DOUBLE) + CAST(rss_2.rss AS DOUBLE))
+                / (CAST((SELECT MAX(n_all) FROM seq2) AS DOUBLE) - 4.0)), 4) AS f_stat
+FROM rss_p, rss_1, rss_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Variance inflation factors for the 3-feature customer design matrix
+# ---------------------------------------------------------------------------
+
+
+def _q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the (acctbal, n_orders,
+    total_spend) customer design matrix — the multicollinearity
+    pre-flight before trusting OLS coefficients.  With three features
+    each R_i^2 is closed-form in the pairwise correlations
+    (R_1^2 = (r12^2 + r13^2 - 2 r12 r13 r23)/(1 - r23^2)), and each
+    correlation comes from exact integer moments with identical
+    parenthesization (the q_corr_matrix argument) — so VIFs are
+    bit-reproducible.  Scale: one orders rollup + one 9-moment
+    reduce."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_totalprice"])
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("spend"),
+    )
+    base = cust.join(per, cust.c_custkey == per.o_custkey, "left").select(
+        (money("c_acctbal") * 100).cast("long").alias("x1"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("x2"),
+        F.coalesce("spend", F.lit(0)).alias("x3"),
+    )
+    d38 = "decimal(38,0)"
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"x{i}").alias(f"s{i}") for i in (1, 2, 3)],
+        *[
+            F.sum(F.col(f"x{i}").cast(d38) * F.col(f"x{j}")).alias(f"s{i}{j}")
+            for i, j in ((1, 1), (2, 2), (3, 3), (1, 2), (1, 3), (2, 3))
+        ],
+    )
+    n = F.col("n").cast(_D)
+
+    def corr(i, j):
+        si, sj = F.col(f"s{i}").cast(_D), F.col(f"s{j}").cast(_D)
+        sij = F.col(f"s{min(i,j)}{max(i,j)}").cast(_D)
+        sii, sjj = F.col(f"s{i}{i}").cast(_D), F.col(f"s{j}{j}").cast(_D)
+        return (n * sij - si * sj) / F.sqrt(
+            (n * sii - si * si) * (n * sjj - sj * sj)
+        )
+
+    r12, r13, r23 = corr(1, 2), corr(1, 3), corr(2, 3)
+
+    def r2(rab, rac, rbc):
+        # feature a regressed on b, c
+        return (rab * rab + rac * rac - 2.0 * rab * rac * rbc) / (1.0 - rbc * rbc)
+
+    rows = [
+        ("acctbal", r2(r12, r13, r23)),
+        ("n_orders", r2(r12, r23, r13)),
+        ("total_spend", r2(r13, r23, r12)),
+    ]
+    out = None
+    for name, rr in rows:
+        one = mom.select(
+            F.lit(name).alias("feature"),
+            F.round(rr, 6).alias("r_squared"),
+            F.round(1.0 / (1.0 - rr), 4).alias("vif"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("feature")
+
+
+_SQL_VIF = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS spend
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+         CAST(COALESCE(n_orders, 0) AS BIGINT) AS x2,
+         COALESCE(spend, 0) AS x3
+  FROM customer LEFT JOIN per ON c_custkey = o_custkey
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(x3) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x3 AS DECIMAL(38,0)) * x3) AS DOUBLE) AS s33,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x3) AS DOUBLE) AS s13,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x3) AS DOUBLE) AS s23
+  FROM base
+), r AS (
+  SELECT
+    (n * s12 - s1 * s2) / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) AS r12,
+    (n * s13 - s1 * s3) / sqrt((n * s11 - s1 * s1) * (n * s33 - s3 * s3)) AS r13,
+    (n * s23 - s2 * s3) / sqrt((n * s22 - s2 * s2) * (n * s33 - s3 * s3)) AS r23
+  FROM mom
+), rows_ AS (
+  SELECT 'acctbal' AS feature,
+         (r12 * r12 + r13 * r13 - 2.0 * r12 * r13 * r23) / (1.0 - r23 * r23) AS rsq
+  FROM r
+  UNION ALL
+  SELECT 'n_orders',
+         (r12 * r12 + r23 * r23 - 2.0 * r12 * r23 * r13) / (1.0 - r13 * r13)
+  FROM r
+  UNION ALL
+  SELECT 'total_spend',
+         (r13 * r13 + r23 * r23 - 2.0 * r13 * r23 * r12) / (1.0 - r12 * r12)
+  FROM r
+)
+SELECT feature, round(rsq, 6) AS r_squared, round(1.0 / (1.0 - rsq), 4) AS vif
+FROM rows_ ORDER BY feature
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration (two-step, Dickey-Fuller on residuals)
+# ---------------------------------------------------------------------------
+
+
+def _q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration probe: daily purchase
+    revenue regressed on daily view counts (frozen round-6
+    coefficients -> exact integer-cent residuals), then the
+    no-intercept Dickey-Fuller regression of delta-e on lag-e over the
+    residual series.  All residual moments are exact HUGEINT sums; the
+    DF t statistic is one double formula.  Scale: one daily rollup,
+    one moment reduce, one lag window, one residual-moment reduce."""
+    cat = Catalog(sf_dir)
+    ev = cat.table(spark, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0)).alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast(_D)
+    b = (nd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)) / (
+        nd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D)
+    )
+    a = (F.col("sy").cast(_D) - b * F.col("sx").cast(_D)) / nd
+    fit = mom.select(
+        F.col("n"),
+        F.round(a, 6).cast("decimal(18,6)").alias("a"),
+        F.round(b, 6).cast("decimal(18,6)").alias("b"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "n",
+        F.round(F.col("y") - (F.col("a") + F.col("b") * F.col("x")), 0)
+        .cast("long")
+        .alias("e"),
+    )
+    w = Window.orderBy("d")
+    pairs = resid.select(
+        "n", "e", F.lag("e", 1).over(w).alias("el")
+    ).filter(F.col("el").isNotNull())
+    dfm = pairs.agg(
+        F.max("n").alias("n_days"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("el").cast("decimal(38,0)") * (F.col("e") - F.col("el"))).alias("sed"),
+        F.sum(F.col("el").cast("decimal(38,0)") * F.col("el")).alias("see"),
+        F.sum(
+            (F.col("e") - F.col("el")).cast("decimal(38,0)") * (F.col("e") - F.col("el"))
+        ).alias("sdd"),
+    )
+    m = F.col("m").cast(_D)
+    rho = F.col("sed").cast(_D) / F.col("see").cast(_D)
+    s2 = (F.col("sdd").cast(_D) - rho * F.col("sed").cast(_D)) / (m - 1.0)
+    tstat = rho / F.sqrt(s2 / F.col("see").cast(_D))
+    return dfm.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(rho, 6).alias("rho"),
+        F.round(tstat, 4).alias("df_t_stat"),
+    )
+
+
+_SQL_ENGLE_GRANGER = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS y,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+  FROM daily
+), fit AS (
+  SELECT n,
+         CAST(round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS a,
+         CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS DECIMAL(18,6)) AS b
+  FROM mom
+), resid AS (
+  SELECT d, n, CAST(round(y - (a + b * x), 0) AS BIGINT) AS e
+  FROM daily CROSS JOIN fit
+), pairs AS (
+  SELECT n, e, LAG(e, 1) OVER (ORDER BY d) AS el FROM resid
+  QUALIFY el IS NOT NULL
+), dfm AS (
+  SELECT MAX(n) AS n_days, COUNT(*) AS m,
+         SUM(CAST(el AS DECIMAL(38,0)) * (e - el)) AS sed,
+         SUM(CAST(el AS DECIMAL(38,0)) * el) AS see,
+         SUM(CAST(e - el AS DECIMAL(38,0)) * (e - el)) AS sdd
+  FROM pairs
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(CAST(sed AS DOUBLE) / CAST(see AS DOUBLE), 6) AS rho,
+       round((CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+             / sqrt(((CAST(sdd AS DOUBLE)
+                      - (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE)) * CAST(sed AS DOUBLE))
+                     / (CAST(m AS DOUBLE) - 1.0)) / CAST(see AS DOUBLE)), 4) AS df_t_stat
+FROM dfm
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef("q_friedman", _q_friedman, _SQL_FRIEDMAN, "Friedman blocked rank test"),
+        QueryDef(
+            "q_levene_bf", _q_levene_bf, _SQL_LEVENE_BF,
+            "Brown-Forsythe variance homogeneity",
+        ),
+        QueryDef("q_grubbs", _q_grubbs, _SQL_GRUBBS, "Grubbs max studentized deviate"),
+        QueryDef("q_chow_test", _q_chow_test, _sql_chow_test(), "Chow structural break F"),
+        QueryDef("q_vif", _q_vif, _SQL_VIF, "variance inflation factors"),
+        QueryDef(
+            "q_engle_granger", _q_engle_granger, _SQL_ENGLE_GRANGER,
+            "Engle-Granger cointegration DF stat",
+        ),
+    ]
+)
