@@ -294,6 +294,11 @@ BENCH_NAMES = [
     "q_chow_test",
     "q_vif",
     "q_engle_granger",
+    "q_quantile_bucketing",
+    "q_target_encoding",
+    "q_type_token",
+    "q_flesch",
+    "q_croston",
 ]
 
 

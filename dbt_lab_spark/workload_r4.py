@@ -1192,3 +1192,332 @@ R4_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth quantile bucketing (feature binning)
+# ---------------------------------------------------------------------------
+
+_QB_BUCKETS = 10
+
+
+def _q_quantile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning of lineitem prices into 10 buckets by EXACT
+    rank arithmetic (bucket = (rn-1)*k // n over a row_number keyed on
+    (value, orderkey, linenumber) — fully deterministic tie placement,
+    unlike ntile whose remainder policy differs between engines), then
+    per-bucket occupancy and exact value range — the feature-binning
+    primitive a training pipeline runs before hashing/monotonic
+    encoding.  Scale: one global sort-rank window (the known
+    single-partition constraint of global ranking; at 100 TB swap in
+    the percentile_approx cut path), one bucket aggregate."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    x = (money("l_extendedprice") * 100).cast("long")
+    w = Window.orderBy("x", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        x.alias("x"), "l_orderkey", "l_linenumber"
+    ).select("x", F.row_number().over(w).alias("rn"))
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        "x",
+        ((F.col("rn") - 1) * _QB_BUCKETS / F.col("n")).cast("long").alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("x") / 100.0).alias("lo"),
+            (F.max("x") / 100.0).alias("hi"),
+            (F.sum("x") / 100.0).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_QUANTILE_BUCKETING = f"""
+WITH ranked AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         ROW_NUMBER() OVER (ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT (rn - 1) * {_QB_BUCKETS} // n AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(x) / 100.0 AS lo,
+       MAX(x) / 100.0 AS hi,
+       SUM(x) / 100.0 AS total
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# K-fold out-of-fold target encoding (leakage-free categorical features)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 4
+
+
+def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold target encoding of order priority against
+    order value: each fold's encoded value for a category is the mean
+    target over the OTHER folds (the standard out-of-fold scheme that
+    keeps a row's own target out of its feature).  Folds are md5-hash
+    deterministic (no RNG); leave-one-fold-out means are exact integer
+    sum/count differences with one double division.  Scale: one
+    (category, fold) rollup — the encode join-back is a broadcast of
+    |categories| x K rows."""
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % _TE_FOLDS
+    )
+    cents = (money("o_totalprice") * 100).cast("long")
+    per = orders.select(
+        F.col("o_orderpriority").alias("cat"), fold.alias("fold"), cents.alias("y")
+    ).groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("nf"), F.sum("y").alias("sf")
+    )
+    tot = per.groupBy("cat").agg(F.sum("nf").alias("nc"), F.sum("sf").alias("sc"))
+    return (
+        per.join(tot, "cat")
+        .select(
+            "cat",
+            "fold",
+            F.col("nf").alias("n_rows"),
+            F.round(
+                (F.col("sc") - F.col("sf")).cast(_D)
+                / (F.col("nc") - F.col("nf")).cast(_D)
+                / 100.0,
+                4,
+            ).alias("oof_mean"),
+        )
+        .orderBy("cat", "fold")
+    )
+
+
+_SQL_TARGET_ENCODING = f"""
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_TE_FOLDS} AS fold,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM orders
+), per AS (
+  SELECT cat, fold, COUNT(*) AS nf, SUM(y) AS sf FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT cat, SUM(nf) AS nc, SUM(sf) AS sc FROM per GROUP BY 1
+)
+SELECT per.cat, fold, nf AS n_rows,
+       round(CAST(sc - sf AS DOUBLE) / CAST(nc - nf AS DOUBLE) / 100.0, 4) AS oof_mean
+FROM per JOIN tot ON per.cat = tot.cat
+ORDER BY per.cat, fold
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type-token ratio and hapax fraction per source
+# ---------------------------------------------------------------------------
+
+
+def _q_type_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio (distinct/total
+    tokens) and hapax share (types seen once / types) — the corpus-mix
+    health probe beside q_zipf_fit's slope.  Pure integer counts until
+    two divisions.  Scale: one (source, token) rollup bounded by
+    |vocab| x |sources|."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "text"])
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types").cast(_D) / F.col("n_tokens").cast(_D), 6).alias("ttr"),
+            F.round(F.col("n_hapax").cast(_D) / F.col("n_types").cast(_D), 6).alias(
+                "hapax_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TYPE_TOKEN = r"""
+WITH toks AS (
+  SELECT source, token
+  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(token)
+  WHERE token <> ''
+), per AS (
+  SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       SUM(c) AS n_tokens,
+       COUNT(*) AS n_types,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease per source (vowel-group syllable heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per source with the standard vowel-group
+    syllable heuristic (syllables(word) ~ count of [aeiouy]+ runs):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), on
+    exact integer word/sentence/syllable counts (regexp_count is
+    identical RE2-class semantics in both engines).  Sentences are
+    [.!?]+ runs, floored at 1 per document.  Scale: one map-only
+    projection + one aggregate, no explode."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "text"])
+    low = F.lower(F.trim(F.col("text")))
+    words = F.size(F.split(low, r"\s+"))
+    sents = F.greatest(F.lit(1), F.regexp_count(low, F.lit(r"[.!?]+")))
+    syll = F.regexp_count(low, F.lit("[aeiouy]+"))
+    agg = docs.select(
+        "source", words.alias("w"), sents.alias("s"), syll.alias("y")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum("s").alias("ss"),
+        F.sum("y").alias("sy"),
+    )
+    score = (
+        206.835
+        - 1.015 * (F.col("sw").cast(_D) / F.col("ss").cast(_D))
+        - 84.6 * (F.col("sy").cast(_D) / F.col("sw").cast(_D))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sw").alias("n_words"),
+        F.col("ss").alias("n_sentences"),
+        F.col("sy").alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    ).orderBy("source")
+
+
+_SQL_FLESCH = r"""
+WITH d AS (
+  SELECT source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS w,
+         GREATEST(1, len(regexp_extract_all(lower(trim(text)), '[.!?]+'))) AS s,
+         len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS y
+  FROM documents
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(w) AS sw, SUM(s) AS ss, SUM(y) AS sy
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, sw AS n_words, ss AS n_sentences, sy AS n_syllables,
+       round(206.835 - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+             - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)), 4) AS flesch
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand
+# ---------------------------------------------------------------------------
+
+_CROSTON_TOPK = 20
+
+
+def _q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand estimate per part (flat-average
+    form): mean nonzero daily demand / mean inter-demand interval —
+    the forecasting primitive for sparse SKU series where plain moving
+    averages collapse to ~0.  Demand days, sizes, and spans are exact
+    integers; one double division per part; top-20 parts by demand-day
+    count (ties on partkey) keep the output bounded.  Scale: one
+    (part, day) rollup + one per-part aggregate."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_shipdate", "l_quantity"])
+    daily = li.groupBy(
+        "l_partkey",
+        F.floor(F.unix_millis(F.col("l_shipdate")) / F.lit(86400000.0))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(money("l_quantity") * 100).cast("long").alias("q"))
+    per = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("q").alias("sq"),
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+    ).filter(F.col("k") >= 2)
+    ranked = per.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("k"), "l_partkey"))
+    ).filter(F.col("rn") <= _CROSTON_TOPK)
+    size = F.col("sq").cast(_D) / F.col("k").cast(_D) / 100.0
+    interval = (F.col("d1") - F.col("d0")).cast(_D) / (F.col("k").cast(_D) - 1.0)
+    return ranked.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("k").alias("n_demand_days"),
+        F.round(size, 6).alias("mean_size"),
+        F.round(interval, 6).alias("mean_interval"),
+        F.round(size / interval, 6).alias("croston_rate"),
+    ).orderBy(F.desc("n_demand_days"), "partkey")
+
+
+_SQL_CROSTON = f"""
+WITH daily AS (
+  SELECT l_partkey, CAST(floor(epoch_ms(l_shipdate) / 86400000.0) AS BIGINT) AS d,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), per AS (
+  SELECT l_partkey, COUNT(*) AS k, SUM(q) AS sq, MIN(d) AS d0, MAX(d) AS d1
+  FROM daily GROUP BY 1
+  HAVING COUNT(*) >= 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, l_partkey) AS rn FROM per
+)
+SELECT l_partkey AS partkey,
+       k AS n_demand_days,
+       round(CAST(sq AS DOUBLE) / CAST(k AS DOUBLE) / 100.0, 6) AS mean_size,
+       round(CAST(d1 - d0 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0), 6) AS mean_interval,
+       round((CAST(sq AS DOUBLE) / CAST(k AS DOUBLE) / 100.0)
+             / (CAST(d1 - d0 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)), 6) AS croston_rate
+FROM ranked WHERE rn <= {_CROSTON_TOPK}
+ORDER BY n_demand_days DESC, partkey
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef(
+            "q_quantile_bucketing", _q_quantile_bucketing, _SQL_QUANTILE_BUCKETING,
+            "equi-depth rank binning",
+        ),
+        QueryDef(
+            "q_target_encoding", _q_target_encoding, _SQL_TARGET_ENCODING,
+            "K-fold out-of-fold target encoding",
+        ),
+        QueryDef("q_type_token", _q_type_token, _SQL_TYPE_TOKEN, "lexical diversity per source"),
+        QueryDef("q_flesch", _q_flesch, _SQL_FLESCH, "Flesch reading ease per source"),
+        QueryDef("q_croston", _q_croston, _SQL_CROSTON, "Croston intermittent demand"),
+    ]
+)
