@@ -1521,3 +1521,516 @@ R4_QUERIES.extend(
         QueryDef("q_croston", _q_croston, _SQL_CROSTON, "Croston intermittent demand"),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detection
+# ---------------------------------------------------------------------------
+
+
+def _q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic over the daily purchase-revenue
+    series: U_t = sum_{s<=t}(x_s - xbar_s), PH_t = U_t - min_{s<=t}U_s,
+    reported at its maximum (the day a mean shift is most evident).
+    Each term x_s - xbar_s is computed from exact integer prefix sums
+    (x_s*s - cum_s is exact; divide once), frozen to DECIMAL(18,6), and
+    the running U/min/max are decimal window aggregates — order-free
+    and engine-identical.  Scale: one daily rollup + three ordered
+    windows over the |days|-bounded series."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("t"),
+        F.sum("x").over(w).alias("cx"),
+    )
+    # x_s - cum/t in cents, exact numerator, one division, frozen
+    term = F.round(
+        (F.col("x").cast(_D) * F.col("t").cast(_D) - F.col("cx").cast(_D))
+        / F.col("t").cast(_D)
+        / 100.0,
+        6,
+    ).cast("decimal(18,6)")
+    u = pre.select("d", term.alias("term")).select(
+        "d", F.sum("term").over(w).alias("u")
+    )
+    ph = u.select("d", (F.col("u") - F.min("u").over(w)).alias("ph"))
+    top = ph.orderBy(F.desc("ph"), "d").limit(1)
+    return top.select(
+        F.col("d").alias("drift_day"),
+        F.round(F.col("ph").cast(_D), 6).alias("ph_stat"),
+    )
+
+
+_SQL_PAGE_HINKLEY = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), pre AS (
+  SELECT d, x,
+         COUNT(*) OVER w AS t,
+         SUM(x) OVER w AS cx
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+), terms AS (
+  SELECT d,
+         CAST(round((CAST(x AS DOUBLE) * CAST(t AS DOUBLE) - CAST(cx AS DOUBLE))
+                    / CAST(t AS DOUBLE) / 100.0, 6) AS DECIMAL(18,6)) AS term
+  FROM pre
+), u AS (
+  SELECT d, SUM(term) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS u FROM terms
+), ph AS (
+  SELECT d, u - MIN(u) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ph FROM u
+)
+SELECT d AS drift_day, round(CAST(ph AS DOUBLE), 6) AS ph_stat
+FROM ph ORDER BY ph DESC, d LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign test on week-over-week daily revenue
+# ---------------------------------------------------------------------------
+
+
+def _q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: is daily purchase revenue systematically above
+    its level 7 days earlier?  Counts positive/negative week-over-week
+    differences (zeros dropped, the standard treatment) and the
+    continuity-corrected chi-square (|pos-neg|-1)^2/(pos+neg) — pure
+    integers until one division.  Scale: one daily rollup + one lag
+    window + a 1-row reduce."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("d")
+    pairs = daily.select("d", "x", F.lag("x", 7).over(w).alias("xl")).filter(
+        F.col("xl").isNotNull() & (F.col("x") != F.col("xl"))
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("x") > F.col("xl"), 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("x") < F.col("xl"), 1).otherwise(0)).alias("neg"),
+    )
+    diff = F.abs(F.col("pos") - F.col("neg")) - 1
+    chi2 = (diff * diff).cast(_D) / (F.col("pos") + F.col("neg")).cast(_D)
+    return agg.select(
+        "pos", "neg", F.round(chi2, 6).alias("chi2_cc")
+    )
+
+
+_SQL_SIGN_TEST = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), pairs AS (
+  SELECT d, x, LAG(x, 7) OVER (ORDER BY d) AS xl FROM daily
+  QUALIFY xl IS NOT NULL AND x <> xl
+), agg AS (
+  SELECT SUM(CASE WHEN x > xl THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN x < xl THEN 1 ELSE 0 END) AS neg
+  FROM pairs
+)
+SELECT pos, neg,
+       round(CAST((ABS(pos - neg) - 1) * (ABS(pos - neg) - 1) AS DOUBLE)
+             / CAST(pos + neg AS DOUBLE), 6) AS chi2_cc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size between event-type value distributions
+# ---------------------------------------------------------------------------
+
+
+def _q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between purchase and click values — the effect-size
+    companion every significance test should ship with.  Means and the
+    pooled sample SD come from one exact integer-cent moment aggregate;
+    d is one double formula with identical parenthesization.  Scale:
+    one conditional-moment reduce, no join."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["event_type", "value"],
+        predicates=[F.col("event_type").isin("purchase", "click")],
+    )
+    cents = (money("value") * 100).cast("long")
+    x = ev.select(
+        (F.col("event_type") == "purchase").alias("is_p"), cents.alias("x")
+    )
+    agg = x.agg(
+        F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("is_p"), F.col("x"))).alias("s1"),
+        F.sum(F.when(F.col("is_p"), F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("q1"),
+        F.sum(F.when(~F.col("is_p"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~F.col("is_p"), F.col("x"))).alias("s2"),
+        F.sum(F.when(~F.col("is_p"), F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("q2"),
+    )
+    n1, n2 = F.col("n1").cast(_D), F.col("n2").cast(_D)
+    s1, s2 = F.col("s1").cast(_D), F.col("s2").cast(_D)
+    q1, q2 = F.col("q1").cast(_D), F.col("q2").cast(_D)
+    ss1 = q1 - (s1 * s1) / n1
+    ss2 = q2 - (s2 * s2) / n2
+    sp = F.sqrt((ss1 + ss2) / (n1 + n2 - 2.0))
+    d = ((s1 / n1) - (s2 / n2)) / sp
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        F.round((s1 / n1) / 100.0, 4).alias("mean_purchase"),
+        F.round((s2 / n2) / 100.0, 4).alias("mean_click"),
+        F.round(d, 6).alias("cohens_d"),
+    )
+
+
+_SQL_COHENS_D = """
+WITH x AS (
+  SELECT event_type = 'purchase' AS is_p,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events WHERE event_type IN ('purchase', 'click')
+), agg AS (
+  SELECT SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN is_p THEN x END) AS s1,
+         SUM(CASE WHEN is_p THEN CAST(x AS DECIMAL(38,0)) * x END) AS q1,
+         SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN NOT is_p THEN x END) AS s2,
+         SUM(CASE WHEN NOT is_p THEN CAST(x AS DECIMAL(38,0)) * x END) AS q2
+  FROM x
+)
+SELECT CAST(n1 AS BIGINT) AS n_purchase,
+       CAST(n2 AS BIGINT) AS n_click,
+       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0, 4) AS mean_purchase,
+       round((CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0, 4) AS mean_click,
+       round(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / sqrt(((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+                     + (CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)))
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6) AS cohens_d
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brier score with reliability / resolution / uncertainty decomposition
+# ---------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+
+
+def _q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition for a decile forecaster:
+    customers binned by exact-rank acctbal decile get forecast
+    p = (decile + 0.5)/10 for the event "placed an URGENT order"; the
+    score decomposes into reliability - resolution + uncertainty over
+    the 10 forecast bins.  Everything is integer counts against FIXED
+    literal forecasts, so each component is a double formula over
+    exact sums.  Scale: one orders rollup, one global rank window, one
+    10-row decomposition."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    base = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left").select(
+        "c_custkey",
+        (money("c_acctbal") * 100).cast("long").alias("bal"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("bal", "c_custkey")
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    binned = base.select("y", F.row_number().over(w).alias("rn")).crossJoin(
+        F.broadcast(n)
+    ).select(
+        "y", ((F.col("rn") - 1) * _BRIER_BINS / F.col("n")).cast("long").alias("b")
+    )
+    per = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("y").alias("yb")
+    )
+    tot = per.agg(
+        F.sum("nb").alias("n"),
+        F.sum("yb").alias("sy"),
+        F.sum(
+            F.pow((F.col("b").cast(_D) + 0.5) / _BRIER_BINS - F.col("yb").cast(_D) / F.col("nb").cast(_D), F.lit(2.0))
+            * F.col("nb").cast(_D)
+        ).alias("rel_num"),
+    )
+    # resolution needs ybar: second pass over the 10-row frame
+    per2 = per.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.max("rel_num").alias("rel_num"),
+        F.sum(
+            F.pow(
+                F.col("yb").cast(_D) / F.col("nb").cast(_D)
+                - F.col("sy").cast(_D) / F.col("n").cast(_D),
+                F.lit(2.0),
+            )
+            * F.col("nb").cast(_D)
+        ).alias("res_num"),
+    )
+    nd = F.col("n").cast(_D)
+    ybar = F.col("sy").cast(_D) / nd
+    rel = F.col("rel_num") / nd
+    res = F.col("res_num") / nd
+    unc = ybar * (1.0 - ybar)
+    return per2.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(ybar, 6).alias("base_rate"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier"),
+    )
+
+
+_SQL_BRIER_SCORE = f"""
+WITH urgent AS (
+  SELECT o_custkey, MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         COALESCE(y, 0) AS y
+  FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+), binned AS (
+  SELECT y,
+         (ROW_NUMBER() OVER (ORDER BY bal, c_custkey) - 1) * {_BRIER_BINS}
+           // COUNT(*) OVER () AS b
+  FROM base
+), per AS (
+  SELECT b, COUNT(*) AS nb, SUM(y) AS yb FROM binned GROUP BY 1
+), tot AS (
+  SELECT SUM(nb) AS n, SUM(yb) AS sy,
+         SUM(pow((CAST(b AS DOUBLE) + 0.5) / {_BRIER_BINS}
+                 - CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE), 2.0)
+             * CAST(nb AS DOUBLE)) AS rel_num
+  FROM per
+), per2 AS (
+  SELECT MAX(n) AS n, MAX(sy) AS sy, MAX(rel_num) AS rel_num,
+         SUM(pow(CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2.0)
+             * CAST(nb AS DOUBLE)) AS res_num
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+       round(rel_num / CAST(n AS DOUBLE), 6) AS reliability,
+       round(res_num / CAST(n AS DOUBLE), 6) AS resolution,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty,
+       round(rel_num / CAST(n AS DOUBLE) - res_num / CAST(n AS DOUBLE)
+             + (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS brier
+FROM per2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid) silhouette over the seeded clustering
+# ---------------------------------------------------------------------------
+
+
+def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the seeded id%C clustering (the
+    centroid-distance variant: a(i) = cosine distance to the OWN
+    centroid, b(i) = min distance to any other — one broadcast pass,
+    never the O(n^2/k) pairwise form): per-cluster mean silhouette is
+    the cluster-quality report a pipeline reads before trusting
+    SemDeDup buckets.  Assignment reuses the oracle-proven ivf_assign
+    plane; distances are the same sequential-fold dot the DuckDB
+    oracle computes; each s_i is frozen to DECIMAL(18,6) before the
+    per-cluster decimal mean.  Scale: one map-only assign + one
+    C-literal distance projection + one aggregate."""
+    from dbt_lab_spark.llm.similarity import ivf_assign, ivf_centroids
+    from dbt_lab_spark.functions.vectors import dot, l2_norm, to_double_array
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    C = 8
+    cents = ivf_centroids(emb, num_centroids=C, iters=0, dim=64)
+    assigned = ivf_assign(emb, cents, "embedding", "vec_id").select(
+        F.col("neighbor_id").alias("vec_id"), "cluster"
+    )
+    v = to_double_array("embedding")
+    nrm = l2_norm(v)
+    nv = F.transform(v, lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm))
+    base = emb.join(assigned, "vec_id").select("vec_id", "cluster", nv.alias("nv"))
+    dists = [
+        (1.0 - dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in cents[j]]))).alias(
+            f"d{j}"
+        )
+        for j in range(C)
+    ]
+    withd = base.select("vec_id", "cluster", *dists)
+    a = F.coalesce(
+        *[F.when(F.col("cluster") == j, F.col(f"d{j}")) for j in range(C)]
+    )
+    b = F.array_min(
+        F.transform(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), F.col(f"d{j}").alias("d"))
+                        for j in range(C)
+                    ]
+                ),
+                lambda s: s["j"] != F.col("cluster"),
+            ),
+            lambda s: s["d"],
+        )
+    )
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    scored = withd.select(
+        "cluster", F.round(s, 6).cast("decimal(18,6)").alias("s6")
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("s6").cast(_D), 6).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _sql_silhouette() -> str:
+    from dbt_lab_spark.workload_beyond import _sql_seeded_centroids
+
+    return f"""
+WITH {_sql_seeded_centroids("TRUE")},
+nvx AS (
+  SELECT a.vec_id, a.cluster,
+         list_transform(a.v, x -> x / (CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0
+                                            THEN 1.0
+                                            ELSE sqrt(list_dot_product(a.v, a.v)) END)) AS nv
+  FROM assign a
+), d AS (
+  SELECT n.vec_id, n.cluster, cent.cluster AS j,
+         1.0 - list_dot_product(n.nv, cent.c) AS dist
+  FROM nvx n CROSS JOIN cent
+), ab AS (
+  SELECT vec_id, cluster,
+         MIN(CASE WHEN j = cluster THEN dist END) AS a,
+         MIN(CASE WHEN j <> cluster THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+), s AS (
+  SELECT cluster,
+         CAST(round(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                         ELSE (b - a) / GREATEST(a, b) END, 6)
+              AS DECIMAL(18,6)) AS s6
+  FROM ab
+)
+SELECT cluster, COUNT(*) AS n_points,
+       round(CAST(AVG(s6) AS DOUBLE), 6) AS mean_silhouette
+FROM s GROUP BY cluster ORDER BY cluster
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram (minhash-md5 pairs -> CC -> sizes)
+# ---------------------------------------------------------------------------
+
+
+def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: md5-minhash+LSH pairs ->
+    connected components -> component sizes -> (size, n_clusters) —
+    the corpus-health summary a dedup pass reports (how much mass sits
+    in big duplicate families vs singletons).  Composition of two
+    oracle-proven stages; the DuckDB oracle resolves clusters with the
+    same recursive transitive closure as q_dedup_apply_md5.  Scale:
+    banded LSH + O(log d) min-label CC + two tiny aggregates."""
+    from dbt_lab_spark.llm.dedup import connected_components, minhash_dedup_pairs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=16, shingle_k=3, num_bands=4, threshold=0.7, base_hash="md5"
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    in_pairs = comps.agg(F.count(F.lit(1)).alias("m")).collect()[0]["m"]
+    hist = sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    singles = spark.createDataFrame(
+        [(1, int(n_docs - in_pairs))], "size long, n_clusters long"
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("size")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .filter(F.col("n_clusters") > 0)
+        .orderBy("size")
+    )
+
+
+def _sql_dup_cluster_sizes() -> str:
+    from dbt_lab_spark.workload_beyond import _sql_minhash_md5_ctes
+
+    return f"""
+WITH RECURSIVE {_sql_minhash_md5_ctes()},
+pairs AS (
+  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+), comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+), sizes AS (
+  SELECT component, COUNT(*) AS size FROM comp GROUP BY 1
+)
+SELECT size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY size
+HAVING COUNT(*) > 0
+ORDER BY size
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef(
+            "q_page_hinkley", _q_page_hinkley, _SQL_PAGE_HINKLEY,
+            "Page-Hinkley drift statistic",
+        ),
+        QueryDef("q_sign_test", _q_sign_test, _SQL_SIGN_TEST, "week-over-week sign test"),
+        QueryDef("q_cohens_d", _q_cohens_d, _SQL_COHENS_D, "Cohen's d effect size"),
+        QueryDef(
+            "q_brier_score", _q_brier_score, _SQL_BRIER_SCORE,
+            "Brier score with Murphy decomposition",
+        ),
+        QueryDef(
+            "q_silhouette", _q_silhouette, _sql_silhouette(),
+            "simplified silhouette of seeded clusters",
+        ),
+        QueryDef(
+            "q_dup_cluster_sizes", _q_dup_cluster_sizes, _sql_dup_cluster_sizes(),
+            "near-dup cluster size histogram",
+        ),
+    ]
+)
