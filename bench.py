@@ -299,6 +299,12 @@ BENCH_NAMES = [
     "q_type_token",
     "q_flesch",
     "q_croston",
+    "q_page_hinkley",
+    "q_sign_test",
+    "q_cohens_d",
+    "q_brier_score",
+    "q_silhouette",
+    "q_dup_cluster_sizes",
 ]
 
 
