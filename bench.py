@@ -305,6 +305,10 @@ BENCH_NAMES = [
     "q_brier_score",
     "q_silhouette",
     "q_dup_cluster_sizes",
+    "q_containment",
+    "q_decay_popularity",
+    "q_densify",
+    "q_cumulative_users",
 ]
 
 

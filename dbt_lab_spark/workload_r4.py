@@ -2034,3 +2034,287 @@ R4_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment: the asymmetric near-dup measure jaccard misses
+# ---------------------------------------------------------------------------
+
+_CONT_THRESHOLD = 0.6
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle CONTAINMENT (|A n B|/|A|, both
+    directions): the asymmetric near-dup measure that catches a snippet
+    embedded in a larger page, which symmetric Jaccard under-scores.
+    Same inverted-index count trick as q_ngram_jaccard (distinct
+    3-shingles; per-pair join-match count IS the intersection; set
+    sizes ride along, so no array ever crosses the shuffle), WITHOUT
+    the symmetric size-ratio prune — small-inside-big is the point.
+    Kept when max(containment) >= 0.6.  Hot-shingle skew carries the
+    same max_doc_freq cap + exact re-verify escape hatch as the
+    jaccard operator at corpus scale."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    from dbt_lab_spark.functions.text import shingles
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("__sh")
+    )
+    ex = sh.select(
+        "doc_id",
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__g"),
+    )
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("na"), "__g")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("nb"), "__g")
+    shared = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cab = F.col("c").cast(_D) / F.col("na").cast(_D)
+    cba = F.col("c").cast(_D) / F.col("nb").cast(_D)
+    return (
+        shared.select(
+            "id_a",
+            "id_b",
+            F.round(cab, 6).alias("containment_a_in_b"),
+            F.round(cba, 6).alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a") >= _CONT_THRESHOLD
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SQL_CONTAINMENT = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+         END) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment_a_in_b,
+       round(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment_b_in_a
+FROM shared
+WHERE GREATEST(CAST(c AS DOUBLE) / CAST(na AS DOUBLE),
+               CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)) >= {_CONT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-decay popularity with an EXACT half-life kernel
+# ---------------------------------------------------------------------------
+
+_DECAY_TOPK = 20
+
+
+def _q_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life time-decay popularity per part: each shipment
+    contributes 2^-(weeks_old) (capped at 2^-20), the
+    recency-weighted demand signal a ranking/replenishment pipeline
+    maintains.  The kernel is a POWER OF TWO of an integer exponent —
+    exactly representable in both engines, unlike exp(-lambda*t) whose
+    libm ulps differ — frozen to round-6 decimals so the per-part sum
+    is order-free.  Scale: one broadcast max-date, one map-only term
+    projection, one part rollup."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_partkey", "l_shipdate"])
+    days = F.floor(F.unix_millis(F.col("l_shipdate")) / F.lit(86400000.0)).cast("long")
+    mx = li.agg(F.max(days).alias("mxd"))
+    w = F.least(((F.col("mxd") - F.col("d")) / 7).cast("long"), F.lit(20))
+    term = F.round(F.pow(F.lit(2.0), -w.cast(_D)), 6).cast("decimal(18,6)")
+    scored = (
+        li.select("l_partkey", days.alias("d"))
+        .crossJoin(F.broadcast(mx))
+        .select("l_partkey", term.alias("term"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_shipments"), F.sum("term").alias("score_dec"))
+    )
+    top = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("score_dec"), "l_partkey"))
+    ).filter(F.col("rn") <= _DECAY_TOPK)
+    return top.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_shipments",
+        F.round(F.col("score_dec").cast(_D), 6).alias("decay_score"),
+        F.col("rn").alias("rank"),
+    ).orderBy("rank")
+
+
+_SQL_DECAY_POPULARITY = f"""
+WITH li AS (
+  SELECT l_partkey, CAST(floor(epoch_ms(l_shipdate) / 86400000.0) AS BIGINT) AS d
+  FROM lineitem
+), mx AS (
+  SELECT MAX(d) AS mxd FROM li
+), terms AS (
+  SELECT l_partkey,
+         CAST(round(pow(2.0, -CAST(LEAST((mxd - d) // 7, 20) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM li CROSS JOIN mx
+), scored AS (
+  SELECT l_partkey, COUNT(*) AS n_shipments, SUM(term) AS score_dec
+  FROM terms GROUP BY 1
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_dec DESC, l_partkey) AS rn FROM scored
+)
+SELECT l_partkey AS partkey, n_shipments,
+       round(CAST(score_dec AS DOUBLE), 6) AS decay_score,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_DECAY_TOPK}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification (gap filling with a generated day spine)
+# ---------------------------------------------------------------------------
+
+
+def _q_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated day spine (sequence from
+    min to max observed day) left-joined onto daily purchase revenue,
+    gaps explicit as zero rows — the series-completion step every
+    forecasting/rolling query needs before trusting window offsets.
+    The spine is |days| rows from a 1-row sequence explode (never a
+    cross join against the fact table).  Exact integer cents."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(F.sum(cents).alias("x"), F.count(F.lit(1)).alias("n"))
+    spine = (
+        daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            (F.coalesce("x", F.lit(0)) / 100.0).alias("revenue"),
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+            F.col("x").isNull().alias("is_gap"),
+        )
+        .orderBy("d")
+    )
+
+
+_SQL_DENSIFY = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+                                (SELECT MAX(d) FROM daily))) AS d
+)
+SELECT spine.d,
+       COALESCE(x, 0) / 100.0 AS revenue,
+       COALESCE(n, 0) AS n_purchases,
+       x IS NULL AS is_gap
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+ORDER BY spine.d
+"""
+
+
+# ---------------------------------------------------------------------------
+# New / returning / cumulative distinct users per day
+# ---------------------------------------------------------------------------
+
+
+def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience accounting: active users, NEW users (first-ever
+    event today), returning = active - new, and the cumulative
+    distinct-user count — computed as a running sum of new-user flags
+    (first-appearance trick), never a cumulative COUNT(DISTINCT) whose
+    window state would grow with the user domain.  Exact integers
+    throughout.  Scale: one (user, day) compression, one per-user min,
+    one day rollup + one ordered window."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["user_id", "ts"])
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d"),
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("fd"))
+    active = ud.groupBy("d").agg(F.count(F.lit(1)).alias("active_users"))
+    news = first.groupBy("fd").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        active.join(news, active.d == news.fd, "left")
+        .select(
+            "d",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "d",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+        .orderBy("d")
+    )
+
+
+_SQL_CUMULATIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d
+  FROM events
+), first AS (
+  SELECT user_id, MIN(d) AS fd FROM ud GROUP BY 1
+), active AS (
+  SELECT d, COUNT(*) AS active_users FROM ud GROUP BY 1
+), news AS (
+  SELECT fd, COUNT(*) AS new_users FROM first GROUP BY 1
+)
+SELECT d, active_users,
+       COALESCE(new_users, 0) AS new_users,
+       active_users - COALESCE(new_users, 0) AS returning_users,
+       SUM(COALESCE(new_users, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         AS cumulative_users
+FROM active LEFT JOIN news ON active.d = news.fd
+ORDER BY d
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef(
+            "q_containment", _q_containment, _SQL_CONTAINMENT,
+            "asymmetric shingle containment pairs",
+        ),
+        QueryDef(
+            "q_decay_popularity", _q_decay_popularity, _SQL_DECAY_POPULARITY,
+            "half-life time-decay popularity top-20",
+        ),
+        QueryDef("q_densify", _q_densify, _SQL_DENSIFY, "calendar densification with gaps"),
+        QueryDef(
+            "q_cumulative_users", _q_cumulative_users, _SQL_CUMULATIVE_USERS,
+            "new/returning/cumulative users per day",
+        ),
+    ]
+)
