@@ -309,6 +309,11 @@ BENCH_NAMES = [
     "q_decay_popularity",
     "q_densify",
     "q_cumulative_users",
+    "q_ngram_novelty",
+    "q_nzv_audit",
+    "q_hhi",
+    "q_iqr_outliers",
+    "q_abandonment",
 ]
 
 

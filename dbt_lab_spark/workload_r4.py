@@ -2318,3 +2318,349 @@ R4_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each source is new vs everything earlier
+# ---------------------------------------------------------------------------
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty accounting: a 3-shingle is NOVEL in the document
+    where it first appears (min doc_id); per source, the share of
+    (doc, shingle) occurrences that are novel — the curve a dedup /
+    data-mixing pass watches to see whether new data still adds
+    information.  One shingle rollup (min doc_id per shingle — the
+    first-occurrence trick, |shingle-domain|-bounded) joined back to
+    the per-doc distinct shingle sets.  Pure integers until one
+    division."""
+    from dbt_lab_spark.functions.text import shingles
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("g"),
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first, "g").select(
+        "source", (F.col("doc_id") == F.col("first_doc")).alias("novel")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingle_occurrences"),
+            F.sum(F.col("novel").cast("long")).alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_shingle_occurrences",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast(_D) / F.col("n_shingle_occurrences").cast(_D), 6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+         END)) AS g
+  FROM toks
+), first AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT source,
+       COUNT(*) AS n_shingle_occurrences,
+       SUM(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END) AS n_novel,
+       round(CAST(SUM(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN first ON sh.g = first.g
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-zero-variance feature audit
+# ---------------------------------------------------------------------------
+
+_NZV_COLS = ("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+
+
+def _q_nzv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance feature screen over five lineitem columns:
+    per column the NDV, the top-two value frequencies, their ratio, and
+    the percent-unique — the caret-style nzv flag (freq_ratio > 19 AND
+    pct_unique < 0.1) that drops degenerate features before training.
+    One (column, value) rollup per column (unioned — the value domains
+    are tiny), integer counts, two divisions."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", list(_NZV_COLS))
+    out = None
+    for c in _NZV_COLS:
+        per = li.groupBy(F.col(c).cast("string").alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.desc("cnt"), "v")
+        stats = per.select(
+            "cnt", F.row_number().over(w).alias("rk")
+        ).agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top1"),
+            F.max(F.when(F.col("rk") == 2, F.col("cnt"))).alias("top2"),
+        )
+        row = stats.select(
+            F.lit(c).alias("feature"),
+            "n",
+            "ndv",
+            "top1",
+            F.coalesce("top2", F.lit(0)).alias("top2"),
+            F.round(
+                F.col("top1").cast(_D) / F.coalesce(F.col("top2"), F.lit(1)).cast(_D), 4
+            ).alias("freq_ratio"),
+            F.round(F.col("ndv").cast(_D) / F.col("n").cast(_D), 6).alias("pct_unique"),
+        )
+        row = row.select(
+            "*",
+            (
+                (F.col("freq_ratio") > 19.0) & (F.col("pct_unique") < 0.1)
+            ).alias("near_zero_variance"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("feature")
+
+
+def _sql_nzv_audit() -> str:
+    parts = []
+    for c in _NZV_COLS:
+        parts.append(f"""
+SELECT '{c}' AS feature, n, ndv, top1, top2,
+       round(CAST(top1 AS DOUBLE) / CAST(CASE WHEN top2 = 0 THEN 1 ELSE top2 END AS DOUBLE), 4) AS freq_ratio,
+       round(CAST(ndv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct_unique,
+       (CAST(top1 AS DOUBLE) / CAST(CASE WHEN top2 = 0 THEN 1 ELSE top2 END AS DOUBLE)) > 19.0
+         AND (CAST(ndv AS DOUBLE) / CAST(n AS DOUBLE)) < 0.1 AS near_zero_variance
+FROM (
+  SELECT SUM(cnt) AS n, COUNT(*) AS ndv,
+         MAX(CASE WHEN rk = 1 THEN cnt END) AS top1,
+         COALESCE(MAX(CASE WHEN rk = 2 THEN cnt END), 0) AS top2
+  FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, v) AS rk
+    FROM (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+  )
+)""")
+    return " UNION ALL ".join(parts) + " ORDER BY feature"
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration per nation
+# ---------------------------------------------------------------------------
+
+
+def _q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each supplier nation: HHI = sum of squared revenue shares =
+    sum(r_i^2)/ (sum r_i)^2 over exact integer cents — the market-
+    structure metric beside q_gini's inequality view.  One lineitem
+    rollup + broadcast supplier dim + a 25-row reduce; one double
+    division."""
+    cat = Catalog(sf_dir)
+    li = scan(spark, cat, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    sup = scan(spark, cat, "supplier", ["s_suppkey", "s_nationkey"])
+    rev = (money("l_extendedprice") * (1 - money("l_discount")) * 100).cast("long")
+    per = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(rev).alias("r"))
+    )
+    agg = per.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("sq"),
+    )
+    hhi = F.col("sq").cast(_D) / (F.col("tot").cast(_D) * F.col("tot").cast(_D))
+    return agg.select(
+        F.col("s_nationkey").alias("nationkey"),
+        "n_suppliers",
+        F.round(hhi, 6).alias("hhi"),
+    ).orderBy("nationkey")
+
+
+_SQL_HHI = """
+WITH per AS (
+  SELECT s_nationkey, s_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers, SUM(r) AS tot,
+         SUM(CAST(r AS DECIMAL(38,0)) * r) AS sq
+  FROM per GROUP BY 1
+)
+SELECT s_nationkey AS nationkey, n_suppliers,
+       round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+FROM agg
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# IQR fences (Tukey outliers) in pure integer arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5-IQR outlier counts per event type with EXACT discrete
+    quartiles (rank rules (n+1)//4 and (3*(n+1))//4, never float p*n)
+    and the fence test in PURE INTEGERS: x is an outlier iff
+    2*x > 2*q3 + 3*iqr or 2*x < 2*q1 - 3*iqr — the halves that 1.5*IQR
+    introduces never materialize as floats.  One rank window over the
+    compressed (type, value) domain + one broadcast fence join."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "value"]).select(
+        "event_type", (money("value") * 100).cast("long").alias("x")
+    )
+    wr = Window.partitionBy("event_type").orderBy("x")
+    numbered = ev.select("event_type", "x", F.row_number().over(wr).alias("rn"))
+    counts = numbered.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q1r = F.greatest(F.lit(1), F.floor((F.col("n") + 1) / 4).cast("long"))
+    q3r = F.least(F.col("n"), F.floor(3 * (F.col("n") + 1) / 4).cast("long"))
+    marked = numbered.join(counts, "event_type")
+    q1 = marked.filter(F.col("rn") == q1r).select(
+        "event_type", F.col("x").alias("q1")
+    )
+    q3 = marked.filter(F.col("rn") == q3r).select(
+        "event_type", F.col("x").alias("q3")
+    )
+    fences = q1.join(q3, "event_type")
+    out = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "q1",
+        "q3",
+        (
+            (2 * F.col("x") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")))
+            | (2 * F.col("x") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+        ).cast("long").alias("is_out"),
+    )
+    return (
+        out.groupBy("event_type", "q1", "q3")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("is_out").alias("n_outliers"))
+        .select(
+            "event_type",
+            (F.col("q1") / 100.0).alias("q1"),
+            (F.col("q3") / 100.0).alias("q3"),
+            "n_rows",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_IQR_OUTLIERS = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+), numbered AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), q1 AS (
+  SELECT event_type, x AS q1 FROM numbered
+  WHERE rn = GREATEST(1, (n + 1) // 4)
+), q3 AS (
+  SELECT event_type, x AS q3 FROM numbered
+  WHERE rn = LEAST(n, (3 * (n + 1)) // 4)
+), fences AS (
+  SELECT q1.event_type, q1, q3 FROM q1 JOIN q3 ON q1.event_type = q3.event_type
+)
+SELECT ev.event_type,
+       q1 / 100.0 AS q1,
+       q3 / 100.0 AS q3,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN 2 * x > 2 * q3 + 3 * (q3 - q1)
+                  OR 2 * x < 2 * q1 - 3 * (q3 - q1) THEN 1 ELSE 0 END) AS n_outliers
+FROM ev JOIN fences ON ev.event_type = fences.event_type
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cart abandonment rate per day
+# ---------------------------------------------------------------------------
+
+
+def _q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cart abandonment: of the users who clicked that day, the
+    share who did NOT purchase the same day — the top-of-funnel loss
+    metric beside q_funnel's lifetime view.  One (user, day, flags)
+    compression then a day rollup; exact integers, one division."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["user_id", "ts", "event_type"],
+        predicates=[F.col("event_type").isin("click", "purchase")],
+    )
+    ud = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d"),
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    day = ud.filter(F.col("clicked") == 1).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.sum("purchased").alias("n_converted"),
+    )
+    return day.select(
+        "d",
+        "n_clickers",
+        "n_converted",
+        F.round(
+            1.0 - F.col("n_converted").cast(_D) / F.col("n_clickers").cast(_D), 6
+        ).alias("abandonment_rate"),
+    ).orderBy("d")
+
+
+_SQL_ABANDONMENT = """
+WITH ud AS (
+  SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT d, COUNT(*) AS n_clickers, SUM(purchased) AS n_converted,
+       round(1.0 - CAST(SUM(purchased) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS abandonment_rate
+FROM ud WHERE clicked = 1
+GROUP BY d
+ORDER BY d
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef(
+            "q_ngram_novelty", _q_ngram_novelty, _SQL_NGRAM_NOVELTY,
+            "first-occurrence shingle novelty per source",
+        ),
+        QueryDef("q_nzv_audit", _q_nzv_audit, _sql_nzv_audit(), "near-zero-variance screen"),
+        QueryDef("q_hhi", _q_hhi, _SQL_HHI, "Herfindahl market concentration"),
+        QueryDef(
+            "q_iqr_outliers", _q_iqr_outliers, _SQL_IQR_OUTLIERS,
+            "Tukey IQR fences, integer arithmetic",
+        ),
+        QueryDef("q_abandonment", _q_abandonment, _SQL_ABANDONMENT, "daily cart abandonment"),
+    ]
+)
