@@ -314,6 +314,10 @@ BENCH_NAMES = [
     "q_hhi",
     "q_iqr_outliers",
     "q_abandonment",
+    "q_lang_confusion",
+    "q_length_profile",
+    "q_heaps_law",
+    "q_cross_source_dups",
 ]
 
 

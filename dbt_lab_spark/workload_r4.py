@@ -2664,3 +2664,300 @@ R4_QUERIES.extend(
         QueryDef("q_abandonment", _q_abandonment, _SQL_ABANDONMENT, "daily cart abandonment"),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (declared vs predicted)
+# ---------------------------------------------------------------------------
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language identifier against
+    the corpus's declared lang column — the validation a pipeline runs
+    before trusting a lang filter.  Pure expression predictions (no
+    UDF); the oracle replays the same marker voting CASE as
+    q_lang_quality.  One map-only projection + one tiny rollup."""
+    from dbt_lab_spark.functions.text import lang_id
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["lang", "text"])
+    return (
+        docs.select(F.col("lang").alias("declared"), lang_id("text").alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("agree", F.col("declared") == F.col("predicted"))
+        .orderBy("declared", "predicted")
+    )
+
+
+_SQL_LANG_CONFUSION = r"""
+WITH scored AS (
+  SELECT lang AS declared,
+         len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+             ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+         len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+             ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s_de,
+         len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+             ['le','la','les','et','est','une','pour','dans','que','des'])) AS s_fr,
+         len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+             ['el','la','los','y','es','una','para','en','que','por'])) AS s_es
+  FROM documents
+), pred AS (
+  SELECT declared,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS predicted
+  FROM scored
+)
+SELECT declared, predicted, COUNT(*) AS n_docs,
+       declared = predicted AS agree
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document-length percentiles per source (exact discrete ranks)
+# ---------------------------------------------------------------------------
+
+
+def _q_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length profile per source: exact discrete P10/P50/P90 of
+    per-doc token counts via rank rules (max(1,(n+1)//10), (n+1)//2,
+    min(n, 9*(n+1)//10)) — never float p*n — the pre-packing length
+    audit.  One token-count projection, one rank window over the
+    per-source doc lists, three rank lookups."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["source", "text"])
+    tc = docs.select(
+        "source", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("len")
+    )
+    wr = Window.partitionBy("source").orderBy("len")
+    numbered = tc.select("source", "len", F.row_number().over(wr).alias("rn"))
+    counts = numbered.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    j = numbered.join(counts, "source")
+    r10 = F.greatest(F.lit(1), F.floor((F.col("n") + 1) / 10).cast("long"))
+    r50 = F.floor((F.col("n") + 1) / 2).cast("long")
+    r90 = F.least(F.col("n"), F.floor(9 * (F.col("n") + 1) / 10).cast("long"))
+    p10 = j.filter(F.col("rn") == r10).select("source", F.col("len").alias("p10"))
+    p50 = j.filter(F.col("rn") == r50).select("source", F.col("len").alias("p50"))
+    p90 = j.filter(F.col("rn") == r90).select("source", F.col("len").alias("p90"))
+    return (
+        counts.join(p10, "source").join(p50, "source").join(p90, "source")
+        .select("source", F.col("n").alias("n_docs"), "p10", "p50", "p90")
+        .orderBy("source")
+    )
+
+
+_SQL_LENGTH_PROFILE = r"""
+WITH tc AS (
+  SELECT source, len(string_split_regex(lower(trim(text)), '\s+')) AS len
+  FROM documents
+), numbered AS (
+  SELECT source, len,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY len) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM tc
+)
+SELECT source, MAX(n) AS n_docs,
+       MAX(CASE WHEN rn = GREATEST(1, (n + 1) // 10) THEN len END) AS p10,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN len END) AS p50,
+       MAX(CASE WHEN rn = LEAST(n, (9 * (n + 1)) // 10) THEN len END) AS p90
+FROM numbered
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth over corpus prefixes
+# ---------------------------------------------------------------------------
+
+_HEAPS_PREFIXES = 10
+
+
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct vocabulary V
+    vs cumulative token count N at 10 doc-rank prefixes, plus the
+    fitted exponent beta from ln V ~ ln N OLS (Heaps: V = K N^beta,
+    beta < 1 for natural language).  V per prefix is the
+    first-occurrence trick (count tokens whose MIN doc rank falls in
+    the prefix — never a per-prefix re-scan); ln terms are frozen
+    round-6 decimals; the 10-point OLS is one reduce.  Scale: one
+    token explode + one token-domain rollup + a 10-row frame."""
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    wr = Window.orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    ).select("doc_id", "toks", F.row_number().over(wr).alias("rk"))
+    n_docs = ranked.agg(F.max("rk").alias("nd"))
+    # prefix bucket of each doc rank: 1..10 (ceil(rk*10/nd))
+    b = F.ceil(F.col("rk") * _HEAPS_PREFIXES / F.col("nd")).cast("long")
+    toks = ranked.crossJoin(F.broadcast(n_docs)).select(
+        b.alias("b"), F.explode("toks").alias("tok")
+    ).filter(F.col("tok") != "")
+    tokens_per_b = toks.groupBy("b").agg(F.count(F.lit(1)).alias("nt"))
+    first_b = toks.groupBy("tok").agg(F.min("b").alias("fb"))
+    vocab_per_b = first_b.groupBy("fb").agg(F.count(F.lit(1)).alias("nv"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame = (
+        tokens_per_b.join(vocab_per_b, tokens_per_b.b == vocab_per_b.fb, "left")
+        .select("b", "nt", F.coalesce("nv", F.lit(0)).alias("nv"))
+        .select(
+            "b",
+            F.sum("nt").over(wcum).alias("cum_tokens"),
+            F.sum("nv").over(wcum).alias("cum_vocab"),
+        )
+    )
+    ln = lambda c: F.round(F.log(F.col(c).cast(_D)), 6).cast("decimal(18,6)")
+    lncols = frame.select(
+        "b", "cum_tokens", "cum_vocab", ln("cum_tokens").alias("lx"), ln("cum_vocab").alias("ly")
+    )
+    mom = lncols.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    kd = F.col("k").cast(_D)
+    beta = (
+        kd * F.col("sxy").cast(_D) - F.col("sx").cast(_D) * F.col("sy").cast(_D)
+    ) / (kd * F.col("sxx").cast(_D) - F.col("sx").cast(_D) * F.col("sx").cast(_D))
+    fit = mom.select(F.round(beta, 6).alias("heaps_beta"))
+    return (
+        lncols.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("b").alias("prefix_decile"),
+            "cum_tokens",
+            "cum_vocab",
+            "heaps_beta",
+        )
+        .orderBy("prefix_decile")
+    )
+
+
+_SQL_HEAPS_LAW = rf"""
+WITH ranked AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+         COUNT(*) OVER () AS nd
+  FROM documents
+), toks AS (
+  SELECT CAST(ceil(rk * {_HEAPS_PREFIXES} / CAST(nd AS DOUBLE)) AS BIGINT) AS b,
+         tok
+  FROM ranked, UNNEST(toks) AS u(tok)
+  WHERE tok <> ''
+), tokens_per_b AS (
+  SELECT b, COUNT(*) AS nt FROM toks GROUP BY 1
+), first_b AS (
+  SELECT tok, MIN(b) AS fb FROM toks GROUP BY 1
+), vocab_per_b AS (
+  SELECT fb, COUNT(*) AS nv FROM first_b GROUP BY 1
+), frame AS (
+  SELECT b,
+         SUM(nt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(COALESCE(nv, 0)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_vocab
+  FROM tokens_per_b LEFT JOIN vocab_per_b ON b = fb
+), lncols AS (
+  SELECT b, cum_tokens, cum_vocab,
+         CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+         CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+  FROM frame
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM lncols
+), fit AS (
+  SELECT round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+               6) AS heaps_beta
+  FROM mom
+)
+SELECT b AS prefix_decile, cum_tokens, cum_vocab, heaps_beta
+FROM lncols CROSS JOIN fit
+ORDER BY prefix_decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup contamination
+# ---------------------------------------------------------------------------
+
+
+def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate contamination: md5-minhash near-dup pairs
+    bucketed by the (unordered) source pair — the report that tells a
+    data team WHERE its duplication comes from (within one crawl vs
+    leaking between sources).  Reuses the full-oracle md5 minhash
+    plane; two broadcast dimension joins + one tiny rollup."""
+    from dbt_lab_spark.llm.dedup import minhash_dedup_pairs
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    src = scan(spark, cat, "documents", ["doc_id", "source"])
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=16, shingle_k=3, num_bands=4, threshold=0.7, base_hash="md5"
+    )
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_1"),
+            F.greatest("sa", "sb").alias("source_2"),
+        )
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("cross_source", F.col("source_1") != F.col("source_2"))
+        .orderBy("source_1", "source_2")
+    )
+
+
+def _sql_cross_source_dups() -> str:
+    from dbt_lab_spark.workload_beyond import _sql_minhash_md5_ctes
+
+    return f"""
+WITH {_sql_minhash_md5_ctes()},
+pairs AS (
+  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7
+), j AS (
+  SELECT LEAST(da.source, db.source) AS source_1,
+         GREATEST(da.source, db.source) AS source_2
+  FROM pairs
+  JOIN documents da ON pairs.id_a = da.doc_id
+  JOIN documents db ON pairs.id_b = db.doc_id
+)
+SELECT source_1, source_2, COUNT(*) AS n_pairs,
+       source_1 <> source_2 AS cross_source
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef(
+            "q_lang_confusion", _q_lang_confusion, _SQL_LANG_CONFUSION,
+            "declared-vs-predicted language confusion",
+        ),
+        QueryDef(
+            "q_length_profile", _q_length_profile, _SQL_LENGTH_PROFILE,
+            "doc-length percentiles per source",
+        ),
+        QueryDef("q_heaps_law", _q_heaps_law, _SQL_HEAPS_LAW, "Heaps vocabulary-growth fit"),
+        QueryDef(
+            "q_cross_source_dups", _q_cross_source_dups, _sql_cross_source_dups(),
+            "cross-source near-dup contamination",
+        ),
+    ]
+)
