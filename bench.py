@@ -318,6 +318,12 @@ BENCH_NAMES = [
     "q_length_profile",
     "q_heaps_law",
     "q_cross_source_dups",
+    "q_bowley_skew",
+    "q_moving_range",
+    "q_two_prop_z",
+    "q_odds_ratio",
+    "q_cramers_v",
+    "q_youden_j",
 ]
 
 

@@ -2961,3 +2961,517 @@ R4_QUERIES.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Bowley quartile skewness per event type
+# ---------------------------------------------------------------------------
+
+
+def _q_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness per event type:
+    (Q3 + Q1 - 2*Q2)/(Q3 - Q1) on the exact discrete quartiles (rank
+    rules, never float p*n) — the outlier-robust skewness beside
+    q_higher_moments' moment-based one.  Numerator and denominator are
+    exact integers; one double division."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["event_type", "value"]).select(
+        "event_type", (money("value") * 100).cast("long").alias("x")
+    )
+    wr = Window.partitionBy("event_type").orderBy("x")
+    numbered = ev.select("event_type", "x", F.row_number().over(wr).alias("rn"))
+    counts = numbered.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    j = numbered.join(counts, "event_type")
+    q1r = F.greatest(F.lit(1), F.floor((F.col("n") + 1) / 4).cast("long"))
+    q2r = F.floor((F.col("n") + 1) / 2).cast("long")
+    q3r = F.least(F.col("n"), F.floor(3 * (F.col("n") + 1) / 4).cast("long"))
+    q1 = j.filter(F.col("rn") == q1r).select("event_type", F.col("x").alias("q1"))
+    q2 = j.filter(F.col("rn") == q2r).select("event_type", F.col("x").alias("q2"))
+    q3 = j.filter(F.col("rn") == q3r).select("event_type", F.col("x").alias("q3"))
+    f = q1.join(q2, "event_type").join(q3, "event_type")
+    skew = (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast(_D) / (
+        F.col("q3") - F.col("q1")
+    ).cast(_D)
+    return f.select(
+        "event_type",
+        (F.col("q1") / 100.0).alias("q1"),
+        (F.col("q2") / 100.0).alias("median"),
+        (F.col("q3") / 100.0).alias("q3"),
+        F.round(skew, 6).alias("bowley_skew"),
+    ).orderBy("event_type")
+
+
+_SQL_BOWLEY_SKEW = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+), numbered AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), q AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = GREATEST(1, (n + 1) // 4) THEN x END) AS q1,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS q2,
+         MAX(CASE WHEN rn = LEAST(n, (3 * (n + 1)) // 4) THEN x END) AS q3
+  FROM numbered GROUP BY 1
+)
+SELECT event_type,
+       q1 / 100.0 AS q1, q2 / 100.0 AS median, q3 / 100.0 AS q3,
+       round(CAST(q3 + q1 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE), 6)
+         AS bowley_skew
+FROM q ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Individuals / moving-range (I-MR) control chart
+# ---------------------------------------------------------------------------
+
+# Standard I-MR constants: E2 = 2.66 (=3/d2, d2=1.128), D4 = 3.267
+_IMR_E2 = 2.66
+_IMR_D4 = 3.267
+
+
+def _q_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-MR control chart summary over daily purchase revenue: mean
+    moving range, the individuals-chart limits xbar +- 2.66*MRbar, the
+    MR-chart limit 3.267*MRbar (frozen standard constants), and the
+    out-of-control counts — the low-volume companion to q_spc_chart's
+    grouped x-bar.  All sums exact integers; limits are double
+    formulas; the violation comparisons run on cents against rounded-
+    cent limits so both engines count identically."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    cents = (money("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d", "x", F.abs(F.col("x") - F.lag("x", 1).over(w)).alias("mr")
+    )
+    mom = mr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.count("mr").alias("m"),
+        F.sum("mr").alias("smr"),
+    )
+    n, m = F.col("n").cast(_D), F.col("m").cast(_D)
+    xbar = F.col("sx").cast(_D) / n
+    mrbar = F.col("smr").cast(_D) / m
+    lim = mom.select(
+        "n",
+        F.round(xbar, 6).alias("xb"),
+        F.round(mrbar, 6).alias("mrb"),
+        F.round(xbar + _IMR_E2 * mrbar, 0).cast("long").alias("ucl_x"),
+        F.round(xbar - _IMR_E2 * mrbar, 0).cast("long").alias("lcl_x"),
+        F.round(_IMR_D4 * mrbar, 0).cast("long").alias("ucl_mr"),
+    )
+    viol = mr.crossJoin(F.broadcast(lim)).agg(
+        F.max("n").alias("n_days"),
+        F.max("xb").alias("xb"),
+        F.max("mrb").alias("mrb"),
+        F.sum(
+            ((F.col("x") > F.col("ucl_x")) | (F.col("x") < F.col("lcl_x")))
+            .cast("long")
+        ).alias("n_out_x"),
+        F.sum((F.col("mr") > F.col("ucl_mr")).cast("long")).alias("n_out_mr"),
+    )
+    return viol.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("xb") / 100.0, 4).alias("mean_daily"),
+        F.round(F.col("mrb") / 100.0, 4).alias("mean_moving_range"),
+        "n_out_x",
+        "n_out_mr",
+    )
+
+
+_SQL_MOVING_RANGE = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), mr AS (
+  SELECT d, x, ABS(x - LAG(x, 1) OVER (ORDER BY d)) AS mr FROM daily
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, COUNT(mr) AS m, SUM(mr) AS smr FROM mr
+), lim AS (
+  SELECT n,
+         round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS xb,
+         round(CAST(smr AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mrb,
+         CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+               + {_IMR_E2} * (CAST(smr AS DOUBLE) / CAST(m AS DOUBLE)), 0) AS BIGINT) AS ucl_x,
+         CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+               - {_IMR_E2} * (CAST(smr AS DOUBLE) / CAST(m AS DOUBLE)), 0) AS BIGINT) AS lcl_x,
+         CAST(round({_IMR_D4} * (CAST(smr AS DOUBLE) / CAST(m AS DOUBLE)), 0) AS BIGINT) AS ucl_mr
+  FROM mom
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       round(MAX(xb) / 100.0, 4) AS mean_daily,
+       round(MAX(mrb) / 100.0, 4) AS mean_moving_range,
+       SUM(CASE WHEN x > ucl_x OR x < lcl_x THEN 1 ELSE 0 END) AS n_out_x,
+       SUM(CASE WHEN mr > ucl_mr THEN 1 ELSE 0 END) AS n_out_mr
+FROM mr CROSS JOIN lim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test: weekend vs weekday purchase rate
+# ---------------------------------------------------------------------------
+
+
+def _q_two_prop_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: does the purchase share of events differ
+    between weekend and weekday?  Counts are exact integers (day-of-week
+    from the epoch-day modulo — engine-identical, no locale-dependent
+    date function); the pooled z statistic is one double formula."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["ts", "event_type"])
+    # epoch day 0 = Thursday; (d + 4) % 7 in 0..6 with 0=Sunday, 6=Saturday
+    d = F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+    dow = (d + 4) % 7
+    grp = ev.select(
+        ((dow == 0) | (dow == 6)).alias("weekend"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    agg = grp.groupBy("weekend").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    )
+    piv = agg.agg(
+        F.max(F.when(F.col("weekend"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("weekend"), F.col("k"))).alias("k1"),
+        F.max(F.when(~F.col("weekend"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("weekend"), F.col("k"))).alias("k2"),
+    )
+    n1, k1 = F.col("n1").cast(_D), F.col("k1").cast(_D)
+    n2, k2 = F.col("n2").cast(_D), F.col("k2").cast(_D)
+    p1, p2 = k1 / n1, k2 / n2
+    pp = (k1 + k2) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    return piv.select(
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("k1").cast("bigint").alias("k_weekend"),
+        F.col("n2").cast("bigint").alias("n_weekday"),
+        F.col("k2").cast("bigint").alias("k_weekday"),
+        F.round(p1 - p2, 6).alias("rate_diff"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+_SQL_TWO_PROP_Z = """
+WITH grp AS (
+  SELECT ((CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) + 4) % 7) IN (0, 6)
+           AS weekend,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), agg AS (
+  SELECT weekend, COUNT(*) AS n, SUM(y) AS k FROM grp GROUP BY 1
+), piv AS (
+  SELECT MAX(CASE WHEN weekend THEN n END) AS n1,
+         MAX(CASE WHEN weekend THEN k END) AS k1,
+         MAX(CASE WHEN NOT weekend THEN n END) AS n2,
+         MAX(CASE WHEN NOT weekend THEN k END) AS k2
+  FROM agg
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(k1 AS BIGINT) AS k_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday, CAST(k2 AS BIGINT) AS k_weekday,
+       round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_diff,
+       round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 4)
+         AS z_stat
+FROM piv
+"""
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio with Woolf CI
+# ---------------------------------------------------------------------------
+
+
+def _q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchasing given a view on the same day (per-user
+    daily 2x2: exposed = viewed) with the Woolf log-OR confidence
+    interval: all four cells are exact integers; the Haldane-Anscombe
+    +0.5 correction (standard for zero cells) keeps the estimate
+    defined on sparse tables; ln(OR) and the CI are double formulas
+    with the frozen 1.96 constant."""
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["user_id", "ts", "event_type"],
+        predicates=[F.col("event_type").isin("view", "purchase")],
+    )
+    ud = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("d"),
+    ).agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("e"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    cells = ud.agg(
+        F.sum(((F.col("e") == 1) & (F.col("y") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("e") == 1) & (F.col("y") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("e") == 0) & (F.col("y") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("e") == 0) & (F.col("y") == 0)).cast("long")).alias("dd"),
+    )
+    a = F.col("a").cast(_D) + 0.5
+    b = F.col("b").cast(_D) + 0.5
+    c = F.col("c").cast(_D) + 0.5
+    dd = F.col("dd").cast(_D) + 0.5
+    orr = (a * dd) / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)
+    lor = F.log(orr)
+    return cells.select(
+        "a", "b", "c", F.col("dd").alias("d"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lor - 1.96 * se, 6).alias("log_or_lo"),
+        F.round(lor + 1.96 * se, 6).alias("log_or_hi"),
+    )
+
+
+_SQL_ODDS_RATIO = """
+WITH ud AS (
+  SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+), cells AS (
+  SELECT SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS dd
+  FROM ud
+)
+SELECT a, b, c, dd AS d,
+       round(((CAST(a AS DOUBLE) + 0.5) * (CAST(dd AS DOUBLE) + 0.5))
+             / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)), 6) AS odds_ratio,
+       round(ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(dd AS DOUBLE) + 0.5))
+                / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+             - 1.96 * sqrt(1.0 / (CAST(a AS DOUBLE) + 0.5) + 1.0 / (CAST(b AS DOUBLE) + 0.5)
+                           + 1.0 / (CAST(c AS DOUBLE) + 0.5) + 1.0 / (CAST(dd AS DOUBLE) + 0.5)), 6)
+         AS log_or_lo,
+       round(ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(dd AS DOUBLE) + 0.5))
+                / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+             + 1.96 * sqrt(1.0 / (CAST(a AS DOUBLE) + 0.5) + 1.0 / (CAST(b AS DOUBLE) + 0.5)
+                           + 1.0 / (CAST(c AS DOUBLE) + 0.5) + 1.0 / (CAST(dd AS DOUBLE) + 0.5)), 6)
+         AS log_or_hi
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association strength
+# ---------------------------------------------------------------------------
+
+
+def _q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V for the (event_type x day-of-week) contingency table —
+    the normalized effect size the chi-square test (q_chi2) should ship
+    with.  Cell and margin counts are exact integers; chi2 accumulates
+    per-cell round-6 decimal terms (order-free); V is one sqrt."""
+    cat = Catalog(sf_dir)
+    ev = scan(spark, cat, "events", ["ts", "event_type"])
+    d = F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+    cells = ev.select("event_type", ((d + 4) % 7).alias("dow")).groupBy(
+        "event_type", "dow"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rm"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("cm"))
+    tot = cells.agg(F.sum("o").alias("n")).collect()[0]["n"]
+    if not tot:
+        raise ValueError("Cramer's V needs a non-empty events table")
+    term = F.round(
+        F.pow(
+            F.col("o").cast(_D) - F.col("rm").cast(_D) * F.col("cm").cast(_D) / F.lit(float(tot)),
+            F.lit(2.0),
+        )
+        / (F.col("rm").cast(_D) * F.col("cm").cast(_D) / F.lit(float(tot))),
+        6,
+    ).cast("decimal(18,6)")
+    joined = cells.join(F.broadcast(rows_), "event_type").join(F.broadcast(cols_), "dow")
+    chi = joined.select(term.alias("t")).agg(F.sum("t").alias("chi_dec"))
+    r = rows_.count()
+    c = cols_.count()
+    k = float(min(r - 1, c - 1))
+    return chi.select(
+        F.lit(tot).cast("bigint").alias("n"),
+        F.lit(r).cast("int").alias("n_rows"),
+        F.lit(c).cast("int").alias("n_cols"),
+        F.round(F.col("chi_dec").cast(_D), 4).alias("chi2"),
+        F.round(F.sqrt(F.col("chi_dec").cast(_D) / (F.lit(float(tot)) * F.lit(k))), 6).alias(
+            "cramers_v"
+        ),
+    )
+
+
+_SQL_CRAMERS_V = """
+WITH cells AS (
+  SELECT event_type,
+         (CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) + 4) % 7 AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rows_ AS (
+  SELECT event_type, SUM(o) AS rm FROM cells GROUP BY 1
+), cols_ AS (
+  SELECT dow, SUM(o) AS cm FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(o) AS n FROM cells
+), terms AS (
+  SELECT CAST(round(pow(CAST(o AS DOUBLE)
+                        - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE), 2.0)
+                    / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS t
+  FROM cells
+  JOIN rows_ USING (event_type)
+  JOIN cols_ USING (dow)
+  CROSS JOIN tot
+), dims AS (
+  SELECT (SELECT COUNT(*) FROM rows_) AS r,
+         (SELECT COUNT(*) FROM cols_) AS c,
+         (SELECT n FROM tot) AS n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS INT) AS n_rows,
+       CAST(c AS INT) AS n_cols,
+       round(CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 4) AS chi2,
+       round(sqrt(CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM dims
+"""
+
+
+# ---------------------------------------------------------------------------
+# Youden J optimal threshold over score deciles
+# ---------------------------------------------------------------------------
+
+_YJ_BINS = 10
+
+
+def _q_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden J threshold selection: over acctbal-decile score cuts,
+    the cut maximizing sensitivity + specificity - 1 for predicting
+    "customer placed an URGENT order" — the operating-point companion
+    to q_auc_eval.  The argmax is decided on the EXACT integer
+    cross-multiplication tp*Nneg - fp*Npos (never a float J), ties to
+    the lower cut; reported J values are single divisions."""
+    cat = Catalog(sf_dir)
+    cust = scan(spark, cat, "customer", ["c_custkey", "c_acctbal"])
+    orders = scan(spark, cat, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    base = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left").select(
+        (money("c_acctbal") * 100).cast("long").alias("bal"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    # (bal, y) ordering makes the decile split deterministic under
+    # equal balances (the per-bin totals are then tie-invariant).
+    w = Window.orderBy("bal", "y")
+    n_tot = base.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    if not n_tot:
+        raise ValueError("youden J needs a non-empty customer table")
+    binned = base.select(
+        "y", F.row_number().over(w).alias("rn")
+    ).select("y", ((F.col("rn") - 1) * _YJ_BINS / F.lit(n_tot)).cast("long").alias("b"))
+    per = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("y").alias("pb")
+    )
+    tot = per.agg(F.sum("nb").alias("n"), F.sum("pb").alias("pos")).collect()[0]
+    npos, nneg = int(tot["pos"] or 0), int((tot["n"] or 0) - (tot["pos"] or 0))
+    if npos == 0 or nneg == 0:
+        raise ValueError(
+            "youden J is undefined with a degenerate label distribution "
+            "(no positives or no negatives)"
+        )
+    wc = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
+    # predicting positive for bins >= cut b: tp = positives in b..9
+    cuts = per.select(
+        "b",
+        F.sum("pb").over(wc).alias("tp"),
+        (F.sum("nb").over(wc) - F.sum("pb").over(wc)).alias("fp"),
+    )
+    scored = cuts.select(
+        "b",
+        "tp",
+        "fp",
+        (F.col("tp") * nneg - F.col("fp") * npos).alias("cross"),
+    )
+    top = scored.orderBy(F.desc("cross"), "b").limit(1)
+    return top.select(
+        F.col("b").alias("best_cut_decile"),
+        "tp",
+        "fp",
+        F.round(F.col("tp").cast(_D) / float(npos), 6).alias("sensitivity"),
+        F.round(1.0 - F.col("fp").cast(_D) / float(nneg), 6).alias("specificity"),
+        F.round(
+            F.col("tp").cast(_D) / float(npos) - F.col("fp").cast(_D) / float(nneg), 6
+        ).alias("youden_j"),
+    )
+
+
+_SQL_YOUDEN_J = f"""
+WITH urgent AS (
+  SELECT o_custkey, MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         COALESCE(y, 0) AS y
+  FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+), binned AS (
+  SELECT y,
+         (ROW_NUMBER() OVER (ORDER BY bal, y) - 1) * {_YJ_BINS}
+           // COUNT(*) OVER () AS b
+  FROM base
+), per AS (
+  SELECT b, COUNT(*) AS nb, SUM(y) AS pb FROM binned GROUP BY 1
+), tot AS (
+  SELECT SUM(nb) AS n, SUM(pb) AS pos FROM per
+), cuts AS (
+  SELECT b,
+         SUM(pb) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS tp,
+         SUM(nb) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING)
+           - SUM(pb) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS fp
+  FROM per
+), scored AS (
+  SELECT b, tp, fp,
+         tp * (SELECT n - pos FROM tot) - fp * (SELECT pos FROM tot) AS crossm
+  FROM cuts
+), top AS (
+  SELECT * FROM scored ORDER BY crossm DESC, b LIMIT 1
+)
+SELECT b AS best_cut_decile, tp, fp,
+       round(CAST(tp AS DOUBLE) / CAST((SELECT pos FROM tot) AS DOUBLE), 6)
+         AS sensitivity,
+       round(1.0 - CAST(fp AS DOUBLE) / CAST((SELECT n - pos FROM tot) AS DOUBLE), 6)
+         AS specificity,
+       round(CAST(tp AS DOUBLE) / CAST((SELECT pos FROM tot) AS DOUBLE)
+             - CAST(fp AS DOUBLE) / CAST((SELECT n - pos FROM tot) AS DOUBLE), 6)
+         AS youden_j
+FROM top
+"""
+
+
+R4_QUERIES.extend(
+    [
+        QueryDef("q_bowley_skew", _q_bowley_skew, _SQL_BOWLEY_SKEW, "quartile skewness"),
+        QueryDef(
+            "q_moving_range", _q_moving_range, _SQL_MOVING_RANGE,
+            "I-MR control chart summary",
+        ),
+        QueryDef("q_two_prop_z", _q_two_prop_z, _SQL_TWO_PROP_Z, "two-proportion z-test"),
+        QueryDef("q_odds_ratio", _q_odds_ratio, _SQL_ODDS_RATIO, "odds ratio with Woolf CI"),
+        QueryDef("q_cramers_v", _q_cramers_v, _SQL_CRAMERS_V, "Cramer's V association"),
+        QueryDef("q_youden_j", _q_youden_j, _SQL_YOUDEN_J, "Youden J threshold selection"),
+    ]
+)
