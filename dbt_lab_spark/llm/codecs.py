@@ -2795,15 +2795,72 @@ def _tiff_read_ifd(data: bytes, off: int, endian: str) -> dict[int, list]:
     return out
 
 
-def encode_tiff(pixels: np.ndarray) -> bytes:
-    """Encode HxWx3 uint8 RGB (or HxW gray) as an uncompressed
-    little-endian baseline TIFF, single strip."""
+def _packbits_encode_row(row: bytes) -> bytes:
+    """PackBits-compress one scanline (TIFF 6.0 §9 / the Apple RLE):
+    runs of >= 2 identical bytes become (257-n, byte); literal spans
+    become (n-1, bytes).  Max 128 per control byte."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # measure the run starting at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), row[i]])
+            i = j
+            continue
+        # literal span: until the next >=2 run (or 128 bytes)
+        j = i + 1
+        while j < n and j - i < 128 and not (j + 1 < n and row[j] == row[j + 1]):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Unpack a PackBits stream to exactly `expected` bytes (row
+    restarts concatenate transparently — each row's stream is
+    self-delimiting)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits stream yielded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def encode_tiff(pixels: np.ndarray, compression: str = "none") -> bytes:
+    """Encode HxWx3 uint8 RGB (or HxW gray) as a little-endian baseline
+    TIFF, single strip — uncompressed (default) or PackBits
+    (compression='packbits', tag 259 = 32773, packed per scanline as
+    the spec requires)."""
     if pixels.dtype != np.uint8:
         raise ValueError("encode_tiff expects uint8")
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     spp = 1 if gray else 3
-    raster = pixels.tobytes()
+    if compression == "packbits":
+        rows = pixels.reshape(h, w * spp)
+        raster = b"".join(_packbits_encode_row(rows[r].tobytes()) for r in range(h))
+        comp_tag = 32773
+    elif compression == "none":
+        raster = pixels.tobytes()
+        comp_tag = 1
+    else:
+        raise ValueError(f"unsupported TIFF compression {compression!r}")
     # header(8) + IFD; raster after the IFD and its value heap
     entries = []
     heap = bytearray()
@@ -2813,7 +2870,7 @@ def encode_tiff(pixels: np.ndarray) -> bytes:
     add(256, 3, [w])
     add(257, 3, [h])
     add(258, 3, [8] * spp)
-    add(259, 3, [1])  # no compression
+    add(259, 3, [comp_tag])
     add(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
     add(273, 4, [0])  # strip offset: patched below
     add(277, 3, [spp])
@@ -2845,9 +2902,10 @@ def encode_tiff(pixels: np.ndarray) -> bytes:
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed baseline TIFF (8-bit gray or RGB, either
-    byte order, multi-strip) into HxWx3 uint8 RGB.  Compressed TIFFs
-    (LZW/deflate/JPEG-in-TIFF) are rejected with a clear error."""
+    """Decode a baseline TIFF (8-bit gray or RGB, either byte order,
+    multi-strip; uncompressed or PackBits Compression=32773) into
+    HxWx3 uint8 RGB.  Other compressions (LZW/deflate/JPEG-in-TIFF)
+    are rejected with a clear error."""
     order = payload[:2]
     endian = "<" if order == b"II" else ">" if order == b"MM" else None
     if endian is None:
@@ -2859,8 +2917,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w = tags[256][0]
     h = tags[257][0]
     comp = tags.get(259, [1])[0]
-    if comp != 1:
-        raise NotImplementedError(f"TIFF compression {comp} not supported (baseline only)")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (uncompressed + PackBits only)"
+        )
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
@@ -2868,6 +2928,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     offsets = tags[273]
     counts = tags.get(279, [w * h * spp])
     raster = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
+    if comp == 32773:
+        raster = _packbits_decode(raster, w * h * spp)
     px = np.frombuffer(raster, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
     if spp == 1:
         return np.repeat(px, 3, axis=2)

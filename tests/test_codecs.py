@@ -1074,3 +1074,50 @@ def test_mp3_frame_header_parsing_pins():
     # reserved fields rejected: version bits 01, bitrate index 15
     assert parse_mp3_meta(bytes([0xFF, 0xEB, 0x22, 0xC0]) + bytes(100)) == {}
     assert parse_mp3_meta(bytes([0xFF, 0xFB, 0xF2, 0xC0]) + bytes(100)) == {}
+
+
+def test_tiff_packbits_roundtrip_and_spec_example():
+    """r4: PackBits-compressed TIFF (Compression=32773) decodes — the
+    first 'compressed TIFF' family supported (LZW/deflate stay
+    rejected).  The row packer reproduces the TIFF 6.0 §9 worked
+    example byte-for-byte; encode->decode round-trips runs-heavy,
+    noisy, and grayscale images identically to the uncompressed path."""
+    import numpy as np
+
+    from dbt_lab_spark.llm.codecs import (
+        _packbits_decode,
+        _packbits_encode_row,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    raw = bytes.fromhex("aaaaaa80002aaaaaaaaa80002a22aaaaaaaaaaaaaaaaaaaa")
+    packed = _packbits_encode_row(raw)
+    assert packed == bytes.fromhex("feaa0280002afdaa0380002a22f7aa")  # spec §9
+    assert _packbits_decode(packed, len(raw)) == raw
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 3, size=(13, 17, 3)) * 100).astype(np.uint8),
+        rng.integers(0, 256, size=(9, 21, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(11, 8), dtype=np.uint8),
+    ]
+    for px in cases:
+        t = encode_tiff(px, compression="packbits")
+        assert (decode_tiff(t) == decode_tiff(encode_tiff(px))).all()
+    # flat image: PackBits actually compresses
+    flat = np.full((32, 32, 3), 7, dtype=np.uint8)
+    assert len(encode_tiff(flat, compression="packbits")) < len(encode_tiff(flat)) / 10
+    # other compressions still rejected loudly
+    import pytest as _pytest
+
+    bad = bytearray(encode_tiff(cases[1]))
+    # tag 259 inline value: find entry and set compression=5 (LZW)
+    import struct as _struct
+
+    for i in range(9):
+        e = 10 + 12 * i
+        if _struct.unpack_from("<H", bad, e)[0] == 259:
+            _struct.pack_into("<I", bad, e + 8, 5)
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(bad))
