@@ -108,12 +108,19 @@ _CBO_READY: set[tuple[str, str, str]] = set()
 
 def cbo_schema_name(sf_dir: str) -> str:
     """Session-catalog schema for one sf directory's ANALYZE-d tables.
-    Per-sf names (dbt_lab_sf0_01, ...) keep LOCATIONs from going stale
-    when one session touches multiple scale factors."""
+    Per-sf names (dbt_lab_sf0_01_ab12cd34, ...) keep LOCATIONs from
+    going stale when one session touches multiple scale factors.  The
+    suffix is a hash of the FULL resolved path, not just the basename:
+    two different sf_dirs that happen to share a basename (ADVICE r4)
+    must not collide on one catalog entry, because CREATE TABLE IF NOT
+    EXISTS would silently keep serving the first directory's LOCATION."""
+    import hashlib
     import re
 
-    tag = re.sub(r"[^0-9A-Za-z_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    return f"dbt_lab_{tag}"
+    resolved = os.path.realpath(sf_dir.rstrip("/") or "/")
+    tag = re.sub(r"[^0-9A-Za-z_]", "_", os.path.basename(resolved))
+    digest = hashlib.md5(resolved.encode()).hexdigest()[:8]
+    return f"dbt_lab_{tag}_{digest}"
 
 
 @lru_cache(maxsize=64)
@@ -315,6 +322,10 @@ class Catalog:
             )
         else:
             spark.sql(f"ANALYZE TABLE `{schema}`.`{name}` COMPUTE STATISTICS")
+        # The table may predate this process (catalog metadata persists in
+        # spark-warehouse across sessions): drop any cached file listing so
+        # a source rewritten since then is re-scanned (ADVICE r4).
+        spark.sql(f"REFRESH TABLE `{schema}`.`{name}`")
 
     def analyze(
         self,

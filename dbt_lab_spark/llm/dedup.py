@@ -443,6 +443,114 @@ def ngram_jaccard_all_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT verification of candidate (id_a, id_b)
+    pairs: c = |A ∩ B| over distinct word k-grams via array_intersect,
+    reported both directions (c/|A|, c/|B|), kept when max >= threshold.
+    The asymmetric companion to ngram_jaccard_pairs — a snippet embedded
+    in a larger page scores ~1.0 here where Jaccard under-scores it."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+    )
+    out = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_a").cast("double")
+            ).alias("containment_a_in_b"),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_b").cast("double")
+            ).alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+        )
+    )
+    return out
+
+
+def containment_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs shingle containment (|A ∩ B|/|A| and /|B|, kept
+    when either direction >= threshold) via the same inverted-index
+    count trick as ngram_jaccard_all_pairs — per-pair join-match count
+    IS the intersection; set sizes ride along — but WITHOUT the
+    symmetric size-ratio prune, because small-inside-big is the point.
+
+    `max_doc_freq` is the corpus-scale skew cap (VERDICT r4 #3): a
+    boilerplate shingle in k docs emits k² candidate pairs, so shingles
+    in more than max_doc_freq docs are dropped from the INVERTED INDEX
+    ONLY (hot-id set broadcasts), and surviving candidates are
+    re-verified EXACTLY on the full shingle arrays via
+    containment_pairs — hot shingles still count toward the reported
+    values, so every returned number is exact.  The only possible loss
+    is a pair whose shared shingles are ALL hot (see the jaccard
+    operator's bound).  Default None = fully exact, no cap.
+
+    Scale shape: shuffle 1 = explode + join on 64-bit shingle keys;
+    shuffle 2 = pair count with map-side partial agg; cap path adds one
+    doc-freq aggregate + a broadcast anti-join + the candidate
+    re-verify joins."""
+    sh = _parallelize(df).select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    ex = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__g"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__g")
+        )
+        ex = ex.join(F.broadcast(hot), on="__g", how="left_anti")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__g")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__g")
+    joined = a.join(b, on="__g").filter(F.col("id_a") < F.col("id_b"))
+    if max_doc_freq is not None:
+        cand = joined.select("id_a", "id_b").distinct()
+        return containment_pairs(df, cand, text_col, id_col, shingle_k, threshold)
+    shared = joined.groupBy("id_a", "id_b", "__na", "__nb").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    out = shared.select(
+        "id_a",
+        "id_b",
+        (F.col("__c") / F.col("__na").cast("double")).alias("containment_a_in_b"),
+        (F.col("__c") / F.col("__nb").cast("double")).alias("containment_b_in_a"),
+    ).filter(
+        F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+    )
+    return out
+
+
 def ngram_jaccard_ppjoin(
     df: DataFrame,
     text_col: str = "text",

@@ -3518,8 +3518,20 @@ def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Key the cache on a SOURCE FINGERPRINT, not just the sf-dir basename
+    # (ADVICE r4): a lineitem.parquet regenerated in place, or two sf_dirs
+    # sharing a basename, must invalidate/avoid the cached layout rather
+    # than silently serving stale rows while the oracle reads live data.
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fingerprint = "missing"
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join(repo_root, ".layout_cache", sf_tag, "lineitem_by_shipyear")
+    path = os.path.join(
+        repo_root, ".layout_cache", f"{sf_tag}_{fingerprint}", "lineitem_by_shipyear"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from dbt_lab_spark.sources import write_partitioned
 
@@ -5527,8 +5539,18 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_matched",
-            F.round(F.col("n_matched") / F.col("n_exact"), 4).alias("recall"),
-            F.round(F.col("n_matched") / F.col("n_lsh"), 4).alias("precision"),
+            # Empty sides are explicit NULL refusals in both engines:
+            # under ANSI mode a bare /0 would THROW on a no-near-dups
+            # data drop instead of degrading gracefully (ADVICE r4).
+            F.round(
+                F.when(
+                    F.col("n_exact") > 0, F.col("n_matched") / F.col("n_exact")
+                ),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_lsh") > 0, F.col("n_matched") / F.col("n_lsh")), 4
+            ).alias("precision"),
         )
     )
 
@@ -5543,8 +5565,10 @@ WITH exact_pairs AS (SELECT id_a, id_b FROM ({_SQL_EMBEDDING_NEARDUP}) t),
      ne AS (SELECT COUNT(*) AS n_exact FROM exact_pairs),
      nl AS (SELECT COUNT(*) AS n_lsh FROM lsh_pairs)
 SELECT n_exact, n_lsh, n_matched,
-       ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall,
-       ROUND(CAST(n_matched AS DOUBLE) / n_lsh, 4) AS precision
+       ROUND(CASE WHEN n_exact > 0
+                  THEN CAST(n_matched AS DOUBLE) / n_exact END, 4) AS recall,
+       ROUND(CASE WHEN n_lsh > 0
+                  THEN CAST(n_matched AS DOUBLE) / n_lsh END, 4) AS precision
 FROM ne, nl, m
 """
 
@@ -5575,8 +5599,19 @@ def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(matched.agg(F.count("*").alias("n_matched")))
         .select(
             "n_exact",
-            (F.col("n_matched") >= 0.9 * F.col("n_exact")).alias("recall_ge_090"),
-            (F.col("n_matched") >= 0.9 * F.col("n_approx")).alias("precision_ge_090"),
+            # Vacuously true when either side is empty (ADVICE r4): on a
+            # data drop with no true near-dups, an LSH false-positive pair
+            # must not flip the flag the oracle hardcodes TRUE — the flag
+            # measures retrieval quality, which is undefined there.
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_matched") >= 0.9 * F.col("n_exact"))
+            ).alias("recall_ge_090"),
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_approx") == 0)
+                | (F.col("n_matched") >= 0.9 * F.col("n_approx"))
+            ).alias("precision_ge_090"),
         )
     )
 
@@ -5614,8 +5649,16 @@ def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(matched.agg(F.count("*").alias("n_matched")))
         .select(
             "n_exact",
-            (F.col("n_matched") >= 0.4 * F.col("n_exact")).alias("recall_ge_040"),
-            (F.col("n_matched") >= 0.25 * F.col("n_approx")).alias("precision_ge_025"),
+            # Same vacuous-truth convention as q_minhash_recall (ADVICE r4).
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_matched") >= 0.4 * F.col("n_exact"))
+            ).alias("recall_ge_040"),
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_approx") == 0)
+                | (F.col("n_matched") >= 0.25 * F.col("n_approx"))
+            ).alias("precision_ge_025"),
         )
     )
 

@@ -200,7 +200,15 @@ def _q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_rel.agg(
         F.lit(n_nations).cast("bigint").alias("n_queries"),
         F.count(F.lit(1)).alias("n_with_relevant"),
-        F.round(F.sum(rr).cast(_D) / F.lit(n_nations).cast(_D), 6).alias("mrr"),
+        # n_nations = 0 (empty customer) is an explicit NULL refusal;
+        # the numerator is NULL there too, but guard the 0-denominator
+        # rather than lean on NULL/0 semantics (ADVICE r4).
+        F.round(
+            F.when(
+                F.lit(n_nations) > 0, F.sum(rr).cast(_D) / F.lit(n_nations).cast(_D)
+            ),
+            6,
+        ).alias("mrr"),
     )
 
 
@@ -223,9 +231,10 @@ WITH cnt AS (
 )
 SELECT n_queries,
        (SELECT COUNT(*) FROM first_rel) AS n_with_relevant,
-       round(CAST((SELECT SUM(CAST(round(1.0 / CAST(first_rank AS DOUBLE), 6)
-                                   AS DECIMAL(18,6))) FROM first_rel) AS DOUBLE)
-             / CAST(n_queries AS DOUBLE), 6) AS mrr
+       round(CASE WHEN n_queries > 0 THEN
+               CAST((SELECT SUM(CAST(round(1.0 / CAST(first_rank AS DOUBLE), 6)
+                                     AS DECIMAL(18,6))) FROM first_rel) AS DOUBLE)
+               / CAST(n_queries AS DOUBLE) END, 6) AS mrr
 FROM nq
 """
 
@@ -2041,53 +2050,38 @@ R4_QUERIES.extend(
 # ---------------------------------------------------------------------------
 
 _CONT_THRESHOLD = 0.6
+# Corpus-scale skew cap for the inverted index (VERDICT r4 #3): shingles
+# in more than this many docs are dropped from candidate generation and
+# the survivors re-verified exactly on the full arrays, so reported
+# values are unchanged (pinned capped == uncapped in tests/test_wave31).
+_CONT_MAX_DF = 64
 
 
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs shingle CONTAINMENT (|A n B|/|A|, both
     directions): the asymmetric near-dup measure that catches a snippet
     embedded in a larger page, which symmetric Jaccard under-scores.
-    Same inverted-index count trick as q_ngram_jaccard (distinct
-    3-shingles; per-pair join-match count IS the intersection; set
-    sizes ride along, so no array ever crosses the shuffle), WITHOUT
-    the symmetric size-ratio prune — small-inside-big is the point.
-    Kept when max(containment) >= 0.6.  Hot-shingle skew carries the
-    same max_doc_freq cap + exact re-verify escape hatch as the
-    jaccard operator at corpus scale."""
+    Routed through the operator-level containment_all_pairs
+    (llm/dedup.py) WITH the max_doc_freq=64 hot-shingle cap + exact
+    re-verify (VERDICT r4 #3: the cap is now actually applied, not just
+    documented): the inverted index drops boilerplate shingles, capping
+    per-shingle pair emission at 64², and candidates are re-verified on
+    the full shingle arrays so every returned value is exact — the
+    DuckDB oracle computes the UNCAPPED exact join and must hash-match.
+    Kept when max(containment) >= 0.6."""
+    from dbt_lab_spark.llm.dedup import containment_all_pairs
+
     cat = Catalog(sf_dir)
     docs = scan(spark, cat, "documents", ["doc_id", "text"])
-    from dbt_lab_spark.functions.text import shingles
-
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("__sh")
+    pairs = containment_all_pairs(
+        docs, shingle_k=3, threshold=_CONT_THRESHOLD, max_doc_freq=_CONT_MAX_DF
     )
-    ex = sh.select(
-        "doc_id",
-        F.size("__sh").alias("__n"),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__g"),
-    )
-    a = ex.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("na"), "__g")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("nb"), "__g")
-    shared = (
-        a.join(b, "__g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cab = F.col("c").cast(_D) / F.col("na").cast(_D)
-    cba = F.col("c").cast(_D) / F.col("nb").cast(_D)
-    return (
-        shared.select(
-            "id_a",
-            "id_b",
-            F.round(cab, 6).alias("containment_a_in_b"),
-            F.round(cba, 6).alias("containment_b_in_a"),
-        )
-        .filter(
-            F.greatest("containment_a_in_b", "containment_b_in_a") >= _CONT_THRESHOLD
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+    ).orderBy("id_a", "id_b")
 
 
 _SQL_CONTAINMENT = rf"""
@@ -2989,9 +2983,14 @@ def _q_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = j.filter(F.col("rn") == q2r).select("event_type", F.col("x").alias("q2"))
     q3 = j.filter(F.col("rn") == q3r).select("event_type", F.col("x").alias("q3"))
     f = q1.join(q2, "event_type").join(q3, "event_type")
-    skew = (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast(_D) / (
-        F.col("q3") - F.col("q1")
-    ).cast(_D)
+    # Degenerate IQR (q3 == q1, constant distribution between the
+    # quartiles) is an explicit NULL refusal in BOTH engines — Spark
+    # doubles would yield NaN/Inf where DuckDB may differ (ADVICE r4).
+    skew = F.when(
+        F.col("q3") != F.col("q1"),
+        (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast(_D)
+        / (F.col("q3") - F.col("q1")).cast(_D),
+    )
     return f.select(
         "event_type",
         (F.col("q1") / 100.0).alias("q1"),
@@ -3019,7 +3018,9 @@ WITH ev AS (
 )
 SELECT event_type,
        q1 / 100.0 AS q1, q2 / 100.0 AS median, q3 / 100.0 AS q3,
-       round(CAST(q3 + q1 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE), 6)
+       round(CASE WHEN q3 <> q1
+                  THEN CAST(q3 + q1 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+             END, 6)
          AS bowley_skew
 FROM q ORDER BY event_type
 """
@@ -3076,11 +3077,17 @@ def _q_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_days"),
         F.max("xb").alias("xb"),
         F.max("mrb").alias("mrb"),
+        # when/otherwise(0), NOT cast("long"): with a single data day the
+        # limits are NULL, and a NULL comparison must count as 0 in both
+        # engines (DuckDB's CASE ... ELSE 0 does; a bare cast sums NULL).
         F.sum(
-            ((F.col("x") > F.col("ucl_x")) | (F.col("x") < F.col("lcl_x")))
-            .cast("long")
+            F.when(
+                (F.col("x") > F.col("ucl_x")) | (F.col("x") < F.col("lcl_x")), 1
+            ).otherwise(0)
         ).alias("n_out_x"),
-        F.sum((F.col("mr") > F.col("ucl_mr")).cast("long")).alias("n_out_mr"),
+        F.sum(
+            F.when(F.col("mr") > F.col("ucl_mr"), 1).otherwise(0)
+        ).alias("n_out_mr"),
     )
     return viol.select(
         F.col("n_days").cast("bigint").alias("n_days"),

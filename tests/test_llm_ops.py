@@ -548,6 +548,26 @@ def test_bpe_vocab_collect_is_bounded(spark, sf_small):
     assert [r["word"] for r in capped.collect()] == ["the"]
 
 
+def test_bpe_tail_heavy_merge_pin(spark):
+    """ADVICE r4: pin trained merges on a TAIL-HEAVY corpus where the
+    hapax mass genuinely shifts pair rankings, so the word_min_freq=2
+    default's behavior is a documented contract, not a silent change.
+    Head: 'ab'x3.  Tail: 40 distinct hapaxes all containing pair
+    (c,d) — unfiltered, (c,d) has freq 40 and wins the first merge;
+    filtered (default), the tail is dropped and (a,b) wins.  Both
+    outcomes are pinned exactly."""
+    from dbt_lab_spark.llm.tokenizer import train_bpe
+
+    rows = [(0, "ab ab ab")] + [(i + 1, f"w{i}cd") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # Default (scale-safe) path: tail filtered, head pair wins.
+    assert train_bpe(docs, num_merges=1, min_freq=2) == [("a", "b")]
+    # Exact-statistics opt-out: tail pairs dominate.
+    assert train_bpe(
+        docs, num_merges=1, min_freq=2, word_min_freq=1, max_vocab=None
+    ) == [("c", "d")]
+
+
 def test_bpe_encode_applies_merges_in_rank_order(spark):
     """Encoding must apply the LOWEST-rank merge first (standard BPE):
     with merges [(a,b), (ab,c)], 'abc' -> ['abc'], 'abd' -> ['ab','d'],
