@@ -358,6 +358,65 @@ def materialize(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def baseline_anchors() -> dict[str, float]:
+    """Per-query anchor seconds parsed from BASELINE.md's anchor tables
+    (VERDICT r4 #8: make cross-round drift visible in-round).  An anchor
+    row is `| ... \\`q_name\\` ... | <sec> | local[...] ... | ... |` —
+    the config cell must contain 'local[' so the re-anchor protocol
+    tables (whose cells are old/run1/run2 floats) are never mistaken
+    for anchors.  Later rows win, matching the in-place re-anchor
+    convention."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    anchors: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BASELINE.md")) as fh:
+            for line in fh:
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) < 3 or "local[" not in cells[2]:
+                    continue
+                m = re.search(r"`(q_\w+)`", cells[0])
+                if not m:
+                    continue
+                try:
+                    anchors[m.group(1)] = float(cells[1])
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    return anchors
+
+
+def drift_summary(
+    timings: dict[str, float], anchors: dict[str, float]
+) -> tuple[dict[str, float], dict]:
+    """Per-query time/anchor ratios plus the drift roll-up the judge
+    reads (count >1.3x / >1.5x / >2x, geomean, worst)."""
+    import math
+
+    ratios = {
+        n: round(t / anchors[n], 3)
+        for n, t in timings.items()
+        if n in anchors and anchors[n] > 0
+    }
+    if not ratios:
+        return {}, {"anchored": 0}
+    worst = max(ratios, key=ratios.get)
+    summary = {
+        "anchored": len(ratios),
+        "geomean": round(
+            math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
+        ),
+        "gt_1_3": sum(r > 1.3 for r in ratios.values()),
+        "gt_1_5": sum(r > 1.5 for r in ratios.values()),
+        "gt_2": sum(r > 2.0 for r in ratios.values()),
+        "max_ratio": ratios[worst],
+        "max_query": worst,
+    }
+    return ratios, summary
+
+
 def main() -> None:
     spark = get_spark(
         app_name="dbt-lab-spark-bench",
@@ -403,6 +462,11 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    # Per-query baseline ratios + drift roll-up (VERDICT r4 #8): the
+    # full ledger carries every ratio; stdout carries the summary.
+    ratios, drift = drift_summary(timings, baseline_anchors())
+    full["baseline_ratios"] = ratios
+    full["drift"] = drift
     # Full per-query ledger -> repo file (survives the driver's stdout
     # tail window; committed per round as BENCH_LOCAL_r{N}.json).
     here = os.path.dirname(os.path.abspath(__file__))
@@ -422,6 +486,7 @@ def main() -> None:
         "queries": head,
         "queries_run": len(timings),
         "errors_n": len(errors),
+        "drift": drift,
         "detail": "BENCH_LOCAL_latest.json",
         "sf": float(sf),
     }
