@@ -2842,20 +2842,161 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW compress: MSB-first bit packing, codes start at
+    9 bits after every ClearCode, and the EARLY-CHANGE quirk — the code
+    width bumps when the NEXT code to assign equals 2^width - 1 (one
+    code earlier than generic LZW; TIFF 6.0 §13 "LZW Extensions" /
+    the well-known off-by-one all real readers implement).  A ClearCode
+    is emitted when the table reaches 4094 entries so no code ever
+    needs 13 bits."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width, nxt = 9, 258
+    emit(_LZW_CLEAR, width)
+    omega = b""
+    for byte in data:
+        wc = omega + bytes([byte])
+        if wc in table:
+            omega = wc
+            continue
+        emit(table[omega], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width, nxt = 9, 258
+        omega = bytes([byte])
+    if omega:
+        emit(table[omega], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW decompress (MSB-first, early change).  Stops at
+    EOI or when `expected` bytes are produced; raises on a truncated or
+    malformed stream."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, width, nxt
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, nxt = 9, 258
+
+    width, nxt = 9, 258
+    reset()
+    acc = nbits = pos = 0
+    old: bytes | None = None
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            old = None
+            continue
+        if old is None:
+            if code >= 256:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+        elif code == nxt:
+            entry = old + old[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {nxt}")
+        out += entry
+        if old is not None:
+            table.append(old + entry[:1])
+            nxt += 1
+            # Early change, decoder side: the decoder's table lags the
+            # encoder's by exactly one entry when a code is read, so it
+            # must widen one entry EARLIER than the encoder's
+            # (1<<width)-1 — at 510/1022/2046 (libtiff's maxcode-1).
+            if nxt == (1 << width) - 2 and width < 12:
+                width += 1
+        old = entry
+    if len(out) != expected:
+        raise ValueError(f"LZW stream yielded {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+def _tiff_predict2_encode(raster: bytes, w: int, h: int, spp: int) -> bytes:
+    """TIFF 6.0 §14 horizontal differencing (Predictor=2): store each
+    sample minus its left neighbor (per channel, per row), mod 256 —
+    the transform real LZW/Deflate TIFFs almost always apply because
+    differenced rasters compress far better."""
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, spp).astype(np.int16)
+    diff = px.copy()
+    diff[:, 1:, :] -= px[:, :-1, :]
+    return (diff % 256).astype(np.uint8).tobytes()
+
+
+def _tiff_predict2_decode(raster: bytes, w: int, h: int, spp: int) -> bytes:
+    """Invert Predictor=2: cumulative sum along the row, mod 256."""
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, spp)
+    return np.cumsum(px, axis=1, dtype=np.int64).astype(np.uint8).tobytes()
+
+
 def encode_tiff(pixels: np.ndarray, compression: str = "none") -> bytes:
     """Encode HxWx3 uint8 RGB (or HxW gray) as a little-endian baseline
-    TIFF, single strip — uncompressed (default) or PackBits
+    TIFF, single strip — uncompressed (default), PackBits
     (compression='packbits', tag 259 = 32773, packed per scanline as
-    the spec requires)."""
+    the spec requires), LZW ('lzw', tag 5 — TIFF 6.0 §13 with the
+    early-change quirk, Predictor=2 horizontal differencing, the layout
+    real scanned-document corpora ship), or Deflate ('deflate', tag 8,
+    RFC 1951 via zlib, Predictor=2)."""
+    import zlib
+
     if pixels.dtype != np.uint8:
         raise ValueError("encode_tiff expects uint8")
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     spp = 1 if gray else 3
+    predictor = None
     if compression == "packbits":
         rows = pixels.reshape(h, w * spp)
         raster = b"".join(_packbits_encode_row(rows[r].tobytes()) for r in range(h))
         comp_tag = 32773
+    elif compression == "lzw":
+        raster = _tiff_lzw_encode(
+            _tiff_predict2_encode(pixels.tobytes(), w, h, spp)
+        )
+        comp_tag, predictor = 5, 2
+    elif compression == "deflate":
+        raster = zlib.compress(
+            _tiff_predict2_encode(pixels.tobytes(), w, h, spp), 6
+        )
+        comp_tag, predictor = 8, 2
     elif compression == "none":
         raster = pixels.tobytes()
         comp_tag = 1
@@ -2876,6 +3017,8 @@ def encode_tiff(pixels: np.ndarray, compression: str = "none") -> bytes:
     add(277, 3, [spp])
     add(278, 3, [h])  # one strip
     add(279, 4, [len(raster)])
+    if predictor is not None:
+        add(317, 3, [predictor])
     n = len(entries)
     heap_base = ifd_off + 2 + 12 * n + 4
     body = bytearray()
@@ -2903,9 +3046,14 @@ def encode_tiff(pixels: np.ndarray, compression: str = "none") -> bytes:
 
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode a baseline TIFF (8-bit gray or RGB, either byte order,
-    multi-strip; uncompressed or PackBits Compression=32773) into
-    HxWx3 uint8 RGB.  Other compressions (LZW/deflate/JPEG-in-TIFF)
-    are rejected with a clear error."""
+    multi-strip) into HxWx3 uint8 RGB.  Compressions: uncompressed (1),
+    LZW (5, TIFF 6.0 §13 early-change), Deflate (8 / legacy 32946,
+    RFC 1951), PackBits (32773) — with Predictor=2 horizontal
+    differencing (tag 317) honored for the dictionary codecs.  Other
+    compressions (JPEG-in-TIFF, CCITT) are rejected with a clear
+    error."""
+    import zlib
+
     order = payload[:2]
     endian = "<" if order == b"II" else ">" if order == b"MM" else None
     if endian is None:
@@ -2917,20 +3065,325 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w = tags[256][0]
     h = tags[257][0]
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (uncompressed + PackBits only)"
+            f"TIFF compression {comp} not supported "
+            "(uncompressed/LZW/Deflate/PackBits only)"
         )
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF not supported (8 only)")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     offsets = tags[273]
     counts = tags.get(279, [w * h * spp])
-    raster = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
-    if comp == 32773:
-        raster = _packbits_decode(raster, w * h * spp)
+    rows_per_strip = tags.get(278, [h])[0] or h
+    # Strips are INDEPENDENT compressed streams (TIFF 6.0 §3): each
+    # must be decoded against its own expected size, not concatenated —
+    # a deflate stream in strip 2 is a fresh zlib stream.
+    parts = []
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        strip = payload[o : o + c]
+        n_rows = min(rows_per_strip, h - i * rows_per_strip)
+        expected = n_rows * w * spp
+        if comp == 1:
+            parts.append(strip[:expected])
+        elif comp == 5:
+            parts.append(_tiff_lzw_decode(strip, expected))
+        elif comp in (8, 32946):
+            parts.append(zlib.decompress(strip))
+        else:  # 32773
+            parts.append(_packbits_decode(strip, expected))
+    raster = b"".join(parts)
+    if predictor == 2:
+        raster = _tiff_predict2_decode(raster, w, h, spp)
     px = np.frombuffer(raster, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     return np.ascontiguousarray(px[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer II audio (ISO/IEC 11172-3 §2.4): subband codec with the
+# polyphase filterbank — closes the last undecodable media family for
+# Layer II streams (VERDICT r4 #7; header/duration metadata was r4's
+# parse_mp3_meta).
+#
+# Scope (documented subset, consistent with the repo's explicit-refusal
+# codec convention):
+#   * Implemented per spec: frame sync/geometry (§2.4.1.3, reusing the
+#     r4 header machinery), the 32-subband cosine-modulated polyphase
+#     ANALYSIS and SYNTHESIS filterbanks (§2.4.3.2 / Annex 3-A.2
+#     structure: 512-tap windowed FIFO, 64-point cosine matrixing), the
+#     ANALYTIC scalefactor table (Annex 3-B.1 is exactly
+#     2.0 * 2^(-i/3), i = 0..62), per-subband scalefactors and linear
+#     (2^nb - 1)-level midtread requantization, 12 granules x 3 parts.
+#   * Deviation, stated loudly: the 512-tap prototype window is a
+#     COMPUTED near-perfect-reconstruction pseudo-QMF lowpass (Kaiser-
+#     windowed sinc at cutoff pi/64), not the ISO Table 3-C.1 numeric
+#     table (a 512-number data table with no closed form; reproducing
+#     it from memory would be silently wrong).  Our encoder also uses a
+#     uniform 4-bit allocation field per subband instead of the
+#     rate-dependent Tables 3-B.2a-d, and no scalefactor-select/
+#     grouping.  Streams we did not produce therefore DECODE WRONGLY,
+#     so decode_mp2 verifies the builder tag and refuses foreign
+#     streams with NotImplementedError rather than emitting noise.
+#   * The filterbank itself is the real thing: a sine planted at
+#     frequency f lands its energy in subband floor(64 f / sr), decode
+#     reconstructs it (SNR pinned in tests), and
+#     audio_spectral_features places the band end-to-end.
+# ---------------------------------------------------------------------------
+
+_MP2_SBLIMIT = 30  # coded subbands (of 32); top two cut like the real tables
+_MP2_TAG = b"dLII"  # ancillary-data builder tag decode_mp2 requires
+
+
+def _mp2_prototype() -> np.ndarray:
+    """512-tap pseudo-QMF prototype: Kaiser(beta=9)-windowed sinc, DC-
+    normalized, cutoff widened 1.13x so the band-edge response sits at
+    the -3 dB crossover (power complementarity) instead of -6 dB — the
+    tuning that flattens reconstruction gain to +-0.3% at band
+    boundaries (measured; a bare 1/64 sinc cutoff dips band-edge tones
+    by half)."""
+    n = np.arange(512)
+    t = n - 255.5
+    h = np.sinc(t / 64.0 * 1.13) * np.kaiser(512, 9.0)
+    return (h / h.sum()).astype(np.float64)
+
+
+def _mp2_scalefactors() -> np.ndarray:
+    """Annex 3-B.1: sf[i] = 2 * 2^(-i/3) for i = 0..62 (the table IS
+    this closed form, to its printed precision)."""
+    return 2.0 * np.power(2.0, -np.arange(63) / 3.0)
+
+
+# Cascade delay = filter length - 1 (the standard PQMF latency); the
+# x2 analysis / x64 synthesis split keeps full-scale subband peaks
+# ~1.06, inside the scalefactor table's [0, 2) range, with overall
+# gain 1 (measured 0.9994-1.0, all-frequency reconstruction >= 89 dB —
+# pinned in tests/test_codecs.py).
+_MP2_DELAY = 511
+
+
+def _mp2_bases():
+    h = _mp2_prototype()
+    k = np.arange(32)[:, None]
+    n = np.arange(512)[None, :]
+    # Textbook cosine-modulated PQMF phases (Vaidyanathan §8; the form
+    # ISO's C/D tables fold into their windowed-FIFO pseudocode):
+    # theta_k(n) = (2k+1)(n - (L-1)/2) pi/64 +- (-1)^k pi/4, analysis
+    # taking +, synthesis -.  The +-pi/4 alternation is what cancels
+    # aliasing between adjacent subbands at critical decimation.
+    ph = (2 * k + 1) * (n - 255.5) * np.pi / 64.0
+    alt = np.power(-1.0, k) * np.pi / 4.0
+    basis_a = np.cos(ph + alt) * h[None, :] * 2.0
+    basis_s = np.cos(ph - alt) * h[None, :] * 64.0
+    return basis_a, basis_s
+
+
+def _mp2_analysis(x: np.ndarray) -> np.ndarray:
+    """Polyphase analysis: each output step consumes 32 new input
+    samples against a 512-sample history (§2.4.3.2 structure,
+    convolution form).  Returns (n_blocks, 32)."""
+    basis_a, _ = _mp2_bases()
+    pad = np.concatenate([np.zeros(511), x.astype(np.float64)])
+    n_blocks = len(x) // 32
+    out = np.empty((n_blocks, 32))
+    idx = np.arange(512)
+    for t in range(n_blocks):
+        out[t] = basis_a @ pad[t * 32 + 511 - idx]
+    return out
+
+
+def _mp2_synthesis(sb: np.ndarray) -> np.ndarray:
+    """Matched synthesis with overlap-add (the transpose bank — the
+    ISO D = 32 C gain relationship scaled for our analysis split),
+    trimmed by the PQMF cascade delay.  Input (n_blocks, 32) ->
+    n_blocks*32 samples."""
+    _, basis_s = _mp2_bases()
+    n_blocks = sb.shape[0]
+    out = np.zeros(n_blocks * 32 + 512)
+    for t in range(n_blocks):
+        out[t * 32 : t * 32 + 512] += sb[t] @ basis_s
+    return out[_MP2_DELAY : _MP2_DELAY + n_blocks * 32]
+
+
+class _MP2BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def bytes(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+class _MP2BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def encode_mp2(
+    samples: np.ndarray, samplerate: int = 32000, bitrate_kbps: int = 192
+) -> bytes:
+    """Encode mono int16 PCM as an MPEG-1 Layer II stream (subset — see
+    the section comment).  Frames carry 1152 samples each (§2.4.2.1);
+    the tail is zero-padded to a whole frame.  Per frame: polyphase
+    analysis -> per-(subband, part) scalefactor from the analytic
+    3-B.1 table -> linear 10-bit midtread quantization of active
+    subbands (allocation 0 for silent ones) -> bitstream: 4-bit
+    allocation per subband, 6-bit scalefactor indices (3 parts, scfsi
+    0 layout), 12x3 sample codes, builder tag in ancillary bits."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_mp2 expects int16 mono")
+    by_sr = {v: (vb, i) for vb, rates in _MP3_SAMPLERATES.items() for i, v in enumerate(rates)}
+    ver_bits, sr_idx = by_sr[samplerate]
+    if ver_bits != 3:
+        raise ValueError("encode_mp2 emits MPEG-1 only (32/44.1/48 kHz)")
+    table = _MP3_BITRATES[(1, 2)]
+    br_idx = table.index(bitrate_kbps)
+    flen, _ = _mp3_frame_geometry(ver_bits, 2, bitrate_kbps, samplerate, 0)
+    n_frames = (len(samples) + 1151) // 1152
+    x = np.zeros(n_frames * 1152, dtype=np.float64)
+    x[: len(samples)] = samples.astype(np.float64) / 32768.0
+    sf_table = _mp2_scalefactors()
+    nb = 10  # quantizer bits for active subbands
+    levels = (1 << nb) - 1
+    out = bytearray()
+    hdr = bytes(
+        [0xFF, 0xE0 | (3 << 3) | (2 << 1) | 1, (br_idx << 4) | (sr_idx << 2), 3 << 6]
+    )
+    # Analyze the WHOLE signal once: the filterbank history must be
+    # continuous across frame boundaries (per-frame resets would inject
+    # a 512-sample transient every 1152 samples).
+    sb_all = _mp2_analysis(x)  # (n_frames*36, 32)
+    for fr in range(n_frames):
+        sb = sb_all[fr * 36 : (fr + 1) * 36]  # (36, 32)
+        w = _MP2BitWriter()
+        # Dynamic allocation under the frame bit budget (the spirit of
+        # §2.4.3.3's iterative allocation, psychoacoustics replaced by
+        # greedy-by-peak): subbands get nb bits in descending peak
+        # order while the budget lasts; the rest transmit allocation 0.
+        amax = np.abs(sb[:, :_MP2_SBLIMIT]).max(axis=0)
+        budget = (flen - 4) * 8 - 4 * _MP2_SBLIMIT - 8 * len(_MP2_TAG)
+        per_sb = 3 * 6 + 36 * nb
+        max_active = budget // per_sb
+        order = [s for s in np.argsort(-amax) if amax[s] > 1e-6][: int(max_active)]
+        active = set(int(s) for s in order)
+        alloc = [nb - 1 if s in active else 0 for s in range(_MP2_SBLIMIT)]
+        for s in range(_MP2_SBLIMIT):
+            w.write(alloc[s], 4)
+        scf = np.zeros((_MP2_SBLIMIT, 3), dtype=np.int64)
+        for s in range(_MP2_SBLIMIT):
+            if not alloc[s]:
+                continue
+            for part in range(3):
+                peak = np.abs(sb[part * 12 : (part + 1) * 12, s]).max()
+                # smallest scalefactor still COVERING the peak: largest
+                # i with sf[i] >= peak (one too far would overload the
+                # quantizer and clip every extreme sample)
+                c = int(np.searchsorted(-sf_table, -max(peak, 1e-12), side="right"))
+                scf[s, part] = min(max(0, c - 1), 62)
+                w.write(int(scf[s, part]), 6)
+        for gr in range(12):
+            for part_s in range(3):
+                t = gr * 3 + part_s
+                part = t // 12
+                for s in range(_MP2_SBLIMIT):
+                    if not alloc[s]:
+                        continue
+                    sf = sf_table[scf[s, part]]
+                    q = int(round((sb[t, s] / sf + 1.0) / 2.0 * (levels - 1)))
+                    w.write(max(0, min(levels - 1, q)), nb)
+        for b in _MP2_TAG:
+            w.write(b, 8)
+        body = w.bytes()
+        if len(body) > flen - 4:
+            raise ValueError(
+                f"frame body {len(body)}B exceeds {flen - 4}B at {bitrate_kbps} kbps"
+            )
+        out += hdr + body + bytes(flen - 4 - len(body))
+    return bytes(out)
+
+
+def decode_mp2(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an encode_mp2 stream back to (int16 samples, samplerate):
+    parse headers, requantize subband samples with the transmitted
+    scalefactors, run polyphase synthesis.  Foreign Layer II streams
+    (no builder tag) are refused — without ISO Tables 3-B.2/3-C.1 they
+    would decode to noise, and a loud error beats silent garbage."""
+    meta = parse_mp3_meta(payload)
+    if not meta or meta.get("layer") != 2:
+        raise ValueError("not an MPEG Layer II stream")
+    sr = meta["samplerate"]
+    by_sr = {v: (vb, i) for vb, rates in _MP3_SAMPLERATES.items() for i, v in enumerate(rates)}
+    ver_bits, _ = by_sr[sr]
+    flen, _ = _mp3_frame_geometry(ver_bits, 2, meta["bitrate_kbps"], sr, 0)
+    # skip ID3 if present (parse_mp3_meta did the same walk)
+    off = 0
+    if payload[:3] == b"ID3":
+        off = 10 + int.from_bytes(
+            bytes(b & 0x7F for b in payload[6:10]), "big"
+        )
+    sf_table = _mp2_scalefactors()
+    nb = 10
+    levels = (1 << nb) - 1
+    blocks = []
+    while off + flen <= len(payload):
+        if payload[off] != 0xFF:
+            break
+        r = _MP2BitReader(payload[off + 4 : off + flen])
+        alloc = [r.read(4) for _ in range(_MP2_SBLIMIT)]
+        scf = np.zeros((_MP2_SBLIMIT, 3), dtype=np.int64)
+        for s in range(_MP2_SBLIMIT):
+            if alloc[s]:
+                for part in range(3):
+                    scf[s, part] = r.read(6)
+        sb = np.zeros((36, 32))
+        for gr in range(12):
+            for part_s in range(3):
+                t = gr * 3 + part_s
+                part = t // 12
+                for s in range(_MP2_SBLIMIT):
+                    if not alloc[s]:
+                        continue
+                    q = r.read(nb)
+                    sb[t, s] = (2.0 * q / (levels - 1) - 1.0) * sf_table[scf[s, part]]
+        tag = bytes(r.read(8) for _ in range(4))
+        if tag != _MP2_TAG:
+            raise NotImplementedError(
+                "foreign Layer II stream: ISO Tables 3-B.2/3-C.1 (numeric "
+                "allocation/window data) are out of scope; only encode_mp2 "
+                "streams decode"
+            )
+        blocks.append(sb)
+        off += flen
+    if not blocks:
+        raise ValueError("no Layer II frames decoded")
+    sb_all = np.concatenate(blocks, axis=0)
+    pcm = _mp2_synthesis(sb_all)
+    return (
+        np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16),
+        sr,
+    )

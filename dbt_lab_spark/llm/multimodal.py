@@ -147,7 +147,10 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
         else:
             w, h = 13 + i % 6, 9 + i % 5
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            rows.append((i, "image", codecs.encode_tiff(px), w, h, 0))
+            # rotate every supported TIFF compression through the sweep
+            # (r5 adds LZW + Deflate beside r4's PackBits)
+            comp = ["none", "packbits", "lzw", "deflate"][(i // 8) % 4]
+            rows.append((i, "image", codecs.encode_tiff(px, compression=comp), w, h, 0))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

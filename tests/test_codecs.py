@@ -1019,16 +1019,70 @@ def test_tiff_big_endian_and_multistrip():
 def test_tiff_compressed_rejected():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     blob = bytearray(codecs.encode_tiff(px))
-    # flip the Compression tag (259) value to 5 (LZW)
+    # flip the Compression tag (259) value to 7 (JPEG-in-TIFF — still
+    # out of scope; LZW=5 and Deflate=8 decode since r5)
     import struct as _struct
 
     n = _struct.unpack_from("<H", blob, 8)[0]
     for i in range(n):
         e = 10 + 12 * i
         if _struct.unpack_from("<H", blob, e)[0] == 259:
-            _struct.pack_into("<H", blob, e + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            _struct.pack_into("<H", blob, e + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         codecs.decode_tiff(bytes(blob))
+
+
+def test_tiff_lzw_deflate_roundtrip_and_pins():
+    """r5 (VERDICT r4 #4): LZW (Compression=5, TIFF 6.0 §13 with the
+    early-change quirk + Predictor=2) and Deflate (Compression=8,
+    RFC 1951) TIFFs round-trip bit-exactly; LZW codes are pinned on a
+    hand-decodable vector; both genuinely compress."""
+    from dbt_lab_spark.llm.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        _tiff_predict2_decode,
+        _tiff_predict2_encode,
+    )
+
+    # Hand-decodable LZW pin: b'\x00'*4 -> codes [CLEAR=256, 0, 258, 0,
+    # EOI=257] at 9 bits MSB-first = 80 00 20 40 08 08.
+    assert _tiff_lzw_encode(b"\x00\x00\x00\x00").hex() == "800020400808"
+    assert _tiff_lzw_decode(bytes.fromhex("800020400808"), 4) == b"\x00" * 4
+    # KwKwK (code == next) path
+    s = b"ababababababab"
+    assert _tiff_lzw_decode(_tiff_lzw_encode(s), len(s)) == s
+    # early-change boundaries + table reset: long low-entropy stream
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 8, size=300_000, dtype=np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big), len(big)) == big
+    # predictor 2 is an exact involution
+    raw = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8).tobytes()
+    assert _tiff_predict2_decode(_tiff_predict2_encode(raw, 7, 6, 3), 7, 6, 3) == raw
+    # full-file round trips, RGB + gray
+    for shape in [(13, 17, 3), (1, 1, 3), (64, 64, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for comp in ("lzw", "deflate"):
+            assert (codecs.decode_tiff(codecs.encode_tiff(px, compression=comp)) == px).all()
+    g = rng.integers(0, 256, size=(11, 14), dtype=np.uint8)
+    for comp in ("lzw", "deflate"):
+        dec = codecs.decode_tiff(codecs.encode_tiff(g, compression=comp))
+        assert (dec == np.repeat(g[:, :, None], 3, axis=2)).all()
+    # differenced dictionary coding actually compresses structure
+    flat = np.zeros((64, 64, 3), dtype=np.uint8)
+    flat[:, :32] = 200
+    raw_len = len(codecs.encode_tiff(flat))
+    assert len(codecs.encode_tiff(flat, compression="lzw")) < raw_len // 4
+    assert len(codecs.encode_tiff(flat, compression="deflate")) < raw_len // 4
+    # legacy Deflate tag 32946 decodes too
+    blob = bytearray(codecs.encode_tiff(flat, compression="deflate"))
+    import struct as _struct
+
+    n = _struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if _struct.unpack_from("<H", blob, e)[0] == 259:
+            _struct.pack_into("<H", blob, e + 8, 32946)
+    assert (codecs.decode_tiff(bytes(blob)) == flat).all()
 
 
 def test_mp3_frame_header_parsing_pins():
@@ -1077,11 +1131,12 @@ def test_mp3_frame_header_parsing_pins():
 
 
 def test_tiff_packbits_roundtrip_and_spec_example():
-    """r4: PackBits-compressed TIFF (Compression=32773) decodes — the
-    first 'compressed TIFF' family supported (LZW/deflate stay
-    rejected).  The row packer reproduces the TIFF 6.0 §9 worked
-    example byte-for-byte; encode->decode round-trips runs-heavy,
-    noisy, and grayscale images identically to the uncompressed path."""
+    """r4: PackBits-compressed TIFF (Compression=32773) decodes.  The
+    row packer reproduces the TIFF 6.0 §9 worked example byte-for-byte;
+    encode->decode round-trips runs-heavy, noisy, and grayscale images
+    identically to the uncompressed path.  (r5: LZW/Deflate decode too
+    — see test_tiff_lzw_deflate_roundtrip_and_pins — so the rejection
+    pin moved to JPEG-in-TIFF.)"""
     import numpy as np
 
     from dbt_lab_spark.llm.codecs import (
@@ -1108,16 +1163,85 @@ def test_tiff_packbits_roundtrip_and_spec_example():
     # flat image: PackBits actually compresses
     flat = np.full((32, 32, 3), 7, dtype=np.uint8)
     assert len(encode_tiff(flat, compression="packbits")) < len(encode_tiff(flat)) / 10
-    # other compressions still rejected loudly
+    # unsupported compressions still rejected loudly (7 = JPEG-in-TIFF)
     import pytest as _pytest
 
     bad = bytearray(encode_tiff(cases[1]))
-    # tag 259 inline value: find entry and set compression=5 (LZW)
     import struct as _struct
 
     for i in range(9):
         e = 10 + 12 * i
         if _struct.unpack_from("<H", bad, e)[0] == 259:
-            _struct.pack_into("<I", bad, e + 8, 5)
-    with _pytest.raises(NotImplementedError, match="compression 5"):
+            _struct.pack_into("<I", bad, e + 8, 7)
+    with _pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(bad))
+
+
+def test_mp2_subband_codec_roundtrip():
+    """r5 (VERDICT r4 #7): the Layer II subband codec — polyphase
+    analysis/synthesis + analytic 3-B.1 scalefactors + linear
+    requantization — reconstructs planted sines at >= 35 dB SNR across
+    all MPEG-1 samplerates, stays header-compatible with
+    parse_mp3_meta, and refuses foreign Layer II streams."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_lab_spark.llm.codecs import (
+        _mp2_scalefactors,
+        build_mp3,
+        decode_mp2,
+        encode_mp2,
+        parse_mp3_meta,
+    )
+
+    # the analytic scalefactor table is the 3-B.1 closed form
+    sf = _mp2_scalefactors()
+    assert sf[0] == 2.0 and len(sf) == 63
+    assert sf[3] == _pytest.approx(1.0)  # 2 * 2^(-1)
+    assert sf[1] / sf[2] == _pytest.approx(2 ** (1 / 3))
+
+    for sr, freq in [(32000, 1500.0), (44100, 3000.0), (48000, 700.0)]:
+        t = np.arange(1152 * 4)
+        sine = (12000 * np.sin(2 * np.pi * freq * t / sr)).astype(np.int16)
+        p = encode_mp2(sine, samplerate=sr, bitrate_kbps=192)
+        meta = parse_mp3_meta(p)
+        assert (meta["layer"], meta["samplerate"], meta["n_frames"]) == (2, sr, 4)
+        dec, sr2 = decode_mp2(p)
+        assert sr2 == sr and len(dec) == len(sine)
+        a = sine[1200:-1200].astype(np.float64)
+        b = dec[1200:-1200].astype(np.float64)
+        snr = 10 * np.log10((a**2).sum() / ((a - b) ** 2).sum())
+        assert snr >= 35.0, (sr, freq, snr)
+
+    # silence encodes to all-zero allocation and decodes to silence
+    dec, _ = decode_mp2(encode_mp2(np.zeros(1152, dtype=np.int16), 32000, 192))
+    assert np.abs(dec).max() <= 1
+
+    # a foreign Layer II stream (header-valid, zero payload -> no
+    # builder tag) is refused, not decoded to garbage
+    foreign = build_mp3(2, 192, 32000, layer=2)
+    with _pytest.raises(NotImplementedError, match="foreign Layer II"):
+        decode_mp2(foreign)
+    # non-Layer-II input refused
+    with _pytest.raises(ValueError):
+        decode_mp2(build_mp3(2, 128, 44100, layer=3))
+
+
+def test_mp2_filterbank_flat_gain():
+    """The tuned prototype holds reconstruction gain within 1% at band
+    CENTERS and EDGES alike (the bare sinc prototype dips band-edge
+    tones to half) — unquantized analysis->synthesis cascade."""
+    import numpy as np
+
+    from dbt_lab_spark.llm.codecs import _MP2_DELAY, _mp2_analysis, _mp2_synthesis
+
+    for freq_frac in [3.5 / 64, 3.0 / 64, 10.5 / 64]:  # center, edge, center
+        t = np.arange(1152 * 4)
+        x = np.sin(2 * np.pi * freq_frac * t)
+        y = _mp2_synthesis(_mp2_analysis(x))
+        a, b = x[1200:-1200], y[1200:-1200]
+        gain = (a * b).sum() / (a**2).sum()
+        assert abs(gain - 1.0) < 0.01, (freq_frac, gain)
+        snr = 10 * np.log10((a**2).sum() / ((a - b / gain) ** 2).sum())
+        assert snr >= 60.0, (freq_frac, snr)
+    assert _MP2_DELAY == 511
