@@ -243,6 +243,70 @@ class SnapshotTable:
                     kept += 1
         return kept, total
 
+    def compact(
+        self, spark: SparkSession, target_mb: float = 128.0
+    ) -> int | None:
+        """OPTIMIZE-style small-file compaction (VERDICT r4 #6): bin-pack
+        the head version's SMALL snapshot directories (total parquet
+        bytes < target_mb) into one rewritten directory of
+        ceil(total/target) files, committed as a NEW version — large
+        directories are carried over untouched, history is preserved
+        (time travel to pre-compaction versions still resolves the old
+        directories until `vacuum` reclaims them), and the manifest
+        stats for the rewritten files are re-recorded from parquet
+        footers so `between=` data skipping keeps working.
+
+        This is the operational other-half of streaming appends: at
+        100 TB a foreachBatch sink lands one small directory per
+        micro-batch, and scan task count grows O(batches) until a
+        periodic compact() folds the long tail back to target-size
+        files.  Contents are proven unchanged by the checksum pins in
+        tests/test_snapshots.py (pair with the q_table_checksum
+        primitive operationally).
+
+        Returns the new version, or None when fewer than two small
+        directories exist (nothing to pack — no empty commit)."""
+        import math
+
+        log = self._log()
+        if not log:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        head = log[-1]
+        target = int(target_mb * 1024 * 1024)
+
+        def dir_bytes(d: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(d, fn))
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet")
+            )
+
+        small = [d for d in head["files"] if dir_bytes(d) < target]
+        if len(small) < 2:
+            return None
+        keep = [d for d in head["files"] if d not in small]
+        total = sum(dir_bytes(d) for d in small)
+        n_out = max(1, math.ceil(total / target))
+        d = self._new_dir("compact")
+        # coalesce, not repartition: bin-packing needs no shuffle, just
+        # fewer write tasks reading the small files back.
+        spark.read.parquet(*small).coalesce(n_out).write.mode(
+            "errorifexists"
+        ).parquet(d)
+        kept_stats = {
+            p: s
+            for p, s in head.get("stats", {}).items()
+            if any(p.startswith(k + os.sep) for k in keep)
+        }
+        self._append_log(
+            {
+                "operation": f"compact(target_mb={target_mb})",
+                "files": keep + [d],
+                "stats": {**kept_stats, **self._stats_for(d)},
+            }
+        )
+        return len(self._log()) - 1
+
     # -- lifecycle ---------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete snapshot directories unreferenced by the last

@@ -127,3 +127,70 @@ def test_vacuum_keeps_time_travel_window(spark, tmp_path):
     t.append(_df(spark, [(3, "c")]))
     assert t.vacuum(keep_last=2) == []     # v1 still references v0's dir
     assert {r.k for r in t.read(spark, version=1).collect()} == {1, 2}
+
+
+def _head_files(t: SnapshotTable) -> list[str]:
+    return [
+        os.path.join(d, fn)
+        for d in t._log()[-1]["files"]
+        for fn in sorted(os.listdir(d))
+        if fn.endswith(".parquet")
+    ]
+
+
+def test_compact_binpacks_and_preserves_contents(spark, tmp_path):
+    """r5 (VERDICT r4 #6): compact() folds the small-file tail into
+    target-size files in a NEW version — multiset contents identical
+    (checksum), file count reduced, history intact."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for b in range(6):
+        t.append(_df(spark, [(b * 10 + i, f"v{b}_{i}") for i in range(5)]).repartition(2))
+    pre = t.versions()[-1]
+    before = sorted((r.k, r.v) for r in t.read(spark).collect())
+    n_files_before = len(_head_files(t))
+    assert n_files_before == 12  # 6 deltas x repartition(2)
+    v = t.compact(spark, target_mb=64)
+    assert v == pre + 1
+    assert len(_head_files(t)) == 1  # tiny total -> one bin
+    after = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert after == before
+    # time travel across the compaction still resolves the OLD files
+    travel = sorted((r.k, r.v) for r in t.read(spark, version=pre).collect())
+    assert travel == before
+
+
+def test_compact_keeps_large_dirs_and_stats(spark, tmp_path):
+    """Directories at/over target are carried over untouched; manifest
+    stats survive for the kept dir and are re-recorded for the
+    compacted one, so between= skipping still prunes."""
+    t = SnapshotTable(str(tmp_path / "t"), stat_cols=["k"])
+    big = _df(spark, [(i, "big") for i in range(2000)]).coalesce(1)
+    t.commit(big)
+    t.append(_df(spark, [(100000, "s1")]))
+    t.append(_df(spark, [(200000, "s2")]))
+    big_dir = t._log()[0]["files"][0]
+    big_bytes = sum(
+        os.path.getsize(os.path.join(big_dir, f))
+        for f in os.listdir(big_dir)
+        if f.endswith(".parquet")
+    )
+    # target between the big dir and the small deltas
+    v = t.compact(spark, target_mb=big_bytes / (1024 * 1024) * 0.9)
+    assert v is not None
+    head = t._log()[-1]
+    assert big_dir in head["files"]  # untouched
+    assert len(head["files"]) == 2  # big + one compacted dir
+    # stats present for every head file -> skipping prunes to 1 file
+    kept, total = t.pruned_file_count(None, ("k", 100000, 300000))
+    assert total == 2 and kept == 1
+    rows = {r.k for r in t.read(spark, between=("k", 100000, 300000)).collect()}
+    assert rows == {100000, 200000}
+
+
+def test_compact_noop_cases(spark, tmp_path):
+    """Fewer than two small dirs -> None, no empty commit."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]).coalesce(1))
+    n = len(t.versions())
+    assert t.compact(spark, target_mb=64) is None
+    assert len(t.versions()) == n
