@@ -324,6 +324,12 @@ BENCH_NAMES = [
     "q_odds_ratio",
     "q_cramers_v",
     "q_youden_j",
+    # r5 additions
+    "q_image_dedup",
+    "q_image_dedup_recall",
+    "q_image_phash_agreement",
+    "q_compaction",
+    "q_mp2_audio",
 ]
 
 

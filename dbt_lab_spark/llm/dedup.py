@@ -327,6 +327,58 @@ def simhash_dedup_pairs(
     return pairs
 
 
+def hamming_dedup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(hash) <= max_hamming over ANY 64-bit
+    hash column — the pigeonhole banding of simhash_dedup_pairs,
+    factored out so other hash planes (image dHash/pHash in
+    llm/imagededup.py) reuse it.
+
+    Candidate generation: split the 64 bits into (max_hamming+1)
+    DISJOINT bands of floor(64/(h+1)) bits; if two hashes differ in at
+    most h bits, at most h bands are touched, so at least one band
+    matches exactly — a per-band equi-join finds every qualifying pair
+    (recall 1.0 BY CONSTRUCTION, unlike probabilistic minhash banding),
+    and exact bit_count verification removes band-collision false
+    positives.  Bits beyond n_bands*width are uncovered, which only
+    ever ADDS candidates' differing bits outside all bands — the
+    guarantee is unaffected.  Returns (id_a, id_b, hamming).
+
+    Scale shape: one explode to h+1 rows/hash, one shuffle on
+    (band, key), within-bucket joins only — never all-pairs; a hot
+    bucket means genuinely near-identical content, which is exactly
+    what downstream clustering collapses."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = df.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    left = bands.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"), "band", "key")
+    right = bands.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"), "band", "key")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, for candidate pairs)
 # ---------------------------------------------------------------------------
@@ -530,7 +582,16 @@ def containment_all_pairs(
             .filter(F.col("__df") > max_doc_freq)
             .select("__g")
         )
-        ex = ex.join(F.broadcast(hot), on="__g", how="left_anti")
+        # Hot-empty shortcut (r5 bench finding: the re-verify joins cost
+        # ~3x on corpora with NO hot shingles, i.e. most of them): one
+        # bounded limit(1) probe decides the plan.  No hot shingles ->
+        # the inverted-index counts are already exact, take the cheap
+        # count-trick path below; hot shingles exist -> capped index +
+        # exact array re-verify.
+        if not hot.limit(1).count():
+            max_doc_freq = None
+        else:
+            ex = ex.join(F.broadcast(hot), on="__g", how="left_anti")
     a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__g")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__g")
     joined = a.join(b, on="__g").filter(F.col("id_a") < F.col("id_b"))

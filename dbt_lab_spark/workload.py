@@ -1569,6 +1569,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r3s8 import SESSION8_QUERIES
     from dbt_lab_spark.workload_r3s9 import SESSION9_QUERIES
     from dbt_lab_spark.workload_r4 import R4_QUERIES
+    from dbt_lab_spark.workload_r5 import R5_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     return (
@@ -1582,4 +1583,5 @@ def all_queries() -> list[QueryDef]:
         + SESSION8_QUERIES
         + SESSION9_QUERIES
         + R4_QUERIES
+        + R5_QUERIES
     )

@@ -1,0 +1,397 @@
+"""r5 additions: content-based image near-duplicate detection
+(perceptual dHash/pHash + hamming-band LSH + connected components —
+VERDICT r4 #2) and snapshot-log compaction.  Same (builder, oracle)
+contract as dbt_lab_spark.workload.
+
+Oracle strategy for the image plane: every hash is a pure function of
+(seed, asset_id) — lossless PNG payloads, deterministic integer luma,
+deterministic bilinear resize — and the corpus is PLANTED with
+closed-form cluster structure (asset_id = group*variants + v), so the
+cluster/pair/recall outputs are exact integers DuckDB recomputes from
+the planting rule alone (the q_mp3_meta pattern).  The hash VALUES are
+additionally pinned in tests/test_wave32.py.
+
+Reference capability evidence: beyond-reference (rimarin/dbt-lab has no
+multimodal surface); north-star brief requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.workload import QueryDef
+
+# Planted-corpus shape shared by every image query and its oracle.
+_IMG_GROUPS = 20
+_IMG_VARIANTS = 3
+_IMG_SEED = 42
+_IMG_MAX_HAMMING = 6
+# pHash needs a wider net: the DCT-median hash moves more bits under
+# salt noise than the gradient hash (measured planted margins: within
+# <= 8, cross >= 20; dhash within <= 4, cross >= 19 — both pinned in
+# tests/test_wave32.py).
+_IMG_MAX_HAMMING_P = 10
+# C(variants, 2) pairs per group
+_IMG_TRUE_PAIRS = _IMG_GROUPS * (_IMG_VARIANTS * (_IMG_VARIANTS - 1) // 2)
+
+
+def _planted(spark: SparkSession) -> DataFrame:
+    from dbt_lab_spark.llm.imagededup import make_near_dup_images
+
+    return make_near_dup_images(
+        spark, n_groups=_IMG_GROUPS, variants=_IMG_VARIANTS, seed=_IMG_SEED
+    )
+
+
+def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS over the planted corpus: decode -> dHash
+    (one Arrow map-only stage) -> hamming-band LSH pairs (pigeonhole,
+    recall 1.0 by construction) -> min-label connected components ->
+    (component, n_members).  The planted structure (20 groups x 3
+    variants: base / +6 brightness / 2% salt noise, all within hamming
+    6; random bases ~32 bits apart) makes the output closed-form:
+    component = group*3, n_members = 3 — which DuckDB recomputes from
+    the planting rule, proving decode, hash, banding, and clustering
+    end-to-end."""
+    from dbt_lab_spark.llm.imagededup import image_dup_clusters
+
+    clusters = image_dup_clusters(
+        _planted(spark), max_hamming=_IMG_MAX_HAMMING, method="dhash"
+    )
+    return (
+        clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )
+
+
+_SQL_IMAGE_DEDUP = f"""
+SELECT CAST(g * {_IMG_VARIANTS} AS BIGINT) AS component,
+       CAST({_IMG_VARIANTS} AS BIGINT) AS n_members
+FROM generate_series(0, {_IMG_GROUPS - 1}) t(g)
+ORDER BY component
+"""
+
+
+def _q_image_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the production banding path measured
+    IN-ENGINE against exact all-pairs hamming (the q_minhash_recall
+    pattern): n_exact from a full pairwise bit_count pass over the
+    (bounded, planted) hash set, n_banded from hamming_dedup_pairs,
+    n_matched their semi-join.  Unlike minhash, hamming banding is
+    LOSSLESS by pigeonhole, so recall is exactly 1.0 and every count
+    equals the planted closed form ({_IMG_TRUE_PAIRS} pairs) — the
+    oracle asserts the theorem, not a tolerance."""
+    from dbt_lab_spark.llm.dedup import hamming_dedup_pairs
+    from dbt_lab_spark.llm.imagededup import image_hashes
+
+    hashes = image_hashes(_planted(spark)).select("asset_id", "dhash")
+    a = hashes.select(F.col("asset_id").alias("id_a"), F.col("dhash").alias("h_a"))
+    b = hashes.select(F.col("asset_id").alias("id_b"), F.col("dhash").alias("h_b"))
+    exact = (
+        # broadcast: a theta-join on an uncached Python-derived frame
+        # would otherwise plan as CartesianProduct, recomputing the
+        # decode+hash stage per task PAIR (measured 29s vs 0.3s here);
+        # the exact baseline is bounded to the planted set by design,
+        # so the broadcast side is always small.
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _IMG_MAX_HAMMING)
+    )
+    banded = hamming_dedup_pairs(
+        hashes, hash_col="dhash", id_col="asset_id", max_hamming=_IMG_MAX_HAMMING
+    )
+    matched = exact.select("id_a", "id_b").join(
+        banded.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(banded.agg(F.count("*").alias("n_banded")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        .select(
+            "n_exact",
+            "n_banded",
+            "n_matched",
+            (F.col("n_matched") == F.col("n_exact")).alias("recall_eq_1"),
+        )
+    )
+
+
+_SQL_IMAGE_DEDUP_RECALL = f"""
+SELECT CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_exact,
+       CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_banded,
+       CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_matched,
+       TRUE AS recall_eq_1
+"""
+
+
+def _q_image_phash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-plane agreement: pairs found by the dHash plane vs the
+    pHash plane on the planted corpus — the metric a pipeline consults
+    before choosing the cheap gradient hash over the DCT hash.  Both
+    planes detect exactly the planted pairs here (closed-form oracle);
+    on adversarial corpora they diverge, and this query is how that
+    shows up."""
+    from dbt_lab_spark.llm.dedup import hamming_dedup_pairs
+    from dbt_lab_spark.llm.imagededup import image_hashes
+
+    hashes = image_hashes(_planted(spark))
+    dpairs = hamming_dedup_pairs(
+        hashes.select("asset_id", "dhash"),
+        hash_col="dhash", id_col="asset_id", max_hamming=_IMG_MAX_HAMMING,
+    ).select("id_a", "id_b")
+    ppairs = hamming_dedup_pairs(
+        hashes.select("asset_id", "phash"),
+        hash_col="phash", id_col="asset_id", max_hamming=_IMG_MAX_HAMMING_P,
+    ).select("id_a", "id_b")
+    both = dpairs.join(ppairs, ["id_a", "id_b"], "left_semi")
+    return (
+        dpairs.agg(F.count("*").alias("n_dhash_pairs"))
+        .crossJoin(ppairs.agg(F.count("*").alias("n_phash_pairs")))
+        .crossJoin(both.agg(F.count("*").alias("n_both")))
+    )
+
+
+_SQL_IMAGE_PHASH_AGREEMENT = f"""
+SELECT CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_dhash_pairs,
+       CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_phash_pairs,
+       CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_both
+"""
+
+
+def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on the snapshot log (VERDICT r4 #6): land
+    documents as five streaming-style delta appends (2 files each — the
+    small-file tail a foreachBatch sink accumulates), then
+    `compact(target_mb=64)` bin-packs the ten small files into ONE
+    rewritten file committed as a new version.  The query proves the
+    three contracts in one row: file count drops 10 -> 1, the
+    order-invariant md5-decimal table checksum is IDENTICAL before and
+    after (contents unchanged — the q_table_checksum primitive), and
+    the pre-compaction version still time-travels (history preserved).
+    Oracle: every output is closed-form from `documents` alone."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    row_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("source"), F.lit("")),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+
+    def checksum(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"), F.sum(row_key).alias("c")
+        ).first()
+        return r["n"], r["c"]
+
+    def head_file_count(t: SnapshotTable) -> int:
+        import os
+
+        return sum(
+            1
+            for d in t._log()[-1]["files"]
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        )
+
+    d = tempfile.mkdtemp(prefix="snap_compact_")
+    try:
+        t = SnapshotTable(d)
+        for b in range(5):
+            t.append(docs.filter(F.col("doc_id") % 5 == b).repartition(2))
+        pre_version = t.versions()[-1]
+        files_before = head_file_count(t)
+        n_before, sum_before = checksum(t.read(spark))
+        t.compact(spark, target_mb=64)
+        files_after = head_file_count(t)
+        n_after, sum_after = checksum(t.read(spark))
+        n_travel, _ = checksum(t.read(spark, version=pre_version))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                files_before,
+                files_after,
+                n_after,
+                bool(n_before == n_after and sum_before == sum_after),
+                bool(n_travel == n_before),
+            )
+        ],
+        "files_before int, files_after int, n_rows bigint, "
+        "checksum_unchanged boolean, time_travel_intact boolean",
+    )
+
+
+_SQL_COMPACTION = """
+SELECT 10 AS files_before, 1 AS files_after,
+       COUNT(*) AS n_rows,
+       TRUE AS checksum_unchanged, TRUE AS time_travel_intact
+FROM documents
+"""
+
+
+_MP2_N_ASSETS = 24
+_MP2_RATES = [32000, 44100, 48000]
+
+
+def _q_mp2_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer II audio DECODE (VERDICT r4 #7; metadata-only was
+    r4's q_mp3_meta): plant sine tones at the centers of 8 equal bands
+    spanning the CODED bandwidth (sblimit=30 of 64 half-subbands, so
+    freq = (b + 0.5)/8 * 30/64 * sr for b = doc_id % 8 — like the real
+    tables, the codec cuts subbands 30-31, so planting over full
+    Nyquist would leave band 7 silent), sr rotating over
+    32/44.1/48 kHz; encode with the Layer II subband codec
+    (llm/codecs.py encode_mp2: polyphase analysis, analytic 3-B.1
+    scalefactors, linear requantization), decode back through the
+    polyphase SYNTHESIS filterbank, and verify in-engine that (a) the
+    dominant spectral band of the DECODED audio is exactly the planted
+    band and (b) round-trip SNR >= 30 dB.  Both hops are Arrow
+    mapInPandas stages (build -> decode+measure), map-only.  Oracle:
+    every output is a closed-form function of doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.operators.scan import scan
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id"]).filter(
+        F.col("doc_id") < _MP2_N_ASSETS
+    )
+
+    def _build(batches):
+        from dbt_lab_spark.llm.codecs import encode_mp2
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads, bands, rates = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = _MP2_RATES[d % 3]
+                band = d % 8
+                freq = (band + 0.5) / 8.0 * (30.0 / 64.0) * sr
+                t = np.arange(1152 * 3)
+                sine = (12000 * np.sin(2 * np.pi * freq * t / sr)).astype(
+                    np.int16
+                )
+                payloads.append(encode_mp2(sine, samplerate=sr, bitrate_kbps=192))
+                bands.append(band)
+                rates.append(sr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "planted_band": bands,
+                    "samplerate": rates,
+                }
+            )
+
+    assets = docs.mapInPandas(
+        _build,
+        "doc_id long, payload binary, planted_band int, samplerate int",
+    )
+
+    def _decode(batches):
+        from dbt_lab_spark.llm.codecs import decode_mp2
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for d, payload, band, sr in zip(
+                pdf["doc_id"], pdf["payload"], pdf["planted_band"], pdf["samplerate"]
+            ):
+                dec, sr2 = decode_mp2(bytes(payload))
+                x = dec.astype(np.float64)
+                # dominant band of 8 over the CODED bandwidth
+                # (30/64 * sr = 15/16 of Nyquist) via one rFFT
+                spec = np.abs(np.fft.rfft(x[1024:-1024]))
+                edges = np.linspace(0, len(spec) * 15 / 16, 9).astype(int)
+                energy = [
+                    float((spec[edges[b] : edges[b + 1]] ** 2).sum())
+                    for b in range(8)
+                ]
+                band_max = int(np.argmax(energy))
+                freq = (int(band) + 0.5) / 8.0 * (30.0 / 64.0) * int(sr)
+                t = np.arange(len(dec))
+                ref = 12000 * np.sin(2 * np.pi * freq * t / int(sr))
+                a = ref[1024:-1024]
+                b2 = x[1024:-1024]
+                err = a - b2
+                snr = 10 * np.log10(
+                    (a**2).sum() / max((err**2).sum(), 1e-12)
+                )
+                rows.append((int(d), band_max, int(band), bool(snr >= 30.0)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "band_max", "planted_band", "snr_ge_30"],
+            )
+
+    return (
+        assets.mapInPandas(
+            _decode,
+            "doc_id long, band_max int, planted_band int, snr_ge_30 boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_mp2_audio() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(doc_id % 8 AS INTEGER) AS band_max,
+       CAST(doc_id % 8 AS INTEGER) AS planted_band,
+       TRUE AS snr_ge_30
+FROM documents WHERE doc_id < {_MP2_N_ASSETS} ORDER BY doc_id
+"""
+
+
+R5_QUERIES: list[QueryDef] = [
+    QueryDef(
+        "q_mp2_audio", _q_mp2_audio, _sql_mp2_audio(),
+        "Layer II subband codec round-trip: band placement + SNR",
+    ),
+    QueryDef(
+        "q_compaction", _q_compaction, _SQL_COMPACTION,
+        "snapshot-log small-file compaction: bin-pack + checksum proof",
+    ),
+    QueryDef(
+        "q_image_dedup", _q_image_dedup, _SQL_IMAGE_DEDUP,
+        "perceptual-hash image dedup clusters (dHash + band LSH + CC)",
+    ),
+    QueryDef(
+        "q_image_dedup_recall", _q_image_dedup_recall, _SQL_IMAGE_DEDUP_RECALL,
+        "banding recall vs exact hamming (lossless by pigeonhole)",
+    ),
+    QueryDef(
+        "q_image_phash_agreement", _q_image_phash_agreement,
+        _SQL_IMAGE_PHASH_AGREEMENT,
+        "dHash-vs-pHash plane agreement on planted near-dups",
+    ),
+]
