@@ -330,6 +330,9 @@ BENCH_NAMES = [
     "q_image_phash_agreement",
     "q_compaction",
     "q_mp2_audio",
+    "q_audio_dedup",
+    "q_audio_dedup_recall",
+    "q_video_dedup",
 ]
 
 

@@ -164,6 +164,146 @@ SELECT CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_dhash_pairs,
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (the audio cell of the per-modality dedup matrix)
+# ---------------------------------------------------------------------------
+
+_AUD_GROUPS = 20
+_AUD_VARIANTS = 3
+_AUD_SEED = 7
+_AUD_MAX_HAMMING = 6
+_AUD_TRUE_PAIRS = _AUD_GROUPS * (_AUD_VARIANTS * (_AUD_VARIANTS - 1) // 2)
+
+
+def _planted_audio(spark: SparkSession) -> DataFrame:
+    from dbt_lab_spark.llm.audiodedup import make_near_dup_audio
+
+    return make_near_dup_audio(
+        spark, n_groups=_AUD_GROUPS, variants=_AUD_VARIANTS, seed=_AUD_SEED
+    )
+
+
+def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup CLUSTERS over the planted corpus: PCM decode ->
+    spectrogram-gradient 64-bit fingerprint (one Arrow map-only stage,
+    llm/audiodedup.py) -> hamming-band LSH pairs -> min-label connected
+    components -> (component, n_members).  Planted structure (20 groups
+    x 3 variants: base / 0.82x gain — fingerprint-invariant by
+    construction / low-level seeded noise, margins pinned in
+    tests/test_wave33.py) makes the output closed-form: component =
+    group*3, n_members = 3 — proving decode, STFT fingerprint, banding,
+    and clustering end-to-end."""
+    from dbt_lab_spark.llm.audiodedup import audio_dup_clusters
+
+    clusters = audio_dup_clusters(
+        _planted_audio(spark), max_hamming=_AUD_MAX_HAMMING
+    )
+    return (
+        clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )
+
+
+_SQL_AUDIO_DEDUP = f"""
+SELECT CAST(g * {_AUD_VARIANTS} AS BIGINT) AS component,
+       CAST({_AUD_VARIANTS} AS BIGINT) AS n_members
+FROM generate_series(0, {_AUD_GROUPS - 1}) t(g)
+ORDER BY component
+"""
+
+
+def _q_audio_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-path retrieval quality vs exact all-pairs hamming over the
+    audio fingerprint plane (the q_image_dedup_recall pattern; banding
+    is lossless by pigeonhole, so the oracle asserts recall == 1 and the
+    planted closed form, not a tolerance).  The exact baseline is a
+    broadcast theta-join: the corpus is bounded by design, and the
+    broadcast keeps the plan off CartesianProduct."""
+    from dbt_lab_spark.llm.audiodedup import audio_fingerprints
+    from dbt_lab_spark.llm.dedup import hamming_dedup_pairs
+
+    fps = audio_fingerprints(_planted_audio(spark)).select("asset_id", "afp")
+    a = fps.select(F.col("asset_id").alias("id_a"), F.col("afp").alias("h_a"))
+    b = fps.select(F.col("asset_id").alias("id_b"), F.col("afp").alias("h_b"))
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AUD_MAX_HAMMING)
+    )
+    banded = hamming_dedup_pairs(
+        fps, hash_col="afp", id_col="asset_id", max_hamming=_AUD_MAX_HAMMING
+    )
+    matched = exact.select("id_a", "id_b").join(
+        banded.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(banded.agg(F.count("*").alias("n_banded")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        .select(
+            "n_exact",
+            "n_banded",
+            "n_matched",
+            (F.col("n_matched") == F.col("n_exact")).alias("recall_eq_1"),
+        )
+    )
+
+
+_SQL_AUDIO_DEDUP_RECALL = f"""
+SELECT CAST({_AUD_TRUE_PAIRS} AS BIGINT) AS n_exact,
+       CAST({_AUD_TRUE_PAIRS} AS BIGINT) AS n_banded,
+       CAST({_AUD_TRUE_PAIRS} AS BIGINT) AS n_matched,
+       TRUE AS recall_eq_1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup dedup (per-frame hashes, frame-aligned banding)
+# ---------------------------------------------------------------------------
+
+_VID_GROUPS = 12
+_VID_VARIANTS = 3
+_VID_SEED = 11
+_VID_MAX_MEAN_HAMMING = 6.0
+
+
+def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup CLUSTERS over the planted MJPEG corpus: container
+    split -> per-frame JPEG decode + dHash (one Arrow map-only stage,
+    llm/videodedup.py) -> frame-aligned pigeonhole banding -> exact
+    aligned-sequence mean-hamming verify -> connected components.
+    Planted structure (12 groups x 3 variants: base / +6 brightness /
+    2% salt noise per frame, JPEG q90 round-trip; margins pinned in
+    tests/test_wave33.py) makes the output closed-form: component =
+    group*3, n_members = 3."""
+    from dbt_lab_spark.llm.videodedup import make_near_dup_videos, video_dup_clusters
+
+    corpus = make_near_dup_videos(
+        spark, n_groups=_VID_GROUPS, variants=_VID_VARIANTS, seed=_VID_SEED
+    )
+    clusters = video_dup_clusters(
+        corpus, max_mean_hamming=_VID_MAX_MEAN_HAMMING
+    )
+    return (
+        clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )
+
+
+_SQL_VIDEO_DEDUP = f"""
+SELECT CAST(g * {_VID_VARIANTS} AS BIGINT) AS component,
+       CAST({_VID_VARIANTS} AS BIGINT) AS n_members
+FROM generate_series(0, {_VID_GROUPS - 1}) t(g)
+ORDER BY component
+"""
+
+
 def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction on the snapshot log (VERDICT r4 #6): land
     documents as five streaming-style delta appends (2 files each — the
@@ -393,5 +533,17 @@ R5_QUERIES: list[QueryDef] = [
         "q_image_phash_agreement", _q_image_phash_agreement,
         _SQL_IMAGE_PHASH_AGREEMENT,
         "dHash-vs-pHash plane agreement on planted near-dups",
+    ),
+    QueryDef(
+        "q_audio_dedup", _q_audio_dedup, _SQL_AUDIO_DEDUP,
+        "spectrogram-fingerprint audio dedup clusters (band LSH + CC)",
+    ),
+    QueryDef(
+        "q_audio_dedup_recall", _q_audio_dedup_recall, _SQL_AUDIO_DEDUP_RECALL,
+        "audio banding recall vs exact hamming (lossless by pigeonhole)",
+    ),
+    QueryDef(
+        "q_video_dedup", _q_video_dedup, _SQL_VIDEO_DEDUP,
+        "per-frame-hash video dedup clusters (frame-aligned banding)",
     ),
 ]

@@ -1,0 +1,232 @@
+"""r5 audio + video dedup pins: fingerprint determinism and gain
+invariance, planted-corpus margins at the query thresholds, frame-
+aligned banding completeness, and end-to-end cluster recovery — the
+audio/video cells of the per-modality dedup matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Audio plane
+# ---------------------------------------------------------------------------
+
+
+def _planted_fps():
+    """Recompute every planted clip's fingerprint through the SAME
+    WAV round-trip the engine path uses."""
+    from dbt_lab_spark.llm import codecs
+    from dbt_lab_spark.llm.audiodedup import audio_fingerprint64
+
+    seed, samplerate, n_samples, variants = 7, 8000, 2048, 3
+    t = np.arange(n_samples)
+    fps = {}
+    for g in range(20):
+        rng = np.random.default_rng(seed + g)
+        freqs = rng.choice(np.arange(8, 120), size=3, replace=False) * (
+            samplerate / 256.0
+        )
+        amps = 0.25 + 0.15 * rng.random(3)
+        base = sum(
+            a * np.sin(2 * np.pi * f * t / samplerate)
+            for a, f in zip(amps, freqs)
+        )
+        base = base + 0.05 * rng.standard_normal(n_samples)
+        for v in range(variants):
+            x = base
+            if v == 1:
+                x = 0.82 * base
+            elif v >= 2:
+                vrng = np.random.default_rng(seed * 1000 + g * variants + v)
+                x = base + 0.004 * vrng.standard_normal(n_samples)
+            pcm = np.clip(x * 20000, -32768, 32767).astype(np.int16)
+            sr, dec = codecs.decode_wav(
+                codecs.encode_wav(pcm[:, None], sample_rate=samplerate)
+            )
+            mono = dec.astype(np.float64).mean(axis=1)
+            fps[g * variants + v] = audio_fingerprint64(mono, sr)
+    return fps
+
+
+def test_audio_fingerprint_properties():
+    """Determinism, exact gain invariance (log-energy shift cancels in
+    the gradient comparison), and ~half-bits distance between
+    independent signals."""
+    from dbt_lab_spark.llm.audiodedup import audio_fingerprint64
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(2048)
+    assert audio_fingerprint64(x, 8000) == audio_fingerprint64(x.copy(), 8000)
+    assert audio_fingerprint64(x, 8000) == audio_fingerprint64(0.5 * x, 8000)
+    y = np.random.default_rng(6).standard_normal(2048)
+    assert 15 <= _ham(
+        audio_fingerprint64(x, 8000), audio_fingerprint64(y, 8000)
+    ) <= 49
+
+
+def test_audio_fingerprint_rejects_short_clip():
+    from pytest import raises
+
+    from dbt_lab_spark.llm.audiodedup import audio_fingerprint64
+
+    with raises(ValueError):
+        audio_fingerprint64(np.zeros(512), 8000)
+
+
+def test_planted_audio_margins():
+    """The planted corpus separates cleanly at the query threshold:
+    within-group hamming <= 4 (measured; the noise variant flips at
+    most 4 near-tie gradient bits) <= 6 < 10 <= cross-group.  A change
+    in the WAV codec, STFT, or pooling that moves fingerprints breaks
+    this pin before it breaks the oracle."""
+    fps = _planted_fps()
+    ids = sorted(fps)
+    within, cross = [], []
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            (within if i // 3 == j // 3 else cross).append(_ham(fps[i], fps[j]))
+    assert len(within) == 60
+    assert max(within) <= 4
+    assert min(cross) >= 10
+
+
+def test_audio_dedup_end_to_end(spark):
+    """Full pipeline: WAV decode -> STFT fingerprint -> banding -> CC
+    recovers exactly the 20 planted groups."""
+    from dbt_lab_spark.llm.audiodedup import audio_dup_clusters, make_near_dup_audio
+
+    assets = make_near_dup_audio(spark, n_groups=20, variants=3, seed=7)
+    got = {
+        r["asset_id"]: r["component"]
+        for r in audio_dup_clusters(assets, max_hamming=6).collect()
+    }
+    assert got == {i: (i // 3) * 3 for i in range(60)}
+
+
+def test_audio_fingerprints_skip_undecodable(spark):
+    """Corrupt payloads and non-audio rows drop, not fail."""
+    from dbt_lab_spark.llm import codecs
+    from dbt_lab_spark.llm.audiodedup import audio_fingerprints
+    from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA
+
+    pcm = (
+        10000 * np.sin(2 * np.pi * 440 * np.arange(2048) / 8000)
+    ).astype(np.int16)
+    rows = [
+        (0, "audio", bytearray(codecs.encode_wav(pcm[:, None], sample_rate=8000)), 0, 0, 256),
+        (1, "audio", bytearray(b"RIFFxxxxGARBAGE"), 0, 0, 100),
+        (2, "image", bytearray(b"\x89PNG"), 4, 4, 0),
+    ]
+    out = audio_fingerprints(spark.createDataFrame(rows, ASSET_SCHEMA)).collect()
+    assert [r["asset_id"] for r in out] == [0]
+    assert out[0]["samplerate"] == 8000
+
+
+# ---------------------------------------------------------------------------
+# Video plane
+# ---------------------------------------------------------------------------
+
+
+def _planted_frame_hashes():
+    """Per-frame dHashes of the planted MJPEG corpus through the same
+    JPEG round-trip the engine path uses."""
+    from dbt_lab_spark.llm import codecs
+    from dbt_lab_spark.llm.imagededup import dhash64
+    from dbt_lab_spark.llm.videodedup import make_near_dup_videos  # noqa: F401 (planting rule source)
+
+    seed, n_frames, size, variants = 11, 6, 32, 3
+    hashes = {}
+    for g in range(12):
+        rng = np.random.default_rng(seed + g)
+        base = [
+            rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        for v in range(variants):
+            frames = base
+            if v == 1:
+                frames = [
+                    np.clip(f.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+                    for f in base
+                ]
+            elif v >= 2:
+                vrng = np.random.default_rng(seed * 1000 + g * variants + v)
+                frames = []
+                for f in base:
+                    noisy = f.copy()
+                    n_flip = max(1, (size * size) // 50)
+                    ys = vrng.integers(0, size, n_flip)
+                    xs = vrng.integers(0, size, n_flip)
+                    noisy[ys, xs] = vrng.integers(0, 256, size=(n_flip, 3))
+                    frames.append(noisy)
+            payload = codecs.encode_mjpeg(frames, quality=90)
+            hashes[g * variants + v] = [
+                dhash64(codecs.decode_jpeg(p)) for p in codecs.split_mjpeg(payload)
+            ]
+    return hashes
+
+
+def test_planted_video_margins():
+    """Mean aligned-frame hamming separates at the query threshold:
+    within-group <= 5 <= 6 < 16 <= cross-group mean."""
+    hashes = _planted_frame_hashes()
+    ids = sorted(hashes)
+    within, cross = [], []
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            mean = float(
+                np.mean([_ham(a, b) for a, b in zip(hashes[i], hashes[j])])
+            )
+            (within if i // 3 == j // 3 else cross).append(mean)
+    assert len(within) == 36
+    assert max(within) <= 5.0
+    assert min(cross) >= 16.0
+
+
+def test_video_dedup_end_to_end(spark):
+    """Full pipeline: MJPEG split -> frame dHash -> frame-aligned
+    banding -> mean-hamming verify -> CC recovers the 12 planted
+    groups."""
+    from dbt_lab_spark.llm.videodedup import make_near_dup_videos, video_dup_clusters
+
+    assets = make_near_dup_videos(spark, n_groups=12, variants=3, seed=11)
+    got = {
+        r["asset_id"]: r["component"]
+        for r in video_dup_clusters(assets, max_mean_hamming=6.0).collect()
+    }
+    assert got == {i: (i // 3) * 3 for i in range(36)}
+
+
+def test_video_pairs_require_equal_frame_count(spark):
+    """A truncated copy (one frame missing) is NOT a near-dup under the
+    aligned-sequence criterion — the frame-count guard must hold even
+    when every shared frame matches exactly."""
+    from dbt_lab_spark.llm import codecs
+    from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA
+    from dbt_lab_spark.llm.videodedup import video_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    rows = [
+        (0, "video", bytearray(codecs.encode_mjpeg(frames, quality=90)), 24, 24, 200),
+        (1, "video", bytearray(codecs.encode_mjpeg(frames, quality=90)), 24, 24, 200),
+        (2, "video", bytearray(codecs.encode_mjpeg(frames[:4], quality=90)), 24, 24, 160),
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in video_dedup_pairs(
+            spark.createDataFrame(rows, ASSET_SCHEMA), max_mean_hamming=6.0
+        ).collect()
+    }
+    assert got == {(0, 1)}
