@@ -333,6 +333,10 @@ BENCH_NAMES = [
     "q_audio_dedup",
     "q_audio_dedup_recall",
     "q_video_dedup",
+    "q_image_search",
+    "q_merge_upsert",
+    "q_change_feed",
+    "q_dedup_incremental",
 ]
 
 

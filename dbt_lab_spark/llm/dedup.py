@@ -379,6 +379,156 @@ def hamming_dedup_pairs(
     )
 
 
+def hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-frame hamming join: every (id_l, id_r, hamming) pair with
+    hamming <= max_hamming between TWO hash sets — the two-sided twin
+    of `hamming_dedup_pairs` (same pigeonhole bands, recall 1.0 by
+    construction, exact bit_count verify; no id ordering is applied —
+    callers normalize if the sets overlap).
+
+    This is the primitive INCREMENTAL dedup maintenance is built on:
+    band the new batch against the standing hash index instead of
+    re-deduping the corpus — per-batch cost is O(batch-vs-bucket), not
+    O(corpus^2)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def _bands(df: DataFrame, out_id: str, out_hash: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_hash),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col(hash_col), b * width).bitwiseAND(
+                            F.lit((1 << width) - 1).cast("long")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    lb = _bands(left, "id_l", "h_l")
+    rb = _bands(right, "id_r", "h_r")
+    return (
+        lb.join(rb, on=["band", "key"])
+        .select(
+            "id_l",
+            "id_r",
+            _hamming64(F.col("h_l"), F.col("h_r")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def incremental_dedup_pairs(
+    batch: DataFrame,
+    index: DataFrame | None,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs CONTRIBUTED by a new batch against a standing
+    corpus: within-batch pairs plus batch-vs-index pairs, normalized to
+    id_a < id_b.  Maintaining dedup state incrementally — append the
+    batch's hashes to the index (e.g. a SnapshotTable) after calling —
+    yields EXACTLY the one-shot pair set over the union, batch by
+    batch (each unordered pair {i, j} is emitted exactly once: by the
+    batch that completes it), at per-batch cost.  The equivalence is
+    proven in-engine by q_dedup_incremental's symmetric-difference
+    oracle."""
+    within = hamming_dedup_pairs(
+        batch, hash_col=hash_col, id_col=id_col, max_hamming=max_hamming
+    )
+    if index is None:
+        return within
+    cross = hamming_join(
+        batch, index, hash_col=hash_col, id_col=id_col, max_hamming=max_hamming
+    ).select(
+        F.least(F.col("id_l"), F.col("id_r")).alias("id_a"),
+        F.greatest(F.col("id_l"), F.col("id_r")).alias("id_b"),
+        "hamming",
+    )
+    return within.unionByName(cross).distinct()
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    radius: int = 6,
+) -> DataFrame:
+    """Radius-bounded top-k retrieval over a 64-bit hash plane: for
+    each query hash, the k nearest corpus hashes within hamming <=
+    `radius`, ranked by (hamming, corpus id) — perceptual-hash image /
+    audio-fingerprint search, the retrieval twin of
+    `hamming_dedup_pairs`.
+
+    Same pigeonhole index: corpus and queries are banded into radius+1
+    disjoint bands; a per-(band, key) equi-join yields every corpus
+    hash within the radius of every query (recall 1.0 inside the
+    radius, BY CONSTRUCTION), exact bit_count ranks them, one window
+    takes k per query.  A query with fewer than k in-radius neighbors
+    returns what exists — radius-bounded search, the standard
+    LSH-retrieval contract.
+
+    Scale shape: the index explode is radius+1 rows per corpus hash —
+    built once per (corpus, radius) and shuffled on (band, key); query
+    fan-out is radius+1 rows per query.  Corpus self-matches are not
+    excluded: pass queries with ids disjoint from the corpus, or drop
+    hamming=0 rows downstream if the query set IS the corpus.
+
+    Returns (query_id, neighbor_id, hamming, rank)."""
+    from pyspark.sql.window import Window
+
+    n_bands = radius + 1
+    width = 64 // n_bands
+
+    def _bands(df: DataFrame, out_id: str, out_hash: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_hash),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col(hash_col), b * width).bitwiseAND(
+                            F.lit((1 << width) - 1).cast("long")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    qb = _bands(queries, "query_id", "h_q")
+    cb = _bands(corpus, "neighbor_id", "h_c")
+    cand = (
+        qb.join(cb, on=["band", "key"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _hamming64(F.col("h_q"), F.col("h_c")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, for candidate pairs)
 # ---------------------------------------------------------------------------

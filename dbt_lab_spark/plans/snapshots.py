@@ -111,13 +111,66 @@ class SnapshotTable:
     def _stats_for(self, d: str) -> dict:
         return _file_stats(d, self.stat_cols) if self.stat_cols else {}
 
+    def _read_paths(self, spark: SparkSession, rec: dict, paths: list[str]):
+        """Scan `paths` under the version's recorded schema.  When the
+        version spans directories with DIFFERENT column sets (schema
+        evolution), read with mergeSchema and project to the record's
+        schema — columns absent from `paths` entirely (e.g. a
+        touched-subset read of pre-evolution directories) come back as
+        typed nulls, with types from the LOG's recorded schema, the
+        Delta idea of schema-in-the-log.  Homogeneous versions take the
+        plain fast path — no extra footer reads."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        dir_cols = rec.get("dir_columns")
+        if dir_cols and len({tuple(c) for c in dir_cols.values()}) > 1:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            schema = T.StructType.fromJson(json.loads(rec["schema_json"]))
+            return df.select(
+                *[
+                    F.col(f.name) if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return spark.read.parquet(*paths)
+
+    @staticmethod
+    def _evolved_schema(parent_rec: dict, batch_df: DataFrame) -> dict:
+        """Log-schema bookkeeping for an additive commit: the parent's
+        recorded schema plus any NEW batch columns appended in batch
+        order.  Returns the record fragment {columns, schema_json}."""
+        from pyspark.sql import types as T
+
+        if "schema_json" in parent_rec:
+            parent = T.StructType.fromJson(json.loads(parent_rec["schema_json"]))
+        else:
+            parent = T.StructType(list(batch_df.schema.fields))
+        have = {f.name for f in parent.fields}
+        fields = list(parent.fields) + [
+            f for f in batch_df.schema.fields if f.name not in have
+        ]
+        schema = T.StructType(fields)
+        return {
+            "columns": [f.name for f in fields],
+            "schema_json": json.dumps(schema.jsonValue()),
+        }
+
     def commit(self, df: DataFrame, operation: str = "commit") -> int:
         """Full-replace commit: materialize `df` as a new immutable
         snapshot directory."""
         d = self._new_dir("full")
         df.write.mode("errorifexists").parquet(d)
         self._append_log(
-            {"operation": operation, "files": [d], "stats": self._stats_for(d)}
+            {
+                "operation": operation,
+                "files": [d],
+                "stats": self._stats_for(d),
+                "columns": list(df.columns),
+                "schema_json": json.dumps(df.schema.jsonValue()),
+                "dir_columns": {d: list(df.columns)},
+            }
         )
         return len(self._log()) - 1
 
@@ -135,6 +188,11 @@ class SnapshotTable:
                 "operation": "append",
                 "files": log[-1]["files"] + [d],
                 "stats": {**log[-1].get("stats", {}), **self._stats_for(d)},
+                **self._evolved_schema(log[-1], batch),
+                "dir_columns": {
+                    **log[-1].get("dir_columns", {}),
+                    d: list(batch.columns),
+                },
             }
         )
         return len(self._log()) - 1
@@ -144,13 +202,17 @@ class SnapshotTable:
         history stays intact, the head moves back."""
         log = self._log()
         target = next(r for r in log if r["version"] == version)
-        self._append_log(
-            {
-                "operation": f"rollback({version})",
-                "files": list(target["files"]),
-                "stats": dict(target.get("stats", {})),
-            }
-        )
+        rec = {
+            "operation": f"rollback({version})",
+            "files": list(target["files"]),
+            "stats": dict(target.get("stats", {})),
+        }
+        if "columns" in target:
+            rec["columns"] = list(target["columns"])
+            rec["dir_columns"] = dict(target.get("dir_columns", {}))
+            if "schema_json" in target:
+                rec["schema_json"] = target["schema_json"]
+        self._append_log(rec)
         return len(self._log()) - 1
 
     def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int | None:
@@ -168,12 +230,18 @@ class SnapshotTable:
         batch.write.mode("errorifexists").parquet(d)
         parent_files = log[-1]["files"] if log else []
         parent_stats = log[-1].get("stats", {}) if log else {}
+        parent_rec = log[-1] if log else {}
         self._append_log(
             {
                 "operation": "stream",
                 "batch_id": batch_id,
                 "files": parent_files + [d],
                 "stats": {**parent_stats, **self._stats_for(d)},
+                **self._evolved_schema(parent_rec, batch),
+                "dir_columns": {
+                    **parent_rec.get("dir_columns", {}),
+                    d: list(batch.columns),
+                },
             }
         )
         return len(self._log()) - 1
@@ -201,7 +269,7 @@ class SnapshotTable:
             r for r in log if r["version"] == version
         )
         if between is None:
-            return spark.read.parquet(*rec["files"])
+            return self._read_paths(spark, rec, rec["files"])
         col, lo, hi = between
         stats = rec.get("stats", {})
         keep: list[str] = []
@@ -215,11 +283,13 @@ class SnapshotTable:
                     keep.append(p)
         if not keep:
             return (
-                spark.read.parquet(*rec["files"])
+                self._read_paths(spark, rec, rec["files"])
                 .filter(F.lit(False))
                 .filter(F.col(col).between(lo, hi))
             )
-        return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+        return self._read_paths(spark, rec, keep).filter(
+            F.col(col).between(lo, hi)
+        )
 
     def pruned_file_count(
         self, version: int | None, between: tuple[str, object, object]
@@ -290,7 +360,7 @@ class SnapshotTable:
         d = self._new_dir("compact")
         # coalesce, not repartition: bin-packing needs no shuffle, just
         # fewer write tasks reading the small files back.
-        spark.read.parquet(*small).coalesce(n_out).write.mode(
+        self._read_paths(spark, head, small).coalesce(n_out).write.mode(
             "errorifexists"
         ).parquet(d)
         kept_stats = {
@@ -298,14 +368,188 @@ class SnapshotTable:
             for p, s in head.get("stats", {}).items()
             if any(p.startswith(k + os.sep) for k in keep)
         }
-        self._append_log(
-            {
-                "operation": f"compact(target_mb={target_mb})",
-                "files": keep + [d],
-                "stats": {**kept_stats, **self._stats_for(d)},
+        rec = {
+            "operation": f"compact(target_mb={target_mb})",
+            "files": keep + [d],
+            "stats": {**kept_stats, **self._stats_for(d)},
+        }
+        if "columns" in head:
+            rec["columns"] = list(head["columns"])
+            if "schema_json" in head:
+                rec["schema_json"] = head["schema_json"]
+            rec["dir_columns"] = {
+                **{
+                    k: v
+                    for k, v in head.get("dir_columns", {}).items()
+                    if k in keep
+                },
+                d: list(head["columns"]),
             }
-        )
+        self._append_log(rec)
         return len(self._log()) - 1
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str],
+    ) -> dict:
+        """Copy-on-write MERGE (upsert): matched target rows are
+        replaced by their source row (UPDATE SET *), unmatched source
+        rows are inserted — the Delta/Iceberg-style `MERGE INTO` for
+        the snapshot log.
+
+        CoW mechanics, the part that matters at 100 TB: only snapshot
+        directories that actually CONTAIN matching keys are rewritten.
+        Touched directories are found with one metadata-projected
+        semi-join (`_metadata.file_path` against the source keys — no
+        data columns cross the shuffle beyond the keys), then the
+        rewrite reads ONLY those directories; every untouched directory
+        is carried into the new version's manifest by reference.  An
+        update touching 1 of 10k directories rewrites 1 directory.
+        Commit granularity is the snapshot directory (this log's
+        manifest unit), one level coarser than Delta's per-file
+        rewrite but the same mechanics.
+
+        Source keys must be unique (the SQL MERGE multiple-match error,
+        checked with one aggregate); source schema must match the
+        table's.  History is preserved — time travel to pre-merge
+        versions still reads the old directories until `vacuum`.
+
+        Returns {"version", "n_dirs_rewritten", "n_dirs_total"}."""
+        from pyspark.sql import functions as F
+
+        log = self._log()
+        if not log:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        head = log[-1]
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError("merge: source has duplicate keys for ON columns")
+        table_cols = head.get("columns")
+        if table_cols is not None and set(source.columns) != set(table_cols):
+            raise ValueError(
+                f"merge: source columns {sorted(source.columns)} != table "
+                f"columns {sorted(table_cols)} (evolve with append first)"
+            )
+        target = self._read_paths(spark, head, head["files"])
+        keys = source.select(*on)
+        touched_files = [
+            r["__f"]
+            for r in target.select(
+                F.col("_metadata.file_path").alias("__f"), *on
+            )
+            .join(keys, on, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+        # file paths -> the snapshot directories that own them (URI
+        # prefixes stripped so they match the manifest's local paths)
+        norm = [f[len("file:"):] if f.startswith("file:") else f for f in touched_files]
+        touched = sorted(
+            {d for d in head["files"] if any(f.startswith(d + os.sep) for f in norm)}
+        )
+        untouched = [d for d in head["files"] if d not in touched]
+        inserts = source.join(target.select(*on).distinct(), on, "left_anti")
+        if touched:
+            kept_rows = self._read_paths(spark, head, touched).join(
+                source, on, "left_anti"
+            )
+            # matched keys live only in touched dirs (that's what makes
+            # them touched), so "source semi target-keys" is the update
+            # set — and the key scan is column-pruned.
+            updates = source.join(target.select(*on).distinct(), on, "left_semi")
+            new_rows = kept_rows.unionByName(updates).unionByName(inserts)
+        else:
+            new_rows = inserts
+        d = self._new_dir("merge")
+        new_rows.write.mode("errorifexists").parquet(d)
+        kept_stats = {
+            p: s
+            for p, s in head.get("stats", {}).items()
+            if any(p.startswith(k + os.sep) for k in untouched)
+        }
+        rec = {
+            "operation": f"merge(on={on})",
+            "files": untouched + [d],
+            "stats": {**kept_stats, **self._stats_for(d)},
+        }
+        if table_cols is not None:
+            rec["columns"] = list(table_cols)
+            if "schema_json" in head:
+                rec["schema_json"] = head["schema_json"]
+            rec["dir_columns"] = {
+                **{
+                    k: v
+                    for k, v in head.get("dir_columns", {}).items()
+                    if k in untouched
+                },
+                d: list(new_rows.columns),
+            }
+        self._append_log(rec)
+        return {
+            "version": len(self._log()) - 1,
+            "n_dirs_rewritten": len(touched),
+            "n_dirs_total": len(head["files"]),
+        }
+
+    def change_feed(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC between two versions: the table's rows with a `_change`
+        column ('insert' for rows present at `to_version` but not
+        `from_version`, 'delete' for the reverse; an update appears as
+        its delete+insert pair — the Delta change-data-feed shape,
+        recovered from the log after the fact).
+
+        Manifest-powered: snapshot directories SHARED by both versions
+        contribute identical immutable rows to both sides and cancel
+        exactly, so they are never read — after an append the feed
+        scans just the delta directory; after a merge, just the
+        rewritten and replaced directories.  The multiset diff
+        (exceptAll) over the remaining directories is exact regardless
+        of duplicates."""
+        from pyspark.sql import functions as F
+
+        log = self._log()
+        old = next(r for r in log if r["version"] == from_version)
+        new = log[-1] if to_version is None else next(
+            r for r in log if r["version"] == to_version
+        )
+        shared = set(old["files"]) & set(new["files"])
+        old_only = [d for d in old["files"] if d not in shared]
+        new_only = [d for d in new["files"] if d not in shared]
+
+        def _read(rec: dict, dirs: list[str]) -> DataFrame | None:
+            return self._read_paths(spark, rec, dirs) if dirs else None
+
+        o, n = _read(old, old_only), _read(new, new_only)
+        if o is None and n is None:
+            base = self._read_paths(spark, new, new["files"]).filter(
+                F.lit(False)
+            )
+            return base.withColumn("_change", F.lit("insert"))
+        if o is None:
+            return n.withColumn("_change", F.lit("insert"))
+        if n is None:
+            return o.withColumn("_change", F.lit("delete"))
+        if o.columns != n.columns:
+            # feed across a schema-evolution boundary: align the old
+            # side to the new column set (absent columns become typed
+            # nulls, matching what a merged read returns for old rows)
+            o = o.select(
+                *[
+                    F.col(c) if c in o.columns
+                    else F.lit(None).cast(n.schema[c].dataType).alias(c)
+                    for c in n.columns
+                ]
+            )
+        return n.exceptAll(o).withColumn("_change", F.lit("insert")).unionByName(
+            o.exceptAll(n).withColumn("_change", F.lit("delete"))
+        )
 
     # -- lifecycle ---------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[str]:

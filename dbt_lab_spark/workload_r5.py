@@ -164,6 +164,46 @@ SELECT CAST({_IMG_TRUE_PAIRS} AS BIGINT) AS n_dhash_pairs,
 """
 
 
+def _q_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded top-k image retrieval (llm/dedup.hamming_topk,
+    the retrieval twin of the dedup plane): index the planted corpus'
+    dHashes, query with each group's base image (asset_id % 3 == 0),
+    k=3 inside radius 6.  The planted margins (within <= 4 < 6 <
+    19 <= cross) make the result closed-form: each query retrieves
+    exactly itself plus its two variants — so after dropping the
+    self-match, (count, min, max) per query are pure functions of the
+    group index, which DuckDB recomputes from the planting rule."""
+    from dbt_lab_spark.llm.dedup import hamming_topk
+    from dbt_lab_spark.llm.imagededup import image_hashes
+
+    hashes = image_hashes(_planted(spark)).select("asset_id", "dhash")
+    queries = hashes.filter(F.col("asset_id") % 3 == 0)
+    hits = hamming_topk(
+        hashes, queries, hash_col="dhash", id_col="asset_id",
+        k=3, radius=_IMG_MAX_HAMMING,
+    )
+    return (
+        hits.filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("neighbor_id").alias("min_neighbor"),
+            F.max("neighbor_id").alias("max_neighbor"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_SQL_IMAGE_SEARCH = f"""
+SELECT CAST(g * {_IMG_VARIANTS} AS BIGINT) AS query_id,
+       CAST({_IMG_VARIANTS - 1} AS BIGINT) AS n_neighbors,
+       CAST(g * {_IMG_VARIANTS} + 1 AS BIGINT) AS min_neighbor,
+       CAST(g * {_IMG_VARIANTS} + 2 AS BIGINT) AS max_neighbor
+FROM generate_series(0, {_IMG_GROUPS - 1}) t(g)
+ORDER BY query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprint dedup (the audio cell of the per-modality dedup matrix)
 # ---------------------------------------------------------------------------
@@ -512,6 +552,233 @@ FROM documents WHERE doc_id < {_MP2_N_ASSETS} ORDER BY doc_id
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup maintenance == one-shot dedup, proven
+    in-engine: simhash the documents table, split it into three
+    arrival batches (doc_id % 3), run `incremental_dedup_pairs` batch
+    by batch against the growing index, and compare the accumulated
+    pair set against the one-shot `hamming_dedup_pairs` over the whole
+    corpus.  Output: both symmetric-difference counts (0, 0 — each
+    unordered pair is emitted exactly once, by the batch that completes
+    it) and the equality flag.  This is the production shape: a new
+    crawl batch dedups against the standing index at O(batch) cost,
+    never re-deduping the corpus."""
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.llm.dedup import (
+        hamming_dedup_pairs,
+        incremental_dedup_pairs,
+        simhash,
+    )
+    from dbt_lab_spark.operators.scan import scan
+
+    import shutil
+    import tempfile
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    d = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        # materialize the hash index ONCE — the production shape (the
+        # standing index IS a table); every downstream op is a cheap
+        # two-bigint-column scan, not a simhash recompute per branch
+        idx_path = f"{d}/index"
+        simhash(docs, bits=60, base_hash="md5").withColumnRenamed(
+            "simhash", "h"
+        ).write.parquet(idx_path)
+        hashes = spark.read.parquet(idx_path)
+        one_shot = hamming_dedup_pairs(
+            hashes, hash_col="h", id_col="doc_id", max_hamming=3
+        ).select("id_a", "id_b")
+        incr = None
+        index = None
+        for b in range(3):
+            batch = hashes.filter(F.col("doc_id") % 3 == b)
+            pairs = incremental_dedup_pairs(
+                batch, index, hash_col="h", id_col="doc_id", max_hamming=3
+            ).select("id_a", "id_b")
+            incr = pairs if incr is None else incr.unionByName(pairs)
+            index = batch if index is None else index.unionByName(batch)
+        only_incr = incr.join(one_shot, ["id_a", "id_b"], "left_anti")
+        only_once = one_shot.join(incr, ["id_a", "id_b"], "left_anti")
+        row = (
+            only_incr.agg(F.count("*").alias("n_only_incremental"))
+            .crossJoin(only_once.agg(F.count("*").alias("n_only_oneshot")))
+            .select(
+                "n_only_incremental",
+                "n_only_oneshot",
+                (
+                    (F.col("n_only_incremental") == 0)
+                    & (F.col("n_only_oneshot") == 0)
+                ).alias("sets_equal"),
+            )
+            .first()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_only_incremental bigint, n_only_oneshot bigint, sets_equal boolean",
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = """
+SELECT CAST(0 AS BIGINT) AS n_only_incremental,
+       CAST(0 AS BIGINT) AS n_only_oneshot,
+       TRUE AS sets_equal
+"""
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE (upsert) + change feed on the snapshot log
+# ---------------------------------------------------------------------------
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO on the snapshot log: land documents as
+    four delta directories (doc_id % 4), then upsert a source that
+    UPDATES only keys with doc_id % 12 == 9 (all inside the %4==1
+    directory — so CoW must rewrite exactly 1 of 4 directories) and
+    INSERTS ten brand-new keys.  The one output row proves the CoW
+    contract end-to-end: dirs rewritten/total from the merge metrics,
+    post-merge row count and n_chars sum (updates add 1,000,000 each —
+    visible in the sum), and the pre-merge version still time-travels.
+    Oracle: closed-form from `documents`."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        t = SnapshotTable(d)
+        for b in range(4):
+            t.append(docs.filter(F.col("doc_id") % 4 == b))
+        pre_version = t.versions()[-1]
+        n_pre = t.read(spark).count()
+        updates = (
+            docs.filter(F.col("doc_id") % 12 == 9)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1000000))
+        )
+        inserts = spark.range(10).select(
+            (F.col("id") + F.lit(10**9)).alias("doc_id"),
+            F.lit("merged").alias("source"),
+            F.lit(77).cast("int").alias("n_chars"),
+        )
+        metrics = t.merge(
+            spark, updates.unionByName(inserts), on=["doc_id"]
+        )
+        after = t.read(spark).agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("s")
+        ).first()
+        n_travel = t.read(spark, version=pre_version).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                metrics["n_dirs_rewritten"],
+                metrics["n_dirs_total"],
+                int(after["n"]),
+                int(after["s"]),
+                bool(n_travel == n_pre),
+            )
+        ],
+        "n_dirs_rewritten int, n_dirs_total int, n_rows_after bigint, "
+        "sum_nchars_after bigint, time_travel_intact boolean",
+    )
+
+
+_SQL_MERGE_UPSERT = """
+SELECT 1 AS n_dirs_rewritten,
+       4 AS n_dirs_total,
+       COUNT(*) + 10 AS n_rows_after,
+       CAST(SUM(n_chars)
+         + 1000000 * SUM(CASE WHEN doc_id % 12 = 9 THEN 1 ELSE 0 END)
+         + 10 * 77 AS BIGINT) AS sum_nchars_after,
+       TRUE AS time_travel_intact
+FROM documents
+"""
+
+
+def _q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed recovered from the snapshot log: version 0 is
+    the full documents table; version 1 appends rows for doc_id % 7 ==
+    0 under fresh keys; version 2 merges an UPDATE of doc_id % 12 == 9.
+    feed(0->1) must be pure inserts (the appended batch — shared
+    directories cancel without being read); feed(1->2) must be exactly
+    one delete+insert pair per updated key (unchanged rows in the
+    rewritten directory cancel in the multiset diff).  Oracle:
+    closed-form counts from `documents`."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="snap_feed_")
+    try:
+        t = SnapshotTable(d)
+        t.commit(docs)
+        t.append(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+                "source",
+                "n_chars",
+            )
+        )
+        t.merge(
+            spark,
+            docs.filter(F.col("doc_id") % 12 == 9).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(5)
+            ),
+            on=["doc_id"],
+        )
+        f01 = (
+            t.change_feed(spark, 0, 1)
+            .groupBy("_change")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        f12 = (
+            t.change_feed(spark, 1, 2)
+            .groupBy("_change")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    c01 = {r["_change"]: r["n"] for r in f01}
+    c12 = {r["_change"]: r["n"] for r in f12}
+    return spark.createDataFrame(
+        [
+            (
+                int(c01.get("insert", 0)),
+                int(c01.get("delete", 0)),
+                int(c12.get("insert", 0)),
+                int(c12.get("delete", 0)),
+            )
+        ],
+        "inserts_v01 bigint, deletes_v01 bigint, "
+        "inserts_v12 bigint, deletes_v12 bigint",
+    )
+
+
+_SQL_CHANGE_FEED = """
+SELECT CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inserts_v01,
+       CAST(0 AS BIGINT) AS deletes_v01,
+       CAST(SUM(CASE WHEN doc_id % 12 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS inserts_v12,
+       CAST(SUM(CASE WHEN doc_id % 12 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS deletes_v12
+FROM documents
+"""
+
+
 R5_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_mp2_audio", _q_mp2_audio, _sql_mp2_audio(),
@@ -545,5 +812,21 @@ R5_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_video_dedup", _q_video_dedup, _SQL_VIDEO_DEDUP,
         "per-frame-hash video dedup clusters (frame-aligned banding)",
+    ),
+    QueryDef(
+        "q_image_search", _q_image_search, _SQL_IMAGE_SEARCH,
+        "radius-bounded top-k perceptual-hash retrieval (banded index)",
+    ),
+    QueryDef(
+        "q_merge_upsert", _q_merge_upsert, _SQL_MERGE_UPSERT,
+        "copy-on-write MERGE INTO: 1-of-4-dir rewrite + insert proof",
+    ),
+    QueryDef(
+        "q_change_feed", _q_change_feed, _SQL_CHANGE_FEED,
+        "CDC feed from the snapshot log: append + merge delta pairs",
+    ),
+    QueryDef(
+        "q_dedup_incremental", _q_dedup_incremental, _SQL_DEDUP_INCREMENTAL,
+        "incremental dedup maintenance == one-shot (symmetric-diff proof)",
     ),
 ]

@@ -194,3 +194,122 @@ def test_compact_noop_cases(spark, tmp_path):
     n = len(t.versions())
     assert t.compact(spark, target_mb=64) is None
     assert len(t.versions()) == n
+
+
+def test_merge_cow_rewrites_only_touched_dirs(spark, tmp_path):
+    """Upsert touching keys in one of three directories rewrites
+    exactly that directory; the others are carried by reference."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(10, "c"), (11, "d")]))
+    t.append(_df(spark, [(20, "e")]))
+    before_dirs = set(t._log()[-1]["files"])
+    m = t.merge(spark, _df(spark, [(10, "C!"), (99, "new")]), on=["k"])
+    assert m["n_dirs_rewritten"] == 1 and m["n_dirs_total"] == 3
+    after_dirs = set(t._log()[-1]["files"])
+    # the two untouched dirs are the SAME paths, not copies
+    assert len(before_dirs & after_dirs) == 2
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 10: "C!", 11: "d", 20: "e", 99: "new"}
+
+
+def test_merge_pure_insert_touches_nothing(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    m = t.merge(spark, _df(spark, [(2, "b")]), on=["k"])
+    assert m["n_dirs_rewritten"] == 0
+    assert {r.k for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    from pytest import raises
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    with raises(ValueError):
+        t.merge(spark, _df(spark, [(1, "x"), (1, "y")]), on=["k"])
+
+
+def test_merge_preserves_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(spark, _df(spark, [(1, "A")]), on=["k"])
+    assert {r.v for r in t.read(spark, version=0).collect()} == {"a", "b"}
+    assert {r.v for r in t.read(spark).collect()} == {"A", "b"}
+
+
+def test_change_feed_append_is_pure_insert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b"), (3, "c")]))
+    feed = t.change_feed(spark, 0, 1).collect()
+    assert {(r.k, r._change) for r in feed} == {(2, "insert"), (3, "insert")}
+
+
+def test_change_feed_merge_emits_delete_insert_pairs(spark, tmp_path):
+    """Unchanged rows in the rewritten directory cancel; only the
+    updated key surfaces, as its delete+insert pair."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(spark, _df(spark, [(2, "B!")]), on=["k"])
+    feed = {(r.k, r.v, r._change) for r in t.change_feed(spark, 0, 1).collect()}
+    assert feed == {(2, "b", "delete"), (2, "B!", "insert")}
+
+
+def test_change_feed_identical_versions_is_empty(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.rollback(0)
+    assert t.change_feed(spark, 0, 1).count() == 0
+
+
+def test_schema_evolution_append_and_read(spark, tmp_path):
+    """Additive evolution: an appended batch with a new column widens
+    the table; old rows read as nulls; the pre-evolution version still
+    reads with the OLD schema."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    head = t.read(spark)
+    assert head.columns == ["k", "v", "score"]
+    got = {r.k: r.score for r in head.collect()}
+    assert got == {1: None, 2: 9.5}
+    assert t.read(spark, version=0).columns == ["k", "v"]
+
+
+def test_schema_evolution_merge_and_compact(spark, tmp_path):
+    """After evolution, merge demands the full column set and compact
+    folds heterogeneous small dirs under the merged schema."""
+    from pytest import raises
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(
+        spark.createDataFrame([(3, "c", 1.5)], "k long, v string, score double")
+    )
+    with raises(ValueError):
+        t.merge(spark, _df(spark, [(1, "A")]), on=["k"])
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, "A", 7.0)], "k long, v string, score double"),
+        on=["k"],
+    )
+    got = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert got == {1: ("A", 7.0), 2: ("b", None), 3: ("c", 1.5)}
+    v = t.compact(spark, target_mb=64)
+    assert v is not None
+    assert {r.k: (r.v, r.score) for r in t.read(spark).collect()} == got
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """A feed spanning the evolution boundary aligns the old side with
+    typed nulls."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame([(2, "b", 3.5)], "k long, v string, score double")
+    )
+    feed = {(r.k, r.score, r._change) for r in t.change_feed(spark, 0, 1).collect()}
+    assert feed == {(2, 3.5, "insert")}

@@ -230,3 +230,47 @@ def test_video_pairs_require_equal_frame_count(spark):
         ).collect()
     }
     assert got == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# hamming_topk retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_topk_matches_bruteforce(spark):
+    """Radius-bounded top-k equals python brute force on the planted
+    image hash set: same neighbor sets, same (hamming, id) ranking,
+    k-truncation respected."""
+    from dbt_lab_spark.llm.dedup import hamming_topk
+    from tests.test_wave32 import _planted_hashes
+
+    hd, _ = _planted_hashes()
+    rows = [(i, h) for i, h in hd.items()]
+    df = spark.createDataFrame(rows, "asset_id long, dhash long")
+    queries = df.filter("asset_id % 3 = 0")
+    got = {}
+    for r in hamming_topk(
+        df, queries, hash_col="dhash", id_col="asset_id", k=3, radius=6
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["hamming"])
+        )
+    for q in range(0, 60, 3):
+        exact = sorted(
+            (_ham(hd[q], hd[j]), j) for j in hd if _ham(hd[q], hd[j]) <= 6
+        )[:3]
+        want = [(i + 1, j, h) for i, (h, j) in enumerate(exact)]
+        assert sorted(got[q]) == want, f"query {q}"
+
+
+def test_hamming_topk_empty_outside_radius(spark):
+    from dbt_lab_spark.llm.dedup import hamming_topk
+
+    corpus = spark.createDataFrame([(0, 0)], "asset_id long, dhash long")
+    queries = spark.createDataFrame([(1, -1)], "asset_id long, dhash long")
+    assert (
+        hamming_topk(
+            corpus, queries, hash_col="dhash", id_col="asset_id", k=5, radius=3
+        ).count()
+        == 0
+    )
