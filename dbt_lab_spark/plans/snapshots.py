@@ -314,7 +314,11 @@ class SnapshotTable:
         return kept, total
 
     def compact(
-        self, spark: SparkSession, target_mb: float = 128.0
+        self,
+        spark: SparkSession,
+        target_mb: float = 128.0,
+        order_by: list[str] | None = None,
+        n_files: int | None = None,
     ) -> int | None:
         """OPTIMIZE-style small-file compaction (VERDICT r4 #6): bin-pack
         the head version's SMALL snapshot directories (total parquet
@@ -333,6 +337,21 @@ class SnapshotTable:
         files.  Contents are proven unchanged by the checksum pins in
         tests/test_snapshots.py (pair with the q_table_checksum
         primitive operationally).
+
+        `order_by=` additionally CLUSTERS the rewrite (the OPTIMIZE
+        ZORDER idea on one or more leading columns): rows are
+        range-partitioned into the output files by the given columns
+        and sorted within each file, so every rewritten file owns a
+        narrow, non-overlapping value range — the recorded footer
+        min/max become tight and `between=` skipping over the
+        compacted data starts pruning files instead of reading them
+        all (pinned in tests: pruned-file count strictly improves vs
+        the unclustered rewrite).  Costs one range shuffle where plain
+        bin-packing is shuffle-free; both are one pass over the small
+        tail only.
+
+        `n_files=` overrides the byte-derived output count (e.g. to
+        pick a clustering granularity finer than target_mb would).
 
         Returns the new version, or None when fewer than two small
         directories exist (nothing to pack — no empty commit)."""
@@ -356,13 +375,22 @@ class SnapshotTable:
             return None
         keep = [d for d in head["files"] if d not in small]
         total = sum(dir_bytes(d) for d in small)
-        n_out = max(1, math.ceil(total / target))
+        n_out = n_files if n_files else max(1, math.ceil(total / target))
         d = self._new_dir("compact")
-        # coalesce, not repartition: bin-packing needs no shuffle, just
-        # fewer write tasks reading the small files back.
-        self._read_paths(spark, head, small).coalesce(n_out).write.mode(
-            "errorifexists"
-        ).parquet(d)
+        src = self._read_paths(spark, head, small)
+        if order_by:
+            # range-partition + in-file sort: each output file owns a
+            # disjoint range of order_by, making footer stats tight
+            from pyspark.sql import functions as F
+
+            src = src.repartitionByRange(
+                n_out, *[F.col(c) for c in order_by]
+            ).sortWithinPartitions(*order_by)
+        else:
+            # coalesce, not repartition: bin-packing needs no shuffle,
+            # just fewer write tasks reading the small files back.
+            src = src.coalesce(n_out)
+        src.write.mode("errorifexists").parquet(d)
         kept_stats = {
             p: s
             for p, s in head.get("stats", {}).items()

@@ -313,3 +313,26 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     )
     feed = {(r.k, r.score, r._change) for r in t.change_feed(spark, 0, 1).collect()}
     assert feed == {(2, 3.5, "insert")}
+
+
+def test_compact_order_by_tightens_skipping(spark, tmp_path):
+    """Clustered compaction (order_by=) must strictly improve
+    manifest-based file pruning vs the plain bin-pack: interleaved
+    appends give every small file the full key range (nothing prunes);
+    after a clustered rewrite each file owns a narrow range and a
+    between= read prunes most files."""
+    t = SnapshotTable(str(tmp_path / "t"), stat_cols=["k"])
+    # 4 interleaved appends: every file spans k in {0..199}
+    for b in range(4):
+        t.append(
+            spark.range(b, 200, 4).selectExpr("id AS k", "'x' AS v").repartition(2)
+        )
+    kept0, total0 = t.pruned_file_count(None, ("k", 0, 9))
+    assert kept0 >= total0 - 1  # interleaved: (almost) nothing skips
+    v = t.compact(spark, order_by=["k"], n_files=8)
+    assert v is not None
+    kept1, total1 = t.pruned_file_count(None, ("k", 0, 9))
+    # clustered: the 10-key probe touches at most 2 of the range files
+    assert total1 > 1 and kept1 <= 2 and kept1 < kept0
+    got = sorted(r.k for r in t.read(spark, between=("k", 0, 9)).collect())
+    assert got == list(range(10))  # and results stay exact
