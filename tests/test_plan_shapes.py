@@ -705,3 +705,36 @@ def test_cbo_join_reorder_is_live(spark, sf_medium):
     assert off[0] == "lineitem"
     assert on != off
     assert on[0] in ("nation", "region"), on
+
+
+def test_merge_key_scan_is_column_pruned(spark, tmp_path):
+    """CoW merge's touched-file detection must scan ONLY the join keys
+    (+ _metadata): at 100 TB the detection pass is a key-column scan,
+    never a full-width read.  Pin the ReadSchema of the detection-side
+    plan merge() builds."""
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v", "id * 2 AS w", "id * 3 AS x"
+        )
+    )
+    head = t._log()[-1]
+    target = spark.read.parquet(*head["files"])
+    source = spark.createDataFrame([(5,)], "k long")
+    detect = (
+        target.select(F.col("_metadata.file_path").alias("__f"), "k")
+        .join(source, ["k"], "left_semi")
+        .select("__f")
+        .distinct()
+    )
+    plan = _formatted(detect)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"k"}, f"detection scan reads {cols}, not just the key"
