@@ -460,6 +460,55 @@ def incremental_dedup_pairs(
     return within.unionByName(cross).distinct()
 
 
+def streaming_dedup_sink(
+    index_table,
+    pairs_table,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """foreachBatch sink for CONTINUOUS dedup: each micro-batch of
+    hashes is banded against the standing index (`hamming_join` via
+    `incremental_dedup_pairs`), the new near-dup pairs are committed to
+    `pairs_table`, and the batch's hashes are appended to
+    `index_table` — both plans/snapshots.SnapshotTable, so the pair
+    log and the index are themselves versioned, time-travelable
+    tables and replayed batches commit exactly once
+    (append_stream_batch's batch_id dedup).
+
+    This is the arrival-time shape of the batch equivalence theorem
+    q_dedup_incremental proves: after any prefix of batches, the pair
+    log EQUALS the one-shot dedup over the rows seen so far (pinned
+    end-to-end in tests/test_wave33.py with a real readStream).
+
+    Use:  stream.writeStream.foreachBatch(
+              streaming_dedup_sink(index, pairs, hash_col="h"))
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index_has_commits = bool(index_table.versions())
+        index = index_table.read(spark) if index_has_commits else None
+        new_pairs = incremental_dedup_pairs(
+            batch_df,
+            index,
+            hash_col=hash_col,
+            id_col=id_col,
+            max_hamming=max_hamming,
+        )
+        # pairs BEFORE index, both idempotent on batch_id: a replay
+        # after a crash between the two commits recomputes the same
+        # pair set (the index still lacks this batch), the pairs
+        # append no-ops, and the index append completes — no pair is
+        # lost or doubled under at-least-once redelivery.
+        pairs_table.append_stream_batch(new_pairs, batch_id)
+        index_table.append_stream_batch(
+            batch_df.select(id_col, hash_col), batch_id
+        )
+
+    return _sink
+
+
 def hamming_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -274,3 +274,62 @@ def test_hamming_topk_empty_outside_radius(spark):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup sink
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_sink_equals_one_shot(spark, tmp_path):
+    """Continuous dedup through a REAL readStream: micro-batches of
+    simhashes flow through streaming_dedup_sink (band vs standing
+    index, append pairs + hashes as snapshot commits); the accumulated
+    pair log must EQUAL the one-shot hamming_dedup_pairs over all rows,
+    regardless of micro-batch boundaries — and a replayed batch must
+    not double pairs."""
+    from dbt_lab_spark.llm.dedup import hamming_dedup_pairs, streaming_dedup_sink
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    # 30 hashes: ten triples of near-identical values (hamming <= 2
+    # inside a triple, far apart across triples)
+    rows = []
+    for g in range(10):
+        base = (0x9E3779B97F4A7C15 * (g + 1)) & ((1 << 63) - 1)
+        rows += [(g * 3, base), (g * 3 + 1, base ^ 1), (g * 3 + 2, base ^ 4)]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    df.repartition(5).write.parquet(src)
+
+    index = SnapshotTable(str(tmp_path / "index"))
+    pairs = SnapshotTable(str(tmp_path / "pairs"))
+    stream = (
+        spark.readStream.schema("doc_id long, h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = streaming_dedup_sink(index, pairs, hash_col="h", max_hamming=3)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.id_a, r.id_b) for r in pairs.read(spark).select("id_a", "id_b").collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in hamming_dedup_pairs(df, hash_col="h", max_hamming=3)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got == want and len(want) == 30  # C(3,2) x 10 triples
+    assert sorted(r.doc_id for r in index.read(spark).collect()) == list(range(30))
+    # replay the last batch id: both commits must no-op
+    n_pairs_versions = len(pairs.versions())
+    last_bid = max(
+        r.get("batch_id", -1) for r in pairs._log()
+    )
+    sink(df.limit(3), last_bid)
+    assert len(pairs.versions()) == n_pairs_versions
