@@ -337,6 +337,8 @@ BENCH_NAMES = [
     "q_merge_upsert",
     "q_change_feed",
     "q_dedup_incremental",
+    "q_delete_where",
+    "q_audio_search",
 ]
 
 

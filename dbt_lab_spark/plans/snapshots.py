@@ -524,6 +524,87 @@ class SnapshotTable:
             "n_dirs_total": len(head["files"]),
         }
 
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Copy-on-write row-level DELETE — the third leg of the DML
+        triad beside `append` and `merge`: rows matching `condition`
+        (a Column or SQL string) are removed by rewriting ONLY the
+        snapshot directories that contain any matching row; directories
+        with no matches are carried into the new version by reference.
+        Detection is one metadata-projected scan (`_metadata.file_path`
+        + the condition — Catalyst prunes the read to the condition's
+        columns), the same mechanics as merge's touched-dir pass; a
+        delete hitting 1 of 10k directories rewrites 1 directory, and
+        a predicate matching nothing commits nothing (no empty
+        version).  History is preserved for time travel until
+        `vacuum`.
+
+        Returns {"version" (None if no-op), "n_dirs_rewritten",
+        "n_dirs_total", "n_deleted"}."""
+        from pyspark.sql import functions as F
+
+        log = self._log()
+        if not log:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        head = log[-1]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        target = self._read_paths(spark, head, head["files"])
+        touched_files = [
+            r["__f"]
+            for r in target.filter(cond)
+            .select(F.col("_metadata.file_path").alias("__f"))
+            .distinct()
+            .collect()
+        ]
+        norm = [
+            f[len("file:"):] if f.startswith("file:") else f for f in touched_files
+        ]
+        touched = sorted(
+            {d for d in head["files"] if any(f.startswith(d + os.sep) for f in norm)}
+        )
+        if not touched:
+            return {
+                "version": None,
+                "n_dirs_rewritten": 0,
+                "n_dirs_total": len(head["files"]),
+                "n_deleted": 0,
+            }
+        untouched = [d for d in head["files"] if d not in touched]
+        src = self._read_paths(spark, head, touched)
+        n_before = src.count()
+        kept_rows = src.filter(~F.coalesce(cond, F.lit(False)))
+        d = self._new_dir("delete")
+        kept_rows.write.mode("errorifexists").parquet(d)
+        n_deleted = n_before - spark.read.parquet(d).count()
+        kept_stats = {
+            p: s
+            for p, s in head.get("stats", {}).items()
+            if any(p.startswith(k + os.sep) for k in untouched)
+        }
+        rec = {
+            "operation": "delete_where",
+            "files": untouched + [d],
+            "stats": {**kept_stats, **self._stats_for(d)},
+        }
+        if "columns" in head:
+            rec["columns"] = list(head["columns"])
+            if "schema_json" in head:
+                rec["schema_json"] = head["schema_json"]
+            rec["dir_columns"] = {
+                **{
+                    k: v
+                    for k, v in head.get("dir_columns", {}).items()
+                    if k in untouched
+                },
+                d: list(kept_rows.columns),
+            }
+        self._append_log(rec)
+        return {
+            "version": len(self._log()) - 1,
+            "n_dirs_rewritten": len(touched),
+            "n_dirs_total": len(head["files"]) ,
+            "n_deleted": int(n_deleted),
+        }
+
     def change_feed(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -552,6 +552,98 @@ FROM documents WHERE doc_id < {_MP2_N_ASSETS} ORDER BY doc_id
 """
 
 
+def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE on the snapshot log (the DML
+    triad's third leg beside append and MERGE): land documents as four
+    delta directories (doc_id % 4), DELETE WHERE doc_id % 12 = 9 —
+    every matching row lives in the %4==1 directory, so CoW must
+    rewrite exactly 1 of 4 dirs — and prove the contract in one row:
+    dirs rewritten/total, rows deleted, post-delete count, and the
+    pre-delete version still time-travels.  Oracle: closed-form from
+    `documents`."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.catalog import Catalog
+    from dbt_lab_spark.operators.scan import scan
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    docs = scan(spark, cat, "documents", ["doc_id", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="snap_delete_")
+    try:
+        t = SnapshotTable(d)
+        for b in range(4):
+            t.append(docs.filter(F.col("doc_id") % 4 == b))
+        pre_version = t.versions()[-1]
+        n_pre = t.read(spark).count()
+        m = t.delete_where(spark, "doc_id % 12 = 9")
+        n_after = t.read(spark).count()
+        n_travel = t.read(spark, version=pre_version).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                m["n_dirs_rewritten"],
+                m["n_dirs_total"],
+                int(m["n_deleted"]),
+                int(n_after),
+                bool(n_travel == n_pre),
+            )
+        ],
+        "n_dirs_rewritten int, n_dirs_total int, n_deleted bigint, "
+        "n_rows_after bigint, time_travel_intact boolean",
+    )
+
+
+_SQL_DELETE_WHERE = """
+SELECT 1 AS n_dirs_rewritten,
+       4 AS n_dirs_total,
+       CAST(SUM(CASE WHEN doc_id % 12 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN doc_id % 12 = 9 THEN 0 ELSE 1 END) AS BIGINT) AS n_rows_after,
+       TRUE AS time_travel_intact
+FROM documents
+"""
+
+
+def _q_audio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded top-k retrieval on the AUDIO fingerprint plane
+    (hamming_topk, same contract as q_image_search): query each
+    planted group's base clip against the corpus; margins (within <= 4
+    < 6 < 10 <= cross) make each query retrieve exactly itself + its
+    two variants — closed-form after dropping the self-match."""
+    from dbt_lab_spark.llm.audiodedup import audio_fingerprints
+    from dbt_lab_spark.llm.dedup import hamming_topk
+
+    fps = audio_fingerprints(_planted_audio(spark)).select("asset_id", "afp")
+    queries = fps.filter(F.col("asset_id") % 3 == 0)
+    hits = hamming_topk(
+        fps, queries, hash_col="afp", id_col="asset_id",
+        k=3, radius=_AUD_MAX_HAMMING,
+    )
+    return (
+        hits.filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("neighbor_id").alias("min_neighbor"),
+            F.max("neighbor_id").alias("max_neighbor"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_SQL_AUDIO_SEARCH = f"""
+SELECT CAST(g * {_AUD_VARIANTS} AS BIGINT) AS query_id,
+       CAST({_AUD_VARIANTS - 1} AS BIGINT) AS n_neighbors,
+       CAST(g * {_AUD_VARIANTS} + 1 AS BIGINT) AS min_neighbor,
+       CAST(g * {_AUD_VARIANTS} + 2 AS BIGINT) AS max_neighbor
+FROM generate_series(0, {_AUD_GROUPS - 1}) t(g)
+ORDER BY query_id
+"""
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup maintenance == one-shot dedup, proven
     in-engine: simhash the documents table, split it into three
@@ -828,5 +920,13 @@ R5_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_dedup_incremental", _q_dedup_incremental, _SQL_DEDUP_INCREMENTAL,
         "incremental dedup maintenance == one-shot (symmetric-diff proof)",
+    ),
+    QueryDef(
+        "q_delete_where", _q_delete_where, _SQL_DELETE_WHERE,
+        "copy-on-write row-level DELETE: 1-of-4-dir rewrite proof",
+    ),
+    QueryDef(
+        "q_audio_search", _q_audio_search, _SQL_AUDIO_SEARCH,
+        "radius-bounded top-k audio fingerprint retrieval",
     ),
 ]

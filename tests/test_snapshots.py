@@ -336,3 +336,26 @@ def test_compact_order_by_tightens_skipping(spark, tmp_path):
     assert total1 > 1 and kept1 <= 2 and kept1 < kept0
     got = sorted(r.k for r in t.read(spark, between=("k", 0, 9)).collect())
     assert got == list(range(10))  # and results stay exact
+
+
+def test_delete_where_cow_and_noop(spark, tmp_path):
+    """Row-level DELETE rewrites only directories containing matches;
+    a no-match predicate commits nothing; NULL-condition rows are KEPT
+    (SQL DELETE semantics: only TRUE deletes)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(10, "c"), (11, None)]))
+    n_versions = len(t.versions())
+    m = t.delete_where(spark, "k = 999")
+    assert m["version"] is None and m["n_deleted"] == 0
+    assert len(t.versions()) == n_versions  # no empty commit
+    m = t.delete_where(spark, "v = 'c'")  # NULL v row must survive
+    assert m == {
+        "version": n_versions,
+        "n_dirs_rewritten": 1,
+        "n_dirs_total": 2,
+        "n_deleted": 1,
+    }
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (11, None)}
+    assert t.read(spark, version=n_versions - 1).count() == 4  # time travel
