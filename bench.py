@@ -334,7 +334,7 @@ BENCH_NAMES = [
     "q_audio_dedup_recall",
     "q_video_dedup",
     "q_image_search",
-    "q_merge_upsert",
+    "q_merge_cow",
     "q_change_feed",
     "q_dedup_incremental",
     "q_delete_where",

@@ -3093,7 +3093,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif comp == 5:
             parts.append(_tiff_lzw_decode(strip, expected))
         elif comp in (8, 32946):
-            parts.append(zlib.decompress(strip))
+            # Bound output like the LZW/PackBits paths: a hostile
+            # stream must not decompression-bomb executor memory, and
+            # an over-long strip is truncated to its expected size.
+            parts.append(
+                zlib.decompressobj().decompress(strip, expected)[:expected]
+            )
         else:  # 32773
             parts.append(_packbits_decode(strip, expected))
     raster = b"".join(parts)

@@ -450,12 +450,19 @@ def incremental_dedup_pairs(
     )
     if index is None:
         return within
-    cross = hamming_join(
-        batch, index, hash_col=hash_col, id_col=id_col, max_hamming=max_hamming
-    ).select(
-        F.least(F.col("id_l"), F.col("id_r")).alias("id_a"),
-        F.greatest(F.col("id_l"), F.col("id_r")).alias("id_b"),
-        "hamming",
+    cross = (
+        hamming_join(
+            batch, index, hash_col=hash_col, id_col=id_col, max_hamming=max_hamming
+        )
+        # An id delivered in both the batch and the standing index
+        # (duplicate delivery that isn't a batch_id replay) would join
+        # with itself into a degenerate (id, id, 0) self-pair.
+        .filter(F.col("id_l") != F.col("id_r"))
+        .select(
+            F.least(F.col("id_l"), F.col("id_r")).alias("id_a"),
+            F.greatest(F.col("id_l"), F.col("id_r")).alias("id_b"),
+            "hamming",
+        )
     )
     return within.unionByName(cross).distinct()
 

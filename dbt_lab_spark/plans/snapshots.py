@@ -76,9 +76,41 @@ class SnapshotTable:
     complement to parquet's row-group zone maps."""
 
     def __init__(self, root: str, stat_cols: list[str] | None = None) -> None:
-        self.root = root
+        # Canonicalize: merge/delete_where map Spark's ABSOLUTE
+        # `_metadata.file_path` URIs back onto manifest paths by prefix;
+        # a relative or symlinked root would make that mapping silently
+        # miss every file (dropped updates / no-op deletes).
+        self.root = os.path.realpath(os.path.abspath(root))
         self.stat_cols = list(stat_cols or [])
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(self.root, exist_ok=True)
+
+    @staticmethod
+    def _canon(p: str) -> str:
+        """One canonical spelling for a local path: strip the file: URI
+        scheme Spark's _metadata.file_path carries, then resolve
+        symlinks and relative segments."""
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        return os.path.realpath(os.path.abspath(p))
+
+    def _touched_dirs(self, head: dict, touched_files: list[str]) -> list[str]:
+        """Map matched data-file paths to the snapshot directories that
+        own them.  Raises instead of silently losing writes when files
+        matched but none map back (the relative-root / symlink hazard —
+        a no-op here would drop merge updates or skip deletes)."""
+        norm = [self._canon(f) for f in touched_files]
+        touched = sorted(
+            d
+            for d in head["files"]
+            if any(f.startswith(self._canon(d) + os.sep) for f in norm)
+        )
+        if touched_files and not touched:
+            raise RuntimeError(
+                f"snapshot table {self.root}: {len(touched_files)} matched "
+                "data files map to no manifest directory — path "
+                "normalization mismatch (relative or symlinked root?)"
+            )
+        return touched
 
     # -- log -------------------------------------------------------------
     def _log_path(self) -> str:
@@ -462,6 +494,25 @@ class SnapshotTable:
                 f"merge: source columns {sorted(source.columns)} != table "
                 f"columns {sorted(table_cols)} (evolve with append first)"
             )
+        if "schema_json" in head:
+            # Name-set equality isn't enough: a type-divergent source
+            # (int vs long) would write a directory whose physical types
+            # differ from the recorded schema, breaking the homogeneous
+            # fast-path read later.  Cast to the recorded types instead.
+            from pyspark.sql import types as T
+
+            rec_schema = T.StructType.fromJson(json.loads(head["schema_json"]))
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            diverged = [
+                f.name for f in rec_schema.fields if src_types.get(f.name) != f.dataType
+            ]
+            if diverged:
+                source = source.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in rec_schema.fields
+                    ]
+                )
         target = self._read_paths(spark, head, head["files"])
         keys = source.select(*on)
         touched_files = [
@@ -474,12 +525,7 @@ class SnapshotTable:
             .distinct()
             .collect()
         ]
-        # file paths -> the snapshot directories that own them (URI
-        # prefixes stripped so they match the manifest's local paths)
-        norm = [f[len("file:"):] if f.startswith("file:") else f for f in touched_files]
-        touched = sorted(
-            {d for d in head["files"] if any(f.startswith(d + os.sep) for f in norm)}
-        )
+        touched = self._touched_dirs(head, touched_files)
         untouched = [d for d in head["files"] if d not in touched]
         inserts = source.join(target.select(*on).distinct(), on, "left_anti")
         if touched:
@@ -555,12 +601,7 @@ class SnapshotTable:
             .distinct()
             .collect()
         ]
-        norm = [
-            f[len("file:"):] if f.startswith("file:") else f for f in touched_files
-        ]
-        touched = sorted(
-            {d for d in head["files"] if any(f.startswith(d + os.sep) for f in norm)}
-        )
+        touched = self._touched_dirs(head, touched_files)
         if not touched:
             return {
                 "version": None,

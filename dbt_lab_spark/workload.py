@@ -1570,9 +1570,10 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r3s9 import SESSION9_QUERIES
     from dbt_lab_spark.workload_r4 import R4_QUERIES
     from dbt_lab_spark.workload_r5 import R5_QUERIES
+    from dbt_lab_spark.workload_r6 import R6_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
-    return (
+    out = (
         CORE_QUERIES
         + TPCH_EXTRA_QUERIES
         + BEYOND_QUERIES
@@ -1584,4 +1585,15 @@ def all_queries() -> list[QueryDef]:
         + SESSION9_QUERIES
         + R4_QUERIES
         + R5_QUERIES
+        + R6_QUERIES
     )
+    # Duplicate names silently shadow in the queries()/oracle_sql()
+    # dicts (the r5 q_merge_upsert collision made a declared query
+    # unreachable) — fail loudly at registry-build time instead.
+    names = [q.name for q in out]
+    if len(set(names)) != len(names):
+        from collections import Counter
+
+        dups = sorted(n for n, c in Counter(names).items() if c > 1)
+        raise AssertionError(f"duplicate query names in registry: {dups}")
+    return out

@@ -725,7 +725,7 @@ SELECT CAST(0 AS BIGINT) AS n_only_incremental,
 # ---------------------------------------------------------------------------
 
 
-def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE INTO on the snapshot log: land documents as
     four delta directories (doc_id % 4), then upsert a source that
     UPDATES only keys with doc_id % 12 == 9 (all inside the %4==1
@@ -784,7 +784,7 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MERGE_UPSERT = """
+_SQL_MERGE_COW = """
 SELECT 1 AS n_dirs_rewritten,
        4 AS n_dirs_total,
        COUNT(*) + 10 AS n_rows_after,
@@ -910,7 +910,7 @@ R5_QUERIES: list[QueryDef] = [
         "radius-bounded top-k perceptual-hash retrieval (banded index)",
     ),
     QueryDef(
-        "q_merge_upsert", _q_merge_upsert, _SQL_MERGE_UPSERT,
+        "q_merge_cow", _q_merge_cow, _SQL_MERGE_COW,
         "copy-on-write MERGE INTO: 1-of-4-dir rewrite + insert proof",
     ),
     QueryDef(

@@ -1245,3 +1245,29 @@ def test_mp2_filterbank_flat_gain():
         snr = 10 * np.log10((a**2).sum() / ((a - b / gain) ** 2).sum())
         assert snr >= 60.0, (freq_frac, snr)
     assert _MP2_DELAY == 511
+
+
+def test_tiff_deflate_strip_is_bounded():
+    """r6 pin (ADVICE r5 low): a Deflate strip that inflates past its
+    expected raster size must be truncated, not ballooned — a hostile
+    payload can't decompression-bomb executor memory through zlib."""
+    import struct as _struct
+    import zlib as _zlib
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    blob = bytearray(codecs.encode_tiff(px, compression="deflate"))
+    # bomb strip: the true raster followed by 32 MiB of zeros, deflated
+    raster = codecs._tiff_predict2_encode(px.tobytes(), 4, 4, 3)
+    bomb = _zlib.compress(raster + b"\x00" * (32 << 20), 9)
+    off = len(blob)
+    blob += bomb
+    n = _struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        tag = _struct.unpack_from("<H", blob, e)[0]
+        if tag == 273:  # StripOffsets
+            _struct.pack_into("<I", blob, e + 8, off)
+        elif tag == 279:  # StripByteCounts
+            _struct.pack_into("<I", blob, e + 8, len(bomb))
+    assert (codecs.decode_tiff(bytes(blob)) == px).all()

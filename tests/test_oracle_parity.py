@@ -33,3 +33,12 @@ def test_rows_only_runs(qdef, spark, sf_medium):
     n = sdf.count()
     assert n >= 0
     assert len(sdf.columns) > 0
+
+
+def test_registry_names_unique():
+    """r6 pin (VERDICT r5 #1): duplicate QueryDef names silently shadow
+    in queries()/oracle_sql(); all_queries() must reject them."""
+    names = [q.name for q in _QUERIES]
+    assert len(set(names)) == len(names)
+    # both halves of the r5 collision are reachable under distinct names
+    assert "q_merge_upsert" in set(names) and "q_merge_cow" in set(names)

@@ -359,3 +359,36 @@ def test_delete_where_cow_and_noop(spark, tmp_path):
     got = {(r.k, r.v) for r in t.read(spark).collect()}
     assert got == {(1, "a"), (2, "b"), (11, None)}
     assert t.read(spark, version=n_versions - 1).count() == 4  # time travel
+
+
+def test_merge_and_delete_with_relative_root(spark, tmp_path, monkeypatch):
+    """r6 pin (ADVICE r5 medium): a RELATIVE table root used to make
+    touched-dir detection miss every file (absolute _metadata.file_path
+    never prefix-matched the relative manifest paths), so merge dropped
+    matched updates and delete_where no-opped — silently.  The root is
+    now canonicalized and both paths must rewrite."""
+    monkeypatch.chdir(tmp_path)
+    t = SnapshotTable("relsnap")
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    res = t.merge(spark, _df(spark, [(2, "B"), (3, "c")]), on=["k"])
+    assert res["n_dirs_rewritten"] == 1
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    res = t.delete_where(spark, "k = 1")
+    assert res["n_deleted"] == 1
+    assert {r.k for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_merge_casts_type_divergent_source(spark, tmp_path):
+    """r6 pin (ADVICE r5 low): a source whose column NAMES match but
+    types diverge (int vs long) is cast to the recorded table schema,
+    keeping every snapshot directory physically homogeneous."""
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    src = spark.createDataFrame([(1, "A"), (9, "z")], "k int, v string")
+    t.merge(spark, src, on=["k"])
+    head = t.read(spark)
+    assert head.schema["k"].dataType == T.LongType()
+    assert {(r.k, r.v) for r in head.collect()} == {(1, "A"), (9, "z")}

@@ -333,3 +333,16 @@ def test_streaming_dedup_sink_equals_one_shot(spark, tmp_path):
     )
     sink(df.limit(3), last_bid)
     assert len(pairs.versions()) == n_pairs_versions
+
+
+def test_incremental_dedup_no_self_pairs_on_duplicate_delivery(spark):
+    """r6 pin (ADVICE r5 low): an id present in BOTH the batch and the
+    standing index (duplicate delivery that is not a batch_id replay)
+    must not emit a degenerate (id, id, hamming=0) self-pair."""
+    from dbt_lab_spark.llm.dedup import incremental_dedup_pairs
+
+    batch = spark.createDataFrame([("d1", 7), ("d2", 7)], "doc_id string, h long")
+    index = spark.createDataFrame([("d1", 7)], "doc_id string, h long")
+    pairs = incremental_dedup_pairs(batch, index, hash_col="h").collect()
+    assert all(r.id_a != r.id_b for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} == {("d1", "d2")}
