@@ -5607,9 +5607,13 @@ def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_exact") == 0)
                 | (F.col("n_matched") >= 0.9 * F.col("n_exact"))
             ).alias("recall_ge_090"),
+            # Precision is vacuous ONLY when the approx side is empty
+            # (r6, ADVICE r4): with n_exact = 0 but n_approx > 0, every
+            # approx pair is a false positive and the flag must be
+            # allowed to go FALSE — the earlier n_exact = 0 disjunct
+            # hid exactly that failure mode.
             (
-                (F.col("n_exact") == 0)
-                | (F.col("n_approx") == 0)
+                (F.col("n_approx") == 0)
                 | (F.col("n_matched") >= 0.9 * F.col("n_approx"))
             ).alias("precision_ge_090"),
         )
@@ -5649,14 +5653,15 @@ def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(matched.agg(F.count("*").alias("n_matched")))
         .select(
             "n_exact",
-            # Same vacuous-truth convention as q_minhash_recall (ADVICE r4).
+            # Same conventions as q_minhash_recall (r6, ADVICE r4):
+            # recall vacuous only when n_exact = 0; precision vacuous
+            # only when n_approx = 0.
             (
                 (F.col("n_exact") == 0)
                 | (F.col("n_matched") >= 0.4 * F.col("n_exact"))
             ).alias("recall_ge_040"),
             (
-                (F.col("n_exact") == 0)
-                | (F.col("n_approx") == 0)
+                (F.col("n_approx") == 0)
                 | (F.col("n_matched") >= 0.25 * F.col("n_approx"))
             ).alias("precision_ge_025"),
         )
