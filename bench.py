@@ -339,6 +339,8 @@ BENCH_NAMES = [
     "q_dedup_incremental",
     "q_delete_where",
     "q_audio_search",
+    # r6 additions
+    "q_stream_watermark",
 ]
 
 

@@ -174,3 +174,123 @@ def stream_stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, on=cond, how="inner")
+
+
+def land_replay_file(df: DataFrame, src_dir: str, order: int, name: str) -> str:
+    """Materialize `df` as the `order`-th file of a REPLAY DIRECTORY: a
+    single parquet file whose mtime encodes its arrival position, so a
+    file-source stream with maxFilesPerTrigger=1 delivers it as
+    micro-batch `order` (FileStreamSource takes files oldest-mtime
+    first).  This is how the tests and declared queries stage a
+    CONTROLLED arrival order — on-time data, then late data, then a
+    watermark-advancing sentinel — against engine semantics that only
+    depend on arrival order, exactly as a Kafka replay would."""
+    import glob
+    import os
+
+    outd = os.path.join(os.path.dirname(src_dir), f"_land_{order:02d}_{name}")
+    df.coalesce(1).write.parquet(outd)
+    part = glob.glob(os.path.join(outd, "part-*.parquet"))[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, f"{order:02d}_{name}.parquet")
+    os.replace(part, dst)
+    # fixed, widely-spaced mtimes: arrival order must survive coarse
+    # filesystem timestamp granularity
+    t = 1_000_000_000 + order * 3600
+    os.utime(dst, (t, t))
+    return dst
+
+
+def land_replay_splits(df: DataFrame, src_dir: str, split_col: str) -> list[str]:
+    """Stage a MULTI-BATCH replay in ONE write job: `df` is split by
+    the integer `split_col` (0, 1, 2, ... = arrival order) via a
+    partitionBy write, then each split's file is renamed into the
+    replay directory with land_replay_file's mtime convention.  One
+    Spark job instead of one per batch — the landing cost that
+    dominated q_stream_watermark when each split wrote separately."""
+    import glob
+    import os
+
+    outd = os.path.join(os.path.dirname(src_dir), "_land_splits")
+    df.coalesce(1).write.partitionBy(split_col).parquet(outd)
+    os.makedirs(src_dir, exist_ok=True)
+    dsts = []
+    for d in sorted(glob.glob(os.path.join(outd, f"{split_col}=*"))):
+        order = int(d.rsplit("=", 1)[1])
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"{order:02d}.parquet")
+        os.replace(part, dst)
+        t = 1_000_000_000 + order * 3600
+        os.utime(dst, (t, t))
+        dsts.append(dst)
+    return dsts
+
+
+def hourly_rollup_with_watermark(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling 1-hour rollup with LATE-DATA DROP semantics,
+    driven to completion over a replay directory (see land_replay_file)
+    and returned as a STABLE batch frame.
+
+    Append output mode is the part that makes watermarking observable:
+    a window is emitted exactly once, when the watermark passes its
+    end, and a row arriving after that is dropped from state rather
+    than re-opening the window — the bounded-state contract that lets
+    this plan run forever on an unbounded stream (SURVEY §2.9).  The
+    caller proves the drop by comparing against a batch recomputation
+    that excludes the late rows (q_stream_watermark's oracle).
+    """
+    import uuid
+
+    # The state-store partition count is frozen per checkpoint at the
+    # first batch; an hourly-window key space (one row per hour) never
+    # needs the session's scan-sized shuffle width, and every extra
+    # partition is a per-micro-batch task.  Scoped set/restore — the
+    # replay runs alone, exactly like choosing a sink's partitioning.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    name = "wm_" + uuid.uuid4().hex
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    out = spark.table(name).select(
+        (F.unix_millis(F.col("w.start")) / F.lit(3600000)).cast("long").alias("h"),
+        "n_events",
+        "sum_cents",
+    )
+    # detach from the stopped query's memory sink before the temp view
+    # is dropped; the emitted window set is small (one row per hour)
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    if not rows:
+        return spark.createDataFrame(
+            [], "h long, n_events bigint, sum_cents bigint"
+        )
+    return spark.createDataFrame(rows, out.schema)
