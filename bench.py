@@ -341,6 +341,7 @@ BENCH_NAMES = [
     "q_audio_search",
     # r6 additions
     "q_stream_watermark",
+    "q_schema_evolution",
 ]
 
 

@@ -10,6 +10,8 @@ aliases, determinism per tests/oracle.py canonicalization.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -122,9 +124,112 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution beyond additive: widen + rename in the snapshot log
+# (VERDICT r5 #6)
+# ---------------------------------------------------------------------------
+
+
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening + column rename as METADATA-ONLY snapshot commits,
+    proven end-to-end on real data: orders rows with o_orderkey%8==0
+    land as (k int, cents int); `evolve` widens both to long and
+    renames k -> order_key without touching a data file; a post-evolve
+    append (%8==1, written long) and a CoW merge (updates %16==0 at
+    +1,000,000 cents, inserts %8==2) then compose on the evolved
+    schema, reading the pre-evolve directory cast+aliased per
+    generation.  One output row carries head and time-travel-to-v0
+    row counts, exact cents sums, and both schema strings — all
+    closed-form from `orders`, so DuckDB recomputes every field
+    (plans/snapshots.py evolve/_read_paths)."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"]).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (money("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="schemaevo_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "tbl"))
+        t.commit(
+            orders.filter(F.col("k") % 8 == 0).select(
+                F.col("k").cast("int").alias("k"),
+                F.col("cents").cast("int").alias("cents"),
+            )
+        )
+        t.evolve(widen={"k": "long", "cents": "long"}, rename={"k": "order_key"})
+        t.append(
+            orders.filter(F.col("k") % 8 == 1).select(
+                F.col("k").alias("order_key"), "cents"
+            )
+        )
+        src = orders.filter(
+            ((F.col("k") % 16 == 0) | (F.col("k") % 8 == 2))
+        ).select(
+            F.col("k").alias("order_key"),
+            F.when(F.col("k") % 16 == 0, F.col("cents") + 1_000_000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        t.merge(spark, src, on=["order_key"])
+        head = t.read(spark)
+        v0 = t.read(spark, version=0)
+        h = head.agg(
+            F.count(F.lit(1)).alias("n_head"),
+            F.sum("cents").alias("sum_cents_head"),
+        ).first()
+        z = v0.agg(
+            F.count(F.lit(1)).alias("n_v0"),
+            F.sum("cents").alias("sum_cents_v0"),
+        ).first()
+        head_schema = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in head.schema.fields)
+        v0_schema = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in v0.schema.fields)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(h["n_head"]), int(h["sum_cents_head"] or 0),
+                int(z["n_v0"]), int(z["sum_cents_v0"] or 0),
+                head_schema, v0_schema,
+            )
+        ],
+        "n_head bigint, sum_cents_head bigint, n_v0 bigint, "
+        "sum_cents_v0 bigint, head_schema string, v0_schema string",
+    )
+
+
+_SQL_SCHEMA_EVOLUTION = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), head AS (
+  SELECT k, CASE WHEN k % 16 = 0 THEN cents + 1000000 ELSE cents END AS cents
+  FROM o WHERE k % 8 IN (0, 1, 2)
+), v0 AS (
+  SELECT k, cents FROM o WHERE k % 8 = 0
+)
+SELECT (SELECT COUNT(*) FROM head) AS n_head,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_cents_head,
+       (SELECT COUNT(*) FROM v0) AS n_v0,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM v0) AS sum_cents_v0,
+       'order_key:bigint,cents:bigint' AS head_schema,
+       'k:int,cents:int' AS v0_schema
+"""
+
+
 R6_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_stream_watermark", _q_stream_watermark, _SQL_STREAM_WATERMARK,
         "watermark late-data drop: streamed hourly rollup == batch minus late set",
+    ),
+    QueryDef(
+        "q_schema_evolution", _q_schema_evolution, _SQL_SCHEMA_EVOLUTION,
+        "widen+rename in the snapshot log: metadata-only evolve + merge + travel",
     ),
 ]
