@@ -451,6 +451,19 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         names = [n for n in names if n in wanted]
 
+    # SESSION warm-up prefix (r6, lesson (e) in SCALING.md §25): the
+    # first ~18 bench positions used to carry 1.2-1.4x inflation from
+    # JVM/codegen/Arrow/page-cache cold start that per-query warm-up
+    # runs don't absorb because they ARE the cold start.  Four cheap,
+    # shape-diverse queries (scan-agg, join, decimal agg, vector UDF)
+    # paid once up front take that out of every ledger.
+    for wname in ("q_count", "q_group_customers", "q_tpch_q1", "q_knn_bruteforce"):
+        if wname in builders:
+            try:
+                materialize(builders[wname](spark, SF_DIR))
+            except Exception:  # a broken warm-up query must not kill the run
+                pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:

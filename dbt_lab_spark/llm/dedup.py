@@ -332,6 +332,7 @@ def hamming_dedup_pairs(
     hash_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(hash) <= max_hamming over ANY 64-bit
     hash column — the pigeonhole banding of simhash_dedup_pairs,
@@ -351,7 +352,19 @@ def hamming_dedup_pairs(
     Scale shape: one explode to h+1 rows/hash, one shuffle on
     (band, key), within-bucket joins only — never all-pairs; a hot
     bucket means genuinely near-identical content, which is exactly
-    what downstream clustering collapses."""
+    what downstream clustering collapses.
+
+    `max_bucket_size` is the hot-band guard for corpus scale (r6,
+    DEDUP_SCALE_r6): a (band, key) bucket of B rows emits B^2 candidate
+    rows — a mass-duplicated asset (stock logo, silence clip, test
+    pattern) turns one bucket into the whole job.  Buckets above the
+    cap are dropped BEFORE the join, the minhash-LSH cap pattern.
+    Unlike there, the pigeonhole guarantee degrades gracefully: a pair
+    within the radius that collides in a dropped band is still found
+    through any of its other matching bands, so only content hot in
+    EVERY matching band (near-exact mass duplicates — exact_dedup's
+    job) can lose recall.  Default None = exact recall-1.0 contract
+    (what every oracle-backed query uses)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     bands = df.select(
@@ -368,6 +381,12 @@ def hamming_dedup_pairs(
             )
         ).alias("band", "key"),
     )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bsz"))
+        bands = bands.join(
+            sizes.filter(F.col("__bsz") <= max_bucket_size).select("band", "key"),
+            on=["band", "key"],
+        )
     left = bands.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"), "band", "key")
     right = bands.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"), "band", "key")
     return (

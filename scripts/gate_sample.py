@@ -41,10 +41,13 @@ FIXED_ANCHORS = [
 
 
 def history() -> dict[str, int]:
-    """query -> last round it appeared in a CORRECTNESS_r*.json gate."""
+    """query -> last round it appeared in a gate artifact — the
+    driver's CORRECTNESS_r*.json OR the builder's self-run
+    CORRECTNESS_SELF_r*.json (scripts/self_gate.py), so self-running
+    the sample advances the rotation."""
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_*r*.json"))):
+        m = re.search(r"CORRECTNESS_(?:SELF_)?r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))

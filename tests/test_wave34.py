@@ -79,3 +79,26 @@ def test_on_time_rows_within_watermark_never_dropped(spark, tmp_path):
     got = _run(spark, src, str(tmp_path / "ck"))
     h10 = int(datetime.datetime(2024, 1, 1, 10).timestamp() * 1000) // 3600000
     assert (h10, 2) in got
+
+
+def test_hamming_cap_preserves_cold_band_pairs(spark):
+    """r6 (DEDUP_SCALE_r6): max_bucket_size drops only buckets hot in
+    EVERY matching band — a mass-duplicated asset's self-pairs vanish,
+    while clustered pairs that match in any cold band all survive."""
+    from dbt_lab_spark.llm.dedup import hamming_dedup_pairs
+
+    rows = []
+    for g in range(50):  # clustered plant: 50 triples within hamming 2
+        base = (0x9E3779B97F4A7C15 * (g + 1)) & ((1 << 62) - 1)
+        rows += [(g * 3, base), (g * 3 + 1, base ^ 1), (g * 3 + 2, base ^ (1 << 20))]
+    hot = [(10_000 + i, 0x0123456789ABCDE0 ^ (i & 1)) for i in range(500)]
+    df = spark.createDataFrame(rows + hot, "doc_id long, h long")
+    capped = hamming_dedup_pairs(
+        df, hash_col="h", max_hamming=2, max_bucket_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert len(got) == 150  # 3 per triple, zero from the hot plant
+    assert all(a < 10_000 and b < 10_000 for a, b in got)
+    # uncapped finds the hot clique too (and stays exact on the triples)
+    n_uncapped = hamming_dedup_pairs(df, hash_col="h", max_hamming=2).count()
+    assert n_uncapped == 150 + 500 * 499 // 2
