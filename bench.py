@@ -343,6 +343,8 @@ BENCH_NAMES = [
     "q_stream_watermark",
     "q_schema_evolution",
     "q_mp3_audio",
+    "q_stream_session",
+    "q_stream_dedup",
 ]
 
 
