@@ -345,6 +345,7 @@ BENCH_NAMES = [
     "q_mp3_audio",
     "q_stream_session",
     "q_stream_dedup",
+    "q_stream_join",
 ]
 
 

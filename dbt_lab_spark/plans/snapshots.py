@@ -124,6 +124,10 @@ class SnapshotTable:
 
     def _append_log(self, record: dict) -> None:
         log = self._log()
+        # CHECK constraints are table-level metadata: every commit
+        # inherits the parent's set unless it explicitly changes it
+        if "constraints" not in record and log and log[-1].get("constraints"):
+            record["constraints"] = dict(log[-1]["constraints"])
         record["version"] = len(log)
         record["ts"] = time.time()
         log.append(record)
@@ -300,9 +304,85 @@ class SnapshotTable:
             "schema_json": json.dumps(schema.jsonValue()),
         }
 
+    # -- CHECK constraints (Delta-style) -----------------------------------
+    def add_constraint(self, spark: SparkSession, name: str, sql_expr: str) -> int:
+        """Record a CHECK constraint as a metadata-only commit: every
+        subsequent write (commit/append/stream batch/merge source) is
+        validated against it, and the EXISTING table contents are
+        validated now — adding a constraint a current row violates is
+        an error, the ALTER TABLE ADD CONSTRAINT contract.  SQL
+        semantics: a row passes when the expression is true OR NULL."""
+        log = self._log()
+        if not log:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        cons = dict(log[-1].get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._validate(
+            self._read_paths(spark, log[-1], log[-1]["files"]), {name: sql_expr}
+        )
+        cons[name] = sql_expr
+        head = log[-1]
+        rec = {
+            "operation": f"add_constraint({name})",
+            "files": list(head["files"]),
+            "stats": dict(head.get("stats", {})),
+            "constraints": cons,
+        }
+        if "columns" in head:
+            rec["columns"] = list(head["columns"])
+            if "schema_json" in head:
+                rec["schema_json"] = head["schema_json"]
+            rec.update(self._dir_meta(head, head["files"]))
+        self._append_log(rec)
+        return len(self._log()) - 1
+
+    def drop_constraint(self, name: str) -> int:
+        log = self._log()
+        if not log:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        cons = dict(log[-1].get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        head = log[-1]
+        rec = {
+            "operation": f"drop_constraint({name})",
+            "files": list(head["files"]),
+            "stats": dict(head.get("stats", {})),
+            "constraints": cons,
+        }
+        if "columns" in head:
+            rec["columns"] = list(head["columns"])
+            if "schema_json" in head:
+                rec["schema_json"] = head["schema_json"]
+            rec.update(self._dir_meta(head, head["files"]))
+        self._append_log(rec)
+        return len(self._log()) - 1
+
+    def _validate(self, df: DataFrame, constraints: dict[str, str]) -> None:
+        """Raise on the first constraint any incoming row violates —
+        one filter + limit(1) per constraint, O(batch) cost, and the
+        violating row is named in the error (NULL passes, SQL CHECK
+        semantics)."""
+        from pyspark.sql import functions as F
+
+        for name, sql_expr in (constraints or {}).items():
+            bad = df.filter(F.expr(f"NOT ({sql_expr})")).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({sql_expr}) violated by "
+                    f"row {tuple(bad[0])}"
+                )
+
+    def _head_constraints(self) -> dict[str, str]:
+        log = self._log()
+        return dict(log[-1].get("constraints") or {}) if log else {}
+
     def commit(self, df: DataFrame, operation: str = "commit") -> int:
         """Full-replace commit: materialize `df` as a new immutable
         snapshot directory."""
+        self._validate(df, self._head_constraints())
         d = self._new_dir("full")
         df.write.mode("errorifexists").parquet(d)
         self._append_log(
@@ -324,6 +404,7 @@ class SnapshotTable:
         log = self._log()
         if not log:
             return self.commit(batch, operation="append")
+        self._validate(batch, self._head_constraints())
         d = self._new_dir("delta")
         batch.write.mode("errorifexists").parquet(d)
         self._append_log(
@@ -369,13 +450,22 @@ class SnapshotTable:
         self,
         widen: dict[str, str] | None = None,
         rename: dict[str, str] | None = None,
+        drop: list[str] | None = None,
     ) -> int:
         """Schema evolution BEYOND additive (VERDICT r5 #6): commit a
         METADATA-ONLY version whose logical schema widens column types
         (`widen={"col": "long"}`, restricted to the exact-superset
         matrix in _WIDEN_OK) and/or renames columns
-        (`rename={"old": "new"}`) — no data file is read or rewritten;
-        the new record carries the parent's file set by reference.
+        (`rename={"old": "new"}`) and/or DROPS columns (`drop=[...]`)
+        — no data file is read or rewritten; the new record carries
+        the parent's file set by reference.
+
+        Drop uses column-MAPPING semantics (the Delta idea): existing
+        directories' physical columns are remapped to a tombstone
+        logical name, so a LATER column re-using the dropped name
+        never resurrects the old physical data — pre-drop generations
+        null-fill the re-added column.  Time travel before the drop
+        still reads the original column.
 
         Readers of the new head adapt each directory's physical schema
         generation to the logical one (cast for widen, alias for
@@ -395,15 +485,26 @@ class SnapshotTable:
         schema = T.StructType.fromJson(json.loads(head["schema_json"]))
         widen = dict(widen or {})
         rename = dict(rename or {})
+        drop = list(drop or [])
         names = [f.name for f in schema.fields]
-        for old in list(widen) + list(rename):
+        for old in list(widen) + list(rename) + drop:
             if old not in names:
                 raise ValueError(f"evolve: no column {old!r} in {names}")
-        new_names = [rename.get(n, n) for n in names]
+        if set(drop) & (set(widen) | set(rename)):
+            raise ValueError("evolve: a column cannot be both dropped and kept")
+        if len(drop) >= len(names):
+            raise ValueError("evolve: cannot drop every column")
+        new_names = [rename.get(n, n) for n in names if n not in drop]
         if len(set(new_names)) != len(new_names):
             raise ValueError(f"evolve: rename collides: {new_names}")
+        version = len(log)
+        # tombstone mapping for dropped columns: unique per evolve, so
+        # pre-drop physical data never binds to a re-added name
+        rename.update({c: f"__dropped_{c}_v{version}" for c in drop})
         fields = []
         for f in schema.fields:
+            if f.name in drop:
+                continue
             dt = f.dataType
             if f.name in widen:
                 tgt = widen[f.name]
@@ -432,14 +533,15 @@ class SnapshotTable:
         }
         # manifest stats are keyed by PHYSICAL column name per file and
         # min/max stay valid under widening — but `between=` lookups use
-        # logical names, so translate the keys
+        # logical names, so translate the keys (dropped columns' stats
+        # go to the tombstone name, unreachable from `between=`)
         stats = {
             p: {rename.get(c, c): v for c, v in cols.items()}
             for p, cols in head.get("stats", {}).items()
         }
         self._append_log(
             {
-                "operation": f"evolve(widen={widen}, rename={rename})",
+                "operation": f"evolve(widen={widen}, rename={rename}, drop={drop})",
                 "files": list(head["files"]),
                 "stats": stats,
                 "columns": [f.name for f in new_schema.fields],
@@ -460,6 +562,7 @@ class SnapshotTable:
         for a replayed no-op."""
         if any(r.get("batch_id") == batch_id for r in self._log()):
             return None
+        self._validate(batch, self._head_constraints())
         log = self._log()
         kind = "full" if not log else "delta"
         d = self._new_dir(kind)
@@ -709,6 +812,7 @@ class SnapshotTable:
                         for f in rec_schema.fields
                     ]
                 )
+        self._validate(source, self._head_constraints())
         target = self._read_paths(spark, head, head["files"])
         keys = source.select(*on)
         touched_files = [

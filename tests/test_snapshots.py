@@ -470,3 +470,60 @@ def test_evolve_rejects_unsafe_changes(spark, tmp_path):
         t.evolve(widen={"missing": "long"})
     with raises(ValueError):
         t.evolve(rename={"n": "k"})  # collision
+
+
+def test_evolve_drop_with_column_mapping(spark, tmp_path):
+    """r6: metadata-only column DROP; a later column re-using the name
+    must NOT resurrect the old physical data (tombstone mapping), and
+    time travel before the drop still reads the original column."""
+    from pytest import raises
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a", 9.5)], "k long, v string, x double"))
+    v = t.evolve(drop=["x"])
+    assert t.read(spark).columns == ["k", "v"]
+    assert t._log()[-1]["files"] == t._log()[v - 1]["files"]  # no rewrite
+    # time travel: x still there
+    assert t.read(spark, version=0).columns == ["k", "v", "x"]
+    assert t.read(spark, version=0).first().x == 9.5
+    # re-add a column named x (different type): pre-drop rows null-fill,
+    # the old 9.5 never leaks back
+    t.append(spark.createDataFrame([(2, "b", "NEW")], "k long, v string, x string"))
+    got = {(r.k, r.v, r.x) for r in t.read(spark).collect()}
+    assert got == {(1, "a", None), (2, "b", "NEW")}
+    # guards
+    with raises(ValueError):
+        t.evolve(drop=["missing"])
+    with raises(ValueError):
+        t.evolve(drop=["k", "v", "x"])
+    with raises(ValueError):
+        t.evolve(drop=["k"], rename={"k": "kk"})
+
+
+def test_check_constraints(spark, tmp_path):
+    """r6: Delta-style CHECK constraints in the log — validated on
+    add (existing rows), enforced on append/stream/merge, inherited by
+    every commit, SQL NULL-passes semantics, droppable."""
+    from pytest import raises
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10.0), (2, None)], "k long, amt double"))
+    t.add_constraint(spark, "amt_nonneg", "amt >= 0")  # NULL row passes
+    with raises(ValueError, match="amt_nonneg"):
+        t.append(spark.createDataFrame([(3, -5.0)], "k long, amt double"))
+    with raises(ValueError, match="amt_nonneg"):
+        t.merge(spark, spark.createDataFrame([(1, -1.0)], "k long, amt double"), on=["k"])
+    v = t.append(spark.createDataFrame([(3, 7.0)], "k long, amt double"))
+    assert t._log()[-1]["constraints"] == {"amt_nonneg": "amt >= 0"}  # inherited
+    assert v is not None and t.read(spark).count() == 3
+    # adding a constraint current rows violate is an error
+    with raises(ValueError, match="k_small"):
+        t.add_constraint(spark, "k_small", "k < 3")
+    # stream batches validate too (replay check still wins first)
+    with raises(ValueError, match="amt_nonneg"):
+        t.append_stream_batch(
+            spark.createDataFrame([(9, -2.0)], "k long, amt double"), batch_id=777
+        )
+    t.drop_constraint("amt_nonneg")
+    t.append(spark.createDataFrame([(4, -1.0)], "k long, amt double"))
+    assert t.read(spark).count() == 4
