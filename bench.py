@@ -346,6 +346,7 @@ BENCH_NAMES = [
     "q_stream_session",
     "q_stream_dedup",
     "q_stream_join",
+    "q_stream_stateful",
 ]
 
 

@@ -455,6 +455,107 @@ SELECT (SELECT COUNT(*) FROM head) AS n_head,
 """
 
 
+def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator through a real readStream:
+    applyInPandasWithState sessionization (streaming/stateful.py — the
+    brief's named extension point for operators Spark's built-ins
+    can't express).  Purchase events flow as one micro-batch with
+    value = exact cents; the operator emits CLOSED sessions and keeps
+    each user's most recent session open in the state store, so the
+    output is exactly the batch sessionization MINUS every user's last
+    session — which is what the DuckDB oracle computes (gap >= 30 min
+    starts a session; session_end = last event ts, the explicit-state
+    convention)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from dbt_lab_spark.streaming.stateful import stateful_sessionize
+    from dbt_lab_spark.streaming.windows import land_replay_file
+
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["user_id", "ts", "event_type", "value"],
+        predicates=[F.col("event_type") == "purchase"],
+    )
+    base = ev.select(
+        "user_id", "ts",
+        (money("value") * 100).cast("long").cast("double").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="statestream_")
+    try:
+        src = os.path.join(tmp, "src")
+        land_replay_file(base, src, 0, "purchases")
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        sessions = stateful_sessionize(stream, gap="30 minutes")
+        name = "st_" + uuid.uuid4().hex
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        out = spark.table(name).select(
+            "user_id", "session_start", "session_end", "n_events",
+            F.col("sum_value").cast("long").alias("sum_cents"),
+        )
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        if not rows:
+            return spark.createDataFrame(
+                [],
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events bigint, sum_cents bigint",
+            )
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "user_id", "session_start"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_STATEFUL = """
+WITH p AS (
+  SELECT user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), flagged AS (
+  SELECT user_id, ts, cents,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 30*60*1000
+              THEN 1 ELSE 0 END AS new_session
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, cents,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM numbered GROUP BY 1, 2
+), last AS (
+  SELECT user_id, MAX(session_seq) AS mx FROM sess GROUP BY 1
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.sum_cents
+FROM sess s JOIN last l ON s.user_id = l.user_id AND s.session_seq < l.mx
+ORDER BY 1, 2
+"""
+
+
 def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join through TWO real readStreams:
     purchases and clicks flow as separate streams; each purchase joins
@@ -681,5 +782,9 @@ R6_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_stream_join", _q_stream_join, _SQL_STREAM_JOIN,
         "stream-stream interval join (two readStreams) == batch range join",
+    ),
+    QueryDef(
+        "q_stream_stateful", _q_stream_stateful, _SQL_STREAM_STATEFUL,
+        "applyInPandasWithState sessionize == batch sessions minus open tails",
     ),
 ]
