@@ -738,3 +738,30 @@ def test_merge_key_scan_is_column_pruned(spark, tmp_path):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"k"}, f"detection scan reads {cols}, not just the key"
+
+
+def test_snapshot_generation_reads_bounded_by_evolutions(spark, tmp_path):
+    """r6: _read_paths groups snapshot dirs by physical schema
+    GENERATION — a never-evolved table stays ONE plain parquet scan no
+    matter how many delta dirs it has; after one evolve the plan has
+    exactly two generation scans under a union, not one per dir."""
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10)], "k int, n int"))
+    for i in range(2, 5):
+        t.append(spark.createDataFrame([(i, i * 10)], "k int, n int"))
+    import re
+
+    def n_scans(df):
+        # formatted plans list each scan once in the tree and once in
+        # the details; count the numbered detail headers only
+        return len(re.findall(r"^\(\d+\) Scan parquet", _formatted(df), re.M))
+
+    assert n_scans(t.read(spark)) == 1 and "Union" not in _formatted(t.read(spark))
+    t.evolve(widen={"k": "long"})
+    for i in range(5, 8):  # post-evolve generation, three more dirs
+        t.append(spark.createDataFrame([(i, i * 10)], "k long, n int"))
+    assert n_scans(t.read(spark)) == 2  # generations, not dirs
+    got = {(r.k, r.n) for r in t.read(spark).collect()}
+    assert got == {(i, i * 10) for i in range(1, 8)}
