@@ -347,6 +347,7 @@ BENCH_NAMES = [
     "q_stream_dedup",
     "q_stream_join",
     "q_stream_stateful",
+    "q_constraint_gate",
 ]
 
 

@@ -758,6 +758,71 @@ FROM documents WHERE doc_id < {_MP3_N_ASSETS} ORDER BY doc_id
 """
 
 
+def _q_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CHECK constraints on the snapshot log, proven
+    end-to-end on real data: orders with o_orderkey%4==0 land, then
+    ADD CONSTRAINT cents_pos (cents > 0) validates the existing rows;
+    an appended batch carrying planted NEGATIVE rows (%8==2 keys,
+    negated) is REFUSED whole (no partial write — version count
+    unchanged), and the clean %8==6 batch commits.  One output row:
+    head count/sum (base + clean batch only), the refusal flag, and
+    the version count (base + add_constraint + one append) — all
+    closed-form from `orders` (plans/snapshots.py add_constraint)."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    orders = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"]).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (money("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="constraint_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "tbl"))
+        t.commit(orders.filter(F.col("k") % 4 == 0))
+        t.add_constraint(spark, "cents_pos", "cents > 0")
+        bad = orders.filter(F.col("k") % 8 == 2).select(
+            "k", (-F.col("cents")).alias("cents")
+        )
+        refused = False
+        if bad.limit(1).count():
+            try:
+                t.append(bad)
+            except ValueError:
+                refused = True
+        else:  # empty tables: nothing to refuse, vacuously enforced
+            refused = True
+        t.append(orders.filter(F.col("k") % 8 == 6))
+        head = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        n_versions = len(t.versions())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(head["n"]), int(head["s"] or 0), bool(refused), int(n_versions))],
+        "n_rows bigint, sum_cents bigint, bad_batch_refused boolean, "
+        "n_versions bigint",
+    )
+
+
+_SQL_CONSTRAINT_GATE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), head AS (
+  SELECT k, cents FROM o WHERE k % 4 = 0 OR k % 8 = 6
+)
+SELECT (SELECT COUNT(*) FROM head) AS n_rows,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_cents,
+       TRUE AS bad_batch_refused,
+       CAST(3 AS BIGINT) AS n_versions
+"""
+
+
 R6_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_stream_watermark", _q_stream_watermark, _SQL_STREAM_WATERMARK,
@@ -786,5 +851,9 @@ R6_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_stream_stateful", _q_stream_stateful, _SQL_STREAM_STATEFUL,
         "applyInPandasWithState sessionize == batch sessions minus open tails",
+    ),
+    QueryDef(
+        "q_constraint_gate", _q_constraint_gate, _SQL_CONSTRAINT_GATE,
+        "CHECK constraint refuses a violating batch whole, clean batch commits",
     ),
 ]
