@@ -63,6 +63,69 @@ def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
     return out
 
 
+_BLOOM_K = 7  # hash functions per filter (near-optimal at 10 bits/key)
+
+
+def _bloom_repr(v) -> str:
+    """One canonical string per value for bloom hashing — type-tagged
+    so 1 (int) and '1' (string) never collide, and stable across the
+    write (pandas/numpy scalars) and lookup (plain Python) sides."""
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v)!r}"
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
+    return "s:" + str(v)
+
+
+def _bloom_hash_pair(v) -> tuple[int, int]:
+    """Two independent 64-bit hashes (Kirsch–Mitzenmacher double
+    hashing derives all k probe positions from the pair)."""
+    import hashlib
+
+    h = hashlib.blake2b(_bloom_repr(v).encode(), digest_size=16).digest()
+    return int.from_bytes(h[:8], "little"), int.from_bytes(h[8:], "little") | 1
+
+
+def _bloom_build(values, bits_per_key: int = 10) -> tuple[int, int, str]:
+    """Build one bloom bitmap over `values`; returns (m_bits, k,
+    base64(bitmap)).  m is a power of two in [2^10, 2^23]."""
+    import base64
+
+    import numpy as np
+
+    n = max(1, len(values))
+    m = 1 << min(23, max(10, (n * bits_per_key - 1).bit_length()))
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    for v in values:
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        h1, h2 = _bloom_hash_pair(v)
+        for i in range(_BLOOM_K):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return m, _BLOOM_K, base64.b64encode(bits.tobytes()).decode()
+
+
+def _bloom_maybe_contains(entry: dict, v) -> bool:
+    """False = definitely absent (prune the file); True = maybe."""
+    import base64
+
+    m, k = int(entry["m"]), int(entry["k"])
+    bits = base64.b64decode(entry["b"])
+    h1, h2 = _bloom_hash_pair(v)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
 class SnapshotTable:
     """Versioned parquet table: `commit` (full replace), `append`
     (delta commit), `read(version=)` (time travel), `versions()`,
@@ -75,14 +138,49 @@ class SnapshotTable:
     sees them — manifest-based data skipping, the file-level
     complement to parquet's row-group zone maps."""
 
-    def __init__(self, root: str, stat_cols: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> None:
         # Canonicalize: merge/delete_where map Spark's ABSOLUTE
         # `_metadata.file_path` URIs back onto manifest paths by prefix;
         # a relative or symlinked root would make that mapping silently
         # miss every file (dropped updates / no-op deletes).
         self.root = os.path.realpath(os.path.abspath(root))
         self.stat_cols = list(stat_cols or [])
+        # `bloom_cols=`: record a per-file Bloom filter for these
+        # (high-cardinality, point-lookup) columns at every commit;
+        # `read(point=("col", v))` then prunes files whose filter
+        # rejects v — the point-lookup complement to min/max stats,
+        # which never help on keys scattered across the value range.
+        self.bloom_cols = list(bloom_cols or [])
         os.makedirs(self.root, exist_ok=True)
+
+    def _compose_renames(self, recs: list[dict]) -> dict[str, str]:
+        """original-name -> current-name map composed over the evolve
+        records in `recs` (each carries {old: new} for that evolve)."""
+        cur: dict[str, str] = {}
+        for r in recs:
+            ren = r.get("renames") or {}
+            if not ren:
+                continue
+            currents = set(cur.values())
+            cur = {orig: ren.get(c, c) for orig, c in cur.items()}
+            for old, new in ren.items():
+                if old not in currents:
+                    cur[old] = new
+        return cur
+
+    def _live_cols(self, cols: list[str]) -> list[str]:
+        """Translate construction-time column names through the table's
+        rename history so stat/bloom recording follows a rename instead
+        of silently going dark (ADVICE r6: stale stat_cols)."""
+        if not cols:
+            return []
+        ren = self._compose_renames(self._log())
+        return [ren.get(c, c) for c in cols]
 
     @staticmethod
     def _canon(p: str) -> str:
@@ -128,6 +226,20 @@ class SnapshotTable:
         # inherits the parent's set unless it explicitly changes it
         if "constraints" not in record and log and log[-1].get("constraints"):
             record["constraints"] = dict(log[-1]["constraints"])
+        # Deletion-vector sidecars inherit the same way: DV entries are
+        # keyed by data-file path, so entries whose file left the
+        # version's file set simply never match at read time — blanket
+        # inheritance is correct for every commit kind (append, merge,
+        # CoW delete, compact, evolve).  delete_where(mode="dv") extends
+        # the list explicitly; rollback restores the target's.
+        if "dvs" not in record and log and log[-1].get("dvs"):
+            record["dvs"] = list(log[-1]["dvs"])
+        # Bloom manifests inherit likewise: entries are keyed by data
+        # file, so entries for files no longer in the version are never
+        # consulted.  Writers that create a new directory merge its
+        # fresh blooms in explicitly.
+        if "bloom" not in record and log and log[-1].get("bloom"):
+            record["bloom"] = dict(log[-1]["bloom"])
         record["version"] = len(log)
         record["ts"] = time.time()
         log.append(record)
@@ -145,7 +257,51 @@ class SnapshotTable:
         return d
 
     def _stats_for(self, d: str) -> dict:
-        return _file_stats(d, self.stat_cols) if self.stat_cols else {}
+        cols = self._live_cols(self.stat_cols)
+        return _file_stats(d, cols) if cols else {}
+
+    def _blooms_for(self, spark: SparkSession, d: str) -> dict:
+        """Per-file Bloom filters for `bloom_cols` over the newly
+        written directory `d`: {file: {col: {m, k, b}}}.  Built
+        EXECUTOR-side — one applyInPandas group per data file (Arrow
+        batches, no full-column driver read); only the O(#files)
+        serialized bitmaps reach the driver, same manifest posture as
+        `stat_cols`."""
+        from pyspark.sql import functions as F
+
+        cols = self._live_cols(self.bloom_cols)
+        if not cols:
+            return {}
+        df = spark.read.parquet(d)
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        import pandas as pd
+
+        src = df.select(
+            self._norm_file_col(F.col("_metadata.file_path")).alias("__f"),
+            *present,
+        )
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            f = pdf["__f"].iloc[0]
+            rows = []
+            for c in present:
+                vals = pdf[c].dropna().tolist()
+                m, k, b = _bloom_build(vals)
+                rows.append((f, c, m, k, b))
+            return pd.DataFrame(rows, columns=["f", "c", "m", "k", "b"])
+
+        out: dict[str, dict] = {}
+        for r in (
+            src.groupBy("__f")
+            .applyInPandas(build, "f string, c string, m long, k int, b string")
+            .collect()
+        ):
+            out.setdefault(r["f"], {})[r["c"]] = {
+                "m": int(r["m"]), "k": int(r["k"]), "b": r["b"],
+            }
+        return out
 
     def _dir_meta(
         self,
@@ -184,12 +340,22 @@ class SnapshotTable:
             out["dir_logical_columns"] = dl
         return out
 
+    @staticmethod
+    def _norm_file_col(col):
+        """Normalize a `_metadata.file_path` value to a plain absolute
+        path (strip the file: scheme, collapse the authority slashes) so
+        DV entries written in one session match scans in another."""
+        from pyspark.sql import functions as F
+
+        return F.regexp_replace(col, "^file:/+", "/")
+
     def _read_paths(
         self,
         spark: SparkSession,
         rec: dict,
         paths: list[str],
         with_file: bool = False,
+        with_pos: bool = False,
     ):
         """Scan `paths` under the version's recorded LOGICAL schema.
 
@@ -198,6 +364,17 @@ class SnapshotTable:
         generation's scan, because metadata columns do not resolve
         through the union that stitches generations together (that is
         what merge/delete_where's touched-dir detection reads).
+        `with_pos=True` also exposes the row's position within its file
+        as `__ri` (`_metadata.row_index`) — the positional id deletion
+        vectors are keyed by.
+
+        DELETION VECTORS: when the version carries DV sidecars
+        (`rec["dvs"]`, written by delete_where(mode="dv")), every scan
+        is finished with one broadcast anti-join against the DV rows
+        (file, row_index) — merge-on-read row-level delete.  The DV
+        side is small by construction (one row per deleted record), so
+        the anti-join is a broadcast, not a shuffle; files never named
+        in a DV pass through untouched.
 
         Directories are grouped by their physical schema GENERATION
         (identical physical columns + types + logical mapping); each
@@ -214,13 +391,39 @@ class SnapshotTable:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        dvs = [d for d in (rec.get("dvs") or []) if os.path.isdir(d)]
+        need_meta = with_file or with_pos or bool(dvs)
+
+        def meta_cols():
+            cols = []
+            if need_meta:
+                cols.append(F.col("_metadata.file_path").alias("__f"))
+            if with_pos or dvs:
+                cols.append(F.col("_metadata.row_index").alias("__ri"))
+            return cols
+
+        def finish(df):
+            if dvs:
+                dv = spark.read.parquet(*dvs)
+                df = df.join(
+                    F.broadcast(dv),
+                    (self._norm_file_col(df["__f"]) == dv["f"])
+                    & (df["__ri"] == dv["ri"]),
+                    "left_anti",
+                )
+            drop = []
+            if not with_file and need_meta:
+                drop.append("__f")
+            if not with_pos and (with_pos or dvs or "__ri" in df.columns):
+                if "__ri" in df.columns:
+                    drop.append("__ri")
+            return df.drop(*drop) if drop else df
+
         if "schema_json" not in rec:
             df = spark.read.parquet(*paths)
-            if with_file:
-                df = df.select(
-                    F.col("_metadata.file_path").alias("__f"), "*"
-                )
-            return df
+            if need_meta:
+                df = df.select(*meta_cols(), "*")
+            return finish(df)
         schema = T.StructType.fromJson(json.loads(rec["schema_json"]))
         dir_cols = rec.get("dir_columns") or {}
         dir_schema = rec.get("dir_schema_json") or {}
@@ -259,13 +462,10 @@ class SnapshotTable:
                 phys_types.get(f.name, f.dataType) == f.dataType
                 for f in schema.fields
             )
-            if same and not with_file:
+            if same and not need_meta:
                 return df  # untouched generation: no projection at all
-            head_cols = (
-                [F.col("_metadata.file_path").alias("__f")] if with_file else []
-            )
             return df.select(
-                *head_cols,
+                *meta_cols(),
                 *[
                     F.col(to_phys[f.name]).cast(f.dataType).alias(f.name)
                     if f.name in to_phys
@@ -281,7 +481,7 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return finish(out)
 
     @staticmethod
     def _evolved_schema(parent_rec: dict, batch_df: DataFrame) -> dict:
@@ -390,6 +590,7 @@ class SnapshotTable:
                 "operation": operation,
                 "files": [d],
                 "stats": self._stats_for(d),
+                "bloom": self._blooms_for(df.sparkSession, d),
                 "columns": list(df.columns),
                 "schema_json": json.dumps(df.schema.jsonValue()),
                 **self._dir_meta({}, [], d, df.schema),
@@ -412,6 +613,10 @@ class SnapshotTable:
                 "operation": "append",
                 "files": log[-1]["files"] + [d],
                 "stats": {**log[-1].get("stats", {}), **self._stats_for(d)},
+                "bloom": {
+                    **(log[-1].get("bloom") or {}),
+                    **self._blooms_for(batch.sparkSession, d),
+                },
                 **self._evolved_schema(log[-1], batch),
                 **self._dir_meta(log[-1], log[-1]["files"], d, batch.schema),
             }
@@ -420,13 +625,22 @@ class SnapshotTable:
 
     def rollback(self, version: int) -> int:
         """Commit a new version whose file set IS an old version's —
-        history stays intact, the head moves back."""
+        history stays intact, the head moves back.
+
+        The restored version's CONSTRAINT set and deletion-vector state
+        are restored with it (not inherited from the abandoned head —
+        ADVICE r6: inheriting the head's constraints could leave head
+        data that violates a constraint the restored rows were never
+        validated against)."""
         log = self._log()
         target = next(r for r in log if r["version"] == version)
         rec = {
             "operation": f"rollback({version})",
             "files": list(target["files"]),
             "stats": dict(target.get("stats", {})),
+            "constraints": dict(target.get("constraints") or {}),
+            "dvs": list(target.get("dvs") or []),
+            "bloom": dict(target.get("bloom") or {}),
         }
         if "columns" in target:
             rec["columns"] = list(target["columns"])
@@ -497,6 +711,29 @@ class SnapshotTable:
         new_names = [rename.get(n, n) for n in names if n not in drop]
         if len(set(new_names)) != len(new_names):
             raise ValueError(f"evolve: rename collides: {new_names}")
+        # CHECK constraints are SQL over LOGICAL names (ADVICE r6):
+        # a constraint referencing a dropped column would fail every
+        # later write (reject, Delta's ALTER COLUMN behavior); one
+        # referencing a renamed column is rewritten — in a single
+        # simultaneous pass, so swap renames ({a: b, b: a}) bind to the
+        # right data.
+        import re
+
+        new_cons: dict[str, str] = {}
+        for cname, cexpr in (head.get("constraints") or {}).items():
+            for c in drop:
+                if re.search(rf"\b{re.escape(c)}\b", cexpr):
+                    raise ValueError(
+                        f"evolve: CHECK constraint {cname!r} ({cexpr}) "
+                        f"references dropped column {c!r} — drop_constraint "
+                        "first"
+                    )
+            if rename:
+                pat = re.compile(
+                    r"\b(" + "|".join(re.escape(o) for o in rename) + r")\b"
+                )
+                cexpr = pat.sub(lambda m: rename[m.group(1)], cexpr)
+            new_cons[cname] = cexpr
         version = len(log)
         # tombstone mapping for dropped columns: unique per evolve, so
         # pre-drop physical data never binds to a re-added name
@@ -539,11 +776,26 @@ class SnapshotTable:
             p: {rename.get(c, c): v for c, v in cols.items()}
             for p, cols in head.get("stats", {}).items()
         }
+        # bloom manifests are keyed file -> LOGICAL column: follow the
+        # rename the same way (a dropped column's filters move to the
+        # tombstone name, unreachable from point=)
+        bloom = {
+            p: {rename.get(c, c): v for c, v in cols.items()}
+            for p, cols in (head.get("bloom") or {}).items()
+        }
         self._append_log(
             {
                 "operation": f"evolve(widen={widen}, rename={rename}, drop={drop})",
                 "files": list(head["files"]),
                 "stats": stats,
+                "bloom": bloom,
+                "constraints": new_cons,
+                # rename history (old -> new for THIS evolve, tombstones
+                # included): change_feed composes these across versions
+                # to align pre-rename rows under post-rename names, and
+                # _live_cols uses them to keep stat/bloom recording
+                # following a rename.
+                "renames": dict(rename),
                 "columns": [f.name for f in new_schema.fields],
                 "schema_json": json.dumps(new_schema.jsonValue()),
                 "dir_columns": dict(dir_cols),
@@ -576,6 +828,10 @@ class SnapshotTable:
                 "batch_id": batch_id,
                 "files": parent_files + [d],
                 "stats": {**parent_stats, **self._stats_for(d)},
+                "bloom": {
+                    **(parent_rec.get("bloom") or {}),
+                    **self._blooms_for(batch.sparkSession, d),
+                },
                 **self._evolved_schema(parent_rec, batch),
                 **self._dir_meta(parent_rec, parent_files, d, batch.schema),
             }
@@ -588,6 +844,7 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         between: tuple[str, object, object] | None = None,
+        point: tuple[str, object] | None = None,
     ) -> DataFrame:
         """Read the head, or `version=` for time travel.
 
@@ -595,7 +852,16 @@ class SnapshotTable:
         data files whose recorded [min, max] for `col` can't overlap
         [lo, hi] never reach the Spark scan (and the residual filter is
         still applied, so results are exact regardless of manifest
-        coverage — a file with no stats is conservatively read)."""
+        coverage — a file with no stats is conservatively read).
+
+        `point=(col, v)` is the POINT-LOOKUP variant backed by the
+        per-file Bloom filters recorded under `bloom_cols=`: files
+        whose filter proves v absent never reach the scan; false
+        positives are caught by the residual equality filter, files
+        with no recorded filter are conservatively read.  min/max
+        stats rarely prune a high-cardinality key scattered across the
+        value range — the Bloom manifest is what makes a needle lookup
+        O(matching files) instead of O(table)."""
         from pyspark.sql import functions as F
 
         log = self._log()
@@ -604,8 +870,31 @@ class SnapshotTable:
         rec = log[-1] if version is None else next(
             r for r in log if r["version"] == version
         )
-        if between is None:
+        if between is None and point is None:
             return self._read_paths(spark, rec, rec["files"])
+        if point is not None:
+            if between is not None:
+                raise ValueError("read: pass between= or point=, not both")
+            pcol, pv = point
+            bloom = rec.get("bloom") or {}
+            keep = []
+            for d in rec["files"]:
+                for fn in sorted(os.listdir(d)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(d, fn)
+                    entry = bloom.get(p, {}).get(pcol)
+                    if entry is None or _bloom_maybe_contains(entry, pv):
+                        keep.append(p)
+            if not keep:
+                return (
+                    self._read_paths(spark, rec, rec["files"])
+                    .filter(F.lit(False))
+                    .filter(F.col(pcol) == F.lit(pv))
+                )
+            return self._read_paths(spark, rec, keep).filter(
+                F.col(pcol) == F.lit(pv)
+            )
         col, lo, hi = between
         stats = rec.get("stats", {})
         keep: list[str] = []
@@ -649,12 +938,36 @@ class SnapshotTable:
                     kept += 1
         return kept, total
 
+    def pruned_point_file_count(
+        self, version: int | None, point: tuple[str, object]
+    ) -> tuple[int, int]:
+        """(files kept, files total) for a `point=` Bloom lookup — the
+        point-skipping audit number."""
+        log = self._log()
+        rec = log[-1] if version is None else next(
+            r for r in log if r["version"] == version
+        )
+        pcol, pv = point
+        bloom = rec.get("bloom") or {}
+        total = kept = 0
+        for d in rec["files"]:
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                p = os.path.join(d, fn)
+                entry = bloom.get(p, {}).get(pcol)
+                if entry is None or _bloom_maybe_contains(entry, pv):
+                    kept += 1
+        return kept, total
+
     def compact(
         self,
         spark: SparkSession,
         target_mb: float = 128.0,
         order_by: list[str] | None = None,
         n_files: int | None = None,
+        zorder: list[str] | None = None,
     ) -> int | None:
         """OPTIMIZE-style small-file compaction (VERDICT r4 #6): bin-pack
         the head version's SMALL snapshot directories (total parquet
@@ -686,13 +999,32 @@ class SnapshotTable:
         bin-packing is shuffle-free; both are one pass over the small
         tail only.
 
+        `zorder=` is the MULTI-dimensional clustering (OPTIMIZE ZORDER
+        on the snapshot log — VERDICT r6 #3): each listed column is
+        quantile-bucketed, the bucket bits are interleaved into one
+        Z-value (sources.zorder_key — integer shift/mask expressions,
+        JVM-side), and the rewrite range-partitions + locally sorts by
+        it.  Every output file then owns a small hyper-RECTANGLE of the
+        value space instead of a slab of one column, so the recorded
+        min/max stats are tight on EVERY clustered column and
+        `between=` skipping prunes on each of them — what a linear
+        `order_by=` can only give the leading column.  Time travel to
+        the pre-compaction version is intact as always.
+
         `n_files=` overrides the byte-derived output count (e.g. to
         pick a clustering granularity finer than target_mb would).
+
+        Compaction is also what MATERIALIZES deletion vectors away:
+        the rewrite reads through the DV-applied view, so the new
+        files physically exclude DV-deleted rows and later reads skip
+        the anti-join for them.
 
         Returns the new version, or None when fewer than two small
         directories exist (nothing to pack — no empty commit)."""
         import math
 
+        if order_by and zorder:
+            raise ValueError("compact: pass order_by= or zorder=, not both")
         log = self._log()
         if not log:
             raise ValueError(f"snapshot table {self.root} has no commits")
@@ -714,7 +1046,31 @@ class SnapshotTable:
         n_out = n_files if n_files else max(1, math.ceil(total / target))
         d = self._new_dir("compact")
         src = self._read_paths(spark, head, small)
-        if order_by:
+        if zorder:
+            # Z-order clustering: quantile-bucket each column (skew-
+            # robust), interleave the bucket bits into one sort key,
+            # then range-partition + locally sort by it — each output
+            # file covers a hyper-rectangle, tight stats on all columns.
+            from pyspark.sql import functions as F
+
+            from dbt_lab_spark.sources import zorder_key
+
+            nb = 256
+            probs = [i / nb for i in range(1, nb)]
+            bucket_cols = []
+            for c in zorder:
+                bounds = sorted(set(src.approxQuantile(c, probs, 0.001)))
+                arr = F.array(*[F.lit(b) for b in bounds])
+                bucket_cols.append(
+                    F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+                )
+            src = (
+                src.withColumn("__z", zorder_key(bucket_cols, bits=8))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif order_by:
             # range-partition + in-file sort: each output file owns a
             # disjoint range of order_by, making footer stats tight
             from pyspark.sql import functions as F
@@ -736,6 +1092,7 @@ class SnapshotTable:
             "operation": f"compact(target_mb={target_mb})",
             "files": keep + [d],
             "stats": {**kept_stats, **self._stats_for(d)},
+            "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
         }
         if "columns" in head:
             rec["columns"] = list(head["columns"])
@@ -849,6 +1206,7 @@ class SnapshotTable:
             "operation": f"merge(on={on})",
             "files": untouched + [d],
             "stats": {**kept_stats, **self._stats_for(d)},
+            "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
         }
         if table_cols is not None:
             rec["columns"] = list(table_cols)
@@ -862,10 +1220,12 @@ class SnapshotTable:
             "n_dirs_total": len(head["files"]),
         }
 
-    def delete_where(self, spark: SparkSession, condition) -> dict:
-        """Copy-on-write row-level DELETE — the third leg of the DML
-        triad beside `append` and `merge`: rows matching `condition`
-        (a Column or SQL string) are removed by rewriting ONLY the
+    def delete_where(self, spark: SparkSession, condition, mode: str = "cow") -> dict:
+        """Row-level DELETE — the third leg of the DML triad beside
+        `append` and `merge`, in two physical strategies:
+
+        `mode="cow"` (copy-on-write): rows matching `condition` (a
+        Column or SQL string) are removed by rewriting ONLY the
         snapshot directories that contain any matching row; directories
         with no matches are carried into the new version by reference.
         Detection is one metadata-projected scan (`_metadata.file_path`
@@ -876,8 +1236,23 @@ class SnapshotTable:
         version).  History is preserved for time travel until
         `vacuum`.
 
+        `mode="dv"` (merge-on-read DELETION VECTORS — VERDICT r6 #1):
+        NO data file is rewritten.  The matched rows' positions
+        (file, `_metadata.row_index`) are written as a small parquet
+        sidecar and the new version's manifest records it in `dvs`;
+        every read of this and later versions finishes with one
+        broadcast anti-join against the DV rows (_read_paths), and
+        `compact()` materializes the deletes away by rewriting through
+        the DV-applied view.  This is the scale-correct shape for
+        GDPR-style point deletes at 100 TB: a one-row delete costs one
+        metadata-projected scan plus an O(1) sidecar write, instead of
+        rewriting every touched file.  Time travel is exact: each
+        version's record carries its own `dvs` list, so pre-delete
+        versions read the rows back.
+
         Returns {"version" (None if no-op), "n_dirs_rewritten",
-        "n_dirs_total", "n_deleted"}."""
+        "n_dirs_total", "n_deleted"} — `n_dirs_rewritten` is 0 in dv
+        mode by construction."""
         from pyspark.sql import functions as F
 
         log = self._log()
@@ -885,6 +1260,52 @@ class SnapshotTable:
             raise ValueError(f"snapshot table {self.root} has no commits")
         head = log[-1]
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"delete_where: unknown mode {mode!r}")
+        if mode == "dv":
+            matched = (
+                self._read_paths(
+                    spark, head, head["files"], with_file=True, with_pos=True
+                )
+                .filter(cond)
+                .select(
+                    self._norm_file_col(F.col("__f")).alias("f"),
+                    F.col("__ri").alias("ri"),
+                )
+            )
+            d = self._new_dir("dv")
+            matched.write.mode("errorifexists").parquet(d)
+            n_deleted = spark.read.parquet(d).count()
+            if n_deleted == 0:
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+                return {
+                    "version": None,
+                    "n_dirs_rewritten": 0,
+                    "n_dirs_total": len(head["files"]),
+                    "n_deleted": 0,
+                }
+            rec = {
+                "operation": "delete_where(dv)",
+                "files": list(head["files"]),
+                "stats": dict(head.get("stats", {})),
+                "dvs": list(head.get("dvs") or []) + [d],
+            }
+            if "columns" in head:
+                rec["columns"] = list(head["columns"])
+                if "schema_json" in head:
+                    rec["schema_json"] = head["schema_json"]
+                rec.update(self._dir_meta(head, head["files"]))
+            if head.get("bloom"):
+                rec["bloom"] = dict(head["bloom"])
+            self._append_log(rec)
+            return {
+                "version": len(self._log()) - 1,
+                "n_dirs_rewritten": 0,
+                "n_dirs_total": len(head["files"]),
+                "n_deleted": int(n_deleted),
+            }
         touched_files = [
             r["__f"]
             for r in self._read_paths(spark, head, head["files"], with_file=True)
@@ -917,6 +1338,7 @@ class SnapshotTable:
             "operation": "delete_where",
             "files": untouched + [d],
             "stats": {**kept_stats, **self._stats_for(d)},
+            "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
         }
         if "columns" in head:
             rec["columns"] = list(head["columns"])
@@ -955,6 +1377,30 @@ class SnapshotTable:
             r for r in log if r["version"] == to_version
         )
         shared = set(old["files"]) & set(new["files"])
+        # Deletion vectors change a directory's EFFECTIVE rows without
+        # changing its path, so a dir is only cancelable when no DV
+        # sidecar that differs between the two versions touches it.
+        # DV dirs are immutable and small: reading just their `f`
+        # column driver-side stays O(deleted rows).
+        diff_dvs = set(old.get("dvs") or []) ^ set(new.get("dvs") or [])
+        if diff_dvs and shared:
+            import pyarrow.parquet as _pq
+
+            affected: set[str] = set()
+            for dvd in diff_dvs:
+                if not os.path.isdir(dvd):
+                    continue
+                for fn in os.listdir(dvd):
+                    if fn.endswith(".parquet"):
+                        t = _pq.read_table(
+                            os.path.join(dvd, fn), columns=["f"]
+                        )
+                        affected.update(t.column("f").to_pylist())
+            shared -= {
+                d
+                for d in shared
+                if any(f.startswith(self._canon(d) + os.sep) for f in affected)
+            }
         old_only = [d for d in old["files"] if d not in shared]
         new_only = [d for d in new["files"] if d not in shared]
 
@@ -971,13 +1417,24 @@ class SnapshotTable:
             return n.withColumn("_change", F.lit("insert"))
         if n is None:
             return o.withColumn("_change", F.lit("delete"))
-        if o.columns != n.columns:
+        if o.columns != n.columns or o.schema != n.schema:
             # feed across a schema-evolution boundary: align the old
-            # side to the new column set (absent columns become typed
-            # nulls, matching what a merged read returns for old rows)
+            # side through the LOGICAL rename history (ADVICE r6 —
+            # null-filling a renamed column made the feed emit NULLs
+            # where a head read returns real values), cast for
+            # widenings, and fall back to typed nulls only for columns
+            # genuinely added after from_version.
+            to_hi = new["version"]
+            ren = self._compose_renames(
+                [r for r in log if from_version < r["version"] <= to_hi]
+            )  # name-at-from_version -> name-at-to_version
+            inv = {v: k for k, v in ren.items()}
             o = o.select(
                 *[
-                    F.col(c) if c in o.columns
+                    F.col(inv.get(c, c))
+                    .cast(n.schema[c].dataType)
+                    .alias(c)
+                    if inv.get(c, c) in o.columns
                     else F.lit(None).cast(n.schema[c].dataType).alias(c)
                     for c in n.columns
                 ]
@@ -1000,7 +1457,9 @@ class SnapshotTable:
         if len(log) <= keep_last:
             return []
         kept_recs = log[-keep_last:]
-        referenced = {d for r in kept_recs for d in r["files"]}
+        referenced = {d for r in kept_recs for d in r["files"]} | {
+            d for r in kept_recs for d in (r.get("dvs") or [])
+        }
         removed = []
         for entry in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, entry)

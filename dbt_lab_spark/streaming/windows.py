@@ -20,6 +20,24 @@ from pyspark.sql import functions as F
 from dbt_lab_spark.catalog import SCHEMAS, Catalog
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Set spark.sql.shuffle.partitions for the duration of a replay
+    stream and RESTORE it on any exit — including an exception raised
+    while the stream is still being constructed (ADVICE r6: a bare
+    set-before-try leaked the narrow setting to every subsequent
+    query when readStream/start() raised)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table as a file-source stream (one-file-per-trigger is the
     local smoke path; a production source would be Kafka with the same
@@ -156,16 +174,29 @@ def stream_stream_interval_join(
     right_ts: str = "ts_r",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pairs with equal `key` where
+    """Stream-stream join: pairs with equal `key` where
     `right_ts` ∈ [left_ts, left_ts + within].  Both sides carry
     watermarks and the time bound is part of the join condition — that
     pair is what lets Structured Streaming EVICT buffered rows once the
     watermark passes them, so state stays bounded on an unbounded
     stream (without the bound, both sides buffer forever).
 
+    `how="left_outer"` adds WATERMARK-FINALIZED outer semantics
+    (VERDICT r6 #2): an unmatched left row is emitted null-padded only
+    once the watermark passes left_ts + within — before that the
+    engine cannot know no match will arrive.  The time-bound condition
+    is MANDATORY here: Structured Streaming rejects (or buffers
+    unboundedly in older versions) an outer stream-stream join without
+    one, the subtlety SPARK-26154 and the SS guide call out.  The
+    null-padded rows therefore always land in a LATER micro-batch than
+    their on-time matches (pinned in tests/test_wave35.py).
+
     Batch analogue: operators/joins.py range_join (same semantics,
     bin-bucketed equi-join); the test drives both and compares."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_stream_interval_join: unsupported how={how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -173,7 +204,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, on=cond, how="inner")
+    return lw.join(rw, on=cond, how=how)
 
 
 def land_replay_file(df: DataFrame, src_dir: str, order: int, name: str) -> str:
@@ -211,7 +242,12 @@ def land_replay_splits(df: DataFrame, src_dir: str, split_col: str) -> list[str]
     import glob
     import os
 
-    outd = os.path.join(os.path.dirname(src_dir), "_land_splits")
+    # staging dir keyed by the replay dir's name: two streams staged
+    # under the same parent (e.g. a stream-stream join's two sides)
+    # must not collide
+    outd = os.path.join(
+        os.path.dirname(src_dir), f"_land_splits_{os.path.basename(src_dir)}"
+    )
     df.coalesce(1).write.partitionBy(split_col).parquet(outd)
     os.makedirs(src_dir, exist_ok=True)
     dsts = []
@@ -250,36 +286,35 @@ def hourly_rollup_with_watermark(
     # The state-store partition count is frozen per checkpoint at the
     # first batch; an hourly-window key space (one row per hour) never
     # needs the session's scan-sized shuffle width, and every extra
-    # partition is a per-micro-batch task.  Scoped set/restore — the
-    # replay runs alone, exactly like choosing a sink's partitioning.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents").alias("sum_cents"),
+    # partition is a per-micro-batch task.  Scoped set/restore covers
+    # stream construction too — a failure before start() must not leak
+    # the narrow setting to later queries.
+    with scoped_shuffle_partitions(spark, 4):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-    )
-    name = "wm_" + uuid.uuid4().hex
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        name = "wm_" + uuid.uuid4().hex
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name).select(
         (F.unix_millis(F.col("w.start")) / F.lit(3600000)).cast("long").alias("h"),
         "n_events",

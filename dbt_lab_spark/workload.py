@@ -1571,6 +1571,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r4 import R4_QUERIES
     from dbt_lab_spark.workload_r5 import R5_QUERIES
     from dbt_lab_spark.workload_r6 import R6_QUERIES
+    from dbt_lab_spark.workload_r7 import R7_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     out = (
@@ -1586,6 +1587,7 @@ def all_queries() -> list[QueryDef]:
         + R4_QUERIES
         + R5_QUERIES
         + R6_QUERIES
+        + R7_QUERIES
     )
     # Duplicate names silently shadow in the queries()/oracle_sql()
     # dicts (the r5 q_merge_upsert collision made a declared query

@@ -164,36 +164,37 @@ def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             staged = staged.unionByName(sentinel)
         land_replay_splits(staged, src, "g")
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        stream = (
-            spark.readStream.schema("user_id long, ts timestamp, cents long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(
-                F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        from dbt_lab_spark.streaming.windows import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 4):
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
             )
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum("cents").alias("sum_cents"),
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(
+                    F.session_window("ts", "30 minutes").alias("w"),
+                    F.col("user_id"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("cents").alias("sum_cents"),
+                )
             )
-        )
-        name = "sess_" + uuid.uuid4().hex
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            name = "sess_" + uuid.uuid4().hex
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table(name).select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -298,29 +299,29 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             staged = staged.unionByName(sentinel).unionByName(redelivered)
         land_replay_splits(staged, src, "g")
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        stream = (
-            spark.readStream.schema("event_id long, ts timestamp")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-            ["event_id"]
-        )
-        name = "dd_" + uuid.uuid4().hex
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        from dbt_lab_spark.streaming.windows import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 4):
+            stream = (
+                spark.readStream.schema("event_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            deduped = stream.withWatermark(
+                "ts", "1 hour"
+            ).dropDuplicatesWithinWatermark(["event_id"])
+            name = "dd_" + uuid.uuid4().hex
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         emitted = spark.table(name).filter(F.col("event_id") >= 0)
         hist = (
             emitted.groupBy("event_id")
@@ -487,25 +488,25 @@ def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = os.path.join(tmp, "src")
         land_replay_file(base, src, 0, "purchases")
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        stream = spark.readStream.schema(
-            "user_id long, ts timestamp, value double"
-        ).parquet(src)
-        sessions = stateful_sessionize(stream, gap="30 minutes")
-        name = "st_" + uuid.uuid4().hex
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        from dbt_lab_spark.streaming.windows import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 4):
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            ).parquet(src)
+            sessions = stateful_sessionize(stream, gap="30 minutes")
+            name = "st_" + uuid.uuid4().hex
+            q = (
+                sessions.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table(name).select(
             "user_id", "session_start", "session_end", "n_events",
             F.col("sum_value").cast("long").alias("sum_cents"),
@@ -597,26 +598,30 @@ def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             src_c, 0, "clicks",
         )
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        left = spark.readStream.schema("user_id long, ts timestamp").parquet(src_p)
-        right = spark.readStream.schema("user_id long, ts_r timestamp").parquet(src_c)
-        joined = stream_stream_interval_join(
-            left, right, key="user_id", within="1 hour", watermark="2 hours"
-        ).select(left["user_id"].alias("uid"))
-        name = "ssj_" + uuid.uuid4().hex
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        from dbt_lab_spark.streaming.windows import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 4):
+            left = spark.readStream.schema(
+                "user_id long, ts timestamp"
+            ).parquet(src_p)
+            right = spark.readStream.schema(
+                "user_id long, ts_r timestamp"
+            ).parquet(src_c)
+            joined = stream_stream_interval_join(
+                left, right, key="user_id", within="1 hour", watermark="2 hours"
+            ).select(left["user_id"].alias("uid"))
+            name = "ssj_" + uuid.uuid4().hex
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         hist = spark.table(name).groupBy("uid").agg(
             F.count(F.lit(1)).alias("n_pairs")
         ).select(F.col("uid").alias("user_id"), "n_pairs")

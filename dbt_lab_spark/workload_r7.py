@@ -1,0 +1,421 @@
+"""Round-7 workload additions.
+
+Closes the r6 verdict list's storage and streaming gaps: merge-on-read
+deletion vectors (point DELETE without file rewrites), Z-order
+compaction of the snapshot log (multi-column file skipping over
+versioned data), per-file Bloom filters (point-lookup skipping on
+high-cardinality keys), and the watermark-finalized stream-stream
+LEFT OUTER join.  Every query follows the repo conventions:
+DataFrame-first plans, DuckDB oracle with identical aliases,
+determinism per tests/oracle.py canonicalization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_lab_spark.catalog import Catalog
+from dbt_lab_spark.expr import money
+from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.workload import QueryDef
+
+
+def _orders_kc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as (k, cents) — the shared fixture shape for the storage
+    queries (exact integer money, unique key)."""
+    cat = Catalog(sf_dir)
+    return scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"]).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (money("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors (VERDICT r6 #1)
+# ---------------------------------------------------------------------------
+
+
+def _q_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors, proven end-to-end on
+    real data: orders rows k%4==0 land, k%8==1 append; then
+    `delete_where(k % 16 == 0, mode="dv")` removes every 16th key by
+    writing ONLY a (file, row_index) sidecar — the manifest's data-file
+    list is unchanged and zero directories are rewritten (the returned
+    n_dirs_rewritten is part of the output row).  Reads of the new head
+    apply the DV as a broadcast anti-join (plans/snapshots.py
+    _read_paths); time travel to the pre-delete version reads the rows
+    back; `compact()` then MATERIALIZES the deletes into plain files
+    and the re-read totals must not move.  At 100 TB this is the
+    GDPR-point-delete shape: O(sidecar) per delete instead of
+    rewriting every touched file (VERDICT r6 #1).  All output fields
+    are closed-form from `orders`."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    orders = _orders_kc(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="deletedv_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "tbl"))
+        t.commit(orders.filter(F.col("k") % 4 == 0))
+        v_pre = t.append(orders.filter(F.col("k") % 8 == 1))
+        files_before = sorted(t._log()[-1]["files"])
+        res = t.delete_where(spark, "k % 16 = 0", mode="dv")
+        files_after = sorted(t._log()[-1]["files"])
+        head = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        n_travel = t.read(spark, version=v_pre).count()
+        t.compact(spark, target_mb=1024.0)
+        after = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        files_unchanged = files_before == files_after and res["n_dirs_rewritten"] == 0
+        n_deleted = res["n_deleted"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(head["n"]), int(head["s"] or 0), int(n_deleted),
+                int(n_travel), bool(files_unchanged),
+                int(after["n"]), int(after["s"] or 0),
+            )
+        ],
+        "n_head bigint, sum_cents_head bigint, n_deleted bigint, "
+        "n_travel bigint, files_unchanged boolean, "
+        "n_after_compact bigint, sum_after_compact bigint",
+    )
+
+
+_SQL_DELETE_DV = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), base AS (
+  SELECT k, cents FROM o WHERE k % 4 = 0 OR k % 8 = 1
+), head AS (
+  SELECT k, cents FROM base WHERE NOT (k % 16 = 0)
+)
+SELECT (SELECT COUNT(*) FROM head) AS n_head,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_cents_head,
+       (SELECT COUNT(*) FROM base WHERE k % 16 = 0) AS n_deleted,
+       (SELECT COUNT(*) FROM base) AS n_travel,
+       TRUE AS files_unchanged,
+       (SELECT COUNT(*) FROM head) AS n_after_compact,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_after_compact
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order compaction of the snapshot log (VERDICT r6 #3)
+# ---------------------------------------------------------------------------
+
+
+def _q_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER over versioned data: orders-derived rows with
+    two pseudo-independent cluster keys a = k%97 and b = (k*7919)%101
+    land as six appends (small-file tail), then
+    `compact(zorder=["a","b"], n_files=16)` rewrites them bin-packed
+    in Z-order — each output file owns a hyper-RECTANGLE of (a, b), so
+    the recorded per-file min/max are tight on BOTH columns and
+    `between=` skipping prunes on each (a linear sort can only serve
+    the leading column).  The output pins: exact row count and cents
+    sum after compaction (byte-equal contents), the count/sum of a
+    mid-range slice read through the pruned path, pruning to at most
+    half the files on BOTH single-column predicates, and intact time
+    travel to the first append.  All numeric fields are closed-form
+    from `orders` (plans/snapshots.py compact)."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    orders = _orders_kc(spark, sf_dir).select(
+        "k",
+        "cents",
+        (F.col("k") % 97).alias("a"),
+        ((F.col("k") * 7919) % 101).alias("b"),
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "tbl"), stat_cols=["a", "b"])
+        for g in range(6):
+            t.append(orders.filter(F.col("k") % 6 == g))
+        n_v0 = t.read(spark, version=0).count()
+        t.compact(spark, target_mb=1024.0, n_files=16, zorder=["a", "b"])
+        head = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        sl = t.read(spark, between=("a", 3, 9)).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        ka, ta = t.pruned_file_count(None, ("a", 3, 9))
+        kb, tb = t.pruned_file_count(None, ("b", 3, 9))
+        travel_ok = t.read(spark, version=0).count() == n_v0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(head["n"]), int(head["s"] or 0),
+                int(sl["n"]), int(sl["s"] or 0),
+                bool(ka * 2 <= ta), bool(kb * 2 <= tb), bool(travel_ok),
+            )
+        ],
+        "n_rows bigint, sum_cents bigint, n_slice bigint, sum_slice bigint, "
+        "a_prunes boolean, b_prunes boolean, travel_ok boolean",
+    )
+
+
+_SQL_ZORDER_COMPACT = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey % 97 AS a,
+         (o_orderkey * 7919) % 101 AS b
+  FROM orders
+)
+SELECT (SELECT COUNT(*) FROM o) AS n_rows,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o) AS sum_cents,
+       (SELECT COUNT(*) FROM o WHERE a BETWEEN 3 AND 9) AS n_slice,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
+        WHERE a BETWEEN 3 AND 9) AS sum_slice,
+       TRUE AS a_prunes,
+       TRUE AS b_prunes,
+       TRUE AS travel_ok
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters for point-lookup skipping (VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+
+def _q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping via per-file Bloom filters: orders
+    land as eight appends split by k%8 (two files each — a key lives in
+    exactly one directory), with `bloom_cols=["k"]` recording one Bloom
+    bitmap per data file at commit (executor-built, O(#files) on the
+    driver).  `read(point=("k", v))` prunes every file whose filter
+    proves v absent; min/max stats cannot help here because keys
+    scatter across the whole range in every file.  The output pins the
+    looked-up row's exact cents (false positives are caught by the
+    residual equality filter), pruning to at most half the files, and
+    zero rows for a key that was never written.  Probe key: the
+    largest k with k%8==3 — closed-form from `orders`
+    (plans/snapshots.py _blooms_for / read(point=))."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    orders = _orders_kc(spark, sf_dir)
+    probe = orders.filter(F.col("k") % 8 == 3).agg(F.max("k")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="bloom_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "tbl"), bloom_cols=["k"])
+        for g in range(8):
+            t.append(orders.filter(F.col("k") % 8 == g).repartition(2))
+        if probe is None:  # empty orders: vacuous flags, zero counts
+            return spark.createDataFrame(
+                [(None, None, 0, True, 0)],
+                "probe_k bigint, probe_cents bigint, n_probe_rows bigint, "
+                "pruned_lt_half boolean, n_missing_rows bigint",
+            )
+        hit = t.read(spark, point=("k", int(probe))).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        kept, total = t.pruned_point_file_count(None, ("k", int(probe)))
+        missing_k = orders.agg(F.max("k")).first()[0] + 12345
+        n_missing = t.read(spark, point=("k", int(missing_k))).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(probe), int(hit["s"] or 0), int(hit["n"]),
+                bool(kept * 2 <= total), int(n_missing),
+            )
+        ],
+        "probe_k bigint, probe_cents bigint, n_probe_rows bigint, "
+        "pruned_lt_half boolean, n_missing_rows bigint",
+    )
+
+
+_SQL_BLOOM_SKIP = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), probe AS (
+  SELECT MAX(k) AS pk FROM o WHERE k % 8 = 3
+)
+SELECT (SELECT pk FROM probe) AS probe_k,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
+        WHERE k = (SELECT pk FROM probe)) AS probe_cents,
+       (SELECT COUNT(*) FROM o WHERE k = (SELECT pk FROM probe)) AS n_probe_rows,
+       TRUE AS pruned_lt_half,
+       CAST(0 AS BIGINT) AS n_missing_rows
+"""
+
+
+# ---------------------------------------------------------------------------
+# Watermark-finalized stream-stream LEFT OUTER join (VERDICT r6 #2)
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through TWO real
+    readStreams: each purchase joins the same user's clicks with ts in
+    [purchase_ts, purchase_ts + 1h]; a purchase with NO click in the
+    window must still emit, null-padded — but only after the watermark
+    passes purchase_ts + 1h (before that the engine cannot know no
+    match will arrive).  Two far-future sentinel files per stream
+    drive the finalization: Spark computes state eviction against the
+    PREVIOUS batch's watermark, so the first sentinel advances it and
+    the second gives the engine a batch in which to emit the
+    null-padded rows (the same SPARK-40925-style offset the watermark
+    query documents; the later-batch pin lives in
+    tests/test_wave35.py).  Output: per-user matched-pair and
+    unmatched-purchase counts, which must equal the batch LEFT JOIN
+    the DuckDB oracle computes (streaming/windows.py
+    stream_stream_interval_join how='left_outer')."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dbt_lab_spark.streaming.windows import (
+        land_replay_splits,
+        scoped_shuffle_partitions,
+        stream_stream_interval_join,
+    )
+
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["user_id", "ts", "event_type"],
+        predicates=[F.col("event_type").isin("purchase", "click")],
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_r")
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="outerjoin_")
+    try:
+        src_p = os.path.join(tmp, "purchases")
+        src_c = os.path.join(tmp, "clicks")
+
+        def staged(df: DataFrame, ts_col: str) -> DataFrame:
+            out = df.withColumn("g", F.lit(0))
+            if mx is None:
+                return out
+            for g in (1, 2):  # two sentinels: advance, then finalize
+                out = out.unionByName(
+                    spark.createDataFrame([(1,)], "one int").select(
+                        F.lit(-1).cast("long").alias("user_id"),
+                        (F.lit(mx) + F.expr(f"INTERVAL {2 + g} HOURS")).alias(
+                            ts_col
+                        ),
+                        F.lit(g).alias("g"),
+                    )
+                )
+            return out
+
+        land_replay_splits(staged(purchases, "ts"), src_p, "g")
+        land_replay_splits(staged(clicks, "ts_r"), src_c, "g")
+        with scoped_shuffle_partitions(spark, 4):
+            left = (
+                spark.readStream.schema("user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_p)
+            )
+            right = (
+                spark.readStream.schema("user_id long, ts_r timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_c)
+            )
+            joined = stream_stream_interval_join(
+                left, right, key="user_id", within="1 hour",
+                watermark="1 hour", how="left_outer",
+            ).select(
+                left["user_id"].alias("uid"), right["ts_r"].alias("cts")
+            )
+            name = "soj_" + uuid.uuid4().hex
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        agg = (
+            spark.table(name)
+            .filter(F.col("uid") >= 0)
+            .groupBy("uid")
+            .agg(
+                F.sum(F.when(F.col("cts").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_pairs"),
+                F.sum(F.when(F.col("cts").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unmatched"),
+            )
+            .select(F.col("uid").alias("user_id"), "n_pairs", "n_unmatched")
+        )
+        rows = agg.collect()
+        spark.catalog.dropTempView(name)
+        if not rows:
+            return spark.createDataFrame(
+                [], "user_id long, n_pairs bigint, n_unmatched bigint"
+            )
+        return spark.createDataFrame(rows, agg.schema).orderBy("user_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_OUTER_JOIN = """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.user_id, c.ts AS cts
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+                     AND c.ts >= p.ts
+                     AND c.ts <= p.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN cts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+R7_QUERIES: list[QueryDef] = [
+    QueryDef(
+        "q_delete_dv", _q_delete_dv, _SQL_DELETE_DV,
+        "merge-on-read deletion vectors: point delete, zero rewrites, compact materializes",
+    ),
+    QueryDef(
+        "q_zorder_compact", _q_zorder_compact, _SQL_ZORDER_COMPACT,
+        "OPTIMIZE ZORDER on the snapshot log: both columns prune, contents byte-equal",
+    ),
+    QueryDef(
+        "q_bloom_skip", _q_bloom_skip, _SQL_BLOOM_SKIP,
+        "per-file Bloom point lookup: needle read prunes to O(matching files)",
+    ),
+    QueryDef(
+        "q_stream_outer_join", _q_stream_outer_join, _SQL_STREAM_OUTER_JOIN,
+        "watermark-finalized stream-stream LEFT OUTER join == batch LEFT JOIN",
+    ),
+]
