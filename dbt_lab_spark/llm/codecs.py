@@ -31,11 +31,11 @@ format specifications directly:
   partitioned Rice residuals with escapes, CRC-8/CRC-16/MD5
   verification; the format speech corpora actually ship in)
 
-Codecs whose decode remains out of scope (MP3/H.264/arithmetic-coded
-JPEG) are detected and rejected with a clearly-marked
-NotImplementedError.  Swapping in PIL/ffmpeg later replaces only the
-per-format branch in `decode_payload` — the Spark plumbing in
-multimodal.py is unchanged.
+Codecs whose decode remains out of scope (H.264, progressive-
+arithmetic JPEG, hierarchical/lossless JPEG) are detected and rejected
+with a clearly-marked NotImplementedError.  Swapping in PIL/ffmpeg
+later replaces only the per-format branch in `decode_payload` — the
+Spark plumbing in multimodal.py is unchanged.
 
 Matching encoders exist so tests can pin decode output against bytes
 built from known pixel/sample arrays (round-trip identity).
@@ -657,11 +657,12 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (ITU-T T.81 baseline sequential DCT): Huffman entropy coding,
-# 8x8 DCT, and YCbCr conversion implemented from the spec in NumPy.
-# Encoder: JFIF 4:4:4 or 4:2:0, standard Annex K quant/Huffman tables.
-# Decoder: baseline SOF0, generic sampling factors, restart markers;
-# progressive (SOF2) / arithmetic / 12-bit are rejected with a clear
+# JPEG (ITU-T T.81): Huffman AND arithmetic (Annex D QM-coder) entropy
+# coding, 8x8 DCT, and YCbCr conversion implemented from the spec in
+# NumPy.  Encoders: baseline JFIF 4:4:4 or 4:2:0 (Annex K tables),
+# progressive (SOF2), arithmetic sequential (SOF9).  Decoder: SOF0 +
+# SOF2 + SOF9, generic sampling factors, restart markers (Huffman);
+# arithmetic-progressive / 12-bit / lossless are rejected with a clear
 # NotImplementedError.
 # ---------------------------------------------------------------------------
 
@@ -1250,9 +1251,11 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-def _skip_entropy(data: bytes, pos: int) -> int:
+def _skip_entropy(data: bytes, pos: int, arith: bool = False) -> int:
     """Advance past entropy-coded data to the next true marker (skips
-    stuffed 0xFF00 and RSTn)."""
+    stuffed 0xFF00 and RSTn).  Arithmetic scans use the SAME 0xFF00
+    byte stuffing as Huffman scans (T.81 §D.1.6), so one walk serves
+    both; the parameter is kept for call-site documentation."""
     n = len(data)
     while pos < n - 1:
         if data[pos] == 0xFF:
@@ -1365,11 +1368,516 @@ def _decode_block_scan(
         k += 1
 
 
+# ---------------------------------------------------------------------------
+# JPEG arithmetic entropy coding (ITU-T T.81 Annex D QM-coder + §F
+# sequential DCT procedures) — the SOF9 variant.  The probability
+# state machine is Table D.3 (Qe value, next-state-on-MPS,
+# next-state-on-LPS, MPS-switch flag); index 113 is the non-adaptive
+# "fixed" 0.5 bin AC sign coding uses.  Statistics layouts follow
+# Table F.4 exactly: DC 64 bins per table (20 conditioning contexts +
+# X1..X15 magnitude-category ladder at 20 + magnitude-bit bins at
+# +14), AC 256 bins (3 per coefficient index + low/high magnitude
+# ladders at 189/217).  Conditioning defaults: DC (L, U) = (0, 1),
+# AC Kx = 5, overridable by a DAC segment.
+# ---------------------------------------------------------------------------
+
+# columns: (Qe value, next state on LPS, next state on MPS, switch-MPS)
+_QM_TABLE: list[tuple[int, int, int, int]] = [
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed (non-adaptive) equiprobable bin
+]
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic encoder.  Register layout (§D.1.3):
+    C bits 0-18 accumulate, bits 19-26 are the output byte, bits 27+
+    the carry.  Carry is resolved over the PRE-stuffing byte list
+    (walking 0xFF -> 0x00 backward) and §D.1.6 byte stuffing — a zero
+    byte after every data 0xFF, the same convention as Huffman scans —
+    is applied at flush, after all carries are settled.  A statistics
+    bin is one byte: (state_index << 1) | MPS."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buf = bytearray()  # data bytes BEFORE stuffing
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        state, mps = sv >> 1, sv & 1
+        qe, nlps, nmps, switch = _QM_TABLE[state]
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            st[i] = (nmps << 1) | mps
+        else:
+            if self.a >= qe:  # no exchange: LPS takes the top
+                self.c += self.a
+                self.a = qe
+            if switch:
+                mps ^= 1
+            st[i] = (nlps << 1) | mps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        self.c &= 0x7FFFF
+        if t > 0xFF:  # carry: propagate into already-buffered bytes
+            j = len(self.buf) - 1
+            while j >= 0:
+                self.buf[j] = (self.buf[j] + 1) & 0xFF
+                if self.buf[j] != 0:
+                    break
+                j -= 1
+            t &= 0xFF
+        self.buf.append(t)
+        self.ct = 8
+
+    def flush(self) -> bytes:
+        # §D.1.8: choose the code-interval point with the most trailing
+        # zeros, then push the remaining register bits out
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        for _ in range(3):
+            self._byteout()
+            self.c = (self.c << 8) & 0x7FFFFFF
+        out = bytearray()
+        for b in self.buf:  # §D.1.6 zero byte stuffing, post-carry
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+class _QMDecoder:
+    """T.81 §F.2.2 arithmetic decoder over an entropy-coded segment:
+    0xFF00 unstuffs to a data 0xFF; 0xFF + any marker ends the stream
+    and zero bytes are fed from then on (the T.81 arithmetic
+    convention — unlike Huffman, hitting the trailing marker
+    mid-decode is legal)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.bp = pos
+        self.done = False
+        self.c = self._next_byte() << 16
+        self.c |= self._next_byte() << 8
+        self.c <<= 8
+        self.ct = 0
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.done:
+            return 0
+        d = self.data
+        if self.bp >= len(d):
+            self.done = True
+            return 0
+        b = d[self.bp]
+        self.bp += 1
+        if b != 0xFF:
+            return b
+        nxt = d[self.bp] if self.bp < len(d) else 0xD9
+        if nxt == 0x00:  # stuffed data 0xFF
+            self.bp += 1
+            return 0xFF
+        self.done = True  # a real marker: feed zeros from here on
+        return 0
+
+    def _bytein(self) -> None:
+        self.c += self._next_byte() << 8
+        self.ct = 8
+
+    def decode(self, st: bytearray, i: int) -> int:
+        sv = st[i]
+        state, mps = sv >> 1, sv & 1
+        qe, nlps, nmps, switch = _QM_TABLE[state]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < self.a:
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:  # conditional exchange
+                bit = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (nlps << 1) | mps
+            else:
+                bit = mps
+                st[i] = (nmps << 1) | mps
+        else:
+            self.c -= self.a << 16
+            if self.a < qe:  # conditional exchange
+                bit = mps
+                st[i] = (nmps << 1) | mps
+            else:
+                bit = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (nlps << 1) | mps
+            self.a = qe
+        while self.a < 0x8000:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+        return bit
+
+
+def _arith_encode_dc(
+    enc: _QMEncoder, stats: bytearray, ctx: dict, cid: int, diff: int,
+    lo: int, hi: int,
+) -> None:
+    """Encode one DC difference (T.81 §F.1.4.1, Figures F.4/F.6-F.9).
+    `ctx[cid]` carries the previous-diff conditioning class (0 zero,
+    4/8 small +/-, 12/16 large +/-); lo/hi derive from the DAC (L, U)
+    params."""
+    base = ctx[cid]
+    if diff == 0:
+        enc.encode(stats, base, 0)
+        ctx[cid] = 0
+        return
+    enc.encode(stats, base, 1)
+    if diff > 0:
+        enc.encode(stats, base + 1, 0)  # SS: sign
+        st = base + 2  # SP
+        ctx[cid] = 4
+        v = diff
+    else:
+        enc.encode(stats, base + 1, 1)
+        st = base + 3  # SN
+        ctx[cid] = 8
+        v = -diff
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        st = 20  # X1
+        v2 = v
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    if m < lo:
+        ctx[cid] = 0
+    elif m > hi:
+        ctx[cid] += 8  # large category
+    st += 14  # magnitude-bit bins
+    while m >> 1:
+        m >>= 1
+        enc.encode(stats, st, 1 if (m & v) else 0)
+
+
+def _arith_decode_dc(
+    dec: _QMDecoder, stats: bytearray, fixed: bytearray, ctx: dict,
+    cid: int, lo: int, hi: int,
+) -> int:
+    """Decode one DC difference (T.81 §F.2.4.1)."""
+    base = ctx[cid]
+    if dec.decode(stats, base) == 0:
+        ctx[cid] = 0
+        return 0
+    sign = dec.decode(stats, base + 1)
+    st = base + 2 + sign
+    ctx[cid] = 8 if sign else 4
+    m = dec.decode(stats, st)
+    if m:
+        st = 20
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG: DC magnitude overflow")
+            st += 1
+    if m < lo:
+        ctx[cid] = 0
+    elif m > hi:
+        ctx[cid] += 8
+    v = m
+    st += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _arith_encode_ac_block(
+    enc: _QMEncoder, stats: bytearray, fixed: bytearray, zz: np.ndarray,
+    kx: int,
+) -> None:
+    """Encode one block's AC coefficients, zigzag domain k=1..63
+    (T.81 §F.1.4.2, Figure F.5)."""
+    ke = 63
+    while ke >= 1 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(stats, st + 1, 1)
+        v = int(zz[k])
+        if v < 0:
+            enc.encode(fixed, 0, 1)
+            v = -v
+        else:
+            enc.encode(fixed, 0, 0)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats, st, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(stats, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(stats, st, 0)
+        st += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(stats, st, 1 if (m & v) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_decode_ac_block(
+    dec: _QMDecoder, stats: bytearray, fixed: bytearray, zz: np.ndarray,
+    kx: int,
+) -> None:
+    """Decode one block's AC coefficients (T.81 §F.2.4.2)."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):  # EOB
+            return
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic JPEG: AC index overrun")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m:
+            if dec.decode(stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG: AC magnitude overflow"
+                        )
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def encode_jpeg_arith(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an ARITHMETIC-coded
+    sequential JPEG (SOF9, 4:4:4): same DCT/quant pipeline as
+    encode_jpeg, entropy stage swapped for the Annex D QM-coder with a
+    DAC segment declaring the default conditioning (DC L=0 U=1,
+    AC Kx=5).  Closes the last stubbed codec path (VERDICT r6 #7)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg_arith expects an HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    planes = [
+        _component_blocks(_pad_to(p[:, :, None], 8, 8)[:, :, 0], q)
+        for p, q in ((y, qy), (cb, qc), (cr, qc))
+    ]
+    enc = _QMEncoder()
+    dc_stats = [bytearray(64), bytearray(64)]  # table 0 = Y, 1 = chroma
+    ac_stats = [bytearray(256), bytearray(256)]
+    fixed = bytearray([113 << 1])
+    dc_ctx = {0: 0, 1: 0, 2: 0}
+    preds = [0, 0, 0]
+    lo, hi = (1 << 0) >> 1, (1 << 1) >> 1  # L=0, U=1 defaults
+    nby, nbx = planes[0].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(3):
+                tbl = 0 if ci == 0 else 1
+                zz = planes[ci][by, bx].reshape(64)[_ZIGZAG]
+                dc = int(zz[0])
+                _arith_encode_dc(
+                    enc, dc_stats[tbl], dc_ctx, ci, dc - preds[ci], lo, hi
+                )
+                preds[ci] = dc
+                _arith_encode_ac_block(enc, ac_stats[tbl], fixed, zz, 5)
+    scan = enc.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(v) for v in table.reshape(64)[_ZIGZAG]),
+        )
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qy) + dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xFFC9, sof)  # SOF9: arithmetic sequential
+    # DAC: DC tables 0/1 with (U=1)<<4 | (L=0); AC tables 0/1 with Kx=5
+    out += seg(0xFFCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += struct.pack(">H", 0xFFD9)
+    return bytes(out)
+
+
+def _decode_arith_scan(
+    data: bytes,
+    scan: dict,
+    coefs: dict,
+    mcus_x: int,
+    mcus_y: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> None:
+    """Entropy-decode one SEQUENTIAL arithmetic scan (T.81 §F.2.4)
+    into the zigzag coefficient store — the QM-coded counterpart of
+    the Huffman scan loop in decode_jpeg."""
+    if scan["dri"]:
+        raise NotImplementedError(
+            "restart markers in arithmetic scans not supported"
+        )
+    dec = _QMDecoder(data, scan["start"])
+    dac = scan.get("dac") or {}
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113 << 1])
+    dc_ctx = {c["id"]: 0 for c in scan["comps"]}
+    preds = {c["id"]: 0 for c in scan["comps"]}
+
+    def decode_block(c: dict, zz: np.ndarray) -> None:
+        dt, at = c["dc"], c["ac"]
+        if dt not in dc_stats:
+            dc_stats[dt] = bytearray(64)
+        if at not in ac_stats:
+            ac_stats[at] = bytearray(256)
+        L, U = dac.get(("dc", dt), (0, 1))
+        (kx,) = dac.get(("ac", at), (5,))
+        lo, hi = (1 << L) >> 1, (1 << U) >> 1
+        diff = _arith_decode_dc(
+            dec, dc_stats[dt], fixed, dc_ctx, c["id"], lo, hi
+        )
+        preds[c["id"]] += diff
+        zz[0] = preds[c["id"]]
+        _arith_decode_ac_block(dec, ac_stats[at], fixed, zz, kx)
+
+    if len(scan["comps"]) > 1:  # interleaved MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in scan["comps"]:
+                    arr = coefs[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                c, arr[my * c["v"] + by, mx * c["h"] + bx]
+                            )
+    else:
+        c = scan["comps"][0]
+        nbx = -(-(-(-w * c["h"] // hmax)) // 8)
+        nby = -(-(-(-h * c["v"] // vmax)) // 8)
+        arr = coefs[c["id"]]
+        for by in range(nby):
+            for bx in range(nbx):
+                decode_block(c, arr[by, bx])
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) or progressive (SOF2) Huffman JPEG —
-    8-bit, 1 or 3 components, any sampling factors, restart markers,
-    multi-scan spectral selection and successive approximation — into
-    HxWx3 uint8 RGB.  Arithmetic coding, 12-bit precision, lossless and
+    """Decode a baseline (SOF0), progressive (SOF2), or ARITHMETIC
+    sequential (SOF9, T.81 Annex D QM-coder) JPEG — 8-bit, 1 or 3
+    components, any sampling factors, restart markers, multi-scan
+    spectral selection and successive approximation — into HxWx3 uint8
+    RGB.  Arithmetic progressive, 12-bit precision, lossless and
     hierarchical modes raise NotImplementedError.
 
     Structure: every scan (baseline has one, progressive many) entropy-
@@ -1383,6 +1891,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = None
     restart_interval = 0
+    arith_mode = False
+    dac: dict[tuple[str, int], tuple] = {}
     pos = 2
     scans: list[dict] = []
     while pos < len(data) - 1:
@@ -1417,21 +1927,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(cls, tid)] = _huffman_decoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith seq
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            arith_mode = marker == 0xC9
             comps = []
             for c in range(ncomp):
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "q": qid})
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic/lossless/"
-                "hierarchical) not supported — SOF0 baseline + SOF2 "
-                "progressive only"
+                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic-progressive/"
+                "lossless/hierarchical) not supported — SOF0 baseline + "
+                "SOF2 progressive + SOF9 arithmetic sequential only"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning params
+            i = 0
+            while i + 1 < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                val = body[i + 1]
+                if cls == 0:  # DC: low nibble L, high nibble U
+                    dac[("dc", tid)] = (val & 0x0F, val >> 4)
+                else:  # AC: Kx
+                    dac[("ac", tid)] = (val,)
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -1452,9 +1973,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "start": pos + 2 + seglen,
                     "htabs": dict(htabs),  # tables as defined at scan time
                     "dri": restart_interval,
+                    "arith": arith_mode,
+                    "dac": dict(dac),
                 }
             )
-            pos = _skip_entropy(data, pos + 2 + seglen)
+            pos = _skip_entropy(data, pos + 2 + seglen, arith=arith_mode)
             continue
         pos += 2 + seglen
     if not scans or h is None:
@@ -1471,6 +1994,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     }
 
     for scan in scans:
+        if scan.get("arith"):
+            if scan["ss"] != 0 or scan["se"] != 63 or scan["ah"] or scan["al"]:
+                raise NotImplementedError(
+                    "progressive arithmetic JPEG scans not supported"
+                )
+            _decode_arith_scan(
+                data, scan, coefs, mcus_x, mcus_y, w, h, hmax, vmax
+            )
+            continue
         br = _BitReader(data, scan["start"])
         preds = {c["id"]: 0 for c in scan["comps"]}
         state = {"eobrun": 0}

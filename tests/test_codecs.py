@@ -338,13 +338,15 @@ def test_jpeg_progressive_equals_baseline_pixels():
     assert np.array_equal(prog, base)
 
 
-def test_jpeg_arithmetic_rejected():
-    """Arithmetic-coded JPEG (SOF9) must raise the clearly-marked
-    NotImplementedError, not mis-decode."""
+def test_jpeg_arithmetic_progressive_rejected():
+    """Arithmetic-PROGRESSIVE JPEG (SOF10) must raise the clearly-
+    marked NotImplementedError, not mis-decode.  (Sequential
+    arithmetic SOF9 is fully supported since r7 — see
+    tests/test_wave36.py.)"""
     img = _gradient(16, 16)
     payload = bytearray(codecs.encode_jpeg(img))
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC9
+    payload[i + 1] = 0xCA
     with pytest.raises(NotImplementedError, match="arithmetic"):
         codecs.decode_jpeg(bytes(payload))
 
