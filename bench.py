@@ -348,6 +348,12 @@ BENCH_NAMES = [
     "q_stream_join",
     "q_stream_stateful",
     "q_constraint_gate",
+    # r7 additions
+    "q_delete_dv",
+    "q_zorder_compact",
+    "q_bloom_skip",
+    "q_stream_outer_join",
+    "q_jpeg_arith",
 ]
 
 

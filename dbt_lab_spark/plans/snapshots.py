@@ -83,18 +83,41 @@ def _bloom_repr(v) -> str:
     return "s:" + str(v)
 
 
+def _splitmix64(x):
+    """Vectorizable 64-bit finalizer (splitmix64) — deterministic
+    across processes, unlike Python's seeded str hash."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _bloom_hash_pair(v) -> tuple[int, int]:
     """Two independent 64-bit hashes (Kirsch–Mitzenmacher double
-    hashing derives all k probe positions from the pair)."""
+    hashing derives all k probe positions from the pair).  Integers
+    take the vectorizable splitmix path — matching _bloom_build's bulk
+    hashing exactly — everything else hashes its canonical repr."""
     import hashlib
 
+    import numpy as np
+
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        x = np.array([np.uint64(int(v) & 0xFFFFFFFFFFFFFFFF)])
+        h1 = int(_splitmix64(x)[0])
+        h2 = int(_splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5))[0]) | 1
+        return h1, h2
     h = hashlib.blake2b(_bloom_repr(v).encode(), digest_size=16).digest()
     return int.from_bytes(h[:8], "little"), int.from_bytes(h[8:], "little") | 1
 
 
 def _bloom_build(values, bits_per_key: int = 10) -> tuple[int, int, str]:
     """Build one bloom bitmap over `values`; returns (m_bits, k,
-    base64(bitmap)).  m is a power of two in [2^10, 2^23]."""
+    base64(bitmap)).  m is a power of two in [2^10, 2^23].  All-integer
+    inputs (the doc_id/url-hash case the feature exists for) hash fully
+    vectorized in NumPy; mixed/other types fall back per value."""
     import base64
 
     import numpy as np
@@ -102,13 +125,31 @@ def _bloom_build(values, bits_per_key: int = 10) -> tuple[int, int, str]:
     n = max(1, len(values))
     m = 1 << min(23, max(10, (n * bits_per_key - 1).bit_length()))
     bits = np.zeros(m >> 3, dtype=np.uint8)
-    for v in values:
-        if v is None or (isinstance(v, float) and v != v):
-            continue
-        h1, h2 = _bloom_hash_pair(v)
+    vals = [
+        v
+        for v in values
+        if v is not None and not (isinstance(v, float) and v != v)
+    ]
+    ints = all(
+        isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+        for v in vals
+    )
+    if vals and ints:
+        x = np.array([int(v) & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64)
+        h1 = _splitmix64(x)
+        h2 = _splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        mm = np.uint64(m)
         for i in range(_BLOOM_K):
-            idx = (h1 + i * h2) % m
-            bits[idx >> 3] |= 1 << (idx & 7)
+            idx = ((h1 + np.uint64(i) * h2) % mm).astype(np.int64)
+            np.bitwise_or.at(
+                bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+            )
+    else:
+        for v in vals:
+            h1, h2 = _bloom_hash_pair(v)
+            for i in range(_BLOOM_K):
+                idx = (h1 + i * h2) % m
+                bits[idx >> 3] |= 1 << (idx & 7)
     return m, _BLOOM_K, base64.b64encode(bits.tobytes()).decode()
 
 

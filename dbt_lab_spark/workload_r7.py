@@ -199,29 +199,30 @@ SELECT (SELECT COUNT(*) FROM o) AS n_rows,
 
 def _q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup file skipping via per-file Bloom filters: orders
-    land as eight appends split by k%8 (two files each — a key lives in
-    exactly one directory), with `bloom_cols=["k"]` recording one Bloom
-    bitmap per data file at commit (executor-built, O(#files) on the
-    driver).  `read(point=("k", v))` prunes every file whose filter
-    proves v absent; min/max stats cannot help here because keys
-    scatter across the whole range in every file.  The output pins the
-    looked-up row's exact cents (false positives are caught by the
-    residual equality filter), pruning to at most half the files, and
-    zero rows for a key that was never written.  Probe key: the
-    largest k with k%8==3 — closed-form from `orders`
-    (plans/snapshots.py _blooms_for / read(point=))."""
+    land as four appends split by k%4 (four files each — a key lives
+    in exactly one directory, 1 of 16 files), with `bloom_cols=["k"]`
+    recording one Bloom bitmap per data file at commit
+    (executor-built, O(#files) on the driver).  `read(point=("k", v))`
+    prunes every file whose filter proves v absent; min/max stats
+    cannot help here because keys scatter across the whole range in
+    every file.  The output pins the looked-up row's exact cents
+    (false positives are caught by the residual equality filter),
+    pruning to at most half the files, and zero rows for a key that
+    was never written.  Probe key: the largest k with k%4==3 —
+    closed-form from `orders` (plans/snapshots.py _blooms_for /
+    read(point=))."""
     import shutil
     import tempfile
 
     from dbt_lab_spark.plans.snapshots import SnapshotTable
 
     orders = _orders_kc(spark, sf_dir)
-    probe = orders.filter(F.col("k") % 8 == 3).agg(F.max("k")).first()[0]
+    probe = orders.filter(F.col("k") % 4 == 3).agg(F.max("k")).first()[0]
     tmp = tempfile.mkdtemp(prefix="bloom_")
     try:
         t = SnapshotTable(os.path.join(tmp, "tbl"), bloom_cols=["k"])
-        for g in range(8):
-            t.append(orders.filter(F.col("k") % 8 == g).repartition(2))
+        for g in range(4):
+            t.append(orders.filter(F.col("k") % 4 == g).repartition(4))
         if probe is None:  # empty orders: vacuous flags, zero counts
             return spark.createDataFrame(
                 [(None, None, 0, True, 0)],
@@ -254,7 +255,7 @@ WITH o AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM orders
 ), probe AS (
-  SELECT MAX(k) AS pk FROM o WHERE k % 8 = 3
+  SELECT MAX(k) AS pk FROM o WHERE k % 4 = 3
 )
 SELECT (SELECT pk FROM probe) AS probe_k,
        (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
@@ -276,12 +277,12 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     [purchase_ts, purchase_ts + 1h]; a purchase with NO click in the
     window must still emit, null-padded — but only after the watermark
     passes purchase_ts + 1h (before that the engine cannot know no
-    match will arrive).  Two far-future sentinel files per stream
-    drive the finalization: Spark computes state eviction against the
-    PREVIOUS batch's watermark, so the first sentinel advances it and
-    the second gives the engine a batch in which to emit the
-    null-padded rows (the same SPARK-40925-style offset the watermark
-    query documents; the later-batch pin lives in
+    match will arrive).  One far-future sentinel per stream advances
+    the watermark past every real bound; the null-padded rows then
+    emit in the NO-DATA micro-batch the engine runs when a watermark
+    advance leaves evictable state
+    (spark.sql.streaming.noDataMicroBatches, default on) — a strictly
+    LATER batch than the on-time matches (pinned in
     tests/test_wave35.py).  Output: per-user matched-pair and
     unmatched-purchase counts, which must equal the batch LEFT JOIN
     the DuckDB oracle computes (streaming/windows.py
@@ -291,7 +292,7 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from dbt_lab_spark.streaming.windows import (
-        land_replay_splits,
+        land_replay_file,
         scoped_shuffle_partitions,
         stream_stream_interval_join,
     )
@@ -312,34 +313,24 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_c = os.path.join(tmp, "clicks")
 
         def staged(df: DataFrame, ts_col: str) -> DataFrame:
-            out = df.withColumn("g", F.lit(0))
             if mx is None:
-                return out
-            for g in (1, 2):  # two sentinels: advance, then finalize
-                out = out.unionByName(
-                    spark.createDataFrame([(1,)], "one int").select(
-                        F.lit(-1).cast("long").alias("user_id"),
-                        (F.lit(mx) + F.expr(f"INTERVAL {2 + g} HOURS")).alias(
-                            ts_col
-                        ),
-                        F.lit(g).alias("g"),
-                    )
+                return df
+            return df.unionByName(
+                spark.createDataFrame([(1,)], "one int").select(
+                    F.lit(-1).cast("long").alias("user_id"),
+                    (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias(ts_col),
                 )
-            return out
+            )
 
-        land_replay_splits(staged(purchases, "ts"), src_p, "g")
-        land_replay_splits(staged(clicks, "ts_r"), src_c, "g")
+        land_replay_file(staged(purchases, "ts"), src_p, 0, "purchases")
+        land_replay_file(staged(clicks, "ts_r"), src_c, 0, "clicks")
         with scoped_shuffle_partitions(spark, 4):
-            left = (
-                spark.readStream.schema("user_id long, ts timestamp")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src_p)
-            )
-            right = (
-                spark.readStream.schema("user_id long, ts_r timestamp")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src_c)
-            )
+            left = spark.readStream.schema(
+                "user_id long, ts timestamp"
+            ).parquet(src_p)
+            right = spark.readStream.schema(
+                "user_id long, ts_r timestamp"
+            ).parquet(src_c)
             joined = stream_stream_interval_join(
                 left, right, key="user_id", within="1 hour",
                 watermark="1 hour", how="left_outer",
