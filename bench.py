@@ -354,6 +354,7 @@ BENCH_NAMES = [
     "q_bloom_skip",
     "q_stream_outer_join",
     "q_jpeg_arith",
+    "q_merge_dv",
 ]
 
 

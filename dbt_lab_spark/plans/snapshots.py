@@ -1150,11 +1150,20 @@ class SnapshotTable:
         spark: SparkSession,
         source: DataFrame,
         on: list[str],
+        mode: str = "cow",
     ) -> dict:
-        """Copy-on-write MERGE (upsert): matched target rows are
-        replaced by their source row (UPDATE SET *), unmatched source
-        rows are inserted — the Delta/Iceberg-style `MERGE INTO` for
-        the snapshot log.
+        """MERGE (upsert): matched target rows are replaced by their
+        source row (UPDATE SET *), unmatched source rows are inserted —
+        the Delta/Iceberg-style `MERGE INTO` for the snapshot log.
+
+        `mode="dv"` is the MERGE-ON-READ form: matched target rows are
+        tombstoned with a deletion-vector sidecar (their positions, no
+        data file rewritten) and the ENTIRE source lands as one delta
+        directory — updates become DV-delete + re-insert, the Delta
+        deletion-vector MERGE mechanics.  A one-row upsert into a
+        10k-directory table costs one detection scan, one O(1) sidecar,
+        and one O(source) delta write; `compact()` later folds the
+        tombstones away.  Returns n_dirs_rewritten = 0.
 
         CoW mechanics, the part that matters at 100 TB: only snapshot
         directories that actually CONTAIN matching keys are rewritten.
@@ -1210,7 +1219,58 @@ class SnapshotTable:
                         for f in rec_schema.fields
                     ]
                 )
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"merge: unknown mode {mode!r}")
         self._validate(source, self._head_constraints())
+        if mode == "dv":
+            import shutil
+
+            keys = source.select(*on)
+            matched = (
+                self._read_paths(
+                    spark, head, head["files"], with_file=True, with_pos=True
+                )
+                .select("__f", "__ri", *on)
+                .join(keys, on, "left_semi")
+                .select(
+                    self._norm_file_col(F.col("__f")).alias("f"),
+                    F.col("__ri").alias("ri"),
+                )
+            )
+            dv_dir = self._new_dir("dv")
+            matched.write.mode("errorifexists").parquet(dv_dir)
+            n_updated = spark.read.parquet(dv_dir).count()
+            dvs = list(head.get("dvs") or [])
+            if n_updated:
+                dvs.append(dv_dir)
+            else:  # pure insert: no tombstones, drop the empty sidecar
+                shutil.rmtree(dv_dir, ignore_errors=True)
+            d = self._new_dir("delta")
+            source.write.mode("errorifexists").parquet(d)
+            rec = {
+                "operation": f"merge(on={on}, mode=dv)",
+                "files": head["files"] + [d],
+                "stats": {**head.get("stats", {}), **self._stats_for(d)},
+                "bloom": {
+                    **(head.get("bloom") or {}),
+                    **self._blooms_for(spark, d),
+                },
+                "dvs": dvs,
+            }
+            if table_cols is not None:
+                rec["columns"] = list(table_cols)
+                if "schema_json" in head:
+                    rec["schema_json"] = head["schema_json"]
+                rec.update(
+                    self._dir_meta(head, head["files"], d, source.schema)
+                )
+            self._append_log(rec)
+            return {
+                "version": len(self._log()) - 1,
+                "n_dirs_rewritten": 0,
+                "n_dirs_total": len(head["files"]),
+                "n_updated": int(n_updated),
+            }
         target = self._read_paths(spark, head, head["files"])
         keys = source.select(*on)
         touched_files = [

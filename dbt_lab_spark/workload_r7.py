@@ -112,6 +112,84 @@ SELECT (SELECT COUNT(*) FROM head) AS n_head,
 """
 
 
+def _q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE (upsert) via deletion vectors: orders rows
+    k%4==0 land, k%8==1 append; a source of updates (k%16==0, cents
+    +1,000,000) and inserts (k%8==2) then merges with `mode="dv"` —
+    matched rows are tombstoned by position (NO data file rewritten)
+    and the whole source lands as one delta directory, the Delta
+    deletion-vector MERGE mechanics.  The manifest's pre-merge file
+    list is carried byte-identical (flag in the output), time travel
+    to the pre-merge version reads the original rows, and `compact()`
+    folds the tombstones into plain files without moving the totals.
+    All numeric fields are closed-form from `orders`
+    (plans/snapshots.py merge mode="dv")."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    orders = _orders_kc(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mergedv_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "tbl"))
+        t.commit(orders.filter(F.col("k") % 4 == 0))
+        v_pre = t.append(orders.filter(F.col("k") % 8 == 1))
+        files_before = list(t._log()[-1]["files"])
+        src = orders.filter(
+            (F.col("k") % 16 == 0) | (F.col("k") % 8 == 2)
+        ).select(
+            "k",
+            F.when(F.col("k") % 16 == 0, F.col("cents") + 1_000_000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        res = t.merge(spark, src, on=["k"], mode="dv")
+        carried = t._log()[-1]["files"][: len(files_before)] == files_before
+        head = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        n_travel = t.read(spark, version=v_pre).count()
+        t.compact(spark, target_mb=1024.0)
+        after = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(head["n"]), int(head["s"] or 0), int(res["n_updated"]),
+                int(res["n_dirs_rewritten"]), bool(carried), int(n_travel),
+                int(after["n"]), int(after["s"] or 0),
+            )
+        ],
+        "n_head bigint, sum_cents_head bigint, n_updated bigint, "
+        "n_dirs_rewritten bigint, files_carried boolean, n_travel bigint, "
+        "n_after_compact bigint, sum_after_compact bigint",
+    )
+
+
+_SQL_MERGE_DV = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), head AS (
+  SELECT k, CASE WHEN k % 16 = 0 THEN cents + 1000000 ELSE cents END AS cents
+  FROM o WHERE k % 4 = 0 OR k % 8 = 1 OR k % 8 = 2
+)
+SELECT (SELECT COUNT(*) FROM head) AS n_head,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_cents_head,
+       (SELECT COUNT(*) FROM o WHERE k % 16 = 0) AS n_updated,
+       CAST(0 AS BIGINT) AS n_dirs_rewritten,
+       TRUE AS files_carried,
+       (SELECT COUNT(*) FROM o WHERE k % 4 = 0 OR k % 8 = 1) AS n_travel,
+       (SELECT COUNT(*) FROM head) AS n_after_compact,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_after_compact
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order compaction of the snapshot log (VERDICT r6 #3)
 # ---------------------------------------------------------------------------
@@ -498,5 +576,9 @@ R7_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_jpeg_arith", _q_jpeg_arith, _SQL_JPEG_ARITH,
         "arithmetic JPEG (SOF9 QM-coder): decode exact, smaller than Huffman",
+    ),
+    QueryDef(
+        "q_merge_dv", _q_merge_dv, _SQL_MERGE_DV,
+        "merge-on-read MERGE: DV tombstones + one delta dir, zero rewrites",
     ),
 ]

@@ -155,6 +155,40 @@ class TestDeletionVectors:
         t.rollback(v0)
         assert t.read(spark).count() == 20
 
+    def test_merge_dv_matches_cow_merge(self, spark, tmp_path):
+        a = SnapshotTable(str(tmp_path / "a"))
+        b = SnapshotTable(str(tmp_path / "b"))
+        src = _kv(spark, 40, 70, tag=9)  # updates 40-49, inserts 50-69
+        for t in (a, b):
+            t.commit(_kv(spark, 0, 50))
+        files_before = list(a._log()[-1]["files"])
+        ra = a.merge(spark, src, on=["k"], mode="dv")
+        b.merge(spark, src, on=["k"], mode="cow")
+        assert ra["n_dirs_rewritten"] == 0 and ra["n_updated"] == 10
+        # pre-merge files carried by reference, delta appended after
+        assert a._log()[-1]["files"][: len(files_before)] == files_before
+        got_a = sorted(map(tuple, a.read(spark).collect()))
+        got_b = sorted(map(tuple, b.read(spark).collect()))
+        assert got_a == got_b
+
+    def test_merge_dv_pure_insert_writes_no_sidecar(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(_kv(spark, 0, 10))
+        res = t.merge(spark, _kv(spark, 100, 110), on=["k"], mode="dv")
+        assert res["n_updated"] == 0
+        assert not (t._log()[-1].get("dvs") or [])
+        assert t.read(spark).count() == 20
+
+    def test_merge_dv_composes_with_dv_delete(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(_kv(spark, 0, 30))
+        t.delete_where(spark, "k = 7", mode="dv")
+        t.merge(spark, _kv(spark, 5, 10, tag=9), on=["k"], mode="dv")
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        # 7 was DV-deleted, then re-inserted by the merge source
+        assert len(got) == 30
+        assert all(got[k] == k * 10 + 9 for k in range(5, 10))
+
 
 # ---------------------------------------------------------------------------
 # evolve × constraints / rename bookkeeping (ADVICE r6)
