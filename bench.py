@@ -355,6 +355,7 @@ BENCH_NAMES = [
     "q_stream_outer_join",
     "q_jpeg_arith",
     "q_merge_dv",
+    "q_stream_full_outer_join",
 ]
 
 

@@ -192,10 +192,14 @@ def stream_stream_interval_join(
     one, the subtlety SPARK-26154 and the SS guide call out.  The
     null-padded rows therefore always land in a LATER micro-batch than
     their on-time matches (pinned in tests/test_wave35.py).
+    `right_outer` and `full_outer` follow the same contract on the
+    other/both side(s): an unmatched right row finalizes once the
+    watermark passes the latest left_ts that could still match it
+    (right_ts, since left_ts <= right_ts <= left_ts + within).
 
     Batch analogue: operators/joins.py range_join (same semantics,
     bin-bucketed equi-join); the test drives both and compares."""
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"stream_stream_interval_join: unsupported how={how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)

@@ -452,6 +452,138 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join through two real
+    readStreams: purchases x clicks within [purchase_ts,
+    purchase_ts + 1h] on user_id — every purchase with no click in its
+    window emits left-null-padded AND every click in no purchase's
+    window emits right-null-padded, each only after the watermark
+    finalizes its side (an unmatched click's bound is its own ts: the
+    latest purchase that could claim it has purchase_ts = click_ts).
+    Same single-sentinel + no-data-micro-batch staging as
+    q_stream_outer_join.  Output: per-user matched-pair, unmatched-
+    purchase, and unmatched-click counts == the DuckDB batch FULL
+    JOIN (streaming/windows.py stream_stream_interval_join
+    how='full_outer')."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dbt_lab_spark.streaming.windows import (
+        land_replay_file,
+        scoped_shuffle_partitions,
+        stream_stream_interval_join,
+    )
+
+    cat = Catalog(sf_dir)
+    ev = scan(
+        spark, cat, "events", ["user_id", "ts", "event_type"],
+        predicates=[F.col("event_type").isin("purchase", "click")],
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_r")
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="fullouter_")
+    try:
+        src_p = os.path.join(tmp, "purchases")
+        src_c = os.path.join(tmp, "clicks")
+
+        def staged(df: DataFrame, ts_col: str) -> DataFrame:
+            if mx is None:
+                return df
+            return df.unionByName(
+                spark.createDataFrame([(1,)], "one int").select(
+                    F.lit(-1).cast("long").alias("user_id"),
+                    (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias(ts_col),
+                )
+            )
+
+        land_replay_file(staged(purchases, "ts"), src_p, 0, "purchases")
+        land_replay_file(staged(clicks, "ts_r"), src_c, 0, "clicks")
+        with scoped_shuffle_partitions(spark, 4):
+            left = spark.readStream.schema(
+                "user_id long, ts timestamp"
+            ).parquet(src_p)
+            right = spark.readStream.schema(
+                "user_id long, ts_r timestamp"
+            ).parquet(src_c)
+            joined = stream_stream_interval_join(
+                left, right, key="user_id", within="1 hour",
+                watermark="1 hour", how="full_outer",
+            ).select(
+                left["user_id"].alias("ul"),
+                right["user_id"].alias("ur"),
+                left["ts"].alias("pts"),
+                right["ts_r"].alias("cts"),
+            )
+            name = "sfo_" + uuid.uuid4().hex
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        agg = (
+            spark.table(name)
+            .select(F.coalesce("ul", "ur").alias("user_id"), "pts", "cts")
+            .filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("pts").isNotNull() & F.col("cts").isNotNull(), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_pairs"),
+                F.sum(F.when(F.col("cts").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unmatched_purchases"),
+                F.sum(F.when(F.col("pts").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unmatched_clicks"),
+            )
+        )
+        rows = agg.collect()
+        spark.catalog.dropTempView(name)
+        if not rows:
+            return spark.createDataFrame(
+                [],
+                "user_id long, n_pairs bigint, n_unmatched_purchases bigint, "
+                "n_unmatched_clicks bigint",
+            )
+        return spark.createDataFrame(rows, agg.schema).orderBy("user_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_FULL_OUTER_JOIN = """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+         p.ts AS pts, c.ts AS cts
+  FROM p FULL JOIN c ON c.user_id = p.user_id
+                     AND c.ts >= p.ts
+                     AND c.ts <= p.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN pts IS NOT NULL AND cts IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched_purchases,
+       CAST(SUM(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched_clicks
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 _SQL_STREAM_OUTER_JOIN = """
 WITH p AS (
   SELECT user_id, ts FROM events WHERE event_type = 'purchase'
@@ -580,5 +712,10 @@ R7_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_merge_dv", _q_merge_dv, _SQL_MERGE_DV,
         "merge-on-read MERGE: DV tombstones + one delta dir, zero rewrites",
+    ),
+    QueryDef(
+        "q_stream_full_outer_join", _q_stream_full_outer_join,
+        _SQL_STREAM_FULL_OUTER_JOIN,
+        "stream-stream FULL OUTER interval join == batch FULL JOIN",
     ),
 ]

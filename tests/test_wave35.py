@@ -445,7 +445,69 @@ class TestStreamOuterJoin:
 
         df = spark.createDataFrame([], "user_id long, ts timestamp")
         with pytest.raises(ValueError, match="unsupported how"):
-            stream_stream_interval_join(df, df, key="user_id", how="full_outer")
+            stream_stream_interval_join(df, df, key="user_id", how="left_semi")
+
+    def test_full_outer_emits_both_null_sides(self, spark, tmp_path):
+        import datetime as dt
+
+        from dbt_lab_spark.streaming.windows import (
+            land_replay_file,
+            scoped_shuffle_partitions,
+            stream_stream_interval_join,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def TS(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        # user 1 matches; user 2's purchase has no click; user 3's
+        # click has no purchase
+        left_rows = [(1, TS(0)), (2, TS(0)), (-1, TS(600))]
+        right_rows = [(1, TS(10)), (3, TS(10)), (-1, TS(600))]
+        src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+        land_replay_file(
+            spark.createDataFrame(left_rows, "user_id long, ts timestamp"),
+            src_l, 0, "l",
+        )
+        land_replay_file(
+            spark.createDataFrame(right_rows, "user_id long, ts_r timestamp"),
+            src_r, 0, "r",
+        )
+        with scoped_shuffle_partitions(spark, 4):
+            left = spark.readStream.schema(
+                "user_id long, ts timestamp"
+            ).parquet(src_l)
+            right = spark.readStream.schema(
+                "user_id long, ts_r timestamp"
+            ).parquet(src_r)
+            j = stream_stream_interval_join(
+                left, right, key="user_id", within="1 hour",
+                watermark="1 hour", how="full_outer",
+            ).select(
+                left["user_id"].alias("ul"),
+                right["user_id"].alias("ur"),
+            )
+            q = (
+                j.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("sfo_pin")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = {
+            (r["ul"], r["ur"])
+            for r in spark.table("sfo_pin").collect()
+            if (r["ul"] or 0) >= 0 and (r["ur"] or 0) >= 0
+        }
+        spark.catalog.dropTempView("sfo_pin")
+        assert (1, 1) in rows  # matched
+        assert (2, None) in rows  # unmatched purchase, left-null-padded
+        assert (None, 3) in rows  # unmatched click, right-null-padded
 
 
 # ---------------------------------------------------------------------------
