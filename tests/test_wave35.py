@@ -525,3 +525,96 @@ class TestScopedConf:
                 assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
                 raise RuntimeError("boom")
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestSnapshotFeatureComposition:
+    def test_kitchen_sink_lifecycle(self, spark, tmp_path):
+        """Every r5-r7 snapshot feature in ONE lifecycle, checked
+        against a plain Python model at each step: stat+bloom commit ->
+        appends -> CHECK constraint -> evolve(rename+widen) -> DV
+        delete -> DV merge -> Z-order compact -> point/between reads ->
+        time travel -> rollback -> vacuum."""
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(
+            str(tmp_path / "t"), stat_cols=["v"], bloom_cols=["k"]
+        )
+
+        def kv(lo, hi, tag=0):
+            return spark.range(lo, hi).select(
+                F.col("k").alias("k") if False else F.col("id").alias("k"),
+                (F.col("id") % 100).cast("int").alias("v"),
+                (F.col("id") * 10 + tag).alias("p"),
+            )
+
+        model = {}  # k -> (v, p)
+
+        def sync_check():
+            got = {r["k"]: (r[t._log()[-1]["columns"][1]], r["p"])
+                   for r in t.read(spark).collect()}
+            want = dict(model)
+            assert got == want, (
+                f"mismatch: extra={set(got) - set(want)}, "
+                f"missing={set(want) - set(got)}, "
+                f"diff={[k for k in got if k in want and got[k] != want[k]][:5]}"
+            )
+
+        t.commit(kv(0, 200))
+        model.update({k: (k % 100, k * 10) for k in range(200)})
+        v_initial = 0
+        sync_check()
+
+        t.append(kv(200, 400))
+        model.update({k: (k % 100, k * 10) for k in range(200, 400)})
+        sync_check()
+
+        t.add_constraint(spark, "v_nonneg", "v >= 0")
+        t.evolve(rename={"v": "val"}, widen={"v": "long"})
+        sync_check()  # rename visible, data unchanged
+
+        # constraint followed the rename: violating batch refused
+        with pytest.raises(ValueError, match="v_nonneg"):
+            t.append(
+                spark.createDataFrame([(999, -1, 0)], "k long, val int, p long")
+            )
+
+        t.delete_where(spark, "k % 10 = 7", mode="dv")
+        for k in [k for k in list(model) if k % 10 == 7]:
+            del model[k]
+        sync_check()
+
+        src = spark.range(350, 450).select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("int").alias("val"),
+            (F.col("id") * 10 + 9).alias("p"),
+        )
+        t.merge(spark, src, on=["k"], mode="dv")
+        model.update({k: (1, k * 10 + 9) for k in range(350, 450)})
+        sync_check()
+
+        v_pre_compact = len(t.versions()) - 1
+        t.compact(spark, target_mb=1024.0, n_files=8, zorder=["k", "val"])
+        sync_check()
+
+        # bloom point lookup after rename/DV/merge/compact
+        got = t.read(spark, point=("k", 355)).collect()
+        assert [(r["k"], r["val"], r["p"]) for r in got] == [(355, 1, 3559)]
+        # between= skipping on the renamed stat column stays exact
+        got = sorted(
+            r["k"] for r in t.read(spark, between=("val", 1, 1)).collect()
+        )
+        assert got == sorted(k for k, (v, _) in model.items() if v == 1)
+
+        # time travel to the very first commit still reads original
+        # schema and rows
+        v0 = t.read(spark, version=v_initial)
+        assert v0.columns == ["k", "v", "p"]
+        assert v0.count() == 200
+
+        # rollback to pre-compact: same contents (compact is layout-only)
+        t.rollback(v_pre_compact)
+        sync_check()
+
+        # vacuum to the head only; contents survive
+        t.vacuum(keep_last=1)
+        sync_check()
