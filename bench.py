@@ -356,6 +356,7 @@ BENCH_NAMES = [
     "q_jpeg_arith",
     "q_merge_dv",
     "q_stream_full_outer_join",
+    "q_stream_merge_dv",
 ]
 
 

@@ -879,6 +879,51 @@ class SnapshotTable:
         )
         return len(self._log()) - 1
 
+    def merge_stream_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int,
+        on: list[str],
+        mode: str = "dv",
+    ) -> int | None:
+        """Idempotent foreachBatch UPSERT sink — the streaming-CDC
+        counterpart of `append_stream_batch`: each micro-batch MERGEs
+        into the table (default merge-on-read: DV tombstones + one
+        delta directory per batch, no rewrites) UNLESS this batch_id
+        already committed, turning Structured Streaming's
+        at-least-once redelivery into exactly-once table contents.
+        Within a batch, later rows win per key (the CDC convention —
+        dropDuplicates keeps an arbitrary row, so callers ordering by
+        a sequence column should pre-aggregate; here we keep the
+        max-by-struct row when a `_seq` column is present, else
+        require unique keys like merge()).  Returns the new version,
+        or None for a replayed no-op."""
+        from pyspark.sql import functions as F
+
+        if any(r.get("batch_id") == batch_id for r in self._log()):
+            return None
+        if "_seq" in batch.columns:
+            others = [c for c in batch.columns if c not in on]
+            batch = (
+                batch.groupBy(*on)
+                .agg(F.max(F.struct("_seq", *[c for c in others if c != "_seq"])).alias("__s"))
+                .select(*on, *[F.col(f"__s.{c}").alias(c) for c in others if c != "_seq"])
+            )
+        log = self._log()
+        if not log:
+            v = self.commit(batch, operation="stream-merge")
+        else:
+            v = self.merge(spark, batch, on=on, mode=mode)["version"]
+        # stamp the batch id onto the commit record for replay dedup
+        full = self._log()
+        full[v]["batch_id"] = batch_id
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(full, fh, indent=1)
+        os.replace(tmp, self._log_path())
+        return v
+
     # -- reads -----------------------------------------------------------
     def read(
         self,

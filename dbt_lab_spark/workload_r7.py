@@ -688,6 +688,113 @@ FROM documents WHERE doc_id < {_JPEG_ARITH_N_ASSETS} ORDER BY doc_id
 """
 
 
+def _q_stream_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert INTO the snapshot log through a real
+    readStream + foreachBatch merge-on-read MERGE
+    (plans/snapshots.py merge_stream_batch): three replayed
+    micro-batches — base rows (k%4==0), then an upsert wave (updates
+    k%16==0 at +1M cents, inserts k%8==2), then a second wave that
+    composes on the first (updates k%16==8 at +2M, inserts k%8==6) —
+    land as DV tombstones + one delta directory each, ZERO data-file
+    rewrites across the whole run (flag from the log's operation
+    records).  The final table contents equal the batch upsert the
+    DuckDB oracle computes; batch-id stamping makes redelivery
+    idempotent (pinned in tests).  This is the 100 TB streaming-CDC
+    shape: per-batch cost is O(batch + sidecar), never O(table)."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+    from dbt_lab_spark.streaming.windows import (
+        land_replay_splits,
+        scoped_shuffle_partitions,
+    )
+
+    orders = _orders_kc(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streammerge_")
+    try:
+        staged = (
+            orders.filter(F.col("k") % 4 == 0)
+            .select("k", "cents", F.lit(0).alias("g"))
+            .unionByName(
+                orders.filter((F.col("k") % 16 == 0) | (F.col("k") % 8 == 2))
+                .select(
+                    "k",
+                    F.when(F.col("k") % 16 == 0, F.col("cents") + 1_000_000)
+                    .otherwise(F.col("cents"))
+                    .alias("cents"),
+                    F.lit(1).alias("g"),
+                )
+            )
+            .unionByName(
+                orders.filter((F.col("k") % 16 == 8) | (F.col("k") % 8 == 6))
+                .select(
+                    "k",
+                    F.when(F.col("k") % 16 == 8, F.col("cents") + 2_000_000)
+                    .otherwise(F.col("cents"))
+                    .alias("cents"),
+                    F.lit(2).alias("g"),
+                )
+            )
+        )
+        src = os.path.join(tmp, "src")
+        land_replay_splits(staged, src, "g")
+        t = SnapshotTable(os.path.join(tmp, "tbl"))
+
+        def sink(batch_df, batch_id):
+            t.merge_stream_batch(spark, batch_df, batch_id, on=["k"], mode="dv")
+
+        with scoped_shuffle_partitions(spark, 4):
+            stream = (
+                spark.readStream.schema("k long, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        ops = [r["operation"] for r in t._log()]
+        zero_rewrites = all(
+            ("mode=dv" in op) or op in ("commit", "stream-merge") for op in ops
+        )
+        head = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        n_versions = len(t.versions())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(head["n"]), int(head["s"] or 0), bool(zero_rewrites), int(n_versions))],
+        "n_rows bigint, sum_cents bigint, zero_rewrites boolean, "
+        "n_versions bigint",
+    )
+
+
+_SQL_STREAM_MERGE_DV = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), head AS (
+  SELECT k,
+         CASE WHEN k % 16 = 0 THEN cents + 1000000
+              WHEN k % 16 = 8 THEN cents + 2000000
+              ELSE cents END AS cents
+  FROM o WHERE k % 4 = 0 OR k % 8 = 2 OR k % 8 = 6
+)
+SELECT (SELECT COUNT(*) FROM head) AS n_rows,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM head) AS sum_cents,
+       TRUE AS zero_rewrites,
+       CAST(3 AS BIGINT) AS n_versions
+"""
+
+
 R7_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_delete_dv", _q_delete_dv, _SQL_DELETE_DV,
@@ -717,5 +824,9 @@ R7_QUERIES: list[QueryDef] = [
         "q_stream_full_outer_join", _q_stream_full_outer_join,
         _SQL_STREAM_FULL_OUTER_JOIN,
         "stream-stream FULL OUTER interval join == batch FULL JOIN",
+    ),
+    QueryDef(
+        "q_stream_merge_dv", _q_stream_merge_dv, _SQL_STREAM_MERGE_DV,
+        "streaming CDC upsert via foreachBatch DV merge: zero rewrites",
     ),
 ]

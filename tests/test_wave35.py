@@ -618,3 +618,42 @@ class TestSnapshotFeatureComposition:
         # vacuum to the head only; contents survive
         t.vacuum(keep_last=1)
         sync_check()
+
+
+class TestStreamMergeSink:
+    def test_idempotent_replay(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        b0 = _kv(spark, 0, 20)
+        b1 = _kv(spark, 10, 30, tag=9)
+        assert t.merge_stream_batch(spark, b0, 0, on=["k"]) == 0
+        assert t.merge_stream_batch(spark, b1, 1, on=["k"]) is not None
+        before = sorted(map(tuple, t.read(spark).collect()))
+        # redelivery of both batches: no-ops, contents unchanged
+        assert t.merge_stream_batch(spark, b0, 0, on=["k"]) is None
+        assert t.merge_stream_batch(spark, b1, 1, on=["k"]) is None
+        assert sorted(map(tuple, t.read(spark).collect())) == before
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert len(got) == 30
+        assert all(got[k] == k * 10 + 9 for k in range(10, 30))
+
+    def test_seq_column_keeps_latest(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.merge_stream_batch(spark, _kv(spark, 0, 5), 0, on=["k"])
+        # one batch carries two versions of key 2: _seq picks the later
+        batch = spark.createDataFrame(
+            [(2, 100, 1), (2, 200, 2), (7, 70, 1)],
+            "k long, v long, _seq int",
+        )
+        t.merge_stream_batch(spark, batch, 1, on=["k"])
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[2] == 200 and got[7] == 70 and len(got) == 6
+
+    def test_dv_mode_never_rewrites(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.merge_stream_batch(spark, _kv(spark, 0, 50), 0, on=["k"])
+        files_v0 = list(t._log()[-1]["files"])
+        t.merge_stream_batch(spark, _kv(spark, 25, 75, tag=9), 1, on=["k"])
+        # v0's files carried by reference; only a delta dir appended
+        assert t._log()[-1]["files"][: len(files_v0)] == files_v0
