@@ -711,6 +711,14 @@ def _q_stream_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = _orders_kc(spark, sf_dir)
+    if orders.limit(1).count() == 0:
+        # empty source: no micro-batch ever fires, so no version exists
+        # to read — the zero row is the vacuous closed form
+        return spark.createDataFrame(
+            [(0, 0, True, 0)],
+            "n_rows bigint, sum_cents bigint, zero_rewrites boolean, "
+            "n_versions bigint",
+        )
     tmp = tempfile.mkdtemp(prefix="streammerge_")
     try:
         staged = (
