@@ -150,3 +150,15 @@ class TestArithJpeg:
             assert not np.array_equal(mangled, clean)
         except (ValueError, NotImplementedError):
             pass  # refusing a now-inconsistent stream is also honest
+
+    def test_multimodal_dispatch_handles_sof9(self):
+        # the corpus decode path (detect_format -> decode_payload) must
+        # route an arithmetic JPEG like any other: magic bytes are the
+        # same FFD8, only the SOF marker differs
+        from dbt_lab_spark.llm.codecs import decode_payload, detect_format
+
+        img = _test_image(24, 24, seed=11)
+        payload = encode_jpeg_arith(img, quality=90)
+        assert detect_format(payload) == "jpeg"
+        feat = decode_payload(payload)
+        assert feat is not None
