@@ -765,3 +765,26 @@ def test_snapshot_generation_reads_bounded_by_evolutions(spark, tmp_path):
     assert n_scans(t.read(spark)) == 2  # generations, not dirs
     got = {(r.k, r.n) for r in t.read(spark).collect()}
     assert got == {(i, i * 10) for i in range(1, 8)}
+
+
+def test_dv_apply_is_broadcast_anti_join(spark, tmp_path):
+    """r7: the deletion-vector apply must compile to ONE
+    BroadcastHashJoin LeftAnti — never a SortMergeJoin, whose shuffle
+    would put the whole table scan through an exchange just to drop a
+    handful of tombstoned rows.  The DV side is small by construction
+    (one row per deleted record), so the broadcast is the only
+    scale-sane physical form."""
+    from pyspark.sql import functions as F
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    t.delete_where(spark, "k % 100 = 7", mode="dv")
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
