@@ -33,6 +33,20 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this operation's snapshot of
+    the table and its commit attempt — the optimistic-concurrency
+    conflict.  Content-dependent DML (merge, delete_where, compact,
+    evolve, constraints, rollback) aborts with this error; append-only
+    commits rebase and retry internally and never surface it."""
+
+
+class StaleCommitMarkerError(ConcurrentWriteError):
+    """A commit marker is claimed but its version never published — a
+    committer crashed mid-commit.  Not retryable: recovery is deleting
+    the named marker file."""
+
+
 def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
     """Per-data-file min/max for `stat_cols`, read from parquet FOOTERS
     only (no data pages) — the data-skipping manifest entry."""
@@ -95,6 +109,25 @@ def _splitmix64(x):
     return x ^ (x >> np.uint64(31))
 
 
+def _bloom_canon(v):
+    """Canonicalize integral floats to ints BEFORE hashing, on both the
+    build and lookup sides.  Arrow->pandas turns a nullable int64
+    column into float64, so without this the build would hash 1.0 via
+    the float repr while read(point=(col, 1)) hashes via the int path —
+    a definitive-False that silently prunes files holding matching rows
+    (ADVICE r7, high).  Also makes probing an int column with an equal
+    float (and vice versa) agree."""
+    import numpy as np
+
+    if (
+        isinstance(v, (float, np.floating))
+        and not isinstance(v, bool)
+        and float(v).is_integer()
+    ):
+        return int(v)
+    return v
+
+
 def _bloom_hash_pair(v) -> tuple[int, int]:
     """Two independent 64-bit hashes (Kirsch–Mitzenmacher double
     hashing derives all k probe positions from the pair).  Integers
@@ -104,6 +137,7 @@ def _bloom_hash_pair(v) -> tuple[int, int]:
 
     import numpy as np
 
+    v = _bloom_canon(v)
     if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
         x = np.array([np.uint64(int(v) & 0xFFFFFFFFFFFFFFFF)])
         h1 = int(_splitmix64(x)[0])
@@ -126,7 +160,7 @@ def _bloom_build(values, bits_per_key: int = 10) -> tuple[int, int, str]:
     m = 1 << min(23, max(10, (n * bits_per_key - 1).bit_length()))
     bits = np.zeros(m >> 3, dtype=np.uint8)
     vals = [
-        v
+        _bloom_canon(v)
         for v in values
         if v is not None and not (isinstance(v, float) and v != v)
     ]
@@ -178,6 +212,12 @@ class SnapshotTable:
     hi))` then PRUNES non-overlapping files from the scan before Spark
     sees them — manifest-based data skipping, the file-level
     complement to parquet's row-group zone maps."""
+
+    # read-side DV budget: accumulated DV rows above this flip the
+    # merge-on-read apply from a broadcast anti-join to a shuffle
+    # anti-join (~100 B/row of (path, idx) — 1M rows is ~100 MB, the
+    # sane ceiling to ship to every executor; see SCALING.md §31)
+    DV_BROADCAST_MAX_ROWS = 1_000_000
 
     def __init__(
         self,
@@ -261,41 +301,149 @@ class SnapshotTable:
         with open(self._log_path()) as fh:
             return json.load(fh)
 
-    def _append_log(self, record: dict) -> None:
+    # seconds to wait for a claimed-but-unpublished commit before
+    # declaring its marker stale (a crashed committer); recovery is
+    # deleting the named marker file
+    COMMIT_WAIT_S = 30.0
+
+    def _head_version(self) -> int:
+        """Version number of the head record, -1 for an empty table.
+        NOT len(log): vacuum truncates old records while version
+        numbers keep counting up, so numbering must continue from the
+        head, never restart from the length."""
         log = self._log()
-        # CHECK constraints are table-level metadata: every commit
-        # inherits the parent's set unless it explicitly changes it
-        if "constraints" not in record and log and log[-1].get("constraints"):
-            record["constraints"] = dict(log[-1]["constraints"])
-        # Deletion-vector sidecars inherit the same way: DV entries are
-        # keyed by data-file path, so entries whose file left the
-        # version's file set simply never match at read time — blanket
-        # inheritance is correct for every commit kind (append, merge,
-        # CoW delete, compact, evolve).  delete_where(mode="dv") extends
-        # the list explicitly; rollback restores the target's.
-        if "dvs" not in record and log and log[-1].get("dvs"):
-            record["dvs"] = list(log[-1]["dvs"])
-        # Bloom manifests inherit likewise: entries are keyed by data
-        # file, so entries for files no longer in the version are never
-        # consulted.  Writers that create a new directory merge its
-        # fresh blooms in explicitly.
-        if "bloom" not in record and log and log[-1].get("bloom"):
-            record["bloom"] = dict(log[-1]["bloom"])
-        record["version"] = len(log)
-        record["ts"] = time.time()
-        log.append(record)
-        tmp = self._log_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh, indent=1)
-        os.replace(tmp, self._log_path())
+        return log[-1]["version"] if log else -1
+
+    def _append_log(self, record: dict, expected_parent: int | None = None) -> int:
+        """Conflict-checked log append (VERDICT r7 #1 — optimistic
+        concurrency).  Serialization: version N may only be written by
+        the writer that atomically creates the marker `_v{N}.commit`
+        (os.O_CREAT|os.O_EXCL — atomic on every local/NFS-v3+ FS,
+        unlike os.replace which last-writer-wins); the log rewrite
+        happens only while holding that claim, so two interleaved
+        committers can never drop each other's record.
+
+        `expected_parent` is the head version the operation's reads
+        were based on: if the head moved by commit time the write is
+        REJECTED with ConcurrentWriteError (first-committer-wins, the
+        lakehouse-log conflict rule).  Append-only callers pass None
+        (or catch and rebase): their record is rebuilt from the live
+        head, so any serialization order is correct.
+
+        A claimed-but-never-published marker (crashed committer) is
+        reported by name after COMMIT_WAIT_S instead of deadlocking.
+
+        Returns the committed version number."""
+        deadline = time.monotonic() + self.COMMIT_WAIT_S
+        while True:
+            log = self._log()
+            head_v = log[-1]["version"] if log else -1
+            if expected_parent is not None and head_v != expected_parent:
+                raise ConcurrentWriteError(
+                    f"snapshot table {self.root}: head moved from version "
+                    f"{expected_parent} to {head_v} during this operation — "
+                    "re-read the table and retry"
+                )
+            n = head_v + 1
+            marker = os.path.join(self.root, f"_v{n:05d}.commit")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                # another writer owns version n: wait for it to publish
+                # (head advances -> conflict/retry above) or abort
+                # (marker vanishes -> claim again)
+                while (
+                    os.path.exists(marker)
+                    and self._head_version() < n
+                ):
+                    if time.monotonic() > deadline:
+                        raise StaleCommitMarkerError(
+                            f"snapshot table {self.root}: commit marker "
+                            f"{marker} is claimed but version {n} never "
+                            "published — a committer crashed mid-commit; "
+                            "delete the marker file to recover"
+                        )
+                    time.sleep(0.02)
+                continue
+            try:
+                # freshest parent under the claim: nobody else can
+                # publish version n, and n-1 was already published
+                # (we derived n from a log that contained it)
+                log = self._log()
+                # CHECK constraints are table-level metadata: every
+                # commit inherits the parent's set unless it explicitly
+                # changes it
+                if (
+                    "constraints" not in record
+                    and log
+                    and log[-1].get("constraints")
+                ):
+                    record["constraints"] = dict(log[-1]["constraints"])
+                # Deletion-vector sidecars inherit the same way: DV
+                # entries are keyed by data-file path, so entries whose
+                # file left the version's file set simply never match at
+                # read time — blanket inheritance is correct for every
+                # commit kind (append, merge, CoW delete, compact,
+                # evolve).  delete_where(mode="dv") extends the list
+                # explicitly; rollback restores the target's.
+                if "dvs" not in record and log and log[-1].get("dvs"):
+                    record["dvs"] = list(log[-1]["dvs"])
+                # Bloom manifests inherit likewise: entries are keyed by
+                # data file, so entries for files no longer in the
+                # version are never consulted.  Writers that create a
+                # new directory merge its fresh blooms in explicitly.
+                if "bloom" not in record and log and log[-1].get("bloom"):
+                    record["bloom"] = dict(log[-1]["bloom"])
+                record["version"] = n
+                record["ts"] = time.time()
+                log.append(record)
+                tmp = self._log_path() + f".tmp.{n}"
+                with open(tmp, "w") as fh:
+                    json.dump(log, fh, indent=1)
+                os.replace(tmp, self._log_path())
+                return n
+            except Exception:
+                # failed before publishing: release the claim so the
+                # table isn't blocked by our corpse
+                try:
+                    os.unlink(marker)
+                except OSError:
+                    pass
+                raise
 
     def versions(self) -> list[int]:
         return [r["version"] for r in self._log()]
 
     # -- commits ---------------------------------------------------------
     def _new_dir(self, kind: str) -> str:
-        d = os.path.join(self.root, f"v{len(self._log()):05d}_{kind}")
-        return d
+        """Reserve a unique directory name for a new snapshot/sidecar
+        write.  The name is CLAIMED with an O_CREAT|O_EXCL side file
+        before being handed out, so two concurrent writers (who both
+        read the same log length) never race Spark's errorifexists on
+        the same path — the loser gets a `_1`-suffixed name.  The
+        manifest references directories by path, so the version prefix
+        in the name is cosmetic."""
+        base = os.path.join(
+            self.root, f"v{self._head_version() + 1:05d}_{kind}"
+        )
+        d, i = base, 0
+        while True:
+            claim = os.path.join(
+                self.root, "_claim_" + os.path.basename(d)
+            )
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                i += 1
+                d = f"{base}_{i}"
+                continue
+            if os.path.exists(d):  # pre-claim-era directory
+                i += 1
+                d = f"{base}_{i}"
+                continue
+            return d
 
     def _stats_for(self, d: str) -> dict:
         cols = self._live_cols(self.stat_cols)
@@ -446,8 +594,28 @@ class SnapshotTable:
         def finish(df):
             if dvs:
                 dv = spark.read.parquet(*dvs)
+                # Broadcast guard (VERDICT r7 #2): the DV side is tiny
+                # for the point-delete shape DVs target, but nothing
+                # used to stop an accumulated-DV table from broadcasting
+                # millions of (path, idx) rows to every executor.  Count
+                # the DV rows from parquet FOOTERS (O(#dv files), no
+                # data pages) and above the threshold plan a SHUFFLE
+                # anti-join instead.
+                n_dv = 0
+                import pyarrow.parquet as pq
+
+                for dvd in dvs:
+                    for fn in os.listdir(dvd):
+                        if fn.endswith(".parquet"):
+                            n_dv += pq.ParquetFile(
+                                os.path.join(dvd, fn)
+                            ).metadata.num_rows
+                if n_dv <= self.DV_BROADCAST_MAX_ROWS:
+                    dv = F.broadcast(dv)
+                else:
+                    dv = dv.hint("SHUFFLE_MERGE")
                 df = df.join(
-                    F.broadcast(dv),
+                    dv,
                     (self._norm_file_col(df["__f"]) == dv["f"])
                     & (df["__ri"] == dv["ri"]),
                     "left_anti",
@@ -575,8 +743,7 @@ class SnapshotTable:
             if "schema_json" in head:
                 rec["schema_json"] = head["schema_json"]
             rec.update(self._dir_meta(head, head["files"]))
-        self._append_log(rec)
-        return len(self._log()) - 1
+        return self._append_log(rec, expected_parent=head["version"])
 
     def drop_constraint(self, name: str) -> int:
         log = self._log()
@@ -598,8 +765,7 @@ class SnapshotTable:
             if "schema_json" in head:
                 rec["schema_json"] = head["schema_json"]
             rec.update(self._dir_meta(head, head["files"]))
-        self._append_log(rec)
-        return len(self._log()) - 1
+        return self._append_log(rec, expected_parent=head["version"])
 
     def _validate(self, df: DataFrame, constraints: dict[str, str]) -> None:
         """Raise on the first constraint any incoming row violates —
@@ -620,13 +786,22 @@ class SnapshotTable:
         log = self._log()
         return dict(log[-1].get("constraints") or {}) if log else {}
 
-    def commit(self, df: DataFrame, operation: str = "commit") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        operation: str = "commit",
+        expected_parent: int | None = None,
+        record_extra: dict | None = None,
+    ) -> int:
         """Full-replace commit: materialize `df` as a new immutable
-        snapshot directory."""
+        snapshot directory.  A full replace is order-independent, so by
+        default it never conflicts; pass `expected_parent` to CAS
+        against a specific head (append's empty-table path uses -1 so
+        a racing first commit isn't silently replaced)."""
         self._validate(df, self._head_constraints())
         d = self._new_dir("full")
         df.write.mode("errorifexists").parquet(d)
-        self._append_log(
+        return self._append_log(
             {
                 "operation": operation,
                 "files": [d],
@@ -635,34 +810,69 @@ class SnapshotTable:
                 "columns": list(df.columns),
                 "schema_json": json.dumps(df.schema.jsonValue()),
                 **self._dir_meta({}, [], d, df.schema),
-            }
+                **(record_extra or {}),
+            },
+            expected_parent=expected_parent,
         )
-        return len(self._log()) - 1
+
+    # commit-rebase attempts for append-only writers before giving up
+    # (each retry means another writer just committed; starvation needs
+    # a sustained faster committer)
+    APPEND_RETRIES = 20
 
     def append(self, batch: DataFrame) -> int:
         """Delta commit: write ONLY the batch; the new version's file
         set is the parent's files plus the delta directory (no
-        rewrite of existing data)."""
-        log = self._log()
-        if not log:
-            return self.commit(batch, operation="append")
-        self._validate(batch, self._head_constraints())
-        d = self._new_dir("delta")
-        batch.write.mode("errorifexists").parquet(d)
-        self._append_log(
-            {
-                "operation": "append",
-                "files": log[-1]["files"] + [d],
-                "stats": {**log[-1].get("stats", {}), **self._stats_for(d)},
-                "bloom": {
-                    **(log[-1].get("bloom") or {}),
-                    **self._blooms_for(batch.sparkSession, d),
-                },
-                **self._evolved_schema(log[-1], batch),
-                **self._dir_meta(log[-1], log[-1]["files"], d, batch.schema),
-            }
+        rewrite of existing data).
+
+        Concurrency (VERDICT r7 #1): an append is order-independent —
+        its record is just parent ∪ delta — so a conflicting commit by
+        another writer REBASES this one: the delta directory is written
+        once, then the record is rebuilt against the live head and the
+        conflict-checked append retried.  N racing appends serialize to
+        the exact union (pinned in tests/test_wave37.py); conflicts
+        with content-dependent DML are surfaced by THAT operation, not
+        this one."""
+        d: str | None = None
+        for _ in range(self.APPEND_RETRIES):
+            log = self._log()
+            if not log:
+                try:
+                    return self.commit(
+                        batch, operation="append", expected_parent=-1
+                    )
+                except StaleCommitMarkerError:
+                    raise
+                except ConcurrentWriteError:
+                    continue  # another writer created v0: retry as delta
+            self._validate(batch, self._head_constraints())
+            if d is None:
+                d = self._new_dir("delta")
+                batch.write.mode("errorifexists").parquet(d)
+            head = log[-1]
+            try:
+                return self._append_log(
+                    {
+                        "operation": "append",
+                        "files": head["files"] + [d],
+                        "stats": {**head.get("stats", {}), **self._stats_for(d)},
+                        "bloom": {
+                            **(head.get("bloom") or {}),
+                            **self._blooms_for(batch.sparkSession, d),
+                        },
+                        **self._evolved_schema(head, batch),
+                        **self._dir_meta(head, head["files"], d, batch.schema),
+                    },
+                    expected_parent=head["version"],
+                )
+            except StaleCommitMarkerError:
+                raise
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"snapshot table {self.root}: append lost the commit race "
+            f"{self.APPEND_RETRIES} times in a row"
         )
-        return len(self._log()) - 1
 
     def rollback(self, version: int) -> int:
         """Commit a new version whose file set IS an old version's —
@@ -688,8 +898,7 @@ class SnapshotTable:
             rec.update(self._dir_meta(target, target["files"]))
             if "schema_json" in target:
                 rec["schema_json"] = target["schema_json"]
-        self._append_log(rec)
-        return len(self._log()) - 1
+        return self._append_log(rec, expected_parent=log[-1]["version"])
 
     # safe widenings (the Delta type-widening matrix for integrals and
     # floats): every old value is exactly representable in the new type
@@ -824,7 +1033,7 @@ class SnapshotTable:
             p: {rename.get(c, c): v for c, v in cols.items()}
             for p, cols in (head.get("bloom") or {}).items()
         }
-        self._append_log(
+        return self._append_log(
             {
                 "operation": f"evolve(widen={widen}, rename={rename}, drop={drop})",
                 "files": list(head["files"]),
@@ -842,9 +1051,9 @@ class SnapshotTable:
                 "dir_columns": dict(dir_cols),
                 "dir_schema_json": dict(head.get("dir_schema_json") or {}),
                 "dir_logical_columns": dir_logical,
-            }
+            },
+            expected_parent=head["version"],
         )
-        return len(self._log()) - 1
 
     def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int | None:
         """Idempotent foreachBatch sink: commit the micro-batch as a
@@ -853,31 +1062,50 @@ class SnapshotTable:
         recording the id in the log turns at-least-once delivery into
         exactly-once table contents.  Returns the new version, or None
         for a replayed no-op."""
-        if any(r.get("batch_id") == batch_id for r in self._log()):
-            return None
-        self._validate(batch, self._head_constraints())
-        log = self._log()
-        kind = "full" if not log else "delta"
-        d = self._new_dir(kind)
-        batch.write.mode("errorifexists").parquet(d)
-        parent_files = log[-1]["files"] if log else []
-        parent_stats = log[-1].get("stats", {}) if log else {}
-        parent_rec = log[-1] if log else {}
-        self._append_log(
-            {
-                "operation": "stream",
-                "batch_id": batch_id,
-                "files": parent_files + [d],
-                "stats": {**parent_stats, **self._stats_for(d)},
-                "bloom": {
-                    **(parent_rec.get("bloom") or {}),
-                    **self._blooms_for(batch.sparkSession, d),
-                },
-                **self._evolved_schema(parent_rec, batch),
-                **self._dir_meta(parent_rec, parent_files, d, batch.schema),
-            }
+        d: str | None = None
+        for _ in range(self.APPEND_RETRIES):
+            log = self._log()
+            # the batch_id re-check lives INSIDE the retry loop: two
+            # concurrent replays of the same batch race their commits,
+            # and the loser must observe the winner's record, not
+            # double-apply
+            if any(r.get("batch_id") == batch_id for r in log):
+                return None
+            self._validate(batch, self._head_constraints())
+            if d is None:
+                d = self._new_dir("full" if not log else "delta")
+                batch.write.mode("errorifexists").parquet(d)
+            parent_files = log[-1]["files"] if log else []
+            parent_stats = log[-1].get("stats", {}) if log else {}
+            parent_rec = log[-1] if log else {}
+            try:
+                return self._append_log(
+                    {
+                        "operation": "stream",
+                        "batch_id": batch_id,
+                        "files": parent_files + [d],
+                        "stats": {**parent_stats, **self._stats_for(d)},
+                        "bloom": {
+                            **(parent_rec.get("bloom") or {}),
+                            **self._blooms_for(batch.sparkSession, d),
+                        },
+                        **self._evolved_schema(parent_rec, batch),
+                        **self._dir_meta(
+                            parent_rec, parent_files, d, batch.schema
+                        ),
+                    },
+                    expected_parent=(
+                        log[-1]["version"] if log else -1
+                    ),
+                )
+            except StaleCommitMarkerError:
+                raise
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"snapshot table {self.root}: stream batch {batch_id} lost "
+            f"the commit race {self.APPEND_RETRIES} times in a row"
         )
-        return len(self._log()) - 1
 
     def merge_stream_batch(
         self,
@@ -901,8 +1129,6 @@ class SnapshotTable:
         or None for a replayed no-op."""
         from pyspark.sql import functions as F
 
-        if any(r.get("batch_id") == batch_id for r in self._log()):
-            return None
         if "_seq" in batch.columns:
             others = [c for c in batch.columns if c not in on]
             batch = (
@@ -910,29 +1136,77 @@ class SnapshotTable:
                 .agg(F.max(F.struct("_seq", *[c for c in others if c != "_seq"])).alias("__s"))
                 .select(*on, *[F.col(f"__s.{c}").alias(c) for c in others if c != "_seq"])
             )
-        log = self._log()
-        if not log:
-            v = self.commit(batch, operation="stream-merge")
-        else:
-            v = self.merge(spark, batch, on=on, mode=mode)["version"]
-        # stamp the batch id onto the commit record for replay dedup
-        full = self._log()
-        full[v]["batch_id"] = batch_id
-        tmp = self._log_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(full, fh, indent=1)
-        os.replace(tmp, self._log_path())
-        return v
+        # the batch id rides on the commit record itself (record_extra)
+        # instead of a read-modify-write stamp after the fact — the
+        # post-stamp rewrite could drop a commit racing in between.
+        # MERGE is content-dependent, so a conflicting concurrent
+        # commit (e.g. a compaction) aborts it; for a SINK that retry
+        # is safe — each attempt re-reads the head and the batch_id
+        # re-check keeps replays exactly-once.
+        for _ in range(self.APPEND_RETRIES):
+            log = self._log()
+            if any(r.get("batch_id") == batch_id for r in log):
+                return None
+            try:
+                if not log:
+                    return self.commit(
+                        batch,
+                        operation="stream-merge",
+                        expected_parent=-1,
+                        record_extra={"batch_id": batch_id},
+                    )
+                return self.merge(
+                    spark,
+                    batch,
+                    on=on,
+                    mode=mode,
+                    record_extra={"batch_id": batch_id},
+                )["version"]
+            except StaleCommitMarkerError:
+                raise
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"snapshot table {self.root}: stream merge batch {batch_id} "
+            f"lost the commit race {self.APPEND_RETRIES} times in a row"
+        )
 
     # -- reads -----------------------------------------------------------
+    @staticmethod
+    def _as_of_epoch(as_of) -> float:
+        """Normalize an `as_of` time-travel bound to epoch seconds:
+        accepts a number (epoch), a datetime (naive = local time, the
+        same clock `ts` is recorded on), or an ISO-8601 string."""
+        import datetime as _dt
+
+        if isinstance(as_of, (int, float)) and not isinstance(as_of, bool):
+            return float(as_of)
+        if isinstance(as_of, _dt.datetime):
+            return as_of.timestamp()
+        if isinstance(as_of, str):
+            return _dt.datetime.fromisoformat(as_of).timestamp()
+        raise TypeError(
+            f"read: as_of must be epoch seconds, datetime, or ISO-8601 "
+            f"string, got {type(as_of).__name__}"
+        )
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         between: tuple[str, object, object] | None = None,
         point: tuple[str, object] | None = None,
+        as_of=None,
     ) -> DataFrame:
-        """Read the head, or `version=` for time travel.
+        """Read the head, `version=` for time travel, or `as_of=` for
+        TIMESTAMP time travel (VERDICT r7 #3): the table as of a wall
+        clock instant — the greatest version whose commit `ts` is <=
+        `as_of` (epoch seconds, datetime, or ISO-8601 string).  An
+        `as_of` before the first commit is an error (the table did not
+        exist); an `as_of` at exactly a commit's ts reads THAT commit
+        (<=, the AS OF TIMESTAMP convention); one past the head reads
+        the head.  This is the form audits and reproducibility checks
+        use — "what did the table say when the model trained at T?".
 
         `between=(col, lo, hi)` applies manifest-based DATA SKIPPING:
         data files whose recorded [min, max] for `col` can't overlap
@@ -953,9 +1227,21 @@ class SnapshotTable:
         log = self._log()
         if not log:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        rec = log[-1] if version is None else next(
-            r for r in log if r["version"] == version
-        )
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("read: pass version= or as_of=, not both")
+            epoch = self._as_of_epoch(as_of)
+            eligible = [r for r in log if r["ts"] <= epoch]
+            if not eligible:
+                raise ValueError(
+                    f"snapshot table {self.root}: as_of={as_of!r} predates "
+                    f"the first commit (ts={log[0]['ts']})"
+                )
+            rec = eligible[-1]
+        else:
+            rec = log[-1] if version is None else next(
+                r for r in log if r["version"] == version
+            )
         if between is None and point is None:
             return self._read_paths(spark, rec, rec["files"])
         if point is not None:
@@ -1187,8 +1473,20 @@ class SnapshotTable:
             # the rewrite materializes through _read_paths, so the new
             # dir is physically on the LOGICAL schema
             rec.update(self._dir_meta(head, keep, d, src.schema))
-        self._append_log(rec)
-        return len(self._log()) - 1
+        try:
+            return self._append_log(rec, expected_parent=head["version"])
+        except ConcurrentWriteError:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+
+    # write-side DV budget (VERDICT r7 #2): a dv-mode DELETE/MERGE whose
+    # matched-row count exceeds this auto-materializes via scoped CoW
+    # instead of growing the sidecars unboundedly — DVs are for POINT
+    # deletes; a mass delete is cheaper rewritten once than anti-joined
+    # on every subsequent read.  Override per call with max_dv_rows=.
+    DV_WRITE_MAX_ROWS = 500_000
 
     def merge(
         self,
@@ -1196,6 +1494,8 @@ class SnapshotTable:
         source: DataFrame,
         on: list[str],
         mode: str = "cow",
+        max_dv_rows: int | None = None,
+        record_extra: dict | None = None,
     ) -> dict:
         """MERGE (upsert): matched target rows are replaced by their
         source row (UPDATE SET *), unmatched source rows are inserted —
@@ -1267,6 +1567,8 @@ class SnapshotTable:
         if mode not in ("cow", "dv"):
             raise ValueError(f"merge: unknown mode {mode!r}")
         self._validate(source, self._head_constraints())
+        dv_budget = self.DV_WRITE_MAX_ROWS if max_dv_rows is None else max_dv_rows
+        dv_fallback = False
         if mode == "dv":
             import shutil
 
@@ -1285,37 +1587,54 @@ class SnapshotTable:
             dv_dir = self._new_dir("dv")
             matched.write.mode("errorifexists").parquet(dv_dir)
             n_updated = spark.read.parquet(dv_dir).count()
-            dvs = list(head.get("dvs") or [])
-            if n_updated:
-                dvs.append(dv_dir)
-            else:  # pure insert: no tombstones, drop the empty sidecar
+            if n_updated > dv_budget:
+                # DV size policy (VERDICT r7 #2): a mass update is
+                # cheaper materialized once (scoped CoW below) than
+                # tombstoned and anti-joined on every later read
                 shutil.rmtree(dv_dir, ignore_errors=True)
-            d = self._new_dir("delta")
-            source.write.mode("errorifexists").parquet(d)
-            rec = {
-                "operation": f"merge(on={on}, mode=dv)",
-                "files": head["files"] + [d],
-                "stats": {**head.get("stats", {}), **self._stats_for(d)},
-                "bloom": {
-                    **(head.get("bloom") or {}),
-                    **self._blooms_for(spark, d),
-                },
-                "dvs": dvs,
-            }
-            if table_cols is not None:
-                rec["columns"] = list(table_cols)
-                if "schema_json" in head:
-                    rec["schema_json"] = head["schema_json"]
-                rec.update(
-                    self._dir_meta(head, head["files"], d, source.schema)
-                )
-            self._append_log(rec)
-            return {
-                "version": len(self._log()) - 1,
-                "n_dirs_rewritten": 0,
-                "n_dirs_total": len(head["files"]),
-                "n_updated": int(n_updated),
-            }
+                dv_fallback = True
+            else:
+                dvs = list(head.get("dvs") or [])
+                if n_updated:
+                    dvs.append(dv_dir)
+                else:  # pure insert: no tombstones, drop the empty sidecar
+                    shutil.rmtree(dv_dir, ignore_errors=True)
+                d = self._new_dir("delta")
+                source.write.mode("errorifexists").parquet(d)
+                rec = {
+                    "operation": f"merge(on={on}, mode=dv)",
+                    "files": head["files"] + [d],
+                    "stats": {**head.get("stats", {}), **self._stats_for(d)},
+                    "bloom": {
+                        **(head.get("bloom") or {}),
+                        **self._blooms_for(spark, d),
+                    },
+                    "dvs": dvs,
+                    **(record_extra or {}),
+                }
+                if table_cols is not None:
+                    rec["columns"] = list(table_cols)
+                    if "schema_json" in head:
+                        rec["schema_json"] = head["schema_json"]
+                    rec.update(
+                        self._dir_meta(head, head["files"], d, source.schema)
+                    )
+                try:
+                    v = self._append_log(
+                        rec, expected_parent=head["version"]
+                    )
+                except ConcurrentWriteError:
+                    # conflicting commit won: drop our unreferenced dirs
+                    shutil.rmtree(d, ignore_errors=True)
+                    if n_updated:
+                        shutil.rmtree(dv_dir, ignore_errors=True)
+                    raise
+                return {
+                    "version": v,
+                    "n_dirs_rewritten": 0,
+                    "n_dirs_total": len(head["files"]),
+                    "n_updated": int(n_updated),
+                }
         target = self._read_paths(spark, head, head["files"])
         keys = source.select(*on)
         touched_files = [
@@ -1348,25 +1667,43 @@ class SnapshotTable:
             for p, s in head.get("stats", {}).items()
             if any(p.startswith(k + os.sep) for k in untouched)
         }
+        op = (
+            f"merge(on={on}, mode=dv->cow: matched rows > max_dv_rows)"
+            if dv_fallback
+            else f"merge(on={on})"
+        )
         rec = {
-            "operation": f"merge(on={on})",
+            "operation": op,
             "files": untouched + [d],
             "stats": {**kept_stats, **self._stats_for(d)},
             "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
+            **(record_extra or {}),
         }
         if table_cols is not None:
             rec["columns"] = list(table_cols)
             if "schema_json" in head:
                 rec["schema_json"] = head["schema_json"]
             rec.update(self._dir_meta(head, untouched, d, new_rows.schema))
-        self._append_log(rec)
+        try:
+            v = self._append_log(rec, expected_parent=head["version"])
+        except ConcurrentWriteError:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            raise
         return {
-            "version": len(self._log()) - 1,
+            "version": v,
             "n_dirs_rewritten": len(touched),
             "n_dirs_total": len(head["files"]),
         }
 
-    def delete_where(self, spark: SparkSession, condition, mode: str = "cow") -> dict:
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        mode: str = "cow",
+        max_dv_rows: int | None = None,
+    ) -> dict:
         """Row-level DELETE — the third leg of the DML triad beside
         `append` and `merge`, in two physical strategies:
 
@@ -1408,7 +1745,11 @@ class SnapshotTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode not in ("cow", "dv"):
             raise ValueError(f"delete_where: unknown mode {mode!r}")
+        dv_budget = self.DV_WRITE_MAX_ROWS if max_dv_rows is None else max_dv_rows
+        dv_fallback = False
         if mode == "dv":
+            import shutil
+
             matched = (
                 self._read_paths(
                     spark, head, head["files"], with_file=True, with_pos=True
@@ -1423,8 +1764,6 @@ class SnapshotTable:
             matched.write.mode("errorifexists").parquet(d)
             n_deleted = spark.read.parquet(d).count()
             if n_deleted == 0:
-                import shutil
-
                 shutil.rmtree(d, ignore_errors=True)
                 return {
                     "version": None,
@@ -1432,26 +1771,40 @@ class SnapshotTable:
                     "n_dirs_total": len(head["files"]),
                     "n_deleted": 0,
                 }
-            rec = {
-                "operation": "delete_where(dv)",
-                "files": list(head["files"]),
-                "stats": dict(head.get("stats", {})),
-                "dvs": list(head.get("dvs") or []) + [d],
-            }
-            if "columns" in head:
-                rec["columns"] = list(head["columns"])
-                if "schema_json" in head:
-                    rec["schema_json"] = head["schema_json"]
-                rec.update(self._dir_meta(head, head["files"]))
-            if head.get("bloom"):
-                rec["bloom"] = dict(head["bloom"])
-            self._append_log(rec)
-            return {
-                "version": len(self._log()) - 1,
-                "n_dirs_rewritten": 0,
-                "n_dirs_total": len(head["files"]),
-                "n_deleted": int(n_deleted),
-            }
+            if n_deleted > dv_budget:
+                # DV size policy (VERDICT r7 #2): a MASS delete in dv
+                # mode would append an unbounded sidecar and tax every
+                # later read with an oversized anti-join — materialize
+                # the touched files once instead (scoped CoW below)
+                shutil.rmtree(d, ignore_errors=True)
+                dv_fallback = True
+            else:
+                rec = {
+                    "operation": "delete_where(dv)",
+                    "files": list(head["files"]),
+                    "stats": dict(head.get("stats", {})),
+                    "dvs": list(head.get("dvs") or []) + [d],
+                }
+                if "columns" in head:
+                    rec["columns"] = list(head["columns"])
+                    if "schema_json" in head:
+                        rec["schema_json"] = head["schema_json"]
+                    rec.update(self._dir_meta(head, head["files"]))
+                if head.get("bloom"):
+                    rec["bloom"] = dict(head["bloom"])
+                try:
+                    v = self._append_log(
+                        rec, expected_parent=head["version"]
+                    )
+                except ConcurrentWriteError:
+                    shutil.rmtree(d, ignore_errors=True)
+                    raise
+                return {
+                    "version": v,
+                    "n_dirs_rewritten": 0,
+                    "n_dirs_total": len(head["files"]),
+                    "n_deleted": int(n_deleted),
+                }
         touched_files = [
             r["__f"]
             for r in self._read_paths(spark, head, head["files"], with_file=True)
@@ -1481,7 +1834,11 @@ class SnapshotTable:
             if any(p.startswith(k + os.sep) for k in untouched)
         }
         rec = {
-            "operation": "delete_where",
+            "operation": (
+                "delete_where(dv->cow: matched rows > max_dv_rows)"
+                if dv_fallback
+                else "delete_where"
+            ),
             "files": untouched + [d],
             "stats": {**kept_stats, **self._stats_for(d)},
             "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
@@ -1491,9 +1848,15 @@ class SnapshotTable:
             if "schema_json" in head:
                 rec["schema_json"] = head["schema_json"]
             rec.update(self._dir_meta(head, untouched, d, kept_rows.schema))
-        self._append_log(rec)
+        try:
+            v = self._append_log(rec, expected_parent=head["version"])
+        except ConcurrentWriteError:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            raise
         return {
-            "version": len(self._log()) - 1,
+            "version": v,
             "n_dirs_rewritten": len(touched),
             "n_dirs_total": len(head["files"]) ,
             "n_deleted": int(n_deleted),
@@ -1599,21 +1962,62 @@ class SnapshotTable:
 
         if keep_last < 1:
             raise ValueError("vacuum: keep_last must be >= 1")
-        log = self._log()
-        if len(log) <= keep_last:
-            return []
-        kept_recs = log[-keep_last:]
-        referenced = {d for r in kept_recs for d in r["files"]} | {
-            d for r in kept_recs for d in (r.get("dvs") or [])
-        }
-        removed = []
-        for entry in sorted(os.listdir(self.root)):
-            p = os.path.join(self.root, entry)
-            if entry.startswith("v") and os.path.isdir(p) and p not in referenced:
-                shutil.rmtree(p)
-                removed.append(p)
-        tmp = self._log_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(kept_recs, fh, indent=1)
-        os.replace(tmp, self._log_path())
-        return removed
+        # Vacuum rewrites (truncates) the log, so it must exclude
+        # concurrent committers: claim the NEXT version's commit marker
+        # as a write barrier — while held, no commit can publish, and
+        # the truncation can't drop a racing record.  Version numbers
+        # keep counting from the head after truncation (_append_log
+        # numbers from the head record, not the log length), so old
+        # markers never collide with future commits.
+        deadline = time.monotonic() + self.COMMIT_WAIT_S
+        while True:
+            n = self._head_version() + 1
+            marker = os.path.join(self.root, f"_v{n:05d}.commit")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"snapshot table {self.root}: vacuum could not "
+                        f"acquire the write barrier {marker}"
+                    )
+                time.sleep(0.02)
+                continue
+            if self._head_version() + 1 != n:  # a commit slipped in first
+                os.unlink(marker)
+                continue
+            break
+        try:
+            log = self._log()
+            if len(log) <= keep_last:
+                return []
+            kept_recs = log[-keep_last:]
+            referenced = {d for r in kept_recs for d in r["files"]} | {
+                d for r in kept_recs for d in (r.get("dvs") or [])
+            }
+            removed = []
+            for entry in sorted(os.listdir(self.root)):
+                p = os.path.join(self.root, entry)
+                if entry.startswith("v") and os.path.isdir(p) and p not in referenced:
+                    shutil.rmtree(p)
+                    removed.append(p)
+            tmp = self._log_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(kept_recs, fh, indent=1)
+            os.replace(tmp, self._log_path())
+            # tidy markers of already-published versions (claims below
+            # the barrier can never be contended again)
+            for entry in os.listdir(self.root):
+                if entry.startswith("_v") and entry.endswith(".commit"):
+                    try:
+                        if int(entry[2:-7]) < n:
+                            os.unlink(os.path.join(self.root, entry))
+                    except ValueError:
+                        pass
+            return removed
+        finally:
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
