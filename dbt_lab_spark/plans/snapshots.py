@@ -224,6 +224,11 @@ class SnapshotTable:
         root: str,
         stat_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        ann_col: str | None = None,
+        ann_lists: int = 16,
+        ann_files: int = 8,
+        ann_centroids: list[list[float]] | None = None,
+        ann_id_col: str = "vec_id",
     ) -> None:
         # Canonicalize: merge/delete_where map Spark's ABSOLUTE
         # `_metadata.file_path` URIs back onto manifest paths by prefix;
@@ -237,6 +242,16 @@ class SnapshotTable:
         # rejects v — the point-lookup complement to min/max stats,
         # which never help on keys scattered across the value range.
         self.bloom_cols = list(bloom_cols or [])
+        # `ann_col=`: maintain an IVF ANN index as table metadata — the
+        # coarse quantizer is trained on the first commit (or passed in
+        # via ann_centroids=), every commit/append clusters its batch by
+        # assigned centroid and records a per-file cluster manifest, and
+        # `knn()` reads only the probed lists' files (plans/ann.py).
+        self.ann_col = ann_col
+        self.ann_lists = int(ann_lists)
+        self.ann_files = int(ann_files)
+        self.ann_centroids = ann_centroids
+        self.ann_id_col = ann_id_col
         os.makedirs(self.root, exist_ok=True)
 
     def _compose_renames(self, recs: list[dict]) -> dict[str, str]:
@@ -395,6 +410,11 @@ class SnapshotTable:
                 # new directory merge its fresh blooms in explicitly.
                 if "bloom" not in record and log and log[-1].get("bloom"):
                     record["bloom"] = dict(log[-1]["bloom"])
+                # ANN manifests inherit like blooms: entries are keyed
+                # by data file, and unkeyed files (CoW/compact rewrites)
+                # are conservatively read at knn time.
+                if "ann" not in record and log and log[-1].get("ann"):
+                    record["ann"] = dict(log[-1]["ann"])
                 record["version"] = n
                 record["ts"] = time.time()
                 log.append(record)
@@ -491,6 +511,164 @@ class SnapshotTable:
                 "m": int(r["m"]), "k": int(r["k"]), "b": r["b"],
             }
         return out
+
+    # -- ANN index maintenance (plans/ann.py does the heavy lifting) ------
+    def _ann_live_col(self) -> str | None:
+        return self._live_cols([self.ann_col])[0] if self.ann_col else None
+
+    def _ann_cents(self, df: DataFrame | None) -> list[list[float]] | None:
+        """Centroids in priority order: the table's recorded quantizer
+        (immutable after the first ann commit), the constructor-supplied
+        one, else train on `df` (the first-commit path)."""
+        log = self._log()
+        if log and log[-1].get("ann"):
+            return log[-1]["ann"]["centroids"]
+        if self.ann_centroids is not None:
+            return [list(c) for c in self.ann_centroids]
+        if df is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from dbt_lab_spark.llm.similarity import ivf_centroids
+
+        col = self._ann_live_col()
+        dim = df.select(F.size(col)).first()[0]
+        return ivf_centroids(
+            df,
+            num_centroids=self.ann_lists,
+            iters=5,
+            vec_col=col,
+            id_col=self.ann_id_col,
+            dim=int(dim),
+        )
+
+    def _ann_stage(self, df: DataFrame):
+        """Cluster-order an incoming batch by assigned centroid (one
+        map-only Arrow assignment + one range shuffle of the BATCH) so
+        its files are list-clustered.  Returns (df, centroids) — or
+        (df, None) when this table has no ANN column."""
+        col = self._ann_live_col()
+        if not col or col not in df.columns:
+            return df, None
+        cents = self._ann_cents(df)
+        from dbt_lab_spark.plans.ann import cluster_order
+
+        return cluster_order(df, cents, col, self.ann_files), cents
+
+    def _ann_rec(
+        self, spark: SparkSession, d: str, cents, parent_rec: dict
+    ) -> dict:
+        """The commit record's ann fragment: quantizer + parent file
+        manifest merged with the new directory's per-file cluster sets
+        (one executor-side pass over the new dir, like _blooms_for)."""
+        from dbt_lab_spark.plans.ann import file_clusters
+
+        col = self._ann_live_col()
+        new = file_clusters(spark, d, cents, col, self._norm_file_col)
+        parent = (parent_rec.get("ann") or {}).get("files") or {}
+        return {
+            "centroids": [list(c) for c in cents],
+            "col": col,
+            "id_col": self.ann_id_col,
+            "files": {**parent, **new},
+        }
+
+    def knn(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        version: int | None = None,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Approximate top-k over the snapshot-maintained IVF index:
+        resolve each query's nprobe nearest centroids, PRUNE the scan
+        to files whose recorded cluster sets intersect the probe union
+        (files without an entry are conservatively read), then delegate
+        candidate scoring to the audited ivf_knn path (scorer='jvm',
+        the bit-exact sequential-fold cosine contract).  Results equal
+        a full-corpus ivf_knn with the same centroids — pinned in
+        tests/test_wave38.py — because the manifest's assignment and
+        the scorer's re-assignment share one deterministic formula."""
+        from pyspark.sql import functions as F
+
+        from dbt_lab_spark.llm.similarity import ivf_knn
+        from dbt_lab_spark.plans import ann as _ann
+
+        log = self._log()
+        if not log:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        rec = log[-1] if version is None else next(
+            r for r in log if r["version"] == version
+        )
+        meta = rec.get("ann")
+        if not meta:
+            raise ValueError(
+                f"snapshot table {self.root}: no ANN index — construct "
+                "with ann_col= and commit vector data first"
+            )
+        cents = meta["centroids"]
+        col = meta.get("col") or self._ann_live_col()
+        probed = {
+            r["cluster"]
+            for r in _ann.probe_clusters(
+                queries, cents, nprobe, col, query_id_col
+            )
+            .select("cluster")
+            .distinct()
+            .collect()  # bounded by the number of centroids
+        }
+        keep, _, _ = _ann.prune_files(rec, probed)
+        if not keep:
+            corpus = self._read_paths(spark, rec, rec["files"]).filter(
+                F.lit(False)
+            )
+        else:
+            corpus = self._read_paths(spark, rec, keep)
+        return ivf_knn(
+            corpus,
+            queries,
+            cents,
+            k=k,
+            nprobe=nprobe,
+            vec_col=col,
+            id_col=meta.get("id_col") or self.ann_id_col,
+            query_id_col=query_id_col,
+            scorer="jvm",
+        )
+
+    def ann_pruned_file_count(
+        self,
+        queries: DataFrame,
+        nprobe: int = 4,
+        version: int | None = None,
+        query_id_col: str = "query_id",
+    ) -> tuple[int, int]:
+        """(files kept, files total) for a knn probe — the ANN
+        file-skipping audit number."""
+        from dbt_lab_spark.plans import ann as _ann
+
+        log = self._log()
+        rec = log[-1] if version is None else next(
+            r for r in log if r["version"] == version
+        )
+        meta = rec.get("ann") or {}
+        cents = meta.get("centroids")
+        if not cents:
+            raise ValueError(f"snapshot table {self.root}: no ANN index")
+        col = meta.get("col") or self._ann_live_col()
+        probed = {
+            r["cluster"]
+            for r in _ann.probe_clusters(
+                queries, cents, nprobe, col, query_id_col
+            )
+            .select("cluster")
+            .distinct()
+            .collect()
+        }
+        _, kept, total = _ann.prune_files(rec, probed)
+        return kept, total
 
     def _dir_meta(
         self,
@@ -799,21 +977,22 @@ class SnapshotTable:
         against a specific head (append's empty-table path uses -1 so
         a racing first commit isn't silently replaced)."""
         self._validate(df, self._head_constraints())
+        df, ann_cents = self._ann_stage(df)
         d = self._new_dir("full")
         df.write.mode("errorifexists").parquet(d)
-        return self._append_log(
-            {
-                "operation": operation,
-                "files": [d],
-                "stats": self._stats_for(d),
-                "bloom": self._blooms_for(df.sparkSession, d),
-                "columns": list(df.columns),
-                "schema_json": json.dumps(df.schema.jsonValue()),
-                **self._dir_meta({}, [], d, df.schema),
-                **(record_extra or {}),
-            },
-            expected_parent=expected_parent,
-        )
+        rec = {
+            "operation": operation,
+            "files": [d],
+            "stats": self._stats_for(d),
+            "bloom": self._blooms_for(df.sparkSession, d),
+            "columns": list(df.columns),
+            "schema_json": json.dumps(df.schema.jsonValue()),
+            **self._dir_meta({}, [], d, df.schema),
+            **(record_extra or {}),
+        }
+        if ann_cents is not None:
+            rec["ann"] = self._ann_rec(df.sparkSession, d, ann_cents, {})
+        return self._append_log(rec, expected_parent=expected_parent)
 
     # commit-rebase attempts for append-only writers before giving up
     # (each retry means another writer just committed; starvation needs
@@ -834,6 +1013,7 @@ class SnapshotTable:
         with content-dependent DML are surfaced by THAT operation, not
         this one."""
         d: str | None = None
+        ann_cents = None
         for _ in range(self.APPEND_RETRIES):
             log = self._log()
             if not log:
@@ -847,24 +1027,27 @@ class SnapshotTable:
                     continue  # another writer created v0: retry as delta
             self._validate(batch, self._head_constraints())
             if d is None:
+                batch, ann_cents = self._ann_stage(batch)
                 d = self._new_dir("delta")
                 batch.write.mode("errorifexists").parquet(d)
             head = log[-1]
-            try:
-                return self._append_log(
-                    {
-                        "operation": "append",
-                        "files": head["files"] + [d],
-                        "stats": {**head.get("stats", {}), **self._stats_for(d)},
-                        "bloom": {
-                            **(head.get("bloom") or {}),
-                            **self._blooms_for(batch.sparkSession, d),
-                        },
-                        **self._evolved_schema(head, batch),
-                        **self._dir_meta(head, head["files"], d, batch.schema),
-                    },
-                    expected_parent=head["version"],
+            rec = {
+                "operation": "append",
+                "files": head["files"] + [d],
+                "stats": {**head.get("stats", {}), **self._stats_for(d)},
+                "bloom": {
+                    **(head.get("bloom") or {}),
+                    **self._blooms_for(batch.sparkSession, d),
+                },
+                **self._evolved_schema(head, batch),
+                **self._dir_meta(head, head["files"], d, batch.schema),
+            }
+            if ann_cents is not None:
+                rec["ann"] = self._ann_rec(
+                    batch.sparkSession, d, ann_cents, head
                 )
+            try:
+                return self._append_log(rec, expected_parent=head["version"])
             except StaleCommitMarkerError:
                 raise
             except ConcurrentWriteError:
@@ -1063,6 +1246,7 @@ class SnapshotTable:
         exactly-once table contents.  Returns the new version, or None
         for a replayed no-op."""
         d: str | None = None
+        ann_cents = None
         for _ in range(self.APPEND_RETRIES):
             log = self._log()
             # the batch_id re-check lives INSIDE the retry loop: two
@@ -1073,27 +1257,31 @@ class SnapshotTable:
                 return None
             self._validate(batch, self._head_constraints())
             if d is None:
+                batch, ann_cents = self._ann_stage(batch)
                 d = self._new_dir("full" if not log else "delta")
                 batch.write.mode("errorifexists").parquet(d)
             parent_files = log[-1]["files"] if log else []
             parent_stats = log[-1].get("stats", {}) if log else {}
             parent_rec = log[-1] if log else {}
+            rec = {
+                "operation": "stream",
+                "batch_id": batch_id,
+                "files": parent_files + [d],
+                "stats": {**parent_stats, **self._stats_for(d)},
+                "bloom": {
+                    **(parent_rec.get("bloom") or {}),
+                    **self._blooms_for(batch.sparkSession, d),
+                },
+                **self._evolved_schema(parent_rec, batch),
+                **self._dir_meta(parent_rec, parent_files, d, batch.schema),
+            }
+            if ann_cents is not None:
+                rec["ann"] = self._ann_rec(
+                    batch.sparkSession, d, ann_cents, parent_rec
+                )
             try:
                 return self._append_log(
-                    {
-                        "operation": "stream",
-                        "batch_id": batch_id,
-                        "files": parent_files + [d],
-                        "stats": {**parent_stats, **self._stats_for(d)},
-                        "bloom": {
-                            **(parent_rec.get("bloom") or {}),
-                            **self._blooms_for(batch.sparkSession, d),
-                        },
-                        **self._evolved_schema(parent_rec, batch),
-                        **self._dir_meta(
-                            parent_rec, parent_files, d, batch.schema
-                        ),
-                    },
+                    rec,
                     expected_parent=(
                         log[-1]["version"] if log else -1
                     ),
