@@ -1438,7 +1438,14 @@ class _QMEncoder:
         self.a = 0x10000
         self.c = 0
         self.ct = 11
-        self.buf = bytearray()  # data bytes BEFORE stuffing
+        # data bytes BEFORE stuffing.  buf[0] is a SENTINEL pending
+        # byte (libjpeg's buffer = -1 convention, ADVICE r7): a carry
+        # whose backward 0xFF->0x00 walk runs off the data prefix
+        # increments the sentinel instead of vanishing — the code
+        # value's integer part genuinely grew, so the stream needs a
+        # new leading byte.  flush() strips the sentinel when it is
+        # still zero (the normal case) and emits it otherwise.
+        self.buf = bytearray([0x00])
 
     def encode(self, st: bytearray, i: int, bit: int) -> None:
         sv = st[i]
@@ -1470,6 +1477,9 @@ class _QMEncoder:
         t = self.c >> 19
         self.c &= 0x7FFFF
         if t > 0xFF:  # carry: propagate into already-buffered bytes
+            # the walk always terminates: buf[0] is the sentinel, and a
+            # carry that wraps every data byte lands on it (the head
+            # carry that used to be silently dropped)
             j = len(self.buf) - 1
             while j >= 0:
                 self.buf[j] = (self.buf[j] + 1) & 0xFF
@@ -1489,8 +1499,10 @@ class _QMEncoder:
         for _ in range(3):
             self._byteout()
             self.c = (self.c << 8) & 0x7FFFFFF
+        # strip the sentinel unless a head carry made it a real byte
+        data = self.buf[1:] if self.buf[0] == 0 else self.buf
         out = bytearray()
-        for b in self.buf:  # §D.1.6 zero byte stuffing, post-carry
+        for b in data:  # §D.1.6 zero byte stuffing, post-carry
             out.append(b)
             if b == 0xFF:
                 out.append(0x00)

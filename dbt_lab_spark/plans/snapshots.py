@@ -201,6 +201,38 @@ def _bloom_maybe_contains(entry: dict, v) -> bool:
     return True
 
 
+def _sql_literal_spans(expr: str) -> list[tuple[bool, str]]:
+    """Split a SQL expression into (is_literal, chunk) pieces, where
+    literal chunks are single-quoted spans ('' escapes included) kept
+    verbatim — so identifier matching/rewriting never touches string
+    DATA (ADVICE r7: evolve's \\b-regex spuriously matched column
+    names inside literals)."""
+    parts: list[tuple[bool, str]] = []
+    buf: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        if expr[i] == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if buf:
+                parts.append((False, "".join(buf)))
+                buf = []
+            parts.append((True, expr[i:min(j + 1, n)]))
+            i = j + 1
+        else:
+            buf.append(expr[i])
+            i += 1
+    if buf:
+        parts.append((False, "".join(buf)))
+    return parts
+
+
 class SnapshotTable:
     """Versioned parquet table: `commit` (full replace), `append`
     (delta commit), `read(version=)` (time travel), `versions()`,
@@ -1149,24 +1181,39 @@ class SnapshotTable:
         # later write (reject, Delta's ALTER COLUMN behavior); one
         # referencing a renamed column is rewritten — in a single
         # simultaneous pass, so swap renames ({a: b, b: a}) bind to the
-        # right data.
+        # right data.  Identifier matching SKIPS single-quoted string
+        # literals (ADVICE r7): a dropped/renamed name appearing inside
+        # a literal (note <> 'k units') is data, not a reference — it
+        # must neither block the drop nor be rewritten.
         import re
 
         new_cons: dict[str, str] = {}
+        pat = (
+            re.compile(
+                r"\b(" + "|".join(re.escape(o) for o in rename) + r")\b"
+            )
+            if rename
+            else None
+        )
         for cname, cexpr in (head.get("constraints") or {}).items():
-            for c in drop:
-                if re.search(rf"\b{re.escape(c)}\b", cexpr):
-                    raise ValueError(
-                        f"evolve: CHECK constraint {cname!r} ({cexpr}) "
-                        f"references dropped column {c!r} — drop_constraint "
-                        "first"
-                    )
-            if rename:
-                pat = re.compile(
-                    r"\b(" + "|".join(re.escape(o) for o in rename) + r")\b"
+            out_chunks: list[str] = []
+            for is_lit, chunk in _sql_literal_spans(cexpr):
+                if is_lit:
+                    out_chunks.append(chunk)
+                    continue
+                for c in drop:
+                    if re.search(rf"\b{re.escape(c)}\b", chunk):
+                        raise ValueError(
+                            f"evolve: CHECK constraint {cname!r} ({cexpr}) "
+                            f"references dropped column {c!r} — "
+                            "drop_constraint first"
+                        )
+                out_chunks.append(
+                    pat.sub(lambda m: rename[m.group(1)], chunk)
+                    if pat
+                    else chunk
                 )
-                cexpr = pat.sub(lambda m: rename[m.group(1)], cexpr)
-            new_cons[cname] = cexpr
+            new_cons[cname] = "".join(out_chunks)
         version = len(log)
         # tombstone mapping for dropped columns: unique per evolve, so
         # pre-drop physical data never binds to a re-added name

@@ -338,3 +338,60 @@ class TestTimestampTimeTravel:
         log = t._log()
         assert t.read(spark, as_of=log[0]["ts"]).count() == 100
         assert t.read(spark, as_of=log[1]["ts"]).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# evolve constraint rewriting skips string literals (ADVICE r7)
+# ---------------------------------------------------------------------------
+
+
+class TestEvolveConstraintLiterals:
+    def test_drop_ignores_name_inside_literal(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, 10, "x units")], "k long, v long, note string"
+            )
+        )
+        t.add_constraint(spark, "note_ok", "note <> 'k units'")
+        # 'k' inside the literal is data, not a reference: drop succeeds
+        t.evolve(drop=["k"])
+        head = t._log()[-1]
+        assert head["constraints"]["note_ok"] == "note <> 'k units'"
+        assert "k" not in head["columns"]
+
+    def test_rename_rewrites_reference_not_literal(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "x units")], "k long, note string"
+            )
+        )
+        t.add_constraint(spark, "both", "k >= 0 AND note <> 'k units'")
+        t.evolve(rename={"k": "key"})
+        head = t._log()[-1]
+        # the column reference moved; the literal's contents did not
+        assert head["constraints"]["both"] == "key >= 0 AND note <> 'k units'"
+        # and the rewritten constraint still validates writes
+        t.append(
+            spark.createDataFrame([(2, "fine")], "key long, note string")
+        )
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            t.append(
+                spark.createDataFrame([(-1, "bad")], "key long, note string")
+            )
+
+    def test_drop_still_rejects_real_reference(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, 10)], "k long, v long"))
+        t.add_constraint(spark, "kpos", "k >= 0")
+        with pytest.raises(ValueError, match="references dropped column"):
+            t.evolve(drop=["k"])
+
+    def test_literal_with_escaped_quote(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, note string"))
+        t.add_constraint(spark, "esc", "note <> 'it''s k here'")
+        t.evolve(rename={"k": "key"})
+        head = t._log()[-1]
+        assert head["constraints"]["esc"] == "note <> 'it''s k here'"

@@ -235,3 +235,125 @@ class TestStreamRightOuterJoin:
         # after the watermark passed its own ts — a strictly later
         # micro-batch than the on-time match
         assert nulls[0][0] > matched[0][0]
+
+
+# ---------------------------------------------------------------------------
+# QM-coder head-carry sentinel (ADVICE r7): a carry whose backward
+# 0xFF->0x00 walk runs off the front of the byte buffer must create a new
+# leading byte (the code value's integer part grew), not vanish.
+# ---------------------------------------------------------------------------
+
+
+class TestQMEncoderHeadCarry:
+    def test_carry_with_empty_buffer_emits_leading_byte(self):
+        from dbt_lab_spark.llm.codecs import _QMEncoder
+
+        enc = _QMEncoder()
+        enc.c = 0x1FF << 19  # t = 0x1FF > 0xFF, nothing buffered yet
+        enc._byteout()
+        # sentinel took the carry (0x00 -> 0x01) and the data byte is 0xFF
+        assert list(enc.buf) == [0x01, 0xFF]
+
+    def test_carry_through_all_ff_prefix_reaches_sentinel(self):
+        from dbt_lab_spark.llm.codecs import _QMEncoder
+
+        enc = _QMEncoder()
+        enc.buf.extend([0xFF, 0xFF])  # data prefix entirely 0xFF
+        enc.c = 0x100 << 19
+        enc._byteout()
+        # both FFs wrap to 0x00 and the +1 lands on the sentinel
+        assert list(enc.buf) == [0x01, 0x00, 0x00, 0x00]
+
+    def test_normal_stream_has_no_sentinel(self):
+        from dbt_lab_spark.llm.codecs import _QMEncoder
+
+        enc = _QMEncoder()
+        enc.c = 0x42 << 19
+        enc._byteout()
+        assert list(enc.buf) == [0x00, 0x42]  # sentinel still zero
+        # flush strips it: output starts with real data
+        st = bytearray([0])
+        enc2 = _QMEncoder()
+        for bit in (0, 1, 0, 0, 1, 1, 0, 1) * 8:
+            enc2.encode(st, 0, bit)
+        out = enc2.flush()
+        assert len(out) > 0
+
+    def test_roundtrip_unchanged_by_sentinel(self):
+        """The sentinel must be invisible on normal streams: encode a
+        bit sequence, decode it back bit-exactly."""
+        from dbt_lab_spark.llm.codecs import _QMDecoder, _QMEncoder
+
+        bits = [(i * 7 + i // 5) % 3 == 0 for i in range(500)]
+        st = bytearray([0])
+        enc = _QMEncoder()
+        for b in bits:
+            enc.encode(st, 0, int(b))
+        data = enc.flush()
+        st2 = bytearray([0])
+        dec = _QMDecoder(data + b"\xff\xd9", 0)
+        got = [dec.decode(st2, 0) for _ in bits]
+        assert got == [int(b) for b in bits]
+
+
+# ---------------------------------------------------------------------------
+# External SOF9 fixture (ADVICE r7): the arithmetic decoder was previously
+# validated only against its own encoder — a symmetric deviation from T.81
+# Annex D would round-trip cleanly yet mis-decode real-world files.  These
+# fixtures were produced by an INDEPENDENT implementation (libjpeg 6.2's
+# arithmetic coder, via scripts/gen_sof9_fixture.c in this container:
+# 16x16 deterministic pattern, quality 90, h1v1), alongside Huffman (SOF0)
+# encodes of the same source image.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_FIX = _os.path.join(_os.path.dirname(__file__), "fixtures")
+
+
+class TestExternalSof9Fixture:
+    def _decode(self, name):
+        import numpy as np
+
+        from dbt_lab_spark.llm.codecs import decode_jpeg
+
+        with open(_os.path.join(_FIX, name), "rb") as fh:
+            return np.asarray(decode_jpeg(fh.read()))
+
+    def test_fixture_markers(self):
+        for name, marker in [
+            ("sof9_gray.jpg", 0xC9),
+            ("sof9_rgb.jpg", 0xC9),
+            ("sof0_gray.jpg", 0xC0),
+            ("sof0_rgb.jpg", 0xC0),
+        ]:
+            with open(_os.path.join(_FIX, name), "rb") as fh:
+                d = fh.read()
+            sofs = {
+                d[i + 1]
+                for i in range(len(d) - 1)
+                if d[i] == 0xFF and d[i + 1] in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA)
+            }
+            assert sofs == {marker}, (name, sofs)
+
+    def test_libjpeg_sof9_decodes_exactly_like_huffman(self):
+        """decode_jpeg on libjpeg's ARITHMETIC stream must produce the
+        SAME pixels as on libjpeg's HUFFMAN stream of the same source —
+        the entropy stage is lossless, so any mismatch is a QM-coder
+        deviation from T.81 Annex D."""
+        import numpy as np
+
+        for pair in [
+            ("sof9_gray.jpg", "sof0_gray.jpg"),
+            ("sof9_rgb.jpg", "sof0_rgb.jpg"),
+        ]:
+            a, h = self._decode(pair[0]), self._decode(pair[1])
+            assert a.shape == h.shape == (16, 16, 3)
+            assert np.array_equal(a, h), pair
+
+    def test_gray_fixture_pixels_pinned(self):
+        """Absolute pin: the gray SOF9 decode's checksum, so a future
+        change to BOTH decode paths cannot silently drift together."""
+        a = self._decode("sof9_gray.jpg")
+        assert int(a.sum()) == 103542
+        assert a[0, 0, 0] == a[0, 0, 1] == a[0, 0, 2]  # grayscale
