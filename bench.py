@@ -357,6 +357,12 @@ BENCH_NAMES = [
     "q_merge_dv",
     "q_stream_full_outer_join",
     "q_stream_merge_dv",
+    # r8 additions
+    "q_concurrent_appends",
+    "q_time_travel_ts",
+    "q_dv_mass_delete",
+    "q_stream_right_outer",
+    "q_snapshot_ann",
 ]
 
 

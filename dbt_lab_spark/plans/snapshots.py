@@ -1653,6 +1653,7 @@ class SnapshotTable:
         n_out = n_files if n_files else max(1, math.ceil(total / target))
         d = self._new_dir("compact")
         src = self._read_paths(spark, head, small)
+        ann_meta = None  # set only when the rewrite is ANN-re-clustered
         if zorder:
             # Z-order clustering: quantile-bucket each column (skew-
             # robust), interleave the bucket bits into one sort key,
@@ -1685,6 +1686,19 @@ class SnapshotTable:
             src = src.repartitionByRange(
                 n_out, *[F.col(c) for c in order_by]
             ).sortWithinPartitions(*order_by)
+        elif head.get("ann") and (head["ann"].get("col") or "") in src.columns:
+            # ANN-indexed table (r8): re-cluster the rewrite by the
+            # recorded centroids so the compacted files keep narrow
+            # cluster ranges — otherwise every compaction would orphan
+            # its files from the manifest and knn pruning would decay
+            # to conservative full reads.  Costs the same one range
+            # shuffle the explicit order_by path pays.
+            from dbt_lab_spark.plans.ann import cluster_order
+
+            ann_meta = head["ann"]
+            src = cluster_order(
+                src, ann_meta["centroids"], ann_meta["col"], n_out
+            )
         else:
             # coalesce, not repartition: bin-packing needs no shuffle,
             # just fewer write tasks reading the small files back.
@@ -1701,6 +1715,21 @@ class SnapshotTable:
             "stats": {**kept_stats, **self._stats_for(d)},
             "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
         }
+        if ann_meta is not None:
+            # re-clustered rewrite: record the new dir's per-file
+            # cluster sets so knn pruning survives the compaction
+            from dbt_lab_spark.plans.ann import file_clusters
+
+            rec["ann"] = {
+                **ann_meta,
+                "files": {
+                    **(ann_meta.get("files") or {}),
+                    **file_clusters(
+                        spark, d, ann_meta["centroids"], ann_meta["col"],
+                        self._norm_file_col,
+                    ),
+                },
+            }
         if "columns" in head:
             rec["columns"] = list(head["columns"])
             if "schema_json" in head:
@@ -2242,14 +2271,21 @@ class SnapshotTable:
                 json.dump(kept_recs, fh, indent=1)
             os.replace(tmp, self._log_path())
             # tidy markers of already-published versions (claims below
-            # the barrier can never be contended again)
+            # the barrier can never be contended again) and directory
+            # claim files whose directory is gone (names never recur —
+            # versions count up monotonically)
             for entry in os.listdir(self.root):
+                p = os.path.join(self.root, entry)
                 if entry.startswith("_v") and entry.endswith(".commit"):
                     try:
                         if int(entry[2:-7]) < n:
-                            os.unlink(os.path.join(self.root, entry))
+                            os.unlink(p)
                     except ValueError:
                         pass
+                elif entry.startswith("_claim_") and not os.path.isdir(
+                    os.path.join(self.root, entry[len("_claim_"):])
+                ):
+                    os.unlink(p)
             return removed
         finally:
             try:

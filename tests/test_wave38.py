@@ -357,3 +357,73 @@ class TestExternalSof9Fixture:
         a = self._decode("sof9_gray.jpg")
         assert int(a.sum()) == 103542
         assert a[0, 0, 0] == a[0, 0, 1] == a[0, 0, 2]  # grayscale
+
+
+# ---------------------------------------------------------------------------
+# Compaction keeps the ANN index alive (r8): the rewrite is re-clustered by
+# the recorded centroids and the new files get manifest entries, so knn
+# pruning survives instead of decaying to conservative full reads.
+# ---------------------------------------------------------------------------
+
+
+class TestCompactKeepsAnn:
+    def test_compact_reclusters_and_knn_still_prunes(
+        self, spark, tmp_path, cents
+    ):
+        from dbt_lab_spark.llm.similarity import ivf_knn
+
+        t = _build(spark, tmp_path, cents)
+        queries = _vecs(spark, 0, 5).withColumnRenamed("vec_id", "query_id")
+        want = sorted(
+            map(tuple, t.knn(spark, queries, k=10, nprobe=3).collect())
+        )
+        v = t.compact(spark, target_mb=128.0, n_files=4)
+        assert v is not None
+        rec = t._log()[-1]
+        ann_files = rec["ann"]["files"]
+        # every file of the compacted dir is keyed in the manifest
+        new_dir = rec["files"][-1]
+        import os as _o
+
+        new_files = [
+            _o.path.join(new_dir, fn)
+            for fn in sorted(_o.listdir(new_dir))
+            if fn.endswith(".parquet")
+        ]
+        assert new_files and all(f in ann_files for f in new_files)
+        # knn results unchanged and pruning still effective
+        got = sorted(
+            map(tuple, t.knn(spark, queries, k=10, nprobe=3).collect())
+        )
+        assert got == want
+        kept, total = t.ann_pruned_file_count(
+            _vecs(spark, 0, 1).withColumnRenamed("vec_id", "query_id"),
+            nprobe=2,
+        )
+        assert 0 < kept < total, (kept, total)
+        # and the full-corpus reference still agrees post-compaction
+        ref = sorted(
+            map(
+                tuple,
+                ivf_knn(
+                    t.read(spark), queries, cents, k=10, nprobe=3,
+                    scorer="jvm",
+                ).collect(),
+            )
+        )
+        assert got == ref
+
+    def test_vacuum_tidies_claim_files(self, spark, tmp_path):
+        import os as _o
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(_vecs(spark, 0, 50))
+        t.commit(_vecs(spark, 0, 60))  # orphans v0's dir
+        t.vacuum(keep_last=1)
+        stale = [
+            e
+            for e in _o.listdir(t.root)
+            if e.startswith("_claim_")
+            and not _o.path.isdir(_o.path.join(t.root, e[len("_claim_"):]))
+        ]
+        assert stale == []
