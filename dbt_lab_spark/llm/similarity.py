@@ -379,6 +379,7 @@ def ivf_knn(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     scorer: str = "numpy",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: each query searches only the
     `nprobe` clusters whose centroids are most similar.
@@ -394,28 +395,47 @@ def ivf_knn(
     every output double is bit-identical to an oracle computing
     dot/(|a||b|) with the same left-to-right fold (the q_knn_bruteforce
     contract) — used by the seeded-IVF full-oracle query.
+
+    ``probes``: optional precomputed (query_id, cluster) probe pairs.
+    Default (None) builds them from the C-sized ranked-centroid
+    EXPRESSION — fine at the seeded-oracle C=8, but the expression tree
+    grows with C and stops being viable around C~100.  The snapshot-ANN
+    knn passes the Arrow-matmul probes from plans/ann.probe_clusters
+    (one plan node at any C), which also guarantees its file pruning
+    and this scorer share ONE probe set — no ulp-level tie divergence
+    between two independent computations.
     """
     inv = ivf_assign(corpus, centroids, vec_col, id_col)
     qv = _normalized(vec_col)
-    qsims = F.array(*[_sim_to_centroid(qv, c) for c in centroids])
-    # top-nprobe clusters per query: sort (sim, cluster) descending
-    ranked_clusters = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    qsims,
-                    lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cluster")),
+    if probes is not None:
+        # probes carries literal (query_id, cluster) columns
+        # (plans/ann.probe_clusters' output schema)
+        qb = probes.select("query_id", "cluster").join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), qv.alias("__qv")
+            ),
+            on="query_id",
+        )
+    else:
+        qsims = F.array(*[_sim_to_centroid(qv, c) for c in centroids])
+        # top-nprobe clusters per query: sort (sim, cluster) descending
+        ranked_clusters = F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        qsims,
+                        lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cluster")),
+                    )
                 )
-            )
-        ),
-        1,
-        nprobe,
-    )
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        qv.alias("__qv"),
-        F.explode(F.transform(ranked_clusters, lambda x: x["cluster"])).alias("cluster"),
-    )
+            ),
+            1,
+            nprobe,
+        )
+        qb = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            qv.alias("__qv"),
+            F.explode(F.transform(ranked_clusters, lambda x: x["cluster"])).alias("cluster"),
+        )
     if scorer == "jvm":
         from dbt_lab_spark.functions.vectors import dot, l2_norm
 

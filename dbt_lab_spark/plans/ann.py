@@ -130,30 +130,54 @@ def probe_clusters(
     vec_col: str,
     query_id_col: str,
 ) -> DataFrame:
-    """(query_id, cluster) probe pairs — the SAME ranked-centroid
-    expression ivf_knn evaluates (llm/similarity.py:400), so the file
-    pruning below never disagrees with the scorer's candidate set."""
-    from dbt_lab_spark.llm.similarity import _normalized, _sim_to_centroid
+    """(query_id, cluster) probe pairs via one Arrow matmul per batch.
 
-    qv = _normalized(vec_col)
-    qsims = F.array(*[_sim_to_centroid(qv, c) for c in centroids])
-    ranked = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    qsims,
-                    lambda s, i: F.struct(
-                        s.alias("sim"), i.cast("int").alias("cluster")
-                    ),
-                )
-            )
-        ),
-        1,
-        nprobe,
+    Semantics are EXACTLY ivf_knn's ranked-centroid expression
+    (llm/similarity.py:400 — sims descending, ties toward the HIGHER
+    cluster id, Spark's reverse(array_sort(struct(sim, cluster)))),
+    so file pruning never disagrees with the scorer's candidate set —
+    but the PLAN is C-independent: the Column-expression form builds C
+    zip_with/aggregate folds and stops being viable around C~100
+    (the ivf_assign lesson), while this stays one matmul at C=4096."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
     )
-    return queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(F.transform(ranked, lambda x: x["cluster"])).alias("cluster"),
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms[:, None]) @ cents.T  # (nq, C)
+            qids, cls = [], []
+            for qi, qid in enumerate(pdf[query_id_col].astype("int64")):
+                # sims desc, ties toward the higher cluster — the exact
+                # order of reverse(array_sort(struct(sim, cluster)))
+                order = sorted(
+                    range(len(cents)),
+                    key=lambda c: (sims[qi, c], c),
+                    reverse=True,
+                )[:nprobe]
+                qids.extend([qid] * len(order))
+                cls.extend(order)
+            yield pd.DataFrame(
+                {"query_id": qids, "cluster": np.array(cls, dtype="int32")}
+            )
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        _probe, out_schema
     )
 
 

@@ -642,14 +642,17 @@ class SnapshotTable:
             )
         cents = meta["centroids"]
         col = meta.get("col") or self._ann_live_col()
+        # ONE probe computation (Arrow matmul, C-independent plan)
+        # shared by the file pruner and the scorer — the two can never
+        # diverge on a near-tie, and the C-sized expression tree that
+        # stops compiling around C~100 never gets built.
+        probes = _ann.probe_clusters(
+            queries, cents, nprobe, col, query_id_col
+        ).cache()
         probed = {
             r["cluster"]
-            for r in _ann.probe_clusters(
-                queries, cents, nprobe, col, query_id_col
-            )
-            .select("cluster")
-            .distinct()
-            .collect()  # bounded by the number of centroids
+            for r in probes.select("cluster").distinct().collect()
+            # bounded by the number of centroids
         }
         keep, _, _ = _ann.prune_files(rec, probed)
         if not keep:
@@ -668,6 +671,7 @@ class SnapshotTable:
             id_col=meta.get("id_col") or self.ann_id_col,
             query_id_col=query_id_col,
             scorer="jvm",
+            probes=probes,
         )
 
     def ann_pruned_file_count(
