@@ -1486,6 +1486,16 @@ class _QMEncoder:
                 if self.buf[j] != 0:
                     break
                 j -= 1
+            if j < 0:
+                # ADVICE r8: the sentinel itself can wrap (0xFF -> 0x00
+                # after 255 head carries), walking the carry off the
+                # buffer and recreating the dropped-carry bug.  The
+                # numeric result of +1 over an all-0xFF buffer is a new
+                # leading 0x01 (the spec's stacked-0xFF carry-out) —
+                # insert it; flush()'s strip only removes a LEADING 0,
+                # so the new head byte survives, and any future
+                # wrap-off lands here again.
+                self.buf.insert(0, 1)
             t &= 0xFF
         self.buf.append(t)
         self.ct = 8

@@ -646,9 +646,14 @@ class SnapshotTable:
         # shared by the file pruner and the scorer — the two can never
         # diverge on a near-tie, and the C-sized expression tree that
         # stops compiling around C~100 never gets built.
+        # localCheckpoint (not cache — ADVICE r8): materialized once,
+        # eagerly, and the checkpointed blocks are released by the
+        # ContextCleaner when the DataFrame is garbage-collected, so
+        # repeated knn() calls never accumulate session-lifetime
+        # cached partitions.
         probes = _ann.probe_clusters(
             queries, cents, nprobe, col, query_id_col
-        ).cache()
+        ).localCheckpoint(eager=True)
         probed = {
             r["cluster"]
             for r in probes.select("cluster").distinct().collect()
@@ -1028,7 +1033,17 @@ class SnapshotTable:
         }
         if ann_cents is not None:
             rec["ann"] = self._ann_rec(df.sparkSession, d, ann_cents, {})
-        return self._append_log(rec, expected_parent=expected_parent)
+        try:
+            return self._append_log(rec, expected_parent=expected_parent)
+        except ConcurrentWriteError:
+            # conflicting commit won (append's racing-first-commit
+            # path reaches here): drop the unreferenced snapshot dir
+            # like the other DML paths do instead of leaving an orphan
+            # until vacuum (ADVICE r8)
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            raise
 
     # commit-rebase attempts for append-only writers before giving up
     # (each retry means another writer just committed; starvation needs
