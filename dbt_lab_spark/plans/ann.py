@@ -10,9 +10,10 @@ METADATA, the same manifest posture as `stat_cols`/`bloom_cols`:
 - every commit/append CLUSTERS the incoming batch by its assigned
   centroid before writing (one map-only Arrow assignment + one range
   shuffle), so each data file covers a contiguous centroid range;
-- a per-file {file: [cluster ids]} manifest is recorded from one
-  executor-side pass over the new directory (O(#files x C) to the
-  driver, like the bloom manifests);
+- a per-file {file: [cluster ids]} manifest (plus a mean assignment
+  similarity, the drift signal) is recorded from one executor-side
+  pass over the new directory into the directory's parquet manifest
+  SIDECAR (VERDICT r8 #2 — never the log), like the bloom manifests;
 - `knn(queries, k, nprobe)` resolves the probe set, PRUNES the scan to
   files whose recorded clusters intersect it, and delegates scoring to
   the same audited `ivf_knn` path — today every ANN query re-derives
@@ -34,8 +35,6 @@ holds by determinism of that shared formula.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,17 +88,24 @@ def cluster_order(
     )
 
 
-def file_clusters(
+def file_cluster_stats(
     spark: SparkSession,
     d: str,
     centroids: list[list[float]],
     vec_col: str,
     norm_file_col,
-) -> dict[str, list[int]]:
-    """Per-file cluster membership for the newly written directory:
-    one applyInPandas group per data file re-derives the (deterministic)
-    assignment and emits the file's DISTINCT cluster ids — only
-    O(#files x C) integers reach the driver."""
+) -> dict[str, dict]:
+    """Per-file cluster membership + assignment quality for the newly
+    written directory: one applyInPandas group per data file re-derives
+    the (deterministic) assignment and emits the file's DISTINCT
+    cluster ids plus its MEAN max-cosine similarity to the assigned
+    centroids — only O(#files x C) integers and one float per file
+    reach the driver, and the result lands in the directory's manifest
+    sidecar (never the log).  The mean similarity is the drift signal
+    ann_staleness() reads (VERDICT r8 #4): rows from a distribution
+    the quantizer was never trained on assign FARTHER from every
+    centroid, so a falling mean flags a stale index without any
+    rescan."""
     from collections.abc import Iterator  # noqa: F401  (parity with peers)
 
     import numpy as np
@@ -112,15 +118,49 @@ def file_clusters(
 
     def per_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
         f = pdf["__f"].iloc[0]
-        cl = np.unique(_assign_np(pdf[vec_col], cents))
-        return pd.DataFrame({"f": [f] * len(cl), "c": cl.astype("int32")})
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms[:, None]) @ cents.T
+        best = np.max(sims, axis=1)
+        cl = np.unique(np.argmax(sims, axis=1))
+        return pd.DataFrame(
+            {
+                "f": [f] * len(cl),
+                "c": cl.astype("int32"),
+                "s": [float(best.mean())] * len(cl),
+            }
+        )
 
-    out: dict[str, list[int]] = {}
+    out: dict[str, dict] = {}
     for r in (
-        src.groupBy("__f").applyInPandas(per_file, "f string, c int").collect()
+        src.groupBy("__f")
+        .applyInPandas(per_file, "f string, c int, s double")
+        .collect()
     ):
-        out.setdefault(r["f"], []).append(int(r["c"]))
-    return {f: sorted(cs) for f, cs in out.items()}
+        e = out.setdefault(r["f"], {"clusters": [], "mean_sim": float(r["s"])})
+        e["clusters"].append(int(r["c"]))
+    for e in out.values():
+        e["clusters"].sort()
+    return out
+
+
+def file_clusters(
+    spark: SparkSession,
+    d: str,
+    centroids: list[list[float]],
+    vec_col: str,
+    norm_file_col,
+) -> dict[str, list[int]]:
+    """Per-file cluster membership only — the audit/pin view of
+    file_cluster_stats (tests compare it against the maintained
+    manifest)."""
+    return {
+        f: e["clusters"]
+        for f, e in file_cluster_stats(
+            spark, d, centroids, vec_col, norm_file_col
+        ).items()
+    }
 
 
 def probe_clusters(
@@ -181,22 +221,8 @@ def probe_clusters(
     )
 
 
-def prune_files(
-    rec: dict, probed: set[int]
-) -> tuple[list[str], int, int]:
-    """Keep the data files whose recorded cluster set intersects the
-    probe union; files without a manifest entry are conservatively
-    kept.  Returns (kept file paths, n_kept, n_total)."""
-    ann_files = (rec.get("ann") or {}).get("files") or {}
-    keep: list[str] = []
-    total = 0
-    for d in rec["files"]:
-        for fn in sorted(os.listdir(d)):
-            if not fn.endswith(".parquet"):
-                continue
-            total += 1
-            p = os.path.join(d, fn)
-            cs = ann_files.get(p)
-            if cs is None or probed.intersection(cs):
-                keep.append(p)
-    return keep, len(keep), total
+# file pruning against the probe union lives in
+# SnapshotTable._ann_prune (plans/snapshots.py): since VERDICT r8 #2
+# the per-file cluster sets are manifest-sidecar rows, not log
+# entries, so the pruner reads them through the table's cached
+# sidecar loader.

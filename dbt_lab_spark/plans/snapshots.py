@@ -3,31 +3,60 @@ lakehouse-lite table format the engine's CDC (plans/incremental.py),
 diff (operators/dml.dataset_diff) and matview (plans/matview.py)
 pieces compose against.
 
-Layout (one directory per table):
+Layout (one directory per table; VERDICT r8 #1/#2 — segmented log +
+checkpoints + manifest sidecars):
 
     <root>/
-      _log.json              # ordered snapshot records
-      v00000/ ... v00042/    # immutable parquet snapshot directories
+      _log/
+        00000000.json ...        # ONE immutable record file per version
+        _ckpt_00000010.json ...  # folded table state every N commits
+      _manifests/
+        v00001_delta.parquet ... # per-directory file manifests (min/max
+                                 # stats, Bloom filters, ANN cluster sets)
+      v00000_full/ ...           # immutable parquet snapshot directories
+      _vacuum.lock               # transient: held while vacuum runs
 
-Every commit writes a NEW immutable directory and then appends one
-record to the log via atomic rename — a reader at version N lists one
-directory and is never affected by later commits (snapshot isolation
-by construction).  `append` commits base ∪ batch as a new version
-WITHOUT rewriting old data files: the new snapshot's record lists the
-parent's files plus the new delta directory, so commit cost is
-O(batch), not O(table) — the manifest-reuse idea object-store table
-formats are built on.
+Every commit writes a NEW immutable directory, its manifest sidecar,
+and then PUBLISHES exactly one new record file: creating
+`_log/{N}.json` conditionally (create-if-absent) IS the commit — the
+atomic claim and the record are the same object, so two interleaved
+committers can never drop each other's record and a crashed committer
+can never leave a claimed-but-unpublished slot.  Records are DELTAS
+(files added/removed, changed metadata keys only), so commit bytes
+are O(delta), not O(history x files); readers resolve a version by
+loading the nearest checkpoint at-or-below it and folding the (at
+most CHECKPOINT_EVERY) newer records — O(checkpoint + tail), never
+O(history).  `append` commits base ∪ batch as a new version WITHOUT
+rewriting old data files — the manifest-reuse idea object-store table
+formats are built on (the reference's analog: the persisted catalogue
++ statistics, minidbs-testdata/resources/catalogue.xml).
 
-100 TB posture: data is never copied on commit; the log is one small
-JSON (one record per version, file lists only); time-travel reads are
-`spark.read.parquet(*files)` over the recorded file set — partition
-pruning and predicate pushdown apply unchanged.
+Per-FILE pruning metadata (min/max zone maps, Bloom filters, ANN
+cluster sets) never rides the log: each snapshot directory's manifest
+is one immutable parquet sidecar under `_manifests/`, written once at
+commit and read lazily (and, above PRUNE_DISTRIBUTED_MIN_FILES,
+evaluated DISTRIBUTED by Spark executors) — the log record stays
+independent of the number of data files.
+
+All log/claim/lock I/O goes through a CommitProtocol whose one
+primitive is conditional create (put_if_absent).  The default
+LocalCommitProtocol implements it with hard links (atomic on every
+local/NFS filesystem); an object-store deployment supplies the same
+primitive as a conditional PUT (If-None-Match) — the OCC semantics are
+proven against both backends in tests/test_wave39.py.
+
+100 TB posture: data is never copied on commit; a commit publishes
+O(delta) bytes; a head read folds one checkpoint + a bounded tail;
+file-level pruning reads parquet sidecars, not the log; time-travel
+reads are `spark.read.parquet(*files)` over the recorded file set —
+partition pruning and predicate pushdown apply unchanged.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,9 +71,189 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class StaleCommitMarkerError(ConcurrentWriteError):
-    """A commit marker is claimed but its version never published — a
-    committer crashed mid-commit.  Not retryable: recovery is deleting
-    the named marker file."""
+    """A coordination file (today: the vacuum lock) is held but its
+    owner never finished — a crashed process.  Not retryable: recovery
+    is deleting the named file.  (Commit markers themselves can no
+    longer go stale: since VERDICT r8 #1 the atomic creation of the
+    per-version record file IS the commit, so a crashed committer
+    either published or left nothing.)"""
+
+
+class CommitProtocol:
+    """The seam between the snapshot log and its storage (VERDICT r8
+    #3).  The log's entire concurrency story rests on ONE primitive:
+    `put_if_absent` — atomically create a key with content, failing if
+    it exists.  Everything else (read/list/delete/stat) is plain
+    object I/O.  Local filesystems provide the primitive via hard
+    links; object stores via conditional PUT (S3 If-None-Match, GCS
+    x-goog-if-generation-match: 0, Azure If-None-Match: *) — the OCC
+    test matrix (tests/test_wave39.py) runs the same racing-writer
+    pins against both this local backend and the in-memory
+    conditional-PUT fake to prove no POSIX semantics leak in."""
+
+    token: str  # cache identity: protocols sharing a store share it
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def read(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, key: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def list(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+    def stat(self, key: str) -> tuple | None:
+        """(mtime_seconds, size) or None — cache identity + age."""
+        raise NotImplementedError
+
+
+class LocalCommitProtocol(CommitProtocol):
+    """Keys are paths relative to the table root.  put_if_absent
+    writes a private temp file then `os.link`s it to the target — the
+    link is atomic create-if-absent WITH content on every local/NFS
+    filesystem (unlike os.replace, which is last-writer-wins, and
+    unlike O_CREAT|O_EXCL + write, which exposes a half-written file
+    to concurrent readers)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.token = f"local:{root}"
+
+    def _p(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        dst = self._p(key)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def put(self, key: str, data: bytes) -> None:
+        dst = self._p(key)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dst)
+
+    def read(self, key: str) -> bytes:
+        with open(self._p(key), "rb") as fh:
+            return fh.read()
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._p(key))
+
+    def delete(self, key: str) -> None:
+        try:
+            os.unlink(self._p(key))
+        except FileNotFoundError:
+            pass
+
+    def list(self, prefix: str) -> list[str]:
+        d = self._p(prefix) if prefix else self.root
+        if not os.path.isdir(d):
+            return []
+        names = [n for n in os.listdir(d) if not n.endswith("~")]
+        return sorted(
+            os.path.join(prefix, n) if prefix else n for n in names
+        )
+
+    def stat(self, key: str) -> tuple | None:
+        try:
+            st = os.stat(self._p(key))
+        except FileNotFoundError:
+            return None
+        return (st.st_mtime_ns, st.st_size)
+
+
+class InMemoryCommitProtocol(CommitProtocol):
+    """Conditional-PUT fake of an object store: a locked dict, NO
+    POSIX primitives anywhere.  put_if_absent is the store-side
+    compare-and-set an S3-style backend provides as a conditional
+    PUT.  Used by the OCC test matrix to prove the snapshot log's
+    concurrency semantics hold without exclusive-create files."""
+
+    _SEQ = [0]
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._store: dict[str, tuple[bytes, float]] = {}
+        InMemoryCommitProtocol._SEQ[0] += 1
+        self.token = f"mem:{InMemoryCommitProtocol._SEQ[0]}"
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        with self._lock:
+            if key in self._store:
+                return False
+            self._store[key] = (bytes(data), time.time())
+            return True
+
+    def put(self, key: str, data: bytes) -> None:
+        with self._lock:
+            self._store[key] = (bytes(data), time.time())
+
+    def read(self, key: str) -> bytes:
+        with self._lock:
+            if key not in self._store:
+                raise FileNotFoundError(key)
+            return self._store[key][0]
+
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            return key in self._store
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._store.pop(key, None)
+
+    def list(self, prefix: str) -> list[str]:
+        with self._lock:
+            if not prefix:
+                return sorted(k for k in self._store if "/" not in k)
+            p = prefix.rstrip("/") + "/"
+            return sorted(k for k in self._store if k.startswith(p))
+
+    def stat(self, key: str) -> tuple | None:
+        with self._lock:
+            e = self._store.get(key)
+            return None if e is None else (e[1], len(e[0]))
+
+
+def _cache_put(cache: dict, key, value, cap: int) -> None:
+    """Tiny bounded insert-order cache (all cached objects are
+    immutable: record files, folded states, manifest sidecars)."""
+    if key in cache:
+        return
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
+_SEG_CACHE: dict = {}      # (token, version, stat) -> record dict
+_STATE_CACHE: dict = {}    # (token, version, stat-of-seg) -> folded state
+_MANIFEST_CACHE: dict = {}  # (path, stat) -> parsed manifest dict
+
+_MISSING = object()
 
 
 def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
@@ -54,7 +263,7 @@ def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
 
     out: dict[str, dict] = {}
     for fn in sorted(os.listdir(snapshot_dir)):
-        if not fn.endswith(".parquet"):
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
             continue
         p = os.path.join(snapshot_dir, fn)
         md = pq.ParquetFile(p).metadata
@@ -261,6 +470,7 @@ class SnapshotTable:
         ann_files: int = 8,
         ann_centroids: list[list[float]] | None = None,
         ann_id_col: str = "vec_id",
+        protocol: CommitProtocol | None = None,
     ) -> None:
         # Canonicalize: merge/delete_where map Spark's ABSOLUTE
         # `_metadata.file_path` URIs back onto manifest paths by prefix;
@@ -285,6 +495,10 @@ class SnapshotTable:
         self.ann_centroids = ann_centroids
         self.ann_id_col = ann_id_col
         os.makedirs(self.root, exist_ok=True)
+        # CommitProtocol seam (VERDICT r8 #3): all log/claim/lock I/O
+        # goes through it; pass an object-store implementation to run
+        # the same table against conditional-PUT storage.
+        self.protocol = protocol or LocalCommitProtocol(self.root)
 
     def _compose_renames(self, recs: list[dict]) -> dict[str, str]:
         """original-name -> current-name map composed over the evolve
@@ -307,7 +521,8 @@ class SnapshotTable:
         of silently going dark (ADVICE r6: stale stat_cols)."""
         if not cols:
             return []
-        ren = self._compose_renames(self._log())
+        head = self._head_state()
+        ren = head[2] if head else {}
         return [ren.get(c, c) for c in cols]
 
     @staticmethod
@@ -338,37 +553,328 @@ class SnapshotTable:
             )
         return touched
 
-    # -- log -------------------------------------------------------------
-    def _log_path(self) -> str:
-        return os.path.join(self.root, "_log.json")
+    # -- log v2: one immutable record per version + checkpoints ----------
+    # (VERDICT r8 #1: commit cost O(delta), read cost O(ckpt + tail))
 
-    def _log(self) -> list[dict]:
-        if not os.path.exists(self._log_path()):
-            return []
-        with open(self._log_path()) as fh:
-            return json.load(fh)
+    # fold a full-state checkpoint every N commits so a reader loads
+    # at most N record files past the nearest checkpoint
+    CHECKPOINT_EVERY = 10
 
-    # seconds to wait for a claimed-but-unpublished commit before
-    # declaring its marker stale (a crashed committer); recovery is
-    # deleting the named marker file
+    # seconds to wait on the vacuum lock before declaring its owner
+    # crashed; recovery is deleting the named lock file
     COMMIT_WAIT_S = 30.0
+
+    # keys the fold machinery owns; everything else in a record is
+    # metadata diffed against the parent
+    _SEG_OWNED = ("version", "ts", "operation", "files")
+
+    @staticmethod
+    def _seg_key(v: int) -> str:
+        return f"_log/{v:08d}.json"
+
+    @staticmethod
+    def _ckpt_key(v: int) -> str:
+        return f"_log/_ckpt_{v:08d}.json"
+
+    _VACUUM_LOCK = "_vacuum.lock"
+
+    def versions(self) -> list[int]:
+        out = []
+        for key in self.protocol.list("_log"):
+            name = key.rsplit("/", 1)[-1]
+            if name.endswith(".json") and name[:-5].isdigit():
+                out.append(int(name[:-5]))
+        return sorted(out)
 
     def _head_version(self) -> int:
         """Version number of the head record, -1 for an empty table.
-        NOT len(log): vacuum truncates old records while version
+        NOT a record count: vacuum truncates old records while version
         numbers keep counting up, so numbering must continue from the
-        head, never restart from the length."""
-        log = self._log()
-        return log[-1]["version"] if log else -1
+        head, never restart."""
+        vs = self.versions()
+        return vs[-1] if vs else -1
 
-    def _append_log(self, record: dict, expected_parent: int | None = None) -> int:
-        """Conflict-checked log append (VERDICT r7 #1 — optimistic
-        concurrency).  Serialization: version N may only be written by
-        the writer that atomically creates the marker `_v{N}.commit`
-        (os.O_CREAT|os.O_EXCL — atomic on every local/NFS-v3+ FS,
-        unlike os.replace which last-writer-wins); the log rewrite
-        happens only while holding that claim, so two interleaved
-        committers can never drop each other's record.
+    def _read_seg(self, v: int) -> dict:
+        key = self._seg_key(v)
+        st = self.protocol.stat(key)
+        if st is None:
+            raise ValueError(
+                f"snapshot table {self.root}: no record for version {v} "
+                "(never committed, or vacuumed away)"
+            )
+        ck = (self.protocol.token, v, st)
+        hit = _SEG_CACHE.get(ck)
+        if hit is None:
+            hit = json.loads(self.protocol.read(key))
+            _cache_put(_SEG_CACHE, ck, hit, 4096)
+        return hit
+
+    @staticmethod
+    def _compose_step(cur: dict, ren: dict) -> dict:
+        """One evolve's {old: new} composed onto the running
+        original-name -> current-name map (same algebra as
+        _compose_renames, one step at a time)."""
+        if not ren:
+            return cur
+        currents = set(cur.values())
+        out = {orig: ren.get(c, c) for orig, c in cur.items()}
+        for old, new in ren.items():
+            if old not in currents:
+                out[old] = new
+        return out
+
+    @staticmethod
+    def _apply_seg(parent_rec: dict | None, seg: dict) -> dict:
+        """Fold one delta record onto the parent's full state."""
+        rec = (
+            {}
+            if parent_rec is None
+            else {
+                k: v
+                for k, v in parent_rec.items()
+                if k not in ("version", "ts")
+            }
+        )
+        if "files" in seg:
+            files = list(seg["files"])
+        else:
+            rm = set(seg.get("f_rm") or [])
+            files = [d for d in rec.get("files", []) if d not in rm] + list(
+                seg.get("f_add") or []
+            )
+        for k in seg.get("k_drop") or []:
+            rec.pop(k, None)
+        for k, v in (seg.get("k_set") or {}).items():
+            rec[k] = v
+        for k, p in (seg.get("k_patch") or {}).items():
+            d = dict(rec.get(k) or {})
+            for kk in p.get("drop") or []:
+                d.pop(kk, None)
+            d.update(p.get("set") or {})
+            rec[k] = d
+        rec["files"] = files
+        rec["version"] = seg["v"]
+        rec["ts"] = seg["ts"]
+        rec["operation"] = seg["op"]
+        return rec
+
+    @classmethod
+    def _make_seg(
+        cls, parent_rec: dict | None, record: dict, n: int, ts: float
+    ) -> dict:
+        """Delta-encode a full commit record against its parent: file
+        list as add/remove, metadata keys as set/patch/drop — commit
+        bytes are O(what changed), never O(history x files).  A
+        fold-predict check falls back to storing the full value for
+        any key the delta would not reproduce exactly (defensive; the
+        file-order invariant makes it unreachable in practice)."""
+        record = json.loads(json.dumps(record))  # normalize to JSON types
+        parent = parent_rec or {}
+        seg: dict = {"v": n, "ts": ts, "op": record.get("operation", "")}
+        pfiles = parent.get("files") or []
+        nfiles = record.get("files") or []
+        pset, nset = set(pfiles), set(nfiles)
+        f_add = [d for d in nfiles if d not in pset]
+        f_rm = [d for d in pfiles if d not in nset]
+        pred = [d for d in pfiles if d in nset] + f_add
+        if pred != nfiles:
+            seg["files"] = nfiles
+        else:
+            if f_add:
+                seg["f_add"] = f_add
+            if f_rm:
+                seg["f_rm"] = f_rm
+        k_set: dict = {}
+        k_patch: dict = {}
+        for k, v in record.items():
+            if k in cls._SEG_OWNED:
+                continue
+            pv = parent.get(k, _MISSING)
+            if pv is _MISSING:
+                k_set[k] = v
+            elif pv == v:
+                continue
+            elif isinstance(pv, dict) and isinstance(v, dict):
+                s = {
+                    kk: vv
+                    for kk, vv in v.items()
+                    if pv.get(kk, _MISSING) != vv
+                }
+                dr = [kk for kk in pv if kk not in v]
+                p: dict = {}
+                if s:
+                    p["set"] = s
+                if dr:
+                    p["drop"] = dr
+                k_patch[k] = p
+            else:
+                k_set[k] = v
+        k_drop = [
+            k
+            for k in parent
+            if k not in record and k not in cls._SEG_OWNED
+        ]
+        if k_set:
+            seg["k_set"] = k_set
+        if k_patch:
+            seg["k_patch"] = k_patch
+        if k_drop:
+            seg["k_drop"] = k_drop
+        # fold-predict valve: the folded result must BE the record
+        folded = cls._apply_seg(parent, seg)
+        want = dict(record)
+        want["version"], want["ts"], want["operation"] = n, ts, seg["op"]
+        if folded != want:  # pragma: no cover — defensive only
+            seg = {
+                "v": n,
+                "ts": ts,
+                "op": seg["op"],
+                "files": nfiles,
+                "k_set": {
+                    k: v for k, v in record.items() if k not in cls._SEG_OWNED
+                },
+                "k_drop": k_drop,
+            }
+        return seg
+
+    def _fold(self, state: tuple | None, seg: dict) -> tuple:
+        """state = (rec, batch_ids, renames_composed)."""
+        rec = self._apply_seg(state[0] if state else None, seg)
+        bids = set(state[1]) if state else set()
+        if rec.get("batch_id") is not None:
+            bids.add(rec["batch_id"])
+        ren = self._compose_step(
+            dict(state[2]) if state else {}, rec.get("renames") or {}
+        )
+        return (rec, bids, ren)
+
+    def _load_ckpt(self, v: int) -> tuple | None:
+        key = self._ckpt_key(v)
+        st = self.protocol.stat(key)
+        if st is None:
+            return None
+        ck = (self.protocol.token, "ckpt", v, st)
+        hit = _STATE_CACHE.get(ck)
+        if hit is None:
+            p = json.loads(self.protocol.read(key))
+            hit = (p["rec"], set(p["batch_ids"]), p["ren"])
+            _cache_put(_STATE_CACHE, ck, hit, 256)
+        return hit
+
+    def _state_at(self, version: int) -> tuple:
+        """Folded (rec, batch_ids, renames) at `version`: nearest
+        checkpoint at-or-below, plus at most CHECKPOINT_EVERY record
+        folds — never O(history)."""
+        if version < 0:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        st = self.protocol.stat(self._seg_key(version))
+        if st is None:
+            raise ValueError(
+                f"snapshot table {self.root}: no record for version "
+                f"{version} (never committed, or vacuumed away)"
+            )
+        ck = (self.protocol.token, version, st)
+        hit = _STATE_CACHE.get(ck)
+        if hit is not None:
+            return hit
+        # walk down to the nearest reusable base: a cached folded
+        # state, a checkpoint, or the table's first record
+        base, base_v = None, -1
+        v = version
+        while v >= 0:
+            if v < version:
+                s = self.protocol.stat(self._seg_key(v))
+                if s is not None:
+                    h = _STATE_CACHE.get((self.protocol.token, v, s))
+                    if h is not None:
+                        base, base_v = h, v
+                        break
+            c = self._load_ckpt(v)
+            if c is not None:
+                base, base_v = c, v
+                break
+            if v < version and self.protocol.stat(self._seg_key(v)) is None:
+                raise ValueError(
+                    f"snapshot table {self.root}: history below version "
+                    f"{version} is truncated (vacuumed) and no checkpoint "
+                    "covers it"
+                )
+            v -= 1
+        state = base
+        for u in range(base_v + 1, version + 1):
+            seg = self._read_seg(u)
+            state = self._fold(state, seg)
+            su = self.protocol.stat(self._seg_key(u))
+            if su is not None:
+                _cache_put(
+                    _STATE_CACHE, (self.protocol.token, u, su), state, 256
+                )
+        return state
+
+    def _head_state(self) -> tuple | None:
+        hv = self._head_version()
+        return self._state_at(hv) if hv >= 0 else None
+
+    def _rec_at(self, version: int) -> dict:
+        return self._state_at(version)[0]
+
+    def _log(self) -> list[dict]:
+        """Compatibility facade: the FULL folded record for every
+        retained version, oldest first — the shape the r7 single-file
+        log held.  Costs O(retained) folds (cached); hot paths use
+        _head_state()/_state_at() instead."""
+        return [self._state_at(v)[0] for v in self.versions()]
+
+    def _batch_committed(self, batch_id) -> bool:
+        """Has a stream batch with this id ever committed?  The fold
+        carries the CUMULATIVE id set through checkpoints, so the
+        exactly-once guarantee survives vacuum truncation (the r7 log
+        forgot truncated batch ids)."""
+        hv = self._head_version()
+        return hv >= 0 and batch_id in self._state_at(hv)[1]
+
+    def _write_ckpt(self, v: int) -> None:
+        state = self._state_at(v)
+        payload = {
+            "rec": state[0],
+            "batch_ids": sorted(state[1], key=repr),
+            "ren": state[2],
+        }
+        self.protocol.put(
+            self._ckpt_key(v), json.dumps(payload).encode()
+        )
+
+    def _wait_no_vacuum(self, deadline: float) -> None:
+        """Commits exclude a running vacuum (which deletes directories
+        and truncates history) by waiting on its lock.  A lock held
+        past the deadline means a crashed vacuum — report it by name
+        instead of deadlocking."""
+        while self.protocol.exists(self._VACUUM_LOCK):
+            if time.monotonic() > deadline:
+                raise StaleCommitMarkerError(
+                    f"snapshot table {self.root}: vacuum lock "
+                    f"{self._VACUUM_LOCK} held past {self.COMMIT_WAIT_S}s "
+                    "— a vacuum crashed mid-run; delete the lock file "
+                    "to recover"
+                )
+            time.sleep(0.02)
+
+    def _append_log(
+        self,
+        record: dict,
+        expected_parent: int | None = None,
+        _during_vacuum: bool = False,
+    ) -> int:
+        """Conflict-checked commit (VERDICT r7 #1 optimistic
+        concurrency, re-based r8 onto per-version record files):
+        version N is published by whoever atomically CREATES
+        `_log/{N}.json` via the protocol's put_if_absent — the claim
+        and the record are one object, so interleaved committers can
+        never drop each other's record, and a crashed committer leaves
+        nothing to go stale (ADVICE r8: the old claim-then-publish
+        split let a stalled writer reclaim a vacuumed marker and
+        publish a duplicate version; with publish == create that
+        cannot be expressed).
 
         `expected_parent` is the head version the operation's reads
         were based on: if the head moved by commit time the write is
@@ -377,95 +883,52 @@ class SnapshotTable:
         (or catch and rebase): their record is rebuilt from the live
         head, so any serialization order is correct.
 
-        A claimed-but-never-published marker (crashed committer) is
-        reported by name after COMMIT_WAIT_S instead of deadlocking.
-
         Returns the committed version number."""
         deadline = time.monotonic() + self.COMMIT_WAIT_S
         while True:
-            log = self._log()
-            head_v = log[-1]["version"] if log else -1
+            if not _during_vacuum:
+                self._wait_no_vacuum(deadline)
+            head_v = self._head_version()
             if expected_parent is not None and head_v != expected_parent:
                 raise ConcurrentWriteError(
                     f"snapshot table {self.root}: head moved from version "
                     f"{expected_parent} to {head_v} during this operation — "
                     "re-read the table and retry"
                 )
-            n = head_v + 1
-            marker = os.path.join(self.root, f"_v{n:05d}.commit")
-            try:
-                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-            except FileExistsError:
-                # another writer owns version n: wait for it to publish
-                # (head advances -> conflict/retry above) or abort
-                # (marker vanishes -> claim again)
-                while (
-                    os.path.exists(marker)
-                    and self._head_version() < n
-                ):
-                    if time.monotonic() > deadline:
-                        raise StaleCommitMarkerError(
-                            f"snapshot table {self.root}: commit marker "
-                            f"{marker} is claimed but version {n} never "
-                            "published — a committer crashed mid-commit; "
-                            "delete the marker file to recover"
-                        )
-                    time.sleep(0.02)
-                continue
-            try:
-                # freshest parent under the claim: nobody else can
-                # publish version n, and n-1 was already published
-                # (we derived n from a log that contained it)
-                log = self._log()
+            parent = self._state_at(head_v)[0] if head_v >= 0 else None
+            rec = dict(record)
+            if parent:
                 # CHECK constraints are table-level metadata: every
                 # commit inherits the parent's set unless it explicitly
-                # changes it
-                if (
-                    "constraints" not in record
-                    and log
-                    and log[-1].get("constraints")
-                ):
-                    record["constraints"] = dict(log[-1]["constraints"])
-                # Deletion-vector sidecars inherit the same way: DV
+                # changes it.  DV sidecars inherit the same way (their
                 # entries are keyed by data-file path, so entries whose
-                # file left the version's file set simply never match at
-                # read time — blanket inheritance is correct for every
-                # commit kind (append, merge, CoW delete, compact,
-                # evolve).  delete_where(mode="dv") extends the list
-                # explicitly; rollback restores the target's.
-                if "dvs" not in record and log and log[-1].get("dvs"):
-                    record["dvs"] = list(log[-1]["dvs"])
-                # Bloom manifests inherit likewise: entries are keyed by
-                # data file, so entries for files no longer in the
-                # version are never consulted.  Writers that create a
-                # new directory merge its fresh blooms in explicitly.
-                if "bloom" not in record and log and log[-1].get("bloom"):
-                    record["bloom"] = dict(log[-1]["bloom"])
-                # ANN manifests inherit like blooms: entries are keyed
-                # by data file, and unkeyed files (CoW/compact rewrites)
-                # are conservatively read at knn time.
-                if "ann" not in record and log and log[-1].get("ann"):
-                    record["ann"] = dict(log[-1]["ann"])
-                record["version"] = n
-                record["ts"] = time.time()
-                log.append(record)
-                tmp = self._log_path() + f".tmp.{n}"
-                with open(tmp, "w") as fh:
-                    json.dump(log, fh, indent=1)
-                os.replace(tmp, self._log_path())
-                return n
-            except Exception:
-                # failed before publishing: release the claim so the
-                # table isn't blocked by our corpse
+                # file left the version's file set never match at read
+                # time); delete_where(mode="dv") extends the list
+                # explicitly, rollback restores the target's.  ANN
+                # quantizer metadata inherits until a retrain replaces
+                # it.  Per-FILE manifests (stats/bloom/ann clusters)
+                # live in parquet sidecars keyed by directory — nothing
+                # O(#files) is ever copied forward (VERDICT r8 #2).
+                for k in ("constraints", "dvs", "ann"):
+                    if k not in rec and parent.get(k):
+                        rec[k] = parent[k]
+            n = head_v + 1
+            seg = self._make_seg(parent, rec, n, time.time())
+            data = json.dumps(seg, separators=(",", ":")).encode()
+            if not self.protocol.put_if_absent(self._seg_key(n), data):
+                # someone published n first: loop — the CAS check above
+                # raises for content-dependent callers, append-style
+                # callers rebuild against the fresh head
+                continue
+            if n > 0 and n % self.CHECKPOINT_EVERY == 0:
+                # checkpoints are an optimization: only version n's
+                # (unique) publisher writes ckpt n, and a failure must
+                # never fail the commit that already happened
                 try:
-                    os.unlink(marker)
-                except OSError:
+                    self._write_ckpt(n)
+                except Exception:
                     pass
-                raise
-
-    def versions(self) -> list[int]:
-        return [r["version"] for r in self._log()]
+            return n
 
     # -- commits ---------------------------------------------------------
     def _new_dir(self, kind: str) -> str:
@@ -481,13 +944,8 @@ class SnapshotTable:
         )
         d, i = base, 0
         while True:
-            claim = os.path.join(
-                self.root, "_claim_" + os.path.basename(d)
-            )
-            try:
-                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-            except FileExistsError:
+            claim = "_claim_" + os.path.basename(d)
+            if not self.protocol.put_if_absent(claim, b""):
                 i += 1
                 d = f"{base}_{i}"
                 continue
@@ -544,17 +1002,148 @@ class SnapshotTable:
             }
         return out
 
+    # -- per-directory manifest sidecars (VERDICT r8 #2) -------------------
+    # Per-FILE pruning metadata (min/max zone maps, Bloom filters, ANN
+    # cluster sets) is one immutable parquet file per snapshot
+    # directory under <root>/_manifests/ — written once when the
+    # directory is committed, NEVER copied forward, and read lazily
+    # (driver-side with a cache for small tables; executor-side via
+    # Spark above PRUNE_DISTRIBUTED_MIN_FILES).  The log record stays
+    # independent of the number of data files.
+
+    def _manifest_path(self, d: str) -> str:
+        return os.path.join(
+            self.root, "_manifests", os.path.basename(d) + ".parquet"
+        )
+
+    @staticmethod
+    def _data_files(d: str) -> list[str]:
+        """The directory's data files — Spark metadata (`_SUCCESS`) and
+        our sidecars are `_`-prefixed and never data."""
+        try:
+            names = sorted(os.listdir(d))
+        except FileNotFoundError:
+            return []
+        return [
+            os.path.join(d, fn)
+            for fn in names
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        ]
+
+    def _write_manifest(self, spark: SparkSession, d: str, ann_cents=None) -> None:
+        """Build and write directory `d`'s manifest sidecar: one row
+        per (file, column, kind) with a JSON payload — `minmax`
+        [lo, hi] from parquet footers, `bloom` {m, k, b} built
+        executor-side, `ann` {clusters, mean_sim} from the
+        deterministic centroid assignment.  O(new files) rows, written
+        once; directories with no recorded metadata get no sidecar
+        (readers treat that as no-entries and scan conservatively)."""
+        rows: list[tuple[str, str, str, str]] = []
+        for f, cols in self._stats_for(d).items():
+            for c, mm in cols.items():
+                rows.append((f, c, "minmax", json.dumps(mm)))
+        for f, cols in self._blooms_for(spark, d).items():
+            for c, e in cols.items():
+                rows.append((f, c, "bloom", json.dumps(e)))
+        if ann_cents is not None:
+            from dbt_lab_spark.plans.ann import file_cluster_stats
+
+            col = self._ann_live_col()
+            if col is not None:
+                for f, e in file_cluster_stats(
+                    spark, d, ann_cents, col, self._norm_file_col
+                ).items():
+                    rows.append((f, col, "ann", json.dumps(e)))
+        if not rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._manifest_path(d)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [r[0] for r in rows],
+                    "col": [r[1] for r in rows],
+                    "kind": [r[2] for r in rows],
+                    "payload": [r[3] for r in rows],
+                }
+            ),
+            path,
+        )
+
+    def _remove_dir(self, d: str) -> None:
+        """Drop an orphaned snapshot directory AND its sidecar + name
+        claim (conflict-loser cleanup and vacuum both land here)."""
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.unlink(self._manifest_path(d))
+        except OSError:
+            pass
+        self.protocol.delete("_claim_" + os.path.basename(d))
+
+    def _manifest_for(self, d: str) -> dict:
+        """Parsed manifest for directory `d`:
+        {"minmax": {file: {col: [lo, hi]}},
+         "bloom": {file: {col: {m, k, b}}},
+         "ann": {file: {"clusters": [...], "mean_sim": x}}} — empty
+        dicts when no sidecar exists.  Cached: directories are
+        immutable and version numbers never recur."""
+        path = self._manifest_path(d)
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return {"minmax": {}, "bloom": {}, "ann": {}}
+        key = (path, st.st_mtime_ns, st.st_size)
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        out: dict = {"minmax": {}, "bloom": {}, "ann": {}}
+        for f, c, kind, payload in zip(
+            t.column("file").to_pylist(),
+            t.column("col").to_pylist(),
+            t.column("kind").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            v = json.loads(payload)
+            if kind == "ann":
+                out["ann"][f] = v
+            else:
+                out[kind].setdefault(f, {})[c] = v
+        _cache_put(_MANIFEST_CACHE, key, out, 1024)
+        return out
+
+    @staticmethod
+    def _phys_name(rec: dict, d: str, col: str) -> str:
+        """Translate a LOGICAL column name to directory `d`'s physical
+        one (manifest sidecars are keyed by the names the directory
+        was physically written with; renames since then are a per-dir
+        mapping in the record — the sidecars themselves are never
+        rewritten)."""
+        dl = (rec.get("dir_logical_columns") or {}).get(d)
+        dc = (rec.get("dir_columns") or {}).get(d)
+        if dl and dc and col in dl:
+            return dc[dl.index(col)]
+        return col
+
     # -- ANN index maintenance (plans/ann.py does the heavy lifting) ------
     def _ann_live_col(self) -> str | None:
         return self._live_cols([self.ann_col])[0] if self.ann_col else None
 
     def _ann_cents(self, df: DataFrame | None) -> list[list[float]] | None:
         """Centroids in priority order: the table's recorded quantizer
-        (immutable after the first ann commit), the constructor-supplied
-        one, else train on `df` (the first-commit path)."""
-        log = self._log()
-        if log and log[-1].get("ann"):
-            return log[-1]["ann"]["centroids"]
+        (immutable after the first ann commit, until an explicit
+        retrain), the constructor-supplied one, else train on `df`
+        (the first-commit path)."""
+        head = self._head_state()
+        if head and head[0].get("ann"):
+            return head[0]["ann"]["centroids"]
         if self.ann_centroids is not None:
             return [list(c) for c in self.ann_centroids]
         if df is None:
@@ -587,23 +1176,49 @@ class SnapshotTable:
 
         return cluster_order(df, cents, col, self.ann_files), cents
 
-    def _ann_rec(
-        self, spark: SparkSession, d: str, cents, parent_rec: dict
-    ) -> dict:
-        """The commit record's ann fragment: quantizer + parent file
-        manifest merged with the new directory's per-file cluster sets
-        (one executor-side pass over the new dir, like _blooms_for)."""
-        from dbt_lab_spark.plans.ann import file_clusters
-
-        col = self._ann_live_col()
-        new = file_clusters(spark, d, cents, col, self._norm_file_col)
-        parent = (parent_rec.get("ann") or {}).get("files") or {}
+    def _ann_meta(self, cents) -> dict:
+        """The commit record's ann fragment: quantizer METADATA only
+        (centroids, column, id column) — O(C x d), independent of the
+        number of files.  Per-file cluster sets live in each
+        directory's manifest sidecar (VERDICT r8 #2)."""
         return {
             "centroids": [list(c) for c in cents],
-            "col": col,
+            "col": self._ann_live_col(),
             "id_col": self.ann_id_col,
-            "files": {**parent, **new},
         }
+
+    def ann_file_clusters(self, version: int | None = None) -> dict:
+        """{data file: [cluster ids]} for the version, assembled from
+        the directories' manifest sidecars — files written by paths
+        that do not re-cluster (CoW merge/delete) have no entry and
+        are conservatively read at knn time."""
+        rec = self._rec_at(
+            self._head_version() if version is None else version
+        )
+        out: dict[str, list[int]] = {}
+        for d in rec["files"]:
+            for f, e in self._manifest_for(d)["ann"].items():
+                out[f] = list(e["clusters"])
+        return out
+
+    def file_stats(self, version: int | None = None) -> dict:
+        """{data file: {LOGICAL column: [lo, hi]}} for the version,
+        assembled from manifest sidecars with per-directory physical →
+        logical name translation — the audit view of what `between=`
+        pruning sees."""
+        rec = self._rec_at(
+            self._head_version() if version is None else version
+        )
+        out: dict[str, dict] = {}
+        for d in rec["files"]:
+            dl = (rec.get("dir_logical_columns") or {}).get(d)
+            dc = (rec.get("dir_columns") or {}).get(d)
+            to_logical = dict(zip(dc, dl)) if dl and dc else {}
+            for f, cols in self._manifest_for(d)["minmax"].items():
+                out[f] = {
+                    to_logical.get(c, c): v for c, v in cols.items()
+                }
+        return out
 
     def knn(
         self,
@@ -628,11 +1243,8 @@ class SnapshotTable:
         from dbt_lab_spark.llm.similarity import ivf_knn
         from dbt_lab_spark.plans import ann as _ann
 
-        log = self._log()
-        if not log:
-            raise ValueError(f"snapshot table {self.root} has no commits")
-        rec = log[-1] if version is None else next(
-            r for r in log if r["version"] == version
+        rec = self._rec_at(
+            self._head_version() if version is None else version
         )
         meta = rec.get("ann")
         if not meta:
@@ -659,7 +1271,7 @@ class SnapshotTable:
             for r in probes.select("cluster").distinct().collect()
             # bounded by the number of centroids
         }
-        keep, _, _ = _ann.prune_files(rec, probed)
+        keep, _, _ = self._ann_prune(rec, probed)
         if not keep:
             corpus = self._read_paths(spark, rec, rec["files"]).filter(
                 F.lit(False)
@@ -690,9 +1302,8 @@ class SnapshotTable:
         file-skipping audit number."""
         from dbt_lab_spark.plans import ann as _ann
 
-        log = self._log()
-        rec = log[-1] if version is None else next(
-            r for r in log if r["version"] == version
+        rec = self._rec_at(
+            self._head_version() if version is None else version
         )
         meta = rec.get("ann") or {}
         cents = meta.get("centroids")
@@ -708,8 +1319,56 @@ class SnapshotTable:
             .distinct()
             .collect()
         }
-        _, kept, total = _ann.prune_files(rec, probed)
+        _, kept, total = self._ann_prune(rec, probed)
         return kept, total
+
+    def _ann_prune(self, rec: dict, probed: set) -> tuple[list[str], int, int]:
+        """Keep the data files whose sidecar-recorded cluster set
+        intersects the probe union; files without an entry are
+        conservatively kept.  Returns (kept paths, n_kept, n_total)."""
+        keep: list[str] = []
+        total = 0
+        for d in rec["files"]:
+            ann_m = self._manifest_for(d)["ann"]
+            for p in self._data_files(d):
+                total += 1
+                e = ann_m.get(p)
+                if e is None or probed.intersection(e["clusters"]):
+                    keep.append(p)
+        return keep, len(keep), total
+
+    def ann_staleness(self, version: int | None = None) -> dict:
+        """ANN index drift metric (VERDICT r8 #4): per-commit mean
+        max-cosine assignment similarity rides each directory's
+        manifest, so drift is visible WITHOUT rescanning data.  Returns
+        {"base_mean_sim": directories written under the quantizer's
+        training distribution (the first ann-keyed dir),
+        "latest_mean_sim": the newest ann-keyed dir,
+        "staleness": max(0, base - latest)} — a corpus whose embedding
+        distribution drifted assigns FARTHER from every centroid, so
+        latest drops below base; retrain via
+        compact(retrain_ann=True) when staleness exceeds your recall
+        budget (measured in ANN_SCALE_r9.txt)."""
+        rec = self._rec_at(
+            self._head_version() if version is None else version
+        )
+        per_dir: list[float] = []
+        for d in rec["files"]:
+            sims = [
+                e["mean_sim"]
+                for e in self._manifest_for(d)["ann"].values()
+                if e.get("mean_sim") is not None
+            ]
+            if sims:
+                per_dir.append(sum(sims) / len(sims))
+        if not per_dir:
+            raise ValueError(f"snapshot table {self.root}: no ANN index")
+        base, latest = per_dir[0], per_dir[-1]
+        return {
+            "base_mean_sim": base,
+            "latest_mean_sim": latest,
+            "staleness": max(0.0, base - latest),
+        }
 
     def _dir_meta(
         self,
@@ -940,21 +1599,20 @@ class SnapshotTable:
         validated now — adding a constraint a current row violates is
         an error, the ALTER TABLE ADD CONSTRAINT contract.  SQL
         semantics: a row passes when the expression is true OR NULL."""
-        log = self._log()
-        if not log:
+        head_state = self._head_state()
+        if head_state is None:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        cons = dict(log[-1].get("constraints") or {})
+        head = head_state[0]
+        cons = dict(head.get("constraints") or {})
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists")
         self._validate(
-            self._read_paths(spark, log[-1], log[-1]["files"]), {name: sql_expr}
+            self._read_paths(spark, head, head["files"]), {name: sql_expr}
         )
         cons[name] = sql_expr
-        head = log[-1]
         rec = {
             "operation": f"add_constraint({name})",
             "files": list(head["files"]),
-            "stats": dict(head.get("stats", {})),
             "constraints": cons,
         }
         if "columns" in head:
@@ -965,18 +1623,17 @@ class SnapshotTable:
         return self._append_log(rec, expected_parent=head["version"])
 
     def drop_constraint(self, name: str) -> int:
-        log = self._log()
-        if not log:
+        head_state = self._head_state()
+        if head_state is None:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        cons = dict(log[-1].get("constraints") or {})
+        head = head_state[0]
+        cons = dict(head.get("constraints") or {})
         if name not in cons:
             raise ValueError(f"no constraint {name!r}")
         del cons[name]
-        head = log[-1]
         rec = {
             "operation": f"drop_constraint({name})",
             "files": list(head["files"]),
-            "stats": dict(head.get("stats", {})),
             "constraints": cons,
         }
         if "columns" in head:
@@ -1002,8 +1659,8 @@ class SnapshotTable:
                 )
 
     def _head_constraints(self) -> dict[str, str]:
-        log = self._log()
-        return dict(log[-1].get("constraints") or {}) if log else {}
+        head = self._head_state()
+        return dict(head[0].get("constraints") or {}) if head else {}
 
     def commit(
         self,
@@ -1021,18 +1678,17 @@ class SnapshotTable:
         df, ann_cents = self._ann_stage(df)
         d = self._new_dir("full")
         df.write.mode("errorifexists").parquet(d)
+        self._write_manifest(df.sparkSession, d, ann_cents)
         rec = {
             "operation": operation,
             "files": [d],
-            "stats": self._stats_for(d),
-            "bloom": self._blooms_for(df.sparkSession, d),
             "columns": list(df.columns),
             "schema_json": json.dumps(df.schema.jsonValue()),
             **self._dir_meta({}, [], d, df.schema),
             **(record_extra or {}),
         }
         if ann_cents is not None:
-            rec["ann"] = self._ann_rec(df.sparkSession, d, ann_cents, {})
+            rec["ann"] = self._ann_meta(ann_cents)
         try:
             return self._append_log(rec, expected_parent=expected_parent)
         except ConcurrentWriteError:
@@ -1040,9 +1696,7 @@ class SnapshotTable:
             # path reaches here): drop the unreferenced snapshot dir
             # like the other DML paths do instead of leaving an orphan
             # until vacuum (ADVICE r8)
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+            self._remove_dir(d)
             raise
 
     # commit-rebase attempts for append-only writers before giving up
@@ -1066,8 +1720,8 @@ class SnapshotTable:
         d: str | None = None
         ann_cents = None
         for _ in range(self.APPEND_RETRIES):
-            log = self._log()
-            if not log:
+            head_state = self._head_state()
+            if head_state is None:
                 try:
                     return self.commit(
                         batch, operation="append", expected_parent=-1
@@ -1081,22 +1735,16 @@ class SnapshotTable:
                 batch, ann_cents = self._ann_stage(batch)
                 d = self._new_dir("delta")
                 batch.write.mode("errorifexists").parquet(d)
-            head = log[-1]
+                self._write_manifest(batch.sparkSession, d, ann_cents)
+            head = head_state[0]
             rec = {
                 "operation": "append",
                 "files": head["files"] + [d],
-                "stats": {**head.get("stats", {}), **self._stats_for(d)},
-                "bloom": {
-                    **(head.get("bloom") or {}),
-                    **self._blooms_for(batch.sparkSession, d),
-                },
                 **self._evolved_schema(head, batch),
                 **self._dir_meta(head, head["files"], d, batch.schema),
             }
             if ann_cents is not None:
-                rec["ann"] = self._ann_rec(
-                    batch.sparkSession, d, ann_cents, head
-                )
+                rec["ann"] = self._ann_meta(ann_cents)
             try:
                 return self._append_log(rec, expected_parent=head["version"])
             except StaleCommitMarkerError:
@@ -1112,27 +1760,46 @@ class SnapshotTable:
         """Commit a new version whose file set IS an old version's —
         history stays intact, the head moves back.
 
-        The restored version's CONSTRAINT set and deletion-vector state
-        are restored with it (not inherited from the abandoned head —
-        ADVICE r6: inheriting the head's constraints could leave head
-        data that violates a constraint the restored rows were never
-        validated against)."""
-        log = self._log()
-        target = next(r for r in log if r["version"] == version)
-        rec = {
-            "operation": f"rollback({version})",
-            "files": list(target["files"]),
-            "stats": dict(target.get("stats", {})),
-            "constraints": dict(target.get("constraints") or {}),
-            "dvs": list(target.get("dvs") or []),
-            "bloom": dict(target.get("bloom") or {}),
-        }
-        if "columns" in target:
-            rec["columns"] = list(target["columns"])
-            rec.update(self._dir_meta(target, target["files"]))
-            if "schema_json" in target:
-                rec["schema_json"] = target["schema_json"]
-        return self._append_log(rec, expected_parent=log[-1]["version"])
+        The restored version's CONSTRAINT set, deletion-vector state
+        and ANN quantizer are restored with it (not inherited from the
+        abandoned head — ADVICE r6: inheriting the head's constraints
+        could leave head data that violates a constraint the restored
+        rows were never validated against; likewise a post-retrain
+        head's centroids must not be applied to pre-retrain files).
+
+        Rollback is the one commit kind that references directories
+        OUTSIDE the recent heads, so it holds the vacuum lock from
+        target-read to publish — a concurrent vacuum can then never
+        delete the target's directories between the two (ADVICE r8)."""
+        deadline = time.monotonic() + self.COMMIT_WAIT_S
+        while not self.protocol.put_if_absent(self._VACUUM_LOCK, b"rollback"):
+            if time.monotonic() > deadline:
+                raise StaleCommitMarkerError(
+                    f"snapshot table {self.root}: vacuum lock "
+                    f"{self._VACUUM_LOCK} held past {self.COMMIT_WAIT_S}s "
+                    "— delete the lock file to recover"
+                )
+            time.sleep(0.02)
+        try:
+            head_v = self._head_version()
+            target = self._rec_at(version)
+            rec = {
+                "operation": f"rollback({version})",
+                "files": list(target["files"]),
+                "constraints": dict(target.get("constraints") or {}),
+                "dvs": list(target.get("dvs") or []),
+                "ann": dict(target.get("ann") or {}),
+            }
+            if "columns" in target:
+                rec["columns"] = list(target["columns"])
+                rec.update(self._dir_meta(target, target["files"]))
+                if "schema_json" in target:
+                    rec["schema_json"] = target["schema_json"]
+            return self._append_log(
+                rec, expected_parent=head_v, _during_vacuum=True
+            )
+        finally:
+            self.protocol.delete(self._VACUUM_LOCK)
 
     # safe widenings (the Delta type-widening matrix for integrals and
     # floats): every old value is exactly representable in the new type
@@ -1174,10 +1841,10 @@ class SnapshotTable:
         reads cast per generation either way."""
         from pyspark.sql import types as T
 
-        log = self._log()
-        if not log:
+        head_state = self._head_state()
+        if head_state is None:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        head = log[-1]
+        head = head_state[0]
         if "schema_json" not in head:
             raise ValueError("evolve: table has no recorded schema")
         schema = T.StructType.fromJson(json.loads(head["schema_json"]))
@@ -1233,7 +1900,7 @@ class SnapshotTable:
                     else chunk
                 )
             new_cons[cname] = "".join(out_chunks)
-        version = len(log)
+        version = head["version"] + 1
         # tombstone mapping for dropped columns: unique per evolve, so
         # pre-drop physical data never binds to a re-added name
         rename.update({c: f"__dropped_{c}_v{version}" for c in drop})
@@ -1267,27 +1934,15 @@ class SnapshotTable:
             d: [rename.get(c, c) for c in parent_logical.get(d, cols)]
             for d, cols in dir_cols.items()
         }
-        # manifest stats are keyed by PHYSICAL column name per file and
-        # min/max stay valid under widening — but `between=` lookups use
-        # logical names, so translate the keys (dropped columns' stats
-        # go to the tombstone name, unreachable from `between=`)
-        stats = {
-            p: {rename.get(c, c): v for c, v in cols.items()}
-            for p, cols in head.get("stats", {}).items()
-        }
-        # bloom manifests are keyed file -> LOGICAL column: follow the
-        # rename the same way (a dropped column's filters move to the
-        # tombstone name, unreachable from point=)
-        bloom = {
-            p: {rename.get(c, c): v for c, v in cols.items()}
-            for p, cols in (head.get("bloom") or {}).items()
-        }
-        return self._append_log(
-            {
+        # Manifest sidecars are keyed by each directory's PHYSICAL
+        # column names and are never rewritten: the per-dir logical
+        # mapping below is what translates a `between=`/`point=`
+        # lookup's logical name back to the sidecar key (_phys_name) —
+        # dropped columns map to tombstone names, unreachable from
+        # either. min/max stay valid under widening.
+        rec = {
                 "operation": f"evolve(widen={widen}, rename={rename}, drop={drop})",
                 "files": list(head["files"]),
-                "stats": stats,
-                "bloom": bloom,
                 "constraints": new_cons,
                 # rename history (old -> new for THIS evolve, tombstones
                 # included): change_feed composes these across versions
@@ -1300,9 +1955,15 @@ class SnapshotTable:
                 "dir_columns": dict(dir_cols),
                 "dir_schema_json": dict(head.get("dir_schema_json") or {}),
                 "dir_logical_columns": dir_logical,
-            },
-            expected_parent=head["version"],
-        )
+            }
+        # the ANN quantizer metadata names its column LOGICALLY: a
+        # rename of the indexed column must follow (knn() and later
+        # commits' _ann_stage resolve through it)
+        if head.get("ann") and head["ann"].get("col") in rename:
+            rec["ann"] = {
+                **head["ann"], "col": rename[head["ann"]["col"]]
+            }
+        return self._append_log(rec, expected_parent=head["version"])
 
     def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int | None:
         """Idempotent foreachBatch sink: commit the micro-batch as a
@@ -1314,42 +1975,36 @@ class SnapshotTable:
         d: str | None = None
         ann_cents = None
         for _ in range(self.APPEND_RETRIES):
-            log = self._log()
+            head_state = self._head_state()
             # the batch_id re-check lives INSIDE the retry loop: two
             # concurrent replays of the same batch race their commits,
             # and the loser must observe the winner's record, not
-            # double-apply
-            if any(r.get("batch_id") == batch_id for r in log):
+            # double-apply.  The fold carries the CUMULATIVE id set
+            # through checkpoints, so the check also survives vacuum.
+            if self._batch_committed(batch_id):
                 return None
             self._validate(batch, self._head_constraints())
             if d is None:
                 batch, ann_cents = self._ann_stage(batch)
-                d = self._new_dir("full" if not log else "delta")
+                d = self._new_dir("full" if head_state is None else "delta")
                 batch.write.mode("errorifexists").parquet(d)
-            parent_files = log[-1]["files"] if log else []
-            parent_stats = log[-1].get("stats", {}) if log else {}
-            parent_rec = log[-1] if log else {}
+                self._write_manifest(batch.sparkSession, d, ann_cents)
+            parent_rec = head_state[0] if head_state else {}
+            parent_files = parent_rec.get("files") or []
             rec = {
                 "operation": "stream",
                 "batch_id": batch_id,
                 "files": parent_files + [d],
-                "stats": {**parent_stats, **self._stats_for(d)},
-                "bloom": {
-                    **(parent_rec.get("bloom") or {}),
-                    **self._blooms_for(batch.sparkSession, d),
-                },
                 **self._evolved_schema(parent_rec, batch),
                 **self._dir_meta(parent_rec, parent_files, d, batch.schema),
             }
             if ann_cents is not None:
-                rec["ann"] = self._ann_rec(
-                    batch.sparkSession, d, ann_cents, parent_rec
-                )
+                rec["ann"] = self._ann_meta(ann_cents)
             try:
                 return self._append_log(
                     rec,
                     expected_parent=(
-                        log[-1]["version"] if log else -1
+                        parent_rec["version"] if head_state else -1
                     ),
                 )
             except StaleCommitMarkerError:
@@ -1398,11 +2053,10 @@ class SnapshotTable:
         # is safe — each attempt re-reads the head and the batch_id
         # re-check keeps replays exactly-once.
         for _ in range(self.APPEND_RETRIES):
-            log = self._log()
-            if any(r.get("batch_id") == batch_id for r in log):
+            if self._batch_committed(batch_id):
                 return None
             try:
-                if not log:
+                if self._head_version() < 0:
                     return self.commit(
                         batch,
                         operation="stream-merge",
@@ -1478,40 +2132,32 @@ class SnapshotTable:
         O(matching files) instead of O(table)."""
         from pyspark.sql import functions as F
 
-        log = self._log()
-        if not log:
+        vs = self.versions()
+        if not vs:
             raise ValueError(f"snapshot table {self.root} has no commits")
         if as_of is not None:
             if version is not None:
                 raise ValueError("read: pass version= or as_of=, not both")
             epoch = self._as_of_epoch(as_of)
-            eligible = [r for r in log if r["ts"] <= epoch]
+            # resolve over (version, ts) pairs — record TIMESTAMPS are
+            # one small field per retained record file, no folding
+            vts = [(v, self._read_seg(v)["ts"]) for v in vs]
+            eligible = [v for v, ts in vts if ts <= epoch]
             if not eligible:
                 raise ValueError(
                     f"snapshot table {self.root}: as_of={as_of!r} predates "
-                    f"the first commit (ts={log[0]['ts']})"
+                    f"the first commit (ts={vts[0][1]})"
                 )
-            rec = eligible[-1]
+            rec = self._rec_at(eligible[-1])
         else:
-            rec = log[-1] if version is None else next(
-                r for r in log if r["version"] == version
-            )
+            rec = self._rec_at(vs[-1] if version is None else version)
         if between is None and point is None:
             return self._read_paths(spark, rec, rec["files"])
         if point is not None:
             if between is not None:
                 raise ValueError("read: pass between= or point=, not both")
             pcol, pv = point
-            bloom = rec.get("bloom") or {}
-            keep = []
-            for d in rec["files"]:
-                for fn in sorted(os.listdir(d)):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    p = os.path.join(d, fn)
-                    entry = bloom.get(p, {}).get(pcol)
-                    if entry is None or _bloom_maybe_contains(entry, pv):
-                        keep.append(p)
+            keep = self._prune(spark, rec, "bloom", pcol, (pv,))
             if not keep:
                 return (
                     self._read_paths(spark, rec, rec["files"])
@@ -1522,16 +2168,7 @@ class SnapshotTable:
                 F.col(pcol) == F.lit(pv)
             )
         col, lo, hi = between
-        stats = rec.get("stats", {})
-        keep: list[str] = []
-        for d in rec["files"]:
-            for fn in sorted(os.listdir(d)):
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(d, fn)
-                s = stats.get(p, {}).get(col)
-                if s is None or not (s[1] < lo or s[0] > hi):
-                    keep.append(p)
+        keep = self._prune(spark, rec, "minmax", col, (lo, hi))
         if not keep:
             return (
                 self._read_paths(spark, rec, rec["files"])
@@ -1542,26 +2179,131 @@ class SnapshotTable:
             F.col(col).between(lo, hi)
         )
 
+    # files-per-version threshold above which pruning decisions are
+    # evaluated DISTRIBUTED (Spark scan of the manifest sidecars +
+    # vectorized evaluation in executors) instead of driver-side —
+    # at 10^5 files the driver must not open 10^5 sidecars itself
+    PRUNE_DISTRIBUTED_MIN_FILES = 4096
+
+    def _prune(
+        self,
+        spark: SparkSession | None,
+        rec: dict,
+        kind: str,
+        col: str,
+        args: tuple,
+    ) -> list[str]:
+        """Data files of `rec` that survive manifest pruning.  `kind`
+        is "minmax" ([lo, hi] overlap against footer zone maps) or
+        "bloom" (point lookup, Bloom definitive-absent).  Lookups name the LOGICAL
+        column; each directory's sidecar is keyed by its physical
+        names, translated via _phys_name — evolve never rewrites
+        sidecars.  Files without an entry are conservatively kept, so
+        results are exact regardless of manifest coverage.
+
+        Driver path: one cached sidecar read per directory.  Above
+        PRUNE_DISTRIBUTED_MIN_FILES, the sidecars are scanned BY SPARK
+        and the exclusion set is computed executor-side — the driver
+        receives only the excluded file list (tests pin both paths
+        bit-equal)."""
+        all_files: list[str] = []
+        dir_of: dict[str, str] = {}
+        for d in rec["files"]:
+            for p in self._data_files(d):
+                all_files.append(p)
+                dir_of[p] = d
+        if spark is not None and len(all_files) >= self.PRUNE_DISTRIBUTED_MIN_FILES:
+            excluded = self._prune_excluded_distributed(
+                spark, rec, kind, col, args
+            )
+        else:
+            excluded = set()
+            for d in rec["files"]:
+                man = self._manifest_for(d)[kind]
+                pcol = self._phys_name(rec, d, col)
+                for p, cols in man.items():
+                    e = cols.get(pcol)
+                    if e is None:
+                        continue
+                    if kind == "minmax":
+                        lo, hi = args
+                        if e[1] < lo or e[0] > hi:
+                            excluded.add(p)
+                    else:
+                        if not _bloom_maybe_contains(e, args[0]):
+                            excluded.add(p)
+        return [p for p in all_files if p not in excluded]
+
+    def _prune_excluded_distributed(
+        self, spark: SparkSession, rec: dict, kind: str, col: str, args: tuple
+    ) -> set[str]:
+        """The scale path of _prune: Spark scans the per-directory
+        manifest sidecars (column-pruned to this kind + the per-dir
+        physical column name) and executors evaluate the exclusion
+        predicate over Arrow batches; only excluded file PATHS reach
+        the driver — O(excluded), never O(#files) driver work."""
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        paths, pcol_of_manifest = [], {}
+        for d in rec["files"]:
+            mp = self._manifest_path(d)
+            if os.path.exists(mp):
+                paths.append(mp)
+                pcol_of_manifest[os.path.realpath(mp)] = self._phys_name(
+                    rec, d, col
+                )
+        if not paths:
+            return set()
+        src = (
+            spark.read.parquet(*paths)
+            .withColumn(
+                "__m",
+                self._norm_file_col(F.col("_metadata.file_path")),
+            )
+            .filter(F.col("kind") == F.lit(kind))
+            .select("__m", "col", "file", "payload")
+        )
+        out_schema = T.StructType([T.StructField("file", T.StringType())])
+
+        def _eval(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                drop = []
+                for m, c, f, payload in zip(
+                    pdf["__m"], pdf["col"], pdf["file"], pdf["payload"]
+                ):
+                    if c != pcol_of_manifest.get(os.path.realpath(m), col):
+                        continue
+                    e = json.loads(payload)
+                    if kind == "minmax":
+                        lo, hi = args
+                        if e[1] < lo or e[0] > hi:
+                            drop.append(f)
+                    elif not _bloom_maybe_contains(e, args[0]):
+                        drop.append(f)
+                if drop:
+                    yield pd.DataFrame({"file": drop})
+
+        return {
+            r["file"] for r in src.mapInPandas(_eval, out_schema).collect()
+        }
+
     def pruned_file_count(
         self, version: int | None, between: tuple[str, object, object]
     ) -> tuple[int, int]:
         """(files kept, files total) for a `between` read — the
         data-skipping audit number."""
-        log = self._log()
-        rec = log[-1] if version is None else next(
-            r for r in log if r["version"] == version
+        rec = self._rec_at(
+            self._head_version() if version is None else version
         )
         col, lo, hi = between
-        stats = rec.get("stats", {})
-        total = kept = 0
-        for d in rec["files"]:
-            for fn in sorted(os.listdir(d)):
-                if not fn.endswith(".parquet"):
-                    continue
-                total += 1
-                s = stats.get(os.path.join(d, fn), {}).get(col)
-                if s is None or not (s[1] < lo or s[0] > hi):
-                    kept += 1
+        total = sum(len(self._data_files(d)) for d in rec["files"])
+        kept = len(self._prune(None, rec, "minmax", col, (lo, hi)))
         return kept, total
 
     def pruned_point_file_count(
@@ -1569,22 +2311,12 @@ class SnapshotTable:
     ) -> tuple[int, int]:
         """(files kept, files total) for a `point=` Bloom lookup — the
         point-skipping audit number."""
-        log = self._log()
-        rec = log[-1] if version is None else next(
-            r for r in log if r["version"] == version
+        rec = self._rec_at(
+            self._head_version() if version is None else version
         )
         pcol, pv = point
-        bloom = rec.get("bloom") or {}
-        total = kept = 0
-        for d in rec["files"]:
-            for fn in sorted(os.listdir(d)):
-                if not fn.endswith(".parquet"):
-                    continue
-                total += 1
-                p = os.path.join(d, fn)
-                entry = bloom.get(p, {}).get(pcol)
-                if entry is None or _bloom_maybe_contains(entry, pv):
-                    kept += 1
+        total = sum(len(self._data_files(d)) for d in rec["files"])
+        kept = len(self._prune(None, rec, "bloom", pcol, (pv,)))
         return kept, total
 
     def compact(
@@ -1594,6 +2326,7 @@ class SnapshotTable:
         order_by: list[str] | None = None,
         n_files: int | None = None,
         zorder: list[str] | None = None,
+        retrain_ann: bool = False,
     ) -> int | None:
         """OPTIMIZE-style small-file compaction (VERDICT r4 #6): bin-pack
         the head version's SMALL snapshot directories (total parquet
@@ -1651,29 +2384,67 @@ class SnapshotTable:
 
         if order_by and zorder:
             raise ValueError("compact: pass order_by= or zorder=, not both")
-        log = self._log()
-        if not log:
+        if retrain_ann and (order_by or zorder):
+            raise ValueError(
+                "compact: retrain_ann re-clusters by the new centroids — "
+                "order_by/zorder cannot also apply"
+            )
+        head_state = self._head_state()
+        if head_state is None:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        head = log[-1]
+        head = head_state[0]
         target = int(target_mb * 1024 * 1024)
 
         def dir_bytes(d: str) -> int:
-            return sum(
-                os.path.getsize(os.path.join(d, fn))
-                for fn in os.listdir(d)
-                if fn.endswith(".parquet")
-            )
+            return sum(os.path.getsize(p) for p in self._data_files(d))
 
-        small = [d for d in head["files"] if dir_bytes(d) < target]
-        if len(small) < 2:
-            return None
+        if retrain_ann:
+            # ANN index lifecycle (VERDICT r8 #4): a drifted corpus
+            # (see ann_staleness) re-trains the coarse quantizer on the
+            # CURRENT table and re-clusters every directory under it —
+            # a full rewrite by construction (every file's cluster
+            # assignment changes), priced accordingly: one training
+            # pass + one range shuffle of the table.  The new centroids
+            # replace the recorded quantizer; later appends cluster
+            # against them; time travel to pre-retrain versions keeps
+            # the OLD centroids (rollback restores them too).
+            if not head.get("ann"):
+                raise ValueError(
+                    f"snapshot table {self.root}: retrain_ann needs an "
+                    "ANN-indexed table (construct with ann_col=)"
+                )
+            small = list(head["files"])
+        else:
+            small = [d for d in head["files"] if dir_bytes(d) < target]
+            if len(small) < 2:
+                return None
         keep = [d for d in head["files"] if d not in small]
         total = sum(dir_bytes(d) for d in small)
         n_out = n_files if n_files else max(1, math.ceil(total / target))
         d = self._new_dir("compact")
         src = self._read_paths(spark, head, small)
-        ann_meta = None  # set only when the rewrite is ANN-re-clustered
-        if zorder:
+        ann_meta = None  # set only when the rewrite is ANN-(re)clustered
+        if retrain_ann:
+            from dbt_lab_spark.llm.similarity import ivf_centroids
+            from dbt_lab_spark.plans.ann import cluster_order
+
+            from pyspark.sql import functions as F
+
+            col = head["ann"].get("col") or self._ann_live_col()
+            dim = src.select(F.size(col)).first()[0]
+            cents = ivf_centroids(
+                src,
+                num_centroids=self.ann_lists,
+                iters=5,
+                vec_col=col,
+                id_col=head["ann"].get("id_col") or self.ann_id_col,
+                dim=int(dim),
+            )
+            ann_meta = {**head["ann"], "centroids": [list(c) for c in cents]}
+            src = cluster_order(src, cents, col, n_out)
+        if retrain_ann:
+            pass  # already re-clustered above
+        elif zorder:
             # Z-order clustering: quantile-bucket each column (skew-
             # robust), interleave the bucket bits into one sort key,
             # then range-partition + locally sort by it — each output
@@ -1723,32 +2494,22 @@ class SnapshotTable:
             # just fewer write tasks reading the small files back.
             src = src.coalesce(n_out)
         src.write.mode("errorifexists").parquet(d)
-        kept_stats = {
-            p: s
-            for p, s in head.get("stats", {}).items()
-            if any(p.startswith(k + os.sep) for k in keep)
-        }
+        # the rewrite's manifest sidecar records fresh stats/blooms —
+        # and, for an ANN-clustered rewrite, the new dir's per-file
+        # cluster sets, so knn pruning survives the compaction
+        self._write_manifest(
+            spark, d, ann_meta["centroids"] if ann_meta is not None else None
+        )
         rec = {
-            "operation": f"compact(target_mb={target_mb})",
+            "operation": (
+                "compact(retrain_ann)"
+                if retrain_ann
+                else f"compact(target_mb={target_mb})"
+            ),
             "files": keep + [d],
-            "stats": {**kept_stats, **self._stats_for(d)},
-            "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
         }
-        if ann_meta is not None:
-            # re-clustered rewrite: record the new dir's per-file
-            # cluster sets so knn pruning survives the compaction
-            from dbt_lab_spark.plans.ann import file_clusters
-
-            rec["ann"] = {
-                **ann_meta,
-                "files": {
-                    **(ann_meta.get("files") or {}),
-                    **file_clusters(
-                        spark, d, ann_meta["centroids"], ann_meta["col"],
-                        self._norm_file_col,
-                    ),
-                },
-            }
+        if retrain_ann:
+            rec["ann"] = ann_meta  # the NEW quantizer replaces the old
         if "columns" in head:
             rec["columns"] = list(head["columns"])
             if "schema_json" in head:
@@ -1759,9 +2520,7 @@ class SnapshotTable:
         try:
             return self._append_log(rec, expected_parent=head["version"])
         except ConcurrentWriteError:
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+            self._remove_dir(d)
             raise
 
     # write-side DV budget (VERDICT r7 #2): a dv-mode DELETE/MERGE whose
@@ -1813,10 +2572,10 @@ class SnapshotTable:
         Returns {"version", "n_dirs_rewritten", "n_dirs_total"}."""
         from pyspark.sql import functions as F
 
-        log = self._log()
-        if not log:
+        head_state = self._head_state()
+        if head_state is None:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        head = log[-1]
+        head = head_state[0]
         dup = (
             source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
         )
@@ -1884,14 +2643,10 @@ class SnapshotTable:
                     shutil.rmtree(dv_dir, ignore_errors=True)
                 d = self._new_dir("delta")
                 source.write.mode("errorifexists").parquet(d)
+                self._write_manifest(spark, d)
                 rec = {
                     "operation": f"merge(on={on}, mode=dv)",
                     "files": head["files"] + [d],
-                    "stats": {**head.get("stats", {}), **self._stats_for(d)},
-                    "bloom": {
-                        **(head.get("bloom") or {}),
-                        **self._blooms_for(spark, d),
-                    },
                     "dvs": dvs,
                     **(record_extra or {}),
                 }
@@ -1908,9 +2663,9 @@ class SnapshotTable:
                     )
                 except ConcurrentWriteError:
                     # conflicting commit won: drop our unreferenced dirs
-                    shutil.rmtree(d, ignore_errors=True)
+                    self._remove_dir(d)
                     if n_updated:
-                        shutil.rmtree(dv_dir, ignore_errors=True)
+                        self._remove_dir(dv_dir)
                     raise
                 return {
                     "version": v,
@@ -1945,11 +2700,7 @@ class SnapshotTable:
             new_rows = inserts
         d = self._new_dir("merge")
         new_rows.write.mode("errorifexists").parquet(d)
-        kept_stats = {
-            p: s
-            for p, s in head.get("stats", {}).items()
-            if any(p.startswith(k + os.sep) for k in untouched)
-        }
+        self._write_manifest(spark, d)
         op = (
             f"merge(on={on}, mode=dv->cow: matched rows > max_dv_rows)"
             if dv_fallback
@@ -1958,8 +2709,6 @@ class SnapshotTable:
         rec = {
             "operation": op,
             "files": untouched + [d],
-            "stats": {**kept_stats, **self._stats_for(d)},
-            "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
             **(record_extra or {}),
         }
         if table_cols is not None:
@@ -1970,9 +2719,7 @@ class SnapshotTable:
         try:
             v = self._append_log(rec, expected_parent=head["version"])
         except ConcurrentWriteError:
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+            self._remove_dir(d)
             raise
         return {
             "version": v,
@@ -2021,10 +2768,10 @@ class SnapshotTable:
         mode by construction."""
         from pyspark.sql import functions as F
 
-        log = self._log()
-        if not log:
+        head_state = self._head_state()
+        if head_state is None:
             raise ValueError(f"snapshot table {self.root} has no commits")
-        head = log[-1]
+        head = head_state[0]
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode not in ("cow", "dv"):
             raise ValueError(f"delete_where: unknown mode {mode!r}")
@@ -2065,7 +2812,6 @@ class SnapshotTable:
                 rec = {
                     "operation": "delete_where(dv)",
                     "files": list(head["files"]),
-                    "stats": dict(head.get("stats", {})),
                     "dvs": list(head.get("dvs") or []) + [d],
                 }
                 if "columns" in head:
@@ -2073,14 +2819,12 @@ class SnapshotTable:
                     if "schema_json" in head:
                         rec["schema_json"] = head["schema_json"]
                     rec.update(self._dir_meta(head, head["files"]))
-                if head.get("bloom"):
-                    rec["bloom"] = dict(head["bloom"])
                 try:
                     v = self._append_log(
                         rec, expected_parent=head["version"]
                     )
                 except ConcurrentWriteError:
-                    shutil.rmtree(d, ignore_errors=True)
+                    self._remove_dir(d)
                     raise
                 return {
                     "version": v,
@@ -2111,11 +2855,7 @@ class SnapshotTable:
         d = self._new_dir("delete")
         kept_rows.write.mode("errorifexists").parquet(d)
         n_deleted = n_before - spark.read.parquet(d).count()
-        kept_stats = {
-            p: s
-            for p, s in head.get("stats", {}).items()
-            if any(p.startswith(k + os.sep) for k in untouched)
-        }
+        self._write_manifest(spark, d)
         rec = {
             "operation": (
                 "delete_where(dv->cow: matched rows > max_dv_rows)"
@@ -2123,8 +2863,6 @@ class SnapshotTable:
                 else "delete_where"
             ),
             "files": untouched + [d],
-            "stats": {**kept_stats, **self._stats_for(d)},
-            "bloom": {**(head.get("bloom") or {}), **self._blooms_for(spark, d)},
         }
         if "columns" in head:
             rec["columns"] = list(head["columns"])
@@ -2134,9 +2872,7 @@ class SnapshotTable:
         try:
             v = self._append_log(rec, expected_parent=head["version"])
         except ConcurrentWriteError:
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+            self._remove_dir(d)
             raise
         return {
             "version": v,
@@ -2163,10 +2899,9 @@ class SnapshotTable:
         of duplicates."""
         from pyspark.sql import functions as F
 
-        log = self._log()
-        old = next(r for r in log if r["version"] == from_version)
-        new = log[-1] if to_version is None else next(
-            r for r in log if r["version"] == to_version
+        old = self._rec_at(from_version)
+        new = self._rec_at(
+            self._head_version() if to_version is None else to_version
         )
         shared = set(old["files"]) & set(new["files"])
         # Deletion vectors change a directory's EFFECTIVE rows without
@@ -2218,8 +2953,13 @@ class SnapshotTable:
             # genuinely added after from_version.
             to_hi = new["version"]
             ren = self._compose_renames(
-                [r for r in log if from_version < r["version"] <= to_hi]
-            )  # name-at-from_version -> name-at-to_version
+                [
+                    self._read_seg(v).get("k_set") or {}
+                    for v in self.versions()
+                    if from_version < v <= to_hi
+                ]
+            )  # name-at-from_version -> name-at-to_version (each
+            # evolve's per-commit {old: new} rides its record's k_set)
             inv = {v: k for k, v in ren.items()}
             o = o.select(
                 *[
@@ -2236,78 +2976,114 @@ class SnapshotTable:
         )
 
     # -- lifecycle ---------------------------------------------------------
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+
+    # an UNREFERENCED v* directory younger than this is presumed to be
+    # an in-flight writer's not-yet-committed output and is NOT
+    # reclaimed (ADVICE r8: vacuum used to delete a dir a writer had
+    # just written but not yet published, leaving the subsequently
+    # published head unreadable) — the Delta-style retention grace.
+    # Override per call with grace_s= (0.0 in single-writer jobs).
+    VACUUM_GRACE_S = 600.0
+
+    def vacuum(
+        self, keep_last: int = 1, grace_s: float | None = None
+    ) -> list[str]:
         """Delete snapshot directories unreferenced by the last
-        `keep_last` versions, truncating the log to match — the
-        storage-reclaim step after time-travel retention expires.
-        Returns the removed directories."""
+        `keep_last` versions, truncating record files and checkpoints
+        to match — the storage-reclaim step after time-travel
+        retention expires.  Returns the removed directories.
+
+        Exclusion: vacuum holds `_vacuum.lock` (protocol
+        put_if_absent) for its whole run; every commit waits on the
+        lock before publishing, and rollback — the one commit kind
+        that references non-head directories — additionally holds the
+        lock across its target-read-to-publish window, so vacuum can
+        never delete a directory between a committer reading it and
+        referencing it.  Unreferenced directories younger than the
+        grace window are kept (in-flight writers, ADVICE r8).
+
+        RETENTION CONTRACT for readers: a DataFrame returned by
+        read(version=old) lazily lists its files at action time —
+        vacuum only reclaims versions older than the last `keep_last`,
+        so long-running consumers must either finish within the
+        retention they operate under or read versions >= head -
+        keep_last + 1.  This is the standard lakehouse vacuum
+        contract (SCALING.md §vacuum)."""
         import shutil
 
         if keep_last < 1:
             raise ValueError("vacuum: keep_last must be >= 1")
-        # Vacuum rewrites (truncates) the log, so it must exclude
-        # concurrent committers: claim the NEXT version's commit marker
-        # as a write barrier — while held, no commit can publish, and
-        # the truncation can't drop a racing record.  Version numbers
-        # keep counting from the head after truncation (_append_log
-        # numbers from the head record, not the log length), so old
-        # markers never collide with future commits.
+        grace = self.VACUUM_GRACE_S if grace_s is None else float(grace_s)
         deadline = time.monotonic() + self.COMMIT_WAIT_S
-        while True:
-            n = self._head_version() + 1
-            marker = os.path.join(self.root, f"_v{n:05d}.commit")
-            try:
-                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise ConcurrentWriteError(
-                        f"snapshot table {self.root}: vacuum could not "
-                        f"acquire the write barrier {marker}"
-                    )
-                time.sleep(0.02)
-                continue
-            if self._head_version() + 1 != n:  # a commit slipped in first
-                os.unlink(marker)
-                continue
-            break
+        while not self.protocol.put_if_absent(self._VACUUM_LOCK, b"vacuum"):
+            if time.monotonic() > deadline:
+                raise StaleCommitMarkerError(
+                    f"snapshot table {self.root}: vacuum lock "
+                    f"{self._VACUUM_LOCK} held past {self.COMMIT_WAIT_S}s "
+                    "— delete the lock file to recover"
+                )
+            time.sleep(0.02)
         try:
-            log = self._log()
-            if len(log) <= keep_last:
+            # settle: a committer that passed its lock check just
+            # before we acquired publishes within this window, so the
+            # version listing below observes it
+            time.sleep(0.05)
+            vs = self.versions()
+            if not vs:
                 return []
-            kept_recs = log[-keep_last:]
+            # even when no history is truncated, the unreferenced-dir
+            # sweep still runs: crashed writers' aged-out orphans are
+            # reclaimable on a table with a short history too
+            kept = vs[-keep_last:] if len(vs) > keep_last else vs
+            # a checkpoint AT the oldest kept version must exist before
+            # older record files are deleted, or no base would remain
+            # to fold it from
+            if kept[0] > vs[0] and self._load_ckpt(kept[0]) is None:
+                self._write_ckpt(kept[0])
+            kept_recs = [self._rec_at(v) for v in kept]
             referenced = {d for r in kept_recs for d in r["files"]} | {
                 d for r in kept_recs for d in (r.get("dvs") or [])
             }
+            now = time.time()
             removed = []
             for entry in sorted(os.listdir(self.root)):
                 p = os.path.join(self.root, entry)
-                if entry.startswith("v") and os.path.isdir(p) and p not in referenced:
-                    shutil.rmtree(p)
-                    removed.append(p)
-            tmp = self._log_path() + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(kept_recs, fh, indent=1)
-            os.replace(tmp, self._log_path())
-            # tidy markers of already-published versions (claims below
-            # the barrier can never be contended again) and directory
-            # claim files whose directory is gone (names never recur —
-            # versions count up monotonically)
-            for entry in os.listdir(self.root):
-                p = os.path.join(self.root, entry)
-                if entry.startswith("_v") and entry.endswith(".commit"):
-                    try:
-                        if int(entry[2:-7]) < n:
-                            os.unlink(p)
-                    except ValueError:
-                        pass
-                elif entry.startswith("_claim_") and not os.path.isdir(
-                    os.path.join(self.root, entry[len("_claim_"):])
+                if (
+                    not entry.startswith("v")
+                    or not os.path.isdir(p)
+                    or p in referenced
                 ):
-                    os.unlink(p)
+                    continue
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age < grace:
+                    continue  # possibly an in-flight writer's output
+                shutil.rmtree(p)
+                try:
+                    os.unlink(self._manifest_path(p))
+                except OSError:
+                    pass
+                removed.append(p)
+            # truncate history: record files and checkpoints below the
+            # oldest kept version (its own checkpoint is the new base)
+            for key in self.protocol.list("_log"):
+                name = key.rsplit("/", 1)[-1]
+                v = None
+                if name.endswith(".json") and name[:-5].isdigit():
+                    v = int(name[:-5])
+                elif name.startswith("_ckpt_") and name.endswith(".json"):
+                    v = int(name[len("_ckpt_"):-5])
+                if v is not None and v < kept[0]:
+                    self.protocol.delete(key)
+            # tidy directory name claims whose directory is gone
+            # (names never recur — versions count up monotonically)
+            for key in self.protocol.list(""):
+                if key.startswith("_claim_") and not os.path.isdir(
+                    os.path.join(self.root, key[len("_claim_"):])
+                ):
+                    self.protocol.delete(key)
             return removed
         finally:
-            try:
-                os.unlink(marker)
-            except OSError:
-                pass
+            self.protocol.delete(self._VACUUM_LOCK)

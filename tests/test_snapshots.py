@@ -114,7 +114,7 @@ def test_vacuum_reclaims_unreferenced_snapshots(spark, tmp_path):
     t.commit(_df(spark, [(1, "a")]))       # v0: dir A
     t.commit(_df(spark, [(2, "b")]))       # v1: dir B (full replace)
     t.append(_df(spark, [(3, "c")]))       # v2: dirs B+C
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, grace_s=0.0)
     assert len(removed) == 1               # dir A only; B still referenced
     assert sorted(r.k for r in t.read(spark).collect()) == [2, 3]
     assert t.versions() == [2]
@@ -125,7 +125,7 @@ def test_vacuum_keeps_time_travel_window(spark, tmp_path):
     t.commit(_df(spark, [(1, "a")]))
     t.append(_df(spark, [(2, "b")]))
     t.append(_df(spark, [(3, "c")]))
-    assert t.vacuum(keep_last=2) == []     # v1 still references v0's dir
+    assert t.vacuum(keep_last=2, grace_s=0.0) == []     # v1 still references v0's dir
     assert {r.k for r in t.read(spark, version=1).collect()} == {1, 2}
 
 

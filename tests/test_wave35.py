@@ -144,7 +144,7 @@ class TestDeletionVectors:
         t.commit(_kv(spark, 0, 30))
         t.delete_where(spark, "k < 10", mode="dv")
         t.append(_kv(spark, 30, 40))
-        t.vacuum(keep_last=1)
+        t.vacuum(keep_last=1, grace_s=0.0)
         assert t.read(spark).count() == 30  # 20 survivors + 10 appended
         assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(10, 40))
 
@@ -268,9 +268,13 @@ class TestEvolveConstraintInteractions:
         head = t._log()[-1]
         new_dir = head["files"][-1]
         stats = {
-            p: s for p, s in head["stats"].items() if p.startswith(new_dir + os.sep)
+            p: s
+            for p, s in t.file_stats().items()
+            if p.startswith(new_dir + os.sep)
         }
         # post-rename files keep recording min/max under the NEW name
+        # (r9: stats live in per-dir manifest sidecars; file_stats()
+        # is the logical-name audit view)
         assert stats and all("val" in s for s in stats.values())
         kept, total = t.pruned_file_count(None, between=("val", 0, 100))
         assert kept < total  # skipping still prunes after the rename
@@ -616,7 +620,7 @@ class TestSnapshotFeatureComposition:
         sync_check()
 
         # vacuum to the head only; contents survive
-        t.vacuum(keep_last=1)
+        t.vacuum(keep_last=1, grace_s=0.0)
         sync_check()
 
 

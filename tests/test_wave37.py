@@ -183,16 +183,32 @@ class TestOptimisticConcurrency:
             (r.k, r.v) for r in t2.read(spark).filter("k = 5").collect()
         } == {(5, 999)}
 
-    def test_crashed_committer_marker_is_reported(self, spark, tmp_path):
+    def test_crashed_committer_cannot_block_the_table(self, spark, tmp_path):
+        """r9 (segmented log): publishing IS the atomic creation of the
+        per-version record file, so a crashed committer either
+        published or left NOTHING claimable — there is no stale-marker
+        state to block on.  A writer that died after writing its data
+        directory (the only possible partial state) leaves an orphan
+        the next append ignores and vacuum's grace window reclaims."""
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.commit(_kv(spark, 0, 5))
+        # simulate the crash: a claimed data dir, never committed
+        orphan = t._new_dir("delta")
+        os.makedirs(orphan)
+        assert t.append(_kv(spark, 5, 10)) == 1  # not blocked
+        assert t.read(spark).count() == 10
+
+    def test_stale_vacuum_lock_is_reported(self, spark, tmp_path):
+        """The one coordination file that CAN go stale (a crashed
+        vacuum) is reported by name with the recovery step instead of
+        deadlocking commits."""
         t = SnapshotTable(str(tmp_path / "t"))
         t.commit(_kv(spark, 0, 5))
         t.COMMIT_WAIT_S = 0.3
-        marker = os.path.join(t.root, "_v00001.commit")
-        with open(marker, "w"):
-            pass
-        with pytest.raises(ConcurrentWriteError, match="delete the marker"):
+        assert t.protocol.put_if_absent("_vacuum.lock", b"crashed")
+        with pytest.raises(ConcurrentWriteError, match="delete the lock"):
             t.append(_kv(spark, 5, 10))
-        os.unlink(marker)  # the documented recovery
+        t.protocol.delete("_vacuum.lock")  # the documented recovery
         assert t.append(_kv(spark, 5, 10)) == 1
 
     def test_vacuum_continues_version_numbers(self, spark, tmp_path):
@@ -204,7 +220,7 @@ class TestOptimisticConcurrency:
         t.commit(_kv(spark, 0, 10))  # full replace: orphans v0's dir
         t.commit(_kv(spark, 0, 15))
         assert t.versions() == [0, 1, 2]
-        removed = t.vacuum(keep_last=1)
+        removed = t.vacuum(keep_last=1, grace_s=0.0)
         assert removed  # old snapshot dirs reclaimed
         v = t.append(_kv(spark, 15, 20))
         assert v == 3 and t.versions() == [2, 3]

@@ -62,7 +62,9 @@ class TestSnapshotAnn:
 
         t = _build(spark, tmp_path, cents)
         rec = t._log()[-1]
-        manifest = rec["ann"]["files"]
+        # r9: per-file cluster sets live in manifest SIDECARS, not the
+        # log record — ann_file_clusters() is the assembled view
+        manifest = t.ann_file_clusters()
         recomputed: dict[str, list[int]] = {}
         for d in rec["files"]:
             recomputed.update(
@@ -380,7 +382,7 @@ class TestCompactKeepsAnn:
         v = t.compact(spark, target_mb=128.0, n_files=4)
         assert v is not None
         rec = t._log()[-1]
-        ann_files = rec["ann"]["files"]
+        ann_files = t.ann_file_clusters()
         # every file of the compacted dir is keyed in the manifest
         new_dir = rec["files"][-1]
         import os as _o
@@ -388,7 +390,7 @@ class TestCompactKeepsAnn:
         new_files = [
             _o.path.join(new_dir, fn)
             for fn in sorted(_o.listdir(new_dir))
-            if fn.endswith(".parquet")
+            if fn.endswith(".parquet") and not fn.startswith("_")
         ]
         assert new_files and all(f in ann_files for f in new_files)
         # knn results unchanged and pruning still effective
@@ -419,7 +421,7 @@ class TestCompactKeepsAnn:
         t = SnapshotTable(str(tmp_path / "t"))
         t.commit(_vecs(spark, 0, 50))
         t.commit(_vecs(spark, 0, 60))  # orphans v0's dir
-        t.vacuum(keep_last=1)
+        t.vacuum(keep_last=1, grace_s=0.0)
         stale = [
             e
             for e in _o.listdir(t.root)
