@@ -2327,6 +2327,7 @@ class SnapshotTable:
         n_files: int | None = None,
         zorder: list[str] | None = None,
         retrain_ann: bool = False,
+        retrain_iters: int = 5,
     ) -> int | None:
         """OPTIMIZE-style small-file compaction (VERDICT r4 #6): bin-pack
         the head version's SMALL snapshot directories (total parquet
@@ -2435,7 +2436,10 @@ class SnapshotTable:
             cents = ivf_centroids(
                 src,
                 num_centroids=self.ann_lists,
-                iters=5,
+                # retrain_iters=0 keeps the quantizer at its
+                # deterministic id%C seeding — the oracle-replayable
+                # form (q_ann_retrain); production retrains run Lloyd
+                iters=retrain_iters,
                 vec_col=col,
                 id_col=head["ann"].get("id_col") or self.ann_id_col,
                 dim=int(dim),

@@ -197,9 +197,29 @@ def stream_stream_interval_join(
     watermark passes the latest left_ts that could still match it
     (right_ts, since left_ts <= right_ts <= left_ts + within).
 
+    `how="left_semi"` / `how="left_anti"` (VERDICT r8 #5) are the
+    decontamination-in-flight shapes — keep/drop stream rows that
+    have a match in a reference stream, emitting LEFT columns only:
+      - left_semi maps to Spark's native stream-stream leftSemi — a
+        left row emits the moment its first match arrives (a match is
+        definitive evidence; no waiting), and never again;
+      - left_anti has no native stream-stream form, so it composes
+        from the audited left_outer: the null-padded rows ARE exactly
+        the watermark-finalized no-match-ever rows, filtered on the
+        right join key (null iff no match — an equi-key can't be null
+        on a matched row) and projected back to the left schema.  An
+        anti row therefore emits only once the watermark passes
+        left_ts + within — before that, a match could still arrive —
+        landing in a LATER micro-batch than its on-time siblings, the
+        same eviction argument as the outer forms (pinned in
+        tests/test_wave40.py).
+
     Batch analogue: operators/joins.py range_join (same semantics,
     bin-bucketed equi-join); the test drives both and compares."""
-    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+    if how not in (
+        "inner", "left_outer", "right_outer", "full_outer",
+        "left_semi", "left_anti",
+    ):
         raise ValueError(f"stream_stream_interval_join: unsupported how={how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -208,6 +228,12 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
+    if how == "left_anti":
+        return (
+            lw.join(rw, on=cond, how="left_outer")
+            .filter(rw[key].isNull())
+            .select(*[lw[c] for c in left.columns])
+        )
     return lw.join(rw, on=cond, how=how)
 
 

@@ -1573,6 +1573,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r6 import R6_QUERIES
     from dbt_lab_spark.workload_r7 import R7_QUERIES
     from dbt_lab_spark.workload_r8 import R8_QUERIES
+    from dbt_lab_spark.workload_r9 import R9_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     out = (
@@ -1590,6 +1591,7 @@ def all_queries() -> list[QueryDef]:
         + R6_QUERIES
         + R7_QUERIES
         + R8_QUERIES
+        + R9_QUERIES
     )
     # Duplicate names silently shadow in the queries()/oracle_sql()
     # dicts (the r5 q_merge_upsert collision made a declared query
