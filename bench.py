@@ -363,6 +363,11 @@ BENCH_NAMES = [
     "q_dv_mass_delete",
     "q_stream_right_outer",
     "q_snapshot_ann",
+    # r9 additions
+    "q_log_checkpoint",
+    "q_stream_semi_join",
+    "q_stream_anti_join",
+    "q_ann_retrain",
 ]
 
 

@@ -123,6 +123,60 @@ def main() -> None:
         )
         if not same:
             sys.exit(1)
+
+        # retrain cost + drift metric (VERDICT r8 #4): append a
+        # second-mode batch the quantizer never saw, read the
+        # staleness signal off the manifests (no rescan), then price
+        # compact(retrain_ann=True) — one training pass + one range
+        # shuffle of the table — and verify knn equals a fresh
+        # full-corpus ivf_knn under the new centroids.
+        drift_emb = F.array(
+            *[
+                (F.lit(1.0) if j < 2
+                 else ((F.col("id") * 13 + j) % 7).cast("double") * 50.0)
+                for j in range(DIM)
+            ]
+        )
+        drifted = spark.range(10 + n, 10 + n + n // 4).select(
+            F.col("id").alias("vec_id"), drift_emb.alias("embedding")
+        )
+        t.append(drifted)
+        stale = t.ann_staleness()
+        log(
+            f"drift metric after off-distribution append (n/4 rows): "
+            f"base_mean_sim={stale['base_mean_sim']:.4f} "
+            f"latest={stale['latest_mean_sim']:.4f} "
+            f"staleness={stale['staleness']:.4f} (manifest-only, no rescan)"
+        )
+        t0 = time.time()
+        t.compact(spark, retrain_ann=True, n_files=FILES)
+        t_retrain = time.time() - t0
+        post = t.ann_staleness()
+        new_cents = t._log()[-1]["ann"]["centroids"]
+        t0 = time.time()
+        got2 = sorted(
+            map(tuple, t.knn(spark, queries, k=10, nprobe=NPROBE).collect())
+        )
+        t_knn2 = time.time() - t0
+        ref2 = sorted(
+            map(
+                tuple,
+                ivf_knn(
+                    t.read(spark), queries, new_cents, k=10, nprobe=NPROBE,
+                    scorer="jvm",
+                ).collect(),
+            )
+        )
+        k2, t2 = t.ann_pruned_file_count(one, nprobe=NPROBE)
+        log(
+            f"retrain (compact(retrain_ann=True), {n + n // 4} rows): "
+            f"{t_retrain:.1f}s = {t_retrain / t_indexed:.2f}x the initial "
+            f"indexed write; post-retrain staleness={post['staleness']:.4f}; "
+            f"knn {t_knn2:.1f}s, pruning {k2}/{t2} files; results == fresh "
+            f"full-corpus ivf_knn under the new centroids: {got2 == ref2}"
+        )
+        if got2 != ref2:
+            sys.exit(1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root_plain, ignore_errors=True)
