@@ -2432,7 +2432,13 @@ class SnapshotTable:
             from pyspark.sql import functions as F
 
             col = head["ann"].get("col") or self._ann_live_col()
-            dim = src.select(F.size(col)).first()[0]
+            row = src.select(F.size(col)).first()
+            if row is None or row[0] is None:
+                raise ValueError(
+                    f"snapshot table {self.root}: retrain_ann has no "
+                    "vectors to train on (table is empty)"
+                )
+            dim = row[0]
             cents = ivf_centroids(
                 src,
                 num_centroids=self.ann_lists,

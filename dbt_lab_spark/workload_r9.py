@@ -309,7 +309,10 @@ def _q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.commit(half)
         t.append(corpus.filter(F.col("vec_id") % 2 == 0))
-        t.compact(spark, retrain_ann=True, retrain_iters=0, n_files=4)
+        # an empty corpus has nothing to retrain on (and nothing for
+        # knn to return) — skip the rewrite, matching the empty oracle
+        if t.read(spark).limit(1).count():
+            t.compact(spark, retrain_ann=True, retrain_iters=0, n_files=4)
         out = t.knn(spark, queries, k=10, nprobe=3)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
