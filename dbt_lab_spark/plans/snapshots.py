@@ -183,7 +183,8 @@ class LocalCommitProtocol(CommitProtocol):
             st = os.stat(self._p(key))
         except FileNotFoundError:
             return None
-        return (st.st_mtime_ns, st.st_size)
+        return (st.st_mtime, st.st_size)  # seconds: ages compare
+        # uniformly across protocol backends
 
 
 class InMemoryCommitProtocol(CommitProtocol):
@@ -239,14 +240,21 @@ class InMemoryCommitProtocol(CommitProtocol):
             return None if e is None else (e[1], len(e[0]))
 
 
+_CACHE_LOCK = threading.Lock()
+
+
 def _cache_put(cache: dict, key, value, cap: int) -> None:
     """Tiny bounded insert-order cache (all cached objects are
-    immutable: record files, folded states, manifest sidecars)."""
-    if key in cache:
-        return
-    while len(cache) >= cap:
-        cache.pop(next(iter(cache)))
-    cache[key] = value
+    immutable: record files, folded states, manifest sidecars).  The
+    lock serializes eviction: two threads evicting concurrently could
+    otherwise pop the same oldest key and crash the second (r9
+    review)."""
+    with _CACHE_LOCK:
+        if key in cache:
+            return
+        while len(cache) >= cap:
+            cache.pop(next(iter(cache)), None)
+        cache[key] = value
 
 
 _SEG_CACHE: dict = {}      # (token, version, stat) -> record dict
@@ -278,12 +286,69 @@ def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
                 if s is None or not s.has_min_max:
                     mins, maxs = [], []
                     break
-                mins.append(s.min)
-                maxs.append(s.max)
+                try:
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                except Exception:
+                    # pyarrow cannot extract min/max for every logical
+                    # type (ArrowNotImplementedError, e.g. some decimal
+                    # physical encodings) — record nothing for the
+                    # column and let reads stay conservative
+                    mins, maxs = [], []
+                    break
             if mins:
                 stats[c] = [min(mins), max(maxs)]
         out[p] = stats
     return out
+
+
+def _stat_enc(v):
+    """JSON-safe encoding of a parquet footer min/max value.  Dates,
+    timestamps, Decimals and bytes — the canonical data-skipping
+    column types — come out of the footer as Python objects json can't
+    serialize (r9 review: a DateType stat_col used to fail every
+    commit); tag them so _stat_dec restores COMPARABLE objects at
+    prune time."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return {"__t": "dt", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__t": "d", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__t": "dec", "v": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__t": "b", "v": bytes(v).hex()}
+    return v
+
+
+def _stat_dec(v):
+    if isinstance(v, dict) and "__t" in v:
+        import datetime
+        import decimal
+
+        t, s = v["__t"], v["v"]
+        if t == "dt":
+            return datetime.datetime.fromisoformat(s)
+        if t == "d":
+            return datetime.date.fromisoformat(s)
+        if t == "dec":
+            return decimal.Decimal(s)
+        if t == "b":
+            return bytes.fromhex(s)
+    return v
+
+
+def _minmax_excludes(entry, lo, hi) -> bool:
+    """True when the [min, max] entry PROVES the file holds nothing in
+    [lo, hi].  Incomparable types (tz-aware vs naive timestamps, a
+    string probe on an int column) keep the file — pruning is an
+    optimization, never a correctness dependency."""
+    try:
+        return entry[1] < lo or entry[0] > hi
+    except TypeError:
+        return False
 
 
 _BLOOM_K = 7  # hash functions per filter (near-optimal at 10 bits/key)
@@ -844,18 +909,34 @@ class SnapshotTable:
             self._ckpt_key(v), json.dumps(payload).encode()
         )
 
-    def _wait_no_vacuum(self, deadline: float) -> None:
+    # a vacuum lock OLDER than this is declared crashed; staleness is
+    # judged by the LOCK's age, never by how long this waiter has been
+    # waiting (r9 review: a healthy vacuum merely running longer than a
+    # waiter's patience must not be reported as crashed — following the
+    # old message's advice would have deleted a LIVE lock and reopened
+    # the delete-vs-commit race the lock exists to close)
+    VACUUM_LOCK_STALE_S = 300.0
+
+    def _vacuum_lock_age(self) -> float | None:
+        st = self.protocol.stat(self._VACUUM_LOCK)
+        return None if st is None else max(0.0, time.time() - st[0])
+
+    def _wait_no_vacuum(self) -> None:
         """Commits exclude a running vacuum (which deletes directories
-        and truncates history) by waiting on its lock.  A lock held
-        past the deadline means a crashed vacuum — report it by name
-        instead of deadlocking."""
-        while self.protocol.exists(self._VACUUM_LOCK):
-            if time.monotonic() > deadline:
+        and truncates history) by waiting on its lock.  A lock whose
+        AGE exceeds VACUUM_LOCK_STALE_S means a crashed vacuum —
+        report it by name instead of deadlocking."""
+        while True:
+            age = self._vacuum_lock_age()
+            if age is None:
+                return
+            if age > self.VACUUM_LOCK_STALE_S:
                 raise StaleCommitMarkerError(
                     f"snapshot table {self.root}: vacuum lock "
-                    f"{self._VACUUM_LOCK} held past {self.COMMIT_WAIT_S}s "
-                    "— a vacuum crashed mid-run; delete the lock file "
-                    "to recover"
+                    f"{self._VACUUM_LOCK} is {age:.0f}s old (> "
+                    f"VACUUM_LOCK_STALE_S={self.VACUUM_LOCK_STALE_S}) — a "
+                    "vacuum crashed mid-run; delete the lock file to "
+                    "recover"
                 )
             time.sleep(0.02)
 
@@ -884,10 +965,9 @@ class SnapshotTable:
         head, so any serialization order is correct.
 
         Returns the committed version number."""
-        deadline = time.monotonic() + self.COMMIT_WAIT_S
         while True:
             if not _during_vacuum:
-                self._wait_no_vacuum(deadline)
+                self._wait_no_vacuum()
             head_v = self._head_version()
             if expected_parent is not None and head_v != expected_parent:
                 raise ConcurrentWriteError(
@@ -1041,7 +1121,10 @@ class SnapshotTable:
         rows: list[tuple[str, str, str, str]] = []
         for f, cols in self._stats_for(d).items():
             for c, mm in cols.items():
-                rows.append((f, c, "minmax", json.dumps(mm)))
+                rows.append(
+                    (f, c, "minmax",
+                     json.dumps([_stat_enc(mm[0]), _stat_enc(mm[1])]))
+                )
         for f, cols in self._blooms_for(spark, d).items():
             for c, e in cols.items():
                 rows.append((f, c, "bloom", json.dumps(e)))
@@ -1114,6 +1197,10 @@ class SnapshotTable:
             v = json.loads(payload)
             if kind == "ann":
                 out["ann"][f] = v
+            elif kind == "minmax":
+                out["minmax"].setdefault(f, {})[c] = [
+                    _stat_dec(v[0]), _stat_dec(v[1])
+                ]
             else:
                 out[kind].setdefault(f, {})[c] = v
         _cache_put(_MANIFEST_CACHE, key, out, 1024)
@@ -1153,7 +1240,13 @@ class SnapshotTable:
         from dbt_lab_spark.llm.similarity import ivf_centroids
 
         col = self._ann_live_col()
-        dim = df.select(F.size(col)).first()[0]
+        row = df.select(F.size(col)).first()
+        if row is None or row[0] is None:
+            # empty (or all-null) first batch — Structured Streaming
+            # can deliver one: defer quantizer training to the first
+            # batch that actually carries vectors (r9 review)
+            return None
+        dim = row[0]
         return ivf_centroids(
             df,
             num_centroids=self.ann_lists,
@@ -1172,6 +1265,8 @@ class SnapshotTable:
         if not col or col not in df.columns:
             return df, None
         cents = self._ann_cents(df)
+        if cents is None:  # empty first batch: nothing to cluster yet
+            return df, None
         from dbt_lab_spark.plans.ann import cluster_order
 
         return cluster_order(df, cents, col, self.ann_files), cents
@@ -1689,15 +1784,33 @@ class SnapshotTable:
         }
         if ann_cents is not None:
             rec["ann"] = self._ann_meta(ann_cents)
-        try:
-            return self._append_log(rec, expected_parent=expected_parent)
-        except ConcurrentWriteError:
-            # conflicting commit won (append's racing-first-commit
-            # path reaches here): drop the unreferenced snapshot dir
-            # like the other DML paths do instead of leaving an orphan
-            # until vacuum (ADVICE r8)
-            self._remove_dir(d)
-            raise
+        while True:
+            head_v = self._head_version()
+            cas = expected_parent if expected_parent is not None else head_v
+            try:
+                return self._append_log(rec, expected_parent=cas)
+            except StaleCommitMarkerError:
+                self._remove_dir(d)
+                raise
+            except ConcurrentWriteError:
+                if expected_parent is not None:
+                    # conflicting commit won (append's
+                    # racing-first-commit path reaches here): drop the
+                    # unreferenced snapshot dir like the other DML
+                    # paths do instead of leaving an orphan until
+                    # vacuum (ADVICE r8)
+                    self._remove_dir(d)
+                    raise
+                # a commit (possibly add_constraint) landed between
+                # our validation and publish: RE-VALIDATE against the
+                # fresh head's constraint set before retrying, or the
+                # inheritance in _append_log would stamp a constraint
+                # onto data it never checked (r9 review)
+                try:
+                    self._validate(df, self._head_constraints())
+                except Exception:
+                    self._remove_dir(d)
+                    raise
 
     # commit-rebase attempts for append-only writers before giving up
     # (each retry means another writer just committed; starvation needs
@@ -1751,6 +1864,8 @@ class SnapshotTable:
                 raise
             except ConcurrentWriteError:
                 continue
+        if d is not None:
+            self._remove_dir(d)
         raise ConcurrentWriteError(
             f"snapshot table {self.root}: append lost the commit race "
             f"{self.APPEND_RETRIES} times in a row"
@@ -1771,13 +1886,13 @@ class SnapshotTable:
         OUTSIDE the recent heads, so it holds the vacuum lock from
         target-read to publish — a concurrent vacuum can then never
         delete the target's directories between the two (ADVICE r8)."""
-        deadline = time.monotonic() + self.COMMIT_WAIT_S
         while not self.protocol.put_if_absent(self._VACUUM_LOCK, b"rollback"):
-            if time.monotonic() > deadline:
+            age = self._vacuum_lock_age()
+            if age is not None and age > self.VACUUM_LOCK_STALE_S:
                 raise StaleCommitMarkerError(
                     f"snapshot table {self.root}: vacuum lock "
-                    f"{self._VACUUM_LOCK} held past {self.COMMIT_WAIT_S}s "
-                    "— delete the lock file to recover"
+                    f"{self._VACUUM_LOCK} is {age:.0f}s old — a vacuum "
+                    "crashed; delete the lock file to recover"
                 )
             time.sleep(0.02)
         try:
@@ -1982,6 +2097,8 @@ class SnapshotTable:
             # double-apply.  The fold carries the CUMULATIVE id set
             # through checkpoints, so the check also survives vacuum.
             if self._batch_committed(batch_id):
+                if d is not None:  # loser replay: drop its orphan
+                    self._remove_dir(d)
                 return None
             self._validate(batch, self._head_constraints())
             if d is None:
@@ -2227,7 +2344,7 @@ class SnapshotTable:
                         continue
                     if kind == "minmax":
                         lo, hi = args
-                        if e[1] < lo or e[0] > hi:
+                        if _minmax_excludes(e, lo, hi):
                             excluded.add(p)
                     else:
                         if not _bloom_maybe_contains(e, args[0]):
@@ -2282,7 +2399,8 @@ class SnapshotTable:
                     e = json.loads(payload)
                     if kind == "minmax":
                         lo, hi = args
-                        if e[1] < lo or e[0] > hi:
+                        e = [_stat_dec(e[0]), _stat_dec(e[1])]
+                        if _minmax_excludes(e, lo, hi):
                             drop.append(f)
                     elif not _bloom_maybe_contains(e, args[0]):
                         drop.append(f)
@@ -2518,6 +2636,33 @@ class SnapshotTable:
             ),
             "files": keep + [d],
         }
+        # DV lifecycle (r9 review): the rewrite reads through the
+        # DV-applied view, physically excluding deleted rows for the
+        # rewritten dirs — a sidecar whose targets all lived there is
+        # DEAD, and inheriting it would tax every later read with the
+        # anti-join and pin the DV dir against vacuum forever.  Keep
+        # only sidecars still targeting a carried-over directory (one
+        # driver-side `f`-column read per sidecar, O(deleted rows) —
+        # the same bounded read change_feed does).
+        live_dvs: list[str] = []
+        parent_dvs = [x for x in (head.get("dvs") or []) if os.path.isdir(x)]
+        if parent_dvs and keep:
+            import pyarrow.parquet as _pq
+
+            kept_canon = [self._canon(k) for k in keep]
+            for dvd in parent_dvs:
+                targets: set[str] = set()
+                for p in self._data_files(dvd):
+                    targets.update(
+                        _pq.read_table(p, columns=["f"]).column("f").to_pylist()
+                    )
+                if any(
+                    f.startswith(k + os.sep)
+                    for f in targets
+                    for k in kept_canon
+                ):
+                    live_dvs.append(dvd)
+        rec["dvs"] = live_dvs
         if retrain_ann:
             rec["ann"] = ann_meta  # the NEW quantizer replaces the old
         if "columns" in head:
@@ -2578,6 +2723,17 @@ class SnapshotTable:
         checked with one aggregate); source schema must match the
         table's.  History is preserved — time travel to pre-merge
         versions still reads the old directories until `vacuum`.
+
+        UPSERT-BY-KEY contract (deliberate, both modes): the table is
+        treated as keyed on `on` — ALL target rows matching a source
+        key are replaced by that ONE source row, so target-side
+        duplicate keys (creatable via append) COLLAPSE to one row.
+        SQL MERGE / Delta would instead update each matched row,
+        preserving multiplicity; this engine's merge is the
+        CDC/upsert shape (merge_stream_batch), where per-key
+        convergence is the point.  Pinned in tests/test_wave41.py —
+        rows that should stay duplicated must not be merged on their
+        duplicate key.
 
         Returns {"version", "n_dirs_rewritten", "n_dirs_total"}."""
         from pyspark.sql import functions as F
@@ -2643,14 +2799,14 @@ class SnapshotTable:
                 # DV size policy (VERDICT r7 #2): a mass update is
                 # cheaper materialized once (scoped CoW below) than
                 # tombstoned and anti-joined on every later read
-                shutil.rmtree(dv_dir, ignore_errors=True)
+                self._remove_dir(dv_dir)
                 dv_fallback = True
             else:
                 dvs = list(head.get("dvs") or [])
                 if n_updated:
                     dvs.append(dv_dir)
                 else:  # pure insert: no tombstones, drop the empty sidecar
-                    shutil.rmtree(dv_dir, ignore_errors=True)
+                    self._remove_dir(dv_dir)
                 d = self._new_dir("delta")
                 source.write.mode("errorifexists").parquet(d)
                 self._write_manifest(spark, d)
@@ -2804,7 +2960,7 @@ class SnapshotTable:
             matched.write.mode("errorifexists").parquet(d)
             n_deleted = spark.read.parquet(d).count()
             if n_deleted == 0:
-                shutil.rmtree(d, ignore_errors=True)
+                self._remove_dir(d)
                 return {
                     "version": None,
                     "n_dirs_rewritten": 0,
@@ -2816,7 +2972,7 @@ class SnapshotTable:
                 # mode would append an unbounded sidecar and tax every
                 # later read with an oversized anti-join — materialize
                 # the touched files once instead (scoped CoW below)
-                shutil.rmtree(d, ignore_errors=True)
+                self._remove_dir(d)
                 dv_fallback = True
             else:
                 rec = {
@@ -2964,12 +3120,15 @@ class SnapshotTable:
             to_hi = new["version"]
             ren = self._compose_renames(
                 [
-                    self._read_seg(v).get("k_set") or {}
+                    self._rec_at(v)
                     for v in self.versions()
                     if from_version < v <= to_hi
                 ]
-            )  # name-at-from_version -> name-at-to_version (each
-            # evolve's per-commit {old: new} rides its record's k_set)
+            )  # name-at-from_version -> name-at-to_version, composed
+            # over FOLDED records — the per-commit "renames" key can be
+            # delta-encoded as a k_patch when consecutive evolves both
+            # carry one (r9 review), so raw record files are not a safe
+            # source; folded records always expose the full dict
             inv = {v: k for k, v in ren.items()}
             o = o.select(
                 *[
@@ -3024,13 +3183,13 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("vacuum: keep_last must be >= 1")
         grace = self.VACUUM_GRACE_S if grace_s is None else float(grace_s)
-        deadline = time.monotonic() + self.COMMIT_WAIT_S
         while not self.protocol.put_if_absent(self._VACUUM_LOCK, b"vacuum"):
-            if time.monotonic() > deadline:
+            age = self._vacuum_lock_age()
+            if age is not None and age > self.VACUUM_LOCK_STALE_S:
                 raise StaleCommitMarkerError(
                     f"snapshot table {self.root}: vacuum lock "
-                    f"{self._VACUUM_LOCK} held past {self.COMMIT_WAIT_S}s "
-                    "— delete the lock file to recover"
+                    f"{self._VACUUM_LOCK} is {age:.0f}s old — a vacuum "
+                    "crashed; delete the lock file to recover"
                 )
             time.sleep(0.02)
         try:
@@ -3088,12 +3247,24 @@ class SnapshotTable:
                 if v is not None and v < kept[0]:
                     self.protocol.delete(key)
             # tidy directory name claims whose directory is gone
-            # (names never recur — versions count up monotonically)
+            # (names never recur — versions count up monotonically).
+            # The same grace window as data dirs applies (r9 review): a
+            # fresh claim belongs to an in-flight _new_dir whose Spark
+            # write has not landed yet — deleting it would let a second
+            # writer claim the SAME name.  put_if_absent temp files
+            # (".tmp." infix) are never touched: deleting one mid-link
+            # crashes the writer.
             for key in self.protocol.list(""):
-                if key.startswith("_claim_") and not os.path.isdir(
+                if not key.startswith("_claim_") or ".tmp." in key:
+                    continue
+                if os.path.isdir(
                     os.path.join(self.root, key[len("_claim_"):])
                 ):
-                    self.protocol.delete(key)
+                    continue
+                st = self.protocol.stat(key)
+                if st is not None and now - st[0] < grace:
+                    continue
+                self.protocol.delete(key)
             return removed
         finally:
             self.protocol.delete(self._VACUUM_LOCK)

@@ -204,7 +204,10 @@ class TestOptimisticConcurrency:
         deadlocking commits."""
         t = SnapshotTable(str(tmp_path / "t"))
         t.commit(_kv(spark, 0, 5))
-        t.COMMIT_WAIT_S = 0.3
+        # staleness is judged by the LOCK's age, not the waiter's
+        # patience (r9 review): a healthy long vacuum must never be
+        # reported as crashed
+        t.VACUUM_LOCK_STALE_S = 0.3
         assert t.protocol.put_if_absent("_vacuum.lock", b"crashed")
         with pytest.raises(ConcurrentWriteError, match="delete the lock"):
             t.append(_kv(spark, 5, 10))
