@@ -455,7 +455,16 @@ def ivf_knn(
             .join(F.broadcast(qraw), on="query_id")
             .withColumn(
                 "cosine",
-                dot(F.col("__qraw"), F.col("__craw")) / (F.col("__qnrm") * F.col("__cnrm")),
+                # try_divide (the repo's ANSI-safe fallible-arithmetic
+                # convention, SURVEY §8.2): a zero-norm vector — e.g. a
+                # deferred-training table whose first real batch holds
+                # an all-zero embedding — yields cosine NULL (ranked
+                # last by desc ordering) instead of DIVIDE_BY_ZERO
+                # killing the job (r9 review #2, test_wave41).
+                F.try_divide(
+                    dot(F.col("__qraw"), F.col("__craw")),
+                    F.col("__qnrm") * F.col("__cnrm"),
+                ),
             )
         )
     else:

@@ -45,6 +45,12 @@ def get_spark(
         # --- determinism / oracle comparability -------------------------
         # DuckDB timestamps are UTC-naive; Spark's are session-TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy default parquet timestamp encoding)
+        # carries NO footer statistics by parquet spec, which silently
+        # disables timestamp zone-map pruning on snapshot tables (r9
+        # review #3) — TIMESTAMP_MICROS is the modern encoding every
+        # reader min/maxes.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # --- scale posture ----------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
