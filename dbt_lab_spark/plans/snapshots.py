@@ -946,6 +946,21 @@ class SnapshotTable:
         st = self.protocol.stat(self._VACUUM_LOCK)
         return None if st is None else max(0.0, time.time() - st[0])
 
+    def _refresh_vacuum_lock(self, payload: bytes) -> None:
+        """HEARTBEAT the vacuum/rollback lock: overwrite it so its
+        mtime measures LIVENESS, not elapsed runtime (ADVICE r9: a
+        healthy vacuum rmtree-ing many directories for longer than
+        VACUUM_LOCK_STALE_S made every waiting committer report a live
+        lock as crashed and advise deleting it — reopening the
+        delete-vs-commit race the lock closes).  Only the lock HOLDER
+        calls this; `put` is a plain overwrite on both protocol
+        backends and refreshes the stat mtime `_vacuum_lock_age`
+        reads."""
+        try:
+            self.protocol.put(self._VACUUM_LOCK, payload)
+        except Exception:
+            pass  # heartbeat is best-effort; staleness just ages
+
     def _wait_no_vacuum(self) -> None:
         """Commits exclude a running vacuum (which deletes directories
         and truncates history) by waiting on its lock.  A lock whose
@@ -1020,6 +1035,18 @@ class SnapshotTable:
             n = head_v + 1
             seg = self._make_seg(parent, rec, n, time.time())
             data = json.dumps(seg, separators=(",", ":")).encode()
+            if not _during_vacuum and self.protocol.exists(
+                self._VACUUM_LOCK
+            ):
+                # re-check IMMEDIATELY before publish (ADVICE r9): the
+                # state-fold/seg-build above is unbounded work, and a
+                # vacuum that acquired its lock inside that window
+                # (with grace_s=0, e.g. single-writer test jobs) could
+                # otherwise reclaim this commit's not-yet-referenced
+                # data dir before the record lands.  Loop back to the
+                # full wait — vacuum's settle sleep then bounds the
+                # remaining check-to-publish window.
+                continue
             if not self.protocol.put_if_absent(self._seg_key(n), data):
                 # someone published n first: loop — the CAS check above
                 # raises for content-dependent callers, append-style
@@ -2028,6 +2055,10 @@ class SnapshotTable:
                 rec.update(self._dir_meta(target, target["files"]))
                 if "schema_json" in target:
                     rec["schema_json"] = target["schema_json"]
+            # heartbeat before publishing: folding a long history for
+            # the target read can take a while, and waiters judge the
+            # lock by its mtime (ADVICE r9)
+            self._refresh_vacuum_lock(b"rollback")
             return self._append_log(
                 rec, expected_parent=head_v, _during_vacuum=True
             )
@@ -2189,12 +2220,24 @@ class SnapshotTable:
                 "dir_schema_json": dict(head.get("dir_schema_json") or {}),
                 "dir_logical_columns": dir_logical,
             }
-        # the ANN quantizer metadata names its column LOGICALLY: a
-        # rename of the indexed column must follow (knn() and later
-        # commits' _ann_stage resolve through it)
-        if head.get("ann") and head["ann"].get("col") in rename:
+        # the ANN quantizer metadata names its columns LOGICALLY: a
+        # rename of the indexed VECTOR column or of the ID column must
+        # follow (knn() and later commits' _ann_stage resolve through
+        # them — ADVICE r9: following only `col` left ann['id_col']
+        # stale after an id-column rename, so knn()/retrain bound a
+        # missing column)
+        if head.get("ann") and (
+            head["ann"].get("col") in rename
+            or head["ann"].get("id_col") in rename
+        ):
             rec["ann"] = {
-                **head["ann"], "col": rename[head["ann"]["col"]]
+                **head["ann"],
+                "col": rename.get(
+                    head["ann"].get("col"), head["ann"].get("col")
+                ),
+                "id_col": rename.get(
+                    head["ann"].get("id_col"), head["ann"].get("id_col")
+                ),
             }
         return self._append_log(rec, expected_parent=head["version"])
 
@@ -2562,7 +2605,19 @@ class SnapshotTable:
                 for m, c, f, payload in zip(
                     pdf["__m"], pdf["col"], pdf["file"], pdf["payload"]
                 ):
-                    if c != pcol_of_manifest.get(os.path.realpath(m), col):
+                    pcol = pcol_of_manifest.get(os.path.realpath(m))
+                    if pcol is None:
+                        # executor-side path missing from the
+                        # driver-built map (different mount points on a
+                        # multi-node cluster): KEEP the file.  Falling
+                        # back to the logical name is unsafe — after a
+                        # rename swap, a physical column bearing that
+                        # name can be a DIFFERENT logical column, and
+                        # its stats could wrongly exclude files
+                        # (ADVICE r9).  Pruning is an optimization;
+                        # conservative is correct.
+                        continue
+                    if c != pcol:
                         continue
                     e = json.loads(payload)
                     if kind == "minmax":
@@ -3345,7 +3400,16 @@ class SnapshotTable:
         so long-running consumers must either finish within the
         retention they operate under or read versions >= head -
         keep_last + 1.  This is the standard lakehouse vacuum
-        contract (SCALING.md §vacuum)."""
+        contract (SCALING.md §vacuum).
+
+        `grace_s=0.0` disables the in-flight-writer grace entirely: a
+        concurrent writer's just-written, not-yet-published directory
+        becomes reclaimable the moment vacuum sweeps.  Commits
+        re-check this lock immediately before publishing (ADVICE r9),
+        which closes the published-head-unreadable race, but zero
+        grace remains a single-writer-at-a-time convenience for tests
+        and maintenance windows — production concurrent writers keep
+        the default."""
         import shutil
 
         if keep_last < 1:
@@ -3397,6 +3461,11 @@ class SnapshotTable:
                     continue
                 if age < grace:
                     continue  # possibly an in-flight writer's output
+                # heartbeat before each potentially-slow rmtree: at the
+                # module's 100 TB posture a sweep over many directories
+                # can outlive VACUUM_LOCK_STALE_S, and staleness must
+                # measure liveness, not sweep length (ADVICE r9)
+                self._refresh_vacuum_lock(b"vacuum")
                 shutil.rmtree(p)
                 try:
                     os.unlink(self._manifest_path(p))

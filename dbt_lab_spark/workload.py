@@ -1574,6 +1574,7 @@ def all_queries() -> list[QueryDef]:
     from dbt_lab_spark.workload_r7 import R7_QUERIES
     from dbt_lab_spark.workload_r8 import R8_QUERIES
     from dbt_lab_spark.workload_r9 import R9_QUERIES
+    from dbt_lab_spark.workload_r10 import R10_QUERIES
     from dbt_lab_spark.workload_tpch import TPCH_EXTRA_QUERIES
 
     out = (
@@ -1592,6 +1593,7 @@ def all_queries() -> list[QueryDef]:
         + R7_QUERIES
         + R8_QUERIES
         + R9_QUERIES
+        + R10_QUERIES
     )
     # Duplicate names silently shadow in the queries()/oracle_sql()
     # dicts (the r5 q_merge_upsert collision made a declared query
