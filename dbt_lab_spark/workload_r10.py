@@ -194,6 +194,103 @@ WHERE ts BETWEEN TIMESTAMP '{_TS_LO:%Y-%m-%d %H:%M:%S}'
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming change-feed source (VERDICT r9 #4)
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """change_stream() tails the segmented log one commit at a time
+    and the batch-id machinery makes consumption exactly-once: build a
+    source table over four commits (full commit, append, DV delete of
+    v0 rows, append), consume every `(version, frame)` micro-batch
+    into a sink via append_stream_batch(batch_id=version), then REPLAY
+    the whole stream — every replayed batch must be a recorded no-op.
+    Output: the sink's per-_change aggregate (recomputed by the oracle
+    straight from orders arithmetic) plus closed-form flags — the
+    replay was all no-ops, and the streamed union equals the BATCH
+    change_feed plus v0's inserts (stream == batch)."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+
+    cat = Catalog(sf_dir)
+    base = scan(spark, cat, "orders", ["o_orderkey", "o_totalprice"]).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="snap_cstream_")
+    try:
+        src = SnapshotTable(root + "/src")
+        src.commit(base.filter(F.col("k") % 4 == 0))           # v0
+        src.append(base.filter(F.col("k") % 4 == 1))           # v1
+        src.delete_where(spark, "k % 8 = 0", mode="dv")        # v2: hits v0
+        src.append(base.filter(F.col("k") % 4 == 2))           # v3
+        sink = SnapshotTable(root + "/sink")
+        landed = [
+            sink.append_stream_batch(df, batch_id=v)
+            for v, df in src.change_stream(spark)
+        ]
+        replay = [
+            sink.append_stream_batch(df, batch_id=v)
+            for v, df in src.change_stream(spark)
+        ]
+        replay_noop = landed == [0, 1, 2, 3] and replay == [None] * 4
+        got = sink.read(spark).drop("_version")
+        want = src.change_feed(spark, from_version=0).unionByName(
+            src.read(spark, version=0).withColumn("_change", F.lit("insert"))
+        )
+        stream_eq_batch = (
+            got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        )
+        agg = (
+            got.groupBy("_change")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                "_change",
+                "n_rows",
+                "sum_cents",
+                F.lit(replay_noop).alias("replay_noop"),
+                F.lit(stream_eq_batch).alias("stream_eq_batch"),
+            )
+            .orderBy("_change")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_STREAM_CHANGE_FEED = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'insert' AS _change,
+         COUNT(*) AS n_rows,
+         SUM(cents) AS sum_cents,
+         TRUE AS replay_noop,
+         TRUE AS stream_eq_batch
+  FROM o WHERE k % 4 IN (0, 1, 2)
+  UNION ALL
+  SELECT 'delete' AS _change,
+         COUNT(*) AS n_rows,
+         SUM(cents) AS sum_cents,
+         TRUE AS replay_noop,
+         TRUE AS stream_eq_batch
+  FROM o WHERE k % 8 = 0
+) ORDER BY _change
+"""
+
+
 R10_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_constraint_race", _q_constraint_race, _SQL_CONSTRAINT_RACE,
@@ -202,5 +299,9 @@ R10_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_ts_prune", _q_ts_prune, _SQL_TS_PRUNE,
         "timestamp stat_cols zone maps prune 1 of 3 files (closed-form)",
+    ),
+    QueryDef(
+        "q_stream_change_feed", _q_stream_change_feed, _SQL_STREAM_CHANGE_FEED,
+        "change_stream tail == batch change_feed; replay is all no-ops",
     ),
 ]
