@@ -291,6 +291,134 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Partial ANN retrain (VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ID = 1_000_000  # corpus id offset for the drifted copy
+_DRIFT_QID = 2_000_000  # query id offset for drifted-mode queries
+
+
+def _drift(col):
+    """SQL-expressible directional drift: first two dims pinned to 1,
+    the rest folded positive and scaled — every drifted vector lands
+    in the positive orthant, far (in cosine) from the centroids the
+    near-random base trained (measured staleness 0.04-0.12 across SFs
+    vs exactly 0 for the base directory).  Spark F.transform is
+    0-indexed; the DuckDB mirror uses its 1-based lambda index."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x, i: F.when(i < F.lit(2), F.lit(1.0)).otherwise(
+            F.abs(x) * 50.0
+        ),
+    )
+
+
+def _q_ann_partial_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact(retrain_ann=True, only_drifted=) rewrites ONLY the
+    drifted directory — the base directory is carried by reference and
+    stays clustered under its ORIGINAL codebook (per-generation
+    codebooks: ann_codebooks + ann_gens; knn probes each generation
+    with its own centroids).  Correctness: with nprobe=C every cluster
+    of every generation is probed, the candidate set is the whole
+    corpus, and knn == brute-force cosine top-10 — the exactness
+    invariant that fails if a generation is dropped, a codebook is
+    misbound, or the cross-generation re-rank is wrong.  Closed-form
+    flags pin the O(drifted) structure (base dir carried by reference,
+    drifted dir rewritten, exactly two generations)."""
+    import shutil
+    import tempfile
+
+    from dbt_lab_spark.llm.similarity import ivf_centroids
+    from dbt_lab_spark.plans.snapshots import SnapshotTable
+    from dbt_lab_spark.workload_beyond import _SEEDED_C
+
+    cat = Catalog(sf_dir)
+    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, num_centroids=_SEEDED_C, iters=0, dim=64)
+    drifted = corpus.select(
+        (F.col("vec_id") + _DRIFT_ID).alias("vec_id"),
+        _drift(F.col("embedding")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    ).unionByName(
+        emb.filter(F.col("vec_id").between(5, 7)).select(
+            (F.col("vec_id") + _DRIFT_QID).alias("query_id"),
+            _drift(F.col("embedding")).alias("embedding"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="snap_partial_")
+    try:
+        t = SnapshotTable(
+            root,
+            ann_col="embedding",
+            ann_lists=_SEEDED_C,
+            ann_files=4,
+            ann_centroids=cents,
+        )
+        t.commit(corpus)
+        t.append(drifted)
+        base_dir = t._log()[-1]["files"][0]
+        drift_dir = t._log()[-1]["files"][1]
+        v = t.compact(
+            spark, retrain_ann=True, only_drifted=0.02,
+            retrain_iters=0, n_files=4,
+        )
+        head = t._log()[-1]
+        partial_ok = (
+            v is not None
+            and base_dir in head["files"]          # carried by reference
+            and drift_dir not in head["files"]     # drifted rewritten
+            and len(t._ann_gen_map(head)) == 2     # two live codebooks
+        )
+        out = t.knn(spark, queries, k=10, nprobe=_SEEDED_C).withColumn(
+            "partial_ok", F.lit(partial_ok)
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_ANN_PARTIAL_RETRAIN = f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= 5
+), drift AS (
+  SELECT id + {_DRIFT_ID} AS id,
+         list_transform(e, (x, i) ->
+           CASE WHEN i <= 2 THEN 1.0 ELSE abs(x) * 50.0 END) AS e
+  FROM base
+), c AS (
+  SELECT id AS neighbor_id, e AS cv FROM base
+  UNION ALL SELECT id, e FROM drift
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+  UNION ALL
+  SELECT vec_id + {_DRIFT_QID},
+         list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->
+           CASE WHEN i <= 2 THEN 1.0 ELSE abs(x) * 50.0 END)
+  FROM embeddings WHERE vec_id BETWEEN 5 AND 7
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank,
+       TRUE AS partial_ok
+FROM ranked WHERE rank <= 10
+"""
+
+
 R10_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_constraint_race", _q_constraint_race, _SQL_CONSTRAINT_RACE,
@@ -303,5 +431,10 @@ R10_QUERIES: list[QueryDef] = [
     QueryDef(
         "q_stream_change_feed", _q_stream_change_feed, _SQL_STREAM_CHANGE_FEED,
         "change_stream tail == batch change_feed; replay is all no-ops",
+    ),
+    QueryDef(
+        "q_ann_partial_retrain", _q_ann_partial_retrain,
+        _SQL_ANN_PARTIAL_RETRAIN,
+        "partial retrain: per-generation codebooks, knn(nprobe=C) == brute force",
     ),
 ]
