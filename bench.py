@@ -368,6 +368,11 @@ BENCH_NAMES = [
     "q_stream_semi_join",
     "q_stream_anti_join",
     "q_ann_retrain",
+    # r10 additions
+    "q_constraint_race",
+    "q_ts_prune",
+    "q_stream_change_feed",
+    "q_ann_partial_retrain",
 ]
 
 
