@@ -362,17 +362,22 @@ def _q_ann_partial_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(drifted)
         base_dir = t._log()[-1]["files"][0]
         drift_dir = t._log()[-1]["files"][1]
-        v = t.compact(
-            spark, retrain_ann=True, only_drifted=0.02,
-            retrain_iters=0, n_files=4,
-        )
-        head = t._log()[-1]
-        partial_ok = (
-            v is not None
-            and base_dir in head["files"]          # carried by reference
-            and drift_dir not in head["files"]     # drifted rewritten
-            and len(t._ann_gen_map(head)) == 2     # two live codebooks
-        )
+        # an empty corpus has no manifests to judge drift from (and
+        # nothing for knn to return) — skip the rewrite, matching the
+        # empty oracle (the q_ann_retrain convention)
+        partial_ok = True
+        if t.read(spark).limit(1).count():
+            v = t.compact(
+                spark, retrain_ann=True, only_drifted=0.02,
+                retrain_iters=0, n_files=4,
+            )
+            head = t._log()[-1]
+            partial_ok = (
+                v is not None
+                and base_dir in head["files"]      # carried by reference
+                and drift_dir not in head["files"]  # drifted rewritten
+                and len(t._ann_gen_map(head)) == 2  # two live codebooks
+            )
         out = t.knn(spark, queries, k=10, nprobe=_SEEDED_C).withColumn(
             "partial_ok", F.lit(partial_ok)
         )
