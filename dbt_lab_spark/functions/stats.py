@@ -24,6 +24,8 @@ Scale notes baked into the shapes:
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -172,7 +174,7 @@ def welch_t(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         + (b["__v"] / b["__n"]) ** 2 / (b["__n"] - 1)
     )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 float(t_stat),

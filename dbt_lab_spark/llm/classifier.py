@@ -30,6 +30,8 @@ everything else here is standard published practice (CCNet, fastText).
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -221,7 +223,7 @@ def weights_table(spark, w, threshold: float = 1e-12) -> DataFrame:
 
     nz = np.nonzero(np.abs(w) > threshold)[0]
     rows = [(int(i), float(w[i])) for i in nz]
-    return spark.createDataFrame(rows or [(0, 0.0)], "idx int, weight double")
+    return local_df(spark, rows or [(0, 0.0)], "idx int, weight double")
 
 
 def score_logreg(features: DataFrame, weights: DataFrame, bias: float) -> DataFrame:

@@ -19,6 +19,8 @@ Everything is seeded/deterministic (xxhash64 with fixed salts).
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1241,7 +1243,7 @@ def semantic_dedup_pairs(
     if probe is None:
         # Empty corpus: no pairs by definition; avoid a None-subscript
         # crash and skip the k-means jobs entirely.
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession, 
             [], "id_a long, id_b long, cosine double"
         )
     dim = len(probe[0])

@@ -29,6 +29,8 @@ surface); capability evidence is the builder brief's north star
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -244,4 +246,4 @@ def make_near_dup_images(
             )
     from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA
 
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return local_df(spark, rows, ASSET_SCHEMA, fanout=True)

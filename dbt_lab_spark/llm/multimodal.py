@@ -22,6 +22,8 @@ blobs cannot OOM an executor.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -59,7 +61,7 @@ def make_fake_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
         payload = bytes(((i * 131 + j * 17 + seed) % 256) for j in range(256 + (i % 7) * 64))
         media = ["image", "audio", "video"][i % 3]
         rows.append((i, media, payload, 64 + i % 32, 48 + i % 16, 1000 * (i % 30)))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return local_df(spark, rows, ASSET_SCHEMA, fanout=True)
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
@@ -151,7 +153,7 @@ def make_real_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
             # (r5 adds LZW + Deflate beside r4's PackBits)
             comp = ["none", "packbits", "lzw", "deflate"][(i // 8) % 4]
             rows.append((i, "image", codecs.encode_tiff(px, compression=comp), w, h, 0))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return local_df(spark, rows, ASSET_SCHEMA, fanout=True)
 
 
 def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -439,7 +441,7 @@ def make_video_assets(spark, n: int = 12, seed: int = 42) -> DataFrame:
         ]
         payload = codecs.encode_mjpeg(frames, quality=90)
         rows.append((i, "video", payload, w, h, n_frames * 40))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return local_df(spark, rows, ASSET_SCHEMA, fanout=True)
 
 
 FRAME_FEATURE_SCHEMA = T.StructType(

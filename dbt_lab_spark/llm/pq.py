@@ -25,6 +25,8 @@ id % ks == c; no RNG anywhere.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -346,7 +348,7 @@ def ivfpq_knn(
         qn = qv / (np.linalg.norm(qv) or 1.0)
         top = np.argsort(-(qn @ cents.T))[:nprobe]
         probes += [(qid, int(c)) for c in top]
-    probe_df = codes.sparkSession.createDataFrame(probes, "query_id long, cluster int")
+    probe_df = local_df(codes.sparkSession, probes, "query_id long, cluster int")
 
     cand = codes.join(F.broadcast(probe_df), "cluster")
     sc = codes.sparkSession.sparkContext

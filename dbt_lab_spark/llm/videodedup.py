@@ -31,6 +31,8 @@ surface); north-star brief capability.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -236,4 +238,4 @@ def make_near_dup_videos(
             )
     from dbt_lab_spark.llm.multimodal import ASSET_SCHEMA
 
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return local_df(spark, rows, ASSET_SCHEMA, fanout=True)

@@ -22,6 +22,8 @@ this module adds the free Spark upgrades:
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -616,7 +618,7 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str) -> DataFrame:
         files = [path]
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
-    flist = spark.createDataFrame([(f,) for f in files], "file string")
+    flist = local_df(spark, [(f,) for f in files], "file string", fanout=True)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq

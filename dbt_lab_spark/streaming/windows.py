@@ -14,6 +14,8 @@ on an unbounded 100 TB/day stream.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -355,7 +357,7 @@ def hourly_rollup_with_watermark(
     rows = out.collect()
     spark.catalog.dropTempView(name)
     if not rows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "h long, n_events bigint, sum_cents bigint"
         )
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)

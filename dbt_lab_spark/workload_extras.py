@@ -12,6 +12,8 @@ would build, Spark-first.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1795,7 +1797,7 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((v, r.n_docs, r.n_sources, r.sum_chars))
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version int, n_docs bigint, n_sources bigint, sum_chars bigint"
     )
 

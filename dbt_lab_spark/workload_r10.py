@@ -18,6 +18,8 @@ canonicalization, temp tables torn down in finally blocks.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,7 +65,7 @@ def _q_constraint_race(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t = SnapshotTable(root)
         t.commit(base)
-        bad = spark.createDataFrame([(-1, -5)], "k long, cents long")
+        bad = local_df(spark, [(-1, -5)], "k long, cents long")
         orig = t._write_manifest
         fired: dict = {}
 
@@ -106,7 +108,7 @@ def _q_constraint_race(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -178,7 +180,7 @@ def _q_ts_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -262,7 +264,7 @@ def _q_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("_change")
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -382,7 +384,7 @@ def _q_ann_partial_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partial_ok", F.lit(partial_ok)
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

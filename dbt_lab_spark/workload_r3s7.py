@@ -19,6 +19,8 @@ rank/argmin pick.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -567,7 +569,7 @@ def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _MA_CHANNELS
     ]
     out.sort()
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "channel string, base_pconv double, removed_pconv double, "
         "removal_effect double, attribution double",
@@ -702,7 +704,7 @@ def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a tiny multiplier join, then a single (m, b)-partitioned
     # window — 4 separate union branches would re-derive the events
     # scan per m and pay 4x the stage overhead (measured 8.7s -> ~1s).
-    mult = spark.createDataFrame([(m,) for m in _HURST_BLOCKS], "m int")
+    mult = local_df(spark, [(m,) for m in _HURST_BLOCKS], "m int")
     blk = (
         idx.select(
             "y", "i", F.count(F.lit(1)).over(Window.partitionBy()).alias("t")
@@ -941,7 +943,7 @@ def _q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for (a, b) in sorted(cell)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "n_name string, o_orderpriority string, cell_median double, "
         "row_effect double, col_effect double, residual double",

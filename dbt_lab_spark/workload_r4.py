@@ -18,6 +18,8 @@ Spark-first.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1979,7 +1981,7 @@ def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
     in_pairs = comps.agg(F.count(F.lit(1)).alias("m")).collect()[0]["m"]
     hist = sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
-    singles = spark.createDataFrame(
+    singles = local_df(spark, 
         [(1, int(n_docs - in_pairs))], "size long, n_clusters long"
     )
     return (

@@ -17,6 +17,8 @@ multimodal surface); north-star brief requirement.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -411,7 +413,7 @@ def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_travel, _ = checksum(t.read(spark, version=pre_version))
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 files_before,
@@ -582,7 +584,7 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_travel = t.read(spark, version=pre_version).count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 m["n_dirs_rewritten"],
@@ -707,7 +709,7 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [tuple(row)],
         "n_only_incremental bigint, n_only_oneshot bigint, sets_equal boolean",
     )
@@ -769,7 +771,7 @@ def _q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_travel = t.read(spark, version=pre_version).count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 metrics["n_dirs_rewritten"],
@@ -848,7 +850,7 @@ def _q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     c01 = {r["_change"]: r["n"] for r in f01}
     c12 = {r["_change"]: r["n"] for r in f12}
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(c01.get("insert", 0)),

@@ -10,6 +10,8 @@ aliases, determinism per tests/oracle.py canonicalization.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,9 +85,7 @@ def _q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_late = (F.col("d") == F.lit(bounds["d0"])) & (
                 F.col("event_id") % 2 == 0
             )
-            sentinel = spark.createDataFrame(
-                [(1,)], "one int"
-            ).select(
+            sentinel = spark.range(1).select(
                 (F.lit(bounds["mx"]) + F.expr("INTERVAL 3 HOURS")).alias("ts"),
                 F.lit(0).cast("long").alias("cents"),
                 F.lit(1).alias("g"),
@@ -156,7 +156,7 @@ def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tmp, "src")
         staged = base.withColumn("g", F.lit(0))
         if mx is not None:
-            sentinel = spark.createDataFrame([(1,)], "one int").select(
+            sentinel = spark.range(1).select(
                 F.lit(-1).cast("long").alias("user_id"),
                 (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias("ts"),
                 F.lit(0).cast("long").alias("cents"),
@@ -205,12 +205,12 @@ def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [],
                 "user_id long, session_start timestamp, "
                 "session_end timestamp, n_events bigint, sum_cents bigint",
             )
-        return spark.createDataFrame(rows, out.schema).orderBy(
+        return local_df(spark, rows, out.schema).orderBy(
             "user_id", "session_start"
         )
     finally:
@@ -285,7 +285,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tmp, "src")
         staged = base.select("event_id", "ts", F.lit(0).alias("g"))
         if bounds["d0"] is not None:
-            sentinel = spark.createDataFrame([(1,)], "one int").select(
+            sentinel = spark.range(1).select(
                 F.lit(-1).cast("long").alias("event_id"),
                 (F.lit(bounds["mx"]) + F.expr("INTERVAL 3 HOURS")).alias("ts"),
                 F.lit(1).alias("g"),
@@ -332,8 +332,8 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = hist.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame([], "n_emitted bigint, n_keys bigint")
-        return spark.createDataFrame(rows, hist.schema).orderBy("n_emitted")
+            return local_df(spark, [], "n_emitted bigint, n_keys bigint")
+        return local_df(spark, rows, hist.schema).orderBy("n_emitted")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -423,7 +423,7 @@ def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         v0_schema = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in v0.schema.fields)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(h["n_head"]), int(h["sum_cents_head"] or 0),
@@ -514,12 +514,12 @@ def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [],
                 "user_id long, session_start timestamp, "
                 "session_end timestamp, n_events bigint, sum_cents bigint",
             )
-        return spark.createDataFrame(rows, out.schema).orderBy(
+        return local_df(spark, rows, out.schema).orderBy(
             "user_id", "session_start"
         )
     finally:
@@ -628,8 +628,8 @@ def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = hist.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame([], "user_id long, n_pairs bigint")
-        return spark.createDataFrame(rows, hist.schema).orderBy("user_id")
+            return local_df(spark, [], "user_id long, n_pairs bigint")
+        return local_df(spark, rows, hist.schema).orderBy("user_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -806,7 +806,7 @@ def _q_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_versions = len(t.versions())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(head["n"]), int(head["s"] or 0), bool(refused), int(n_versions))],
         "n_rows bigint, sum_cents bigint, bad_batch_refused boolean, "
         "n_versions bigint",

@@ -12,6 +12,8 @@ determinism per tests/oracle.py canonicalization.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,7 +80,7 @@ def _q_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_deleted = res["n_deleted"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(head["n"]), int(head["s"] or 0), int(n_deleted),
@@ -156,7 +158,7 @@ def _q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(head["n"]), int(head["s"] or 0), int(res["n_updated"]),
@@ -238,7 +240,7 @@ def _q_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         travel_ok = t.read(spark, version=0).count() == n_v0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(head["n"]), int(head["s"] or 0),
@@ -302,7 +304,7 @@ def _q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g in range(4):
             t.append(orders.filter(F.col("k") % 4 == g).repartition(4))
         if probe is None:  # empty orders: vacuous flags, zero counts
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [(None, None, 0, True, 0)],
                 "probe_k bigint, probe_cents bigint, n_probe_rows bigint, "
                 "pruned_lt_half boolean, n_missing_rows bigint",
@@ -315,7 +317,7 @@ def _q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_missing = t.read(spark, point=("k", int(missing_k))).count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(probe), int(hit["s"] or 0), int(hit["n"]),
@@ -394,7 +396,7 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             if mx is None:
                 return df
             return df.unionByName(
-                spark.createDataFrame([(1,)], "one int").select(
+                spark.range(1).select(
                     F.lit(-1).cast("long").alias("user_id"),
                     (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias(ts_col),
                 )
@@ -444,10 +446,10 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = agg.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], "user_id long, n_pairs bigint, n_unmatched bigint"
             )
-        return spark.createDataFrame(rows, agg.schema).orderBy("user_id")
+        return local_df(spark, rows, agg.schema).orderBy("user_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -494,7 +496,7 @@ def _q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             if mx is None:
                 return df
             return df.unionByName(
-                spark.createDataFrame([(1,)], "one int").select(
+                spark.range(1).select(
                     F.lit(-1).cast("long").alias("user_id"),
                     (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias(ts_col),
                 )
@@ -551,12 +553,12 @@ def _q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = agg.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [],
                 "user_id long, n_pairs bigint, n_unmatched_purchases bigint, "
                 "n_unmatched_clicks bigint",
             )
-        return spark.createDataFrame(rows, agg.schema).orderBy("user_id")
+        return local_df(spark, rows, agg.schema).orderBy("user_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -714,7 +716,7 @@ def _q_stream_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if orders.limit(1).count() == 0:
         # empty source: no micro-batch ever fires, so no version exists
         # to read — the zero row is the vacuous closed form
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, 0, True, 0)],
             "n_rows bigint, sum_cents bigint, zero_rewrites boolean, "
             "n_versions bigint",
@@ -777,7 +779,7 @@ def _q_stream_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_versions = len(t.versions())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(head["n"]), int(head["s"] or 0), bool(zero_rewrites), int(n_versions))],
         "n_rows bigint, sum_cents bigint, zero_rewrites boolean, "
         "n_versions bigint",

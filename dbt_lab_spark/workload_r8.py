@@ -14,6 +14,8 @@ tests/oracle.py canonicalization.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,7 +92,7 @@ def _q_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("residue")
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -165,7 +167,7 @@ def _q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((probe, r.n_docs, r.sum_chars, prehistory_errors))
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "probe int, n_docs bigint, sum_chars bigint, prehistory_errors boolean"
     )
 
@@ -230,7 +232,7 @@ def _q_dv_mass_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -296,7 +298,7 @@ def _q_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             if mx is None:
                 return df
             return df.unionByName(
-                spark.createDataFrame([(1,)], "one int").select(
+                spark.range(1).select(
                     F.lit(-1).cast("long").alias("user_id"),
                     (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias(ts_col),
                 )
@@ -346,10 +348,10 @@ def _q_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = agg.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], "user_id long, n_pairs bigint, n_unmatched_clicks bigint"
             )
-        return spark.createDataFrame(rows, agg.schema).orderBy("user_id")
+        return local_df(spark, rows, agg.schema).orderBy("user_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -415,7 +417,7 @@ def _q_snapshot_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(corpus.filter(F.col("vec_id") % 2 == 0))
         out = t.knn(spark, queries, k=10, nprobe=3)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

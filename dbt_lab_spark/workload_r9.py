@@ -14,6 +14,8 @@ canonicalization.
 
 from __future__ import annotations
 
+from dbt_lab_spark.localrel import local_df
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,7 +95,7 @@ def _q_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(p, n, s, bool(ok)) for p, (n, s) in probes]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "probe int, n_docs bigint, sum_chars bigint, ok boolean"
     ).orderBy("probe")
 
@@ -165,7 +167,7 @@ def _stream_semi_anti(
             if mx is None:
                 return df
             return df.unionByName(
-                spark.createDataFrame([(1,)], "one int").select(
+                spark.range(1).select(
                     F.lit(-1).cast("long").alias("user_id"),
                     (F.lit(mx) + F.expr("INTERVAL 3 HOURS")).alias(ts_col),
                 )
@@ -206,8 +208,8 @@ def _stream_semi_anti(
         rows = agg.collect()
         spark.catalog.dropTempView(name)
         if not rows:
-            return spark.createDataFrame([], "user_id long, n_purchases bigint")
-        return spark.createDataFrame(rows, agg.schema).orderBy("user_id")
+            return local_df(spark, [], "user_id long, n_purchases bigint")
+        return local_df(spark, rows, agg.schema).orderBy("user_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -315,7 +317,7 @@ def _q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.compact(spark, retrain_ann=True, retrain_iters=0, n_files=4)
         out = t.knn(spark, queries, k=10, nprobe=3)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
