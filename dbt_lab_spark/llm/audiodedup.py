@@ -134,7 +134,9 @@ def audio_dedup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
     construction) — per-band equi-joins, never all-pairs."""
     from dbt_lab_spark.llm.dedup import hamming_dedup_pairs
 
-    fps = audio_fingerprints(assets).select("asset_id", "afp")
+    # localCheckpoint: decode+fingerprint once, not once per band side
+    # of hamming_dedup_pairs (same rationale as image_dedup_pairs).
+    fps = audio_fingerprints(assets).select("asset_id", "afp").localCheckpoint()
     return hamming_dedup_pairs(
         fps, hash_col="afp", id_col="asset_id", max_hamming=max_hamming
     )

@@ -179,7 +179,12 @@ def image_dedup_pairs(
     (id_a, id_b, hamming)."""
     from dbt_lab_spark.llm.dedup import hamming_dedup_pairs
 
-    hashes = image_hashes(assets).select("asset_id", method)
+    # localCheckpoint: hamming_dedup_pairs references its input twice
+    # (left/right band sides), which would re-run the decode+hash Arrow
+    # stage per reference — materialize the tiny (asset_id, hash)
+    # relation once instead (guide §7.2 duplicated subtrees, §8
+    # decide-with-small-rows: the hash IS the lightweight proxy).
+    hashes = image_hashes(assets).select("asset_id", method).localCheckpoint()
     return hamming_dedup_pairs(
         hashes, hash_col=method, id_col="asset_id", max_hamming=max_hamming
     )

@@ -108,7 +108,11 @@ def video_dedup_pairs(
     h = int(max_mean_hamming)
     n_bands = h + 1
     width = 64 // n_bands
-    hashes = video_frame_hashes(assets)
+    # localCheckpoint: `hashes` is referenced THREE times below (bands,
+    # verify side a, verify side b) — without materializing the small
+    # (asset_id, frame_idx, dhash) relation the container-split +
+    # JPEG-decode Arrow stage runs once per reference (guide §7.2).
+    hashes = video_frame_hashes(assets).localCheckpoint()
     bands = hashes.select(
         "asset_id",
         "frame_idx",

@@ -5592,11 +5592,24 @@ def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = minhash_dedup_pairs(
         docs, num_hashes=64, shingle_k=3, num_bands=16, threshold=0.5
     ).select("id_a", "id_b")
-    matched = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    # One full-outer join + one aggregate instead of three separate
+    # aggregates over `exact`/`approx`: each DataFrame reference is a
+    # fresh subtree to Catalyst, so the old crossJoin-of-aggs shape
+    # recomputed the expensive exact-jaccard and LSH pipelines TWICE
+    # each (guide §7.2, duplicated subtrees).  Pair keys are distinct
+    # on both sides (banded-LSH pairs and all-pairs output are
+    # per-pair), so the join is 1:1 and the three counts are
+    # unchanged.
+    both = exact.withColumn("__e", F.lit(1)).join(
+        approx.withColumn("__a", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
     return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(approx.agg(F.count("*").alias("n_approx")))
-        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        both.agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__a").alias("n_approx"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1))
+            .alias("n_matched"),
+        )
         .select(
             "n_exact",
             # Vacuously true when either side is empty (ADVICE r4): on a
@@ -5646,11 +5659,18 @@ def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan(spark, cat, "documents", ["doc_id", "text"])
     exact = ngram_jaccard_all_pairs(docs, shingle_k=3, threshold=0.5).select("id_a", "id_b")
     approx = simhash_dedup_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    matched = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    # Same single-pass full-outer shape as q_minhash_recall: the old
+    # crossJoin-of-aggs recomputed both pair pipelines twice.
+    both = exact.withColumn("__e", F.lit(1)).join(
+        approx.withColumn("__a", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
     return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(approx.agg(F.count("*").alias("n_approx")))
-        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        both.agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__a").alias("n_approx"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1))
+            .alias("n_matched"),
+        )
         .select(
             "n_exact",
             # Same conventions as q_minhash_recall (r6, ADVICE r4):
