@@ -467,7 +467,14 @@ def trigram_lm_score(
     equi-joins), and the (N, V) totals broadcast.  No Python anywhere.
     """
     from dbt_lab_spark.functions.text import shingles
+    from dbt_lab_spark.operators.scan import fan_out_if_small
 
+    # The five n-gram pipelines below each re-tokenize `df` (recompute
+    # beats materializing a corpus-sized token stream at scale), so a
+    # single-row-group scan serializes ALL of them on one core.
+    # Fan-out is size-gated: a table big enough to split natively is
+    # left untouched (guide §2.4).
+    df = fan_out_if_small(df)
     toks = _tokens(df, text_col, id_col)
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
     totals = uni.agg(F.sum("__cu").alias("__n"), F.count(F.lit(1)).alias("__v"))

@@ -16,12 +16,50 @@ of the index.  Prefetching is the vectorized parquet reader's job.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from dbt_lab_spark.catalog import Catalog
 from dbt_lab_spark.expr import between, conjunction
+
+# fan_out_if_small: repartition only when the scan's backing bytes are
+# below this many bytes PER CORE.  4 MB mirrors
+# spark.sql.files.openCostInBytes — the point below which Spark itself
+# considers a split not worth a task, i.e. the scan physically cannot
+# produce enough row-group splits to feed the cores, and the round-trip
+# shuffle of the whole relation costs less than one I/O-sized split per
+# core.  Above it, native file splitting provides the parallelism and
+# the repartition would be a pure extra shuffle (at 100 TB: a
+# catastrophic one), so the helper is a no-op there by construction.
+FAN_OUT_PER_CORE_BYTES = 4 * 1024 * 1024
+
+
+def fan_out_if_small(df: DataFrame, per_core_bytes: int = FAN_OUT_PER_CORE_BYTES) -> DataFrame:
+    """Round-robin repartition a SMALL scan to the session's core count
+    before a compute-dense stage (tokenize/explode/n-gram/model math).
+
+    Single-row-group parquet files cap the scan — and every map-side
+    pipeline fused onto it — at ONE task regardless of cores (guide
+    §2.4 stragglers: the partition count, not the data, is the
+    bottleneck).  The condition is measured from the relation's actual
+    backing files, so it is scale-adaptive, not a local-mode constant:
+    a table big enough to split natively skips the repartition
+    entirely.
+    """
+    try:
+        files = [f[7:] if f.startswith("file:") else f for f in df.inputFiles()]
+        if not files:
+            return df
+        total = sum(os.path.getsize(f) for f in files)
+    except Exception:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if total >= par * per_core_bytes:
+        return df
+    return df.repartition(par)
 
 
 def scan(

@@ -28,7 +28,7 @@ from dbt_lab_spark.llm.dedup import (
     simhash_dedup_pairs,
 )
 from dbt_lab_spark.llm.similarity import brute_force_knn, lsh_knn
-from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.operators.scan import fan_out_if_small, scan
 from dbt_lab_spark.workload import QueryDef
 
 # ---------------------------------------------------------------------------
@@ -3830,7 +3830,9 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.functions.text import rolling_hashes, winnow
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    # Map-only per-doc array math: a single-row-group scan runs the
+    # whole query in ONE task -- fan out (size-gated, guide 2.4).
+    docs = fan_out_if_small(scan(spark, cat, "documents", ["doc_id", "text"]))
     rh = docs.select("doc_id", rolling_hashes("text", k=4).alias("rhs"))
     fps = rh.select("doc_id", F.size("rhs").alias("n_windows"), winnow(F.col("rhs"), w=5).alias("fps"))
     return fps.select(
@@ -4263,7 +4265,9 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.curation import decontamination_pairs
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    # Fan out the single-row-group scan across cores before the
+    # compute-dense n-gram/vector pipelines (size-gated, guide 2.4).
+    docs = fan_out_if_small(scan(spark, cat, "documents", ["doc_id", "text"]))
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     pairs = decontamination_pairs(tr, ev, k=8, min_shared=1)
@@ -4973,7 +4977,9 @@ def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.classifier import hash_features
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    # Fan out the single-row-group scan before the n-gram explode
+    # (size-gated, guide 2.4).
+    docs = fan_out_if_small(scan(spark, cat, "documents", ["doc_id", "text"]))
     feats = hash_features(docs, n_features=1 << 16)
     return (
         feats.groupBy("idx")

@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from dbt_lab_spark.catalog import Catalog
 from dbt_lab_spark.expr import money
-from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.operators.scan import fan_out_if_small, scan
 from dbt_lab_spark.workload import QueryDef
 
 # ---------------------------------------------------------------------------
@@ -428,7 +428,9 @@ def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.curation import bloom_decontamination_pairs
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "text"])
+    # Fan out the single-row-group scan across cores before the
+    # compute-dense n-gram/vector pipelines (size-gated, guide 2.4).
+    docs = fan_out_if_small(scan(spark, cat, "documents", ["doc_id", "text"]))
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     pairs = bloom_decontamination_pairs(tr, ev, k=8, min_shared=1, fpp=0.01)
@@ -1944,7 +1946,11 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.pdf import encode_pdf, pdf_text
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    # Fan out the single-row-group scan so the per-row round-trip
+    # mapInPandas stage runs in parallel Python workers (guide 2.4/4).
+    docs = fan_out_if_small(
+        scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    )
 
     def _round_trip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -2039,7 +2045,11 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.html import encode_html, extract_main_text
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    # Fan out the single-row-group scan so the per-row round-trip
+    # mapInPandas stage runs in parallel Python workers (guide 2.4/4).
+    docs = fan_out_if_small(
+        scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    )
 
     def _round_trip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -2135,7 +2145,11 @@ def _q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.docx import docx_text, encode_docx
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    # Fan out the single-row-group scan so the per-row round-trip
+    # mapInPandas stage runs in parallel Python workers (guide 2.4/4).
+    docs = fan_out_if_small(
+        scan(spark, cat, "documents", ["doc_id", "source", "text"])
+    )
 
     def _round_trip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -2827,7 +2841,11 @@ def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.llm.classifier import hash_features
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id", "text", "lang", "source"])
+    # Fan out the tokenize/hash explode across cores when the scan
+    # cannot split natively (size-gated, guide §2.4).
+    docs = fan_out_if_small(
+        scan(spark, cat, "documents", ["doc_id", "text", "lang", "source"])
+    )
     feats = hash_features(docs, n_features=_DSIR_B)  # (doc_id, idx, tf)
     meta = docs.select(
         "doc_id", "source", (F.col("lang") == "en").cast("int").alias("is_t")

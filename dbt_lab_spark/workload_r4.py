@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from dbt_lab_spark.catalog import Catalog
 from dbt_lab_spark.expr import money
-from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.operators.scan import fan_out_if_small, scan
 from dbt_lab_spark.workload import QueryDef
 
 _D = "double"
@@ -1873,7 +1873,10 @@ def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lab_spark.functions.vectors import dot, l2_norm, to_double_array
 
     cat = Catalog(sf_dir)
-    emb = scan(spark, cat, "embeddings", ["vec_id", "embedding"])
+    # The embedding-parse + assign pipeline is referenced twice (join
+    # build and probe) off a single-row-group scan; fan out so both
+    # subtrees run at core parallelism (size-gated, guide §2.4).
+    emb = fan_out_if_small(scan(spark, cat, "embeddings", ["vec_id", "embedding"]))
     C = 8
     cents = ivf_centroids(emb, num_centroids=C, iters=0, dim=64)
     assigned = ivf_assign(emb, cents, "embedding", "vec_id").select(

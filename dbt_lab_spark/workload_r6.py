@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from dbt_lab_spark.catalog import Catalog
 from dbt_lab_spark.expr import money
-from dbt_lab_spark.operators.scan import scan
+from dbt_lab_spark.operators.scan import fan_out_if_small, scan
 from dbt_lab_spark.workload import QueryDef
 
 
@@ -674,8 +674,13 @@ def _q_mp3_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     cat = Catalog(sf_dir)
-    docs = scan(spark, cat, "documents", ["doc_id"]).filter(
-        F.col("doc_id") < _MP3_N_ASSETS
+    # Fan out the tiny asset-id relation so the per-row codec
+    # encode/decode mapInPandas stages run in parallel Python workers
+    # instead of one (size-gated, guide 2.4/4).
+    docs = fan_out_if_small(
+        scan(spark, cat, "documents", ["doc_id"]).filter(
+            F.col("doc_id") < _MP3_N_ASSETS
+        )
     )
 
     def _build(batches):
