@@ -35,7 +35,18 @@ def _trade_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to each source's top-3 edges by lineitem count (rank ties broken by
     dst).  Top-k-per-src keeps the graph's density scale-invariant —
     the same extraction at 100 TB yields the same 25-node topology
-    class, unlike an absolute count threshold."""
+    class, unlike an absolute count threshold.
+
+    The result is localCheckpoint-ed (r10 opt): every consumer is an
+    iterative/unrolled graph query that references this relation many
+    times (kcore peels, LPA rounds, triangle wedge self-joins), and
+    without truncation each reference re-plans — and partially
+    re-executes — the fact-fact join underneath (measured: q_kcore's
+    physical plan reached 2,164 operators / 1,356 Exchange+Scan nodes,
+    15.6 s build+explain).  The checkpointed relation is bounded at
+    |nations| x top-k rows at ANY scale factor, so materializing it is
+    O(1) — the guide §3.3 "materialise an intermediate to truncate the
+    plan" case with a provably tiny intermediate."""
     cat = Catalog(sf_dir)
     li = scan(spark, cat, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = scan(spark, cat, "orders", ["o_orderkey", "o_custkey"])
@@ -56,6 +67,7 @@ def _trade_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_OUT_EDGES)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
 
 
