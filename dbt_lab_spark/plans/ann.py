@@ -111,38 +111,57 @@ def file_cluster_stats(
     import numpy as np
     import pandas as pd
 
+    from collections.abc import Iterator as _Iter
+
     cents = np.asarray(centroids, dtype=np.float64)
     src = spark.read.parquet(d).select(
         norm_file_col(F.col("_metadata.file_path")).alias("__f"), vec_col
     )
 
-    def per_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        f = pdf["__f"].iloc[0]
-        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = 1.0
-        sims = (m / norms[:, None]) @ cents.T
-        best = np.max(sims, axis=1)
-        cl = np.unique(np.argmax(sims, axis=1))
-        return pd.DataFrame(
-            {
-                "f": [f] * len(cl),
-                "c": cl.astype("int32"),
-                "s": [float(best.mean())] * len(cl),
-            }
-        )
+    # Map-side PARTIAL aggregation, no shuffle (r10 opt): rows for one
+    # file arrive contiguously from the vectorized reader, so a
+    # per-batch groupby emits one tiny partial (cluster-id set,
+    # sum-of-best-cosine, row count) per file per Arrow batch; the
+    # driver folds the partials.  The previous groupBy(__f)
+    # .applyInPandas forced a hash Exchange of every vector — the only
+    # shuffle in the manifest-build path.  Cluster sets are exact
+    # either way (per-row integer argmax); mean_sim differs only in
+    # float summation order, and its consumers (ann_staleness
+    # thresholds) compare against margins orders of magnitude wider.
+    def per_batch(batches: _Iter["pd.DataFrame"]) -> _Iter["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for f, g in pdf.groupby("__f", sort=False):
+                m = np.array(g[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0.0] = 1.0
+                sims = (m / norms[:, None]) @ cents.T
+                best = np.max(sims, axis=1)
+                cl = np.unique(np.argmax(sims, axis=1))
+                rows.append(
+                    {
+                        "f": f,
+                        "cs": cl.astype("int32").tolist(),
+                        "bs": float(best.sum()),
+                        "n": len(g),
+                    }
+                )
+            yield pd.DataFrame(rows)
 
-    out: dict[str, dict] = {}
-    for r in (
-        src.groupBy("__f")
-        .applyInPandas(per_file, "f string, c int, s double")
-        .collect()
-    ):
-        e = out.setdefault(r["f"], {"clusters": [], "mean_sim": float(r["s"])})
-        e["clusters"].append(int(r["c"]))
-    for e in out.values():
-        e["clusters"].sort()
-    return out
+    acc: dict[str, dict] = {}
+    for r in src.mapInPandas(
+        per_batch, "f string, cs array<int>, bs double, n long"
+    ).collect():
+        e = acc.setdefault(r["f"], {"cs": set(), "bs": 0.0, "n": 0})
+        e["cs"].update(int(c) for c in r["cs"])
+        e["bs"] += float(r["bs"])
+        e["n"] += int(r["n"])
+    return {
+        f: {"clusters": sorted(e["cs"]), "mean_sim": e["bs"] / e["n"]}
+        for f, e in acc.items()
+    }
 
 
 def file_clusters(
