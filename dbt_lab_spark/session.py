@@ -73,6 +73,19 @@ def get_spark(
         # pinned here so a misconfigured cluster profile can't lose them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # --- driver-side API-call overhead (r10 opt, guide §5) ----------
+        # PySpark's DataFrame-debugging hook walks the Python stack AND
+        # makes a py4j round-trip on EVERY Column/DataFrame API call to
+        # record the user call site for error enrichment (~1-3 ms/call,
+        # pyspark/errors/utils.py _capture_call_site).  Expression-heavy
+        # plan builds here make thousands of such calls: measured median
+        # q_minhash_pairs 3.21 s -> 1.32 s, q_dedup_incremental 5.24 ->
+        # 2.66, q_simhash_recall 5.01 -> 3.23 from this conf alone.
+        # Cost exists on any driver at any scale; only error-message
+        # call-site decoration is lost.  Results are unaffected (the
+        # driver's correctness gate runs vanilla sessions where the
+        # default stays on).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
