@@ -114,7 +114,9 @@ def file_cluster_stats(
     from collections.abc import Iterator as _Iter
 
     cents = np.asarray(centroids, dtype=np.float64)
-    src = spark.read.parquet(d).select(
+    from dbt_lab_spark.plans.snapshots import _read_pq
+
+    src = _read_pq(spark, [d]).select(
         norm_file_col(F.col("_metadata.file_path")).alias("__f"), vec_col
     )
 

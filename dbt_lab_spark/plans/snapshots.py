@@ -302,6 +302,94 @@ def _file_stats(snapshot_dir: str, stat_cols: list[str]) -> dict[str, dict]:
     return out
 
 
+def _dir_num_rows(d: str) -> int:
+    """Row count of a parquet directory from FOOTERS only — no Spark
+    job, no data pages.  Replaces `spark.read.parquet(d).count()` for
+    just-written directories: at any scale the count of a write we
+    performed ourselves is O(#files) footer metadata, never a scan."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+            n += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+    return n
+
+
+def _all_nullable(dt):
+    """The type with every nesting level forced nullable — what JVM
+    parquet schema inference reports regardless of footer required/
+    optional flags."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _all_nullable(dt.keyType), _all_nullable(dt.valueType), True
+        )
+    return dt
+
+
+def _footer_spark_schema(paths):
+    """Spark StructType of the FIRST parquet footer under `paths`
+    (directories or files), derived DRIVER-side via pyarrow — skipping
+    the JVM schema-inference pass, which costs a footer-reading Spark
+    job per `spark.read.parquet()` call (~150-200 ms here) and at
+    scale lists+reads footers across the whole file set.  Returns None
+    whenever the footer cannot be mapped 1:1 to what JVM inference
+    would report (INT96 timestamps decode tz-naive through Arrow but
+    TimestampType through Spark; any arrow->Spark conversion surprise)
+    so callers can fall back to inference — never guess."""
+    import pyarrow.parquet as pq
+
+    f = None
+    for p in paths:
+        if os.path.isdir(p):
+            for fn in sorted(os.listdir(p)):
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    f = os.path.join(p, fn)
+                    break
+        elif p.endswith(".parquet"):
+            f = p
+        if f:
+            break
+    if f is None:
+        return None
+    try:
+        pf = pq.ParquetFile(f)
+        phys = pf.metadata.schema
+        for i in range(phys.num_columns):
+            if phys.column(i).physical_type == "INT96":
+                return None
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return _all_nullable(from_arrow_schema(pf.schema_arrow))
+    except Exception:
+        return None
+
+
+def _read_pq(spark: SparkSession, paths, schema=None) -> DataFrame:
+    """`spark.read.parquet(*paths)` with the JVM schema-inference pass
+    skipped whenever the schema is already known (recorded in the
+    snapshot log) or derivable driver-side from one footer
+    (`_footer_spark_schema`).  Inference costs a footer-reading Spark
+    job PER READ CALL and at 100 TB lists and footer-reads the whole
+    file set — schema-in-the-log is exactly what the object-store
+    table formats carry manifests for."""
+    if schema is None:
+        schema = _footer_spark_schema(paths)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*paths)
+
+
 def _ts_canon(v):
     """Canonical NAIVE-UTC form of a datetime.  Parquet footers record
     Spark TimestampType stats as UTC-adjusted instants (pyarrow hands
@@ -1115,7 +1203,7 @@ class SnapshotTable:
         cols = self._live_cols(self.bloom_cols)
         if not cols:
             return {}
-        df = spark.read.parquet(d)
+        df = _read_pq(spark, [d])
         present = [c for c in cols if c in df.columns]
         if not present:
             return {}
@@ -1205,7 +1293,7 @@ class SnapshotTable:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(d)
+        df = _read_pq(spark, [d])
         gap = [c for c in gap if c in df.columns]
         if not gap:
             return stats
@@ -1808,7 +1896,7 @@ class SnapshotTable:
 
         def finish(df):
             if dvs:
-                dv = spark.read.parquet(*dvs)
+                dv = _read_pq(spark, dvs)
                 # Broadcast guard (VERDICT r7 #2): the DV side is tiny
                 # for the point-delete shape DVs target, but nothing
                 # used to stop an accumulated-DV table from broadcasting
@@ -1816,15 +1904,7 @@ class SnapshotTable:
                 # the DV rows from parquet FOOTERS (O(#dv files), no
                 # data pages) and above the threshold plan a SHUFFLE
                 # anti-join instead.
-                n_dv = 0
-                import pyarrow.parquet as pq
-
-                for dvd in dvs:
-                    for fn in os.listdir(dvd):
-                        if fn.endswith(".parquet"):
-                            n_dv += pq.ParquetFile(
-                                os.path.join(dvd, fn)
-                            ).metadata.num_rows
+                n_dv = sum(_dir_num_rows(dvd) for dvd in dvs)
                 if n_dv <= self.DV_BROADCAST_MAX_ROWS:
                     dv = F.broadcast(dv)
                 else:
@@ -1844,7 +1924,7 @@ class SnapshotTable:
             return df.drop(*drop) if drop else df
 
         if "schema_json" not in rec:
-            df = spark.read.parquet(*paths)
+            df = _read_pq(spark, paths)
             if need_meta:
                 df = df.select(*meta_cols(), "*")
             return finish(df)
@@ -1899,7 +1979,22 @@ class SnapshotTable:
             )
 
         parts = [
-            adapt(spark.read.parquet(*ps), phys, logi, sj)
+            adapt(
+                _read_pq(
+                    spark,
+                    ps,
+                    schema=(
+                        _all_nullable(
+                            T.StructType.fromJson(json.loads(sj))
+                        )
+                        if sj
+                        else None
+                    ),
+                ),
+                phys,
+                logi,
+                sj,
+            )
             for (phys, logi, sj), ps in sorted(groups.items())
         ]
         out = parts[0]
@@ -2713,7 +2808,7 @@ class SnapshotTable:
         if not paths:
             return set()
         src = (
-            spark.read.parquet(*paths)
+            _read_pq(spark, paths)
             .withColumn(
                 "__m",
                 self._norm_file_col(F.col("_metadata.file_path")),
@@ -3212,7 +3307,7 @@ class SnapshotTable:
             )
             dv_dir = self._new_dir("dv")
             matched.write.mode("errorifexists").parquet(dv_dir)
-            n_updated = spark.read.parquet(dv_dir).count()
+            n_updated = _dir_num_rows(dv_dir)
             if n_updated > dv_budget:
                 # DV size policy (VERDICT r7 #2): a mass update is
                 # cheaper materialized once (scoped CoW below) than
@@ -3376,7 +3471,7 @@ class SnapshotTable:
             )
             d = self._new_dir("dv")
             matched.write.mode("errorifexists").parquet(d)
-            n_deleted = spark.read.parquet(d).count()
+            n_deleted = _dir_num_rows(d)
             if n_deleted == 0:
                 self._remove_dir(d)
                 return {
@@ -3438,7 +3533,7 @@ class SnapshotTable:
         kept_rows = src.filter(~F.coalesce(cond, F.lit(False)))
         d = self._new_dir("delete")
         kept_rows.write.mode("errorifexists").parquet(d)
-        n_deleted = n_before - spark.read.parquet(d).count()
+        n_deleted = n_before - _dir_num_rows(d)
         self._write_manifest(spark, d)
         rec = {
             "operation": (

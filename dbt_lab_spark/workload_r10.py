@@ -245,8 +245,11 @@ def _q_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         want = src.change_feed(spark, from_version=0).unionByName(
             src.read(spark, version=0).withColumn("_change", F.lit("insert"))
         )
+        # one action, not two: multiset equality == empty symmetric
+        # difference (identical boolean; halves the fixed per-action
+        # latency of the equality check)
         stream_eq_batch = (
-            got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+            got.exceptAll(want).unionByName(want.exceptAll(got)).isEmpty()
         )
         agg = (
             got.groupBy("_change")
