@@ -30,6 +30,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_lab_spark.plans.snapshots import _read_pq
+
 _MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 _INIT_FN = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
 
@@ -78,7 +80,7 @@ def incremental_update(
     ever seeing a half-written state."""
     partial = partial_aggregate(batch, keys, measures)
     if os.path.exists(state_path):
-        merged = merge_aggregates(spark.read.parquet(state_path), partial, keys, measures)
+        merged = merge_aggregates(_read_pq(spark, state_path), partial, keys, measures)
         _atomic_swap_write(merged, state_path)
     else:
         partial.write.mode("overwrite").parquet(state_path)
@@ -117,7 +119,7 @@ def cdc_apply(
     from dbt_lab_spark.operators.dml import upsert_by_keys
 
     if os.path.exists(state_path):
-        merged = upsert_by_keys(spark.read.parquet(state_path), batch, keys, version_column)
+        merged = upsert_by_keys(_read_pq(spark, state_path), batch, keys, version_column)
         _atomic_swap_write(merged, state_path)
     else:
         deduped = upsert_by_keys(batch.limit(0), batch, keys, version_column)
@@ -129,7 +131,7 @@ def read_state(
 ) -> DataFrame:
     """Read the state table; `derived_avgs` adds avg columns computed
     from maintained (sum, count) pairs — out: (sum_col, count_col)."""
-    df = spark.read.parquet(state_path)
+    df = _read_pq(spark, state_path)
     for out, (s, c) in (derived_avgs or {}).items():
         df = df.withColumn(out, F.col(s) / F.col(c))
     return df
@@ -169,8 +171,8 @@ def incremental_join_update(
     aggregate path)."""
     a_exists = os.path.exists(state.a_path)
     b_exists = os.path.exists(state.b_path)
-    a_old = spark.read.parquet(state.a_path) if a_exists else None
-    b_old = spark.read.parquet(state.b_path) if b_exists else None
+    a_old = _read_pq(spark, state.a_path) if a_exists else None
+    b_old = _read_pq(spark, state.b_path) if b_exists else None
 
     parts = []
     if delta_a is not None and b_old is not None:
@@ -185,7 +187,7 @@ def incremental_join_update(
 
     if dv is not None:
         if os.path.exists(state.view_path):
-            dv = spark.read.parquet(state.view_path).unionByName(dv)
+            dv = _read_pq(spark, state.view_path).unionByName(dv)
         _atomic_swap_write(dv, state.view_path)
     if delta_a is not None:
         na = a_old.unionByName(delta_a) if a_old is not None else delta_a

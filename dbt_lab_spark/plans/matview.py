@@ -27,6 +27,8 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dbt_lab_spark.plans.snapshots import _read_pq
+
 from dbt_lab_spark.plans.incremental import _atomic_swap_write
 
 _MANIFEST = "_matview_manifest.json"
@@ -120,4 +122,4 @@ class MaterializedView:
         """Serve the cached view, rebuilding first iff stale."""
         if not self.is_fresh(spark):
             self.refresh(spark)
-        return spark.read.parquet(self.path)
+        return _read_pq(spark, self.path)

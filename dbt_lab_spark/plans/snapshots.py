@@ -384,6 +384,8 @@ def _read_pq(spark: SparkSession, paths, schema=None) -> DataFrame:
     job PER READ CALL and at 100 TB lists and footer-reads the whole
     file set — schema-in-the-log is exactly what the object-store
     table formats carry manifests for."""
+    if isinstance(paths, str):
+        paths = [paths]
     if schema is None:
         schema = _footer_spark_schema(paths)
     reader = spark.read.schema(schema) if schema is not None else spark.read
