@@ -520,6 +520,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "master": spark.sparkContext.master,
+        "cpus_effective": spark.sparkContext.defaultParallelism,
         "sf": float(sf),
     }
     if errors:
@@ -550,6 +552,12 @@ def main() -> None:
         "errors_n": len(errors),
         "drift": drift,
         "detail": "BENCH_LOCAL_latest.json",
+        # VERDICT r10 #2a: echo the EFFECTIVE parallelism so the
+        # driver's $SPARK_GRAFT_CPUS scaling probe can verify the knob
+        # landed (session.py applies it to master AND shuffle
+        # partitions; this makes that observable in the output).
+        "master": spark.sparkContext.master,
+        "cpus_effective": spark.sparkContext.defaultParallelism,
         "sf": float(sf),
     }
     line = json.dumps(out, separators=(",", ":"))

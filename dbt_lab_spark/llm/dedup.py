@@ -1267,7 +1267,8 @@ def semantic_dedup_pairs(
         )
     dim = len(probe[0])
     cents = ivf_centroids(df, num_clusters, iters, vec_col, id_col, dim)
-    assigned = ivf_assign(df, cents, vec_col, id_col)
+    # jvm scorer re-joins RAW vectors: (id, cluster) suffices (guide §4)
+    assigned = ivf_assign(df, cents, vec_col, id_col, with_vec=(scorer != "jvm"))
     if scorer == "jvm":
         # Sequential-fold cosine on the RAW vectors: bit-identical to an
         # oracle computing dot/(|a||b|) with the same left-to-right fold

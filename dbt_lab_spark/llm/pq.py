@@ -52,10 +52,18 @@ def pq_train(
     map-only pass emitting dense partial sums/counts for every
     (subspace, code) cell; the driver reduce is k*d floats."""
     sc = corpus.sparkSession.sparkContext
-    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # One persisted copy of (id, vec) feeds the dim probe, the init
+    # pass and every Lloyd iteration — the same discipline as
+    # similarity.ivf_centroids (r11 opt, guide §5): without it each of
+    # the iters+2 passes re-scans and re-decodes the corpus source.
+    # Per-invocation only (unpersisted in the finally below).
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).persist()
 
     first = base.select(F.size("__v").alias("d")).first()
     if first is None:
+        base.unpersist()
         raise ValueError("pq_train: empty corpus")
     d = int(first["d"])
     if d % m:
@@ -83,52 +91,55 @@ def pq_train(
             total = p if total is None else total + p
         return total
 
-    rows = base.mapInPandas(_init, "stat binary").collect()
-    tot = _reduce(rows, None)
-    sums = tot[: ks * d].reshape(ks, d)
-    counts = tot[ks * d :]
-    means = sums / np.maximum(counts, 1.0)[:, None]
-    # codebooks[s, c] = subvector s of init mean c
-    codebooks = means.reshape(ks, m, dsub).transpose(1, 0, 2).copy()
-
-    for _ in range(iters):
-        bc = sc.broadcast(codebooks)
-
-        def _iter(batches):
-            import pandas as pd
-
-            cb = bc.value  # (m, ks, dsub)
-            sums = np.zeros((m, ks, dsub), dtype=np.float64)
-            counts = np.zeros((m, ks), dtype=np.float64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = _norm_rows(np.stack(pdf["__v"].to_numpy()).astype(np.float64))
-                xs = x.reshape(len(x), m, dsub)
-                for s in range(m):
-                    # (n, ks) squared distances via expansion
-                    d2 = (
-                        (xs[:, s, :] ** 2).sum(1)[:, None]
-                        - 2.0 * xs[:, s, :] @ cb[s].T
-                        + (cb[s] ** 2).sum(1)[None, :]
-                    )
-                    a = np.argmin(d2, axis=1)
-                    np.add.at(sums[s], a, xs[:, s, :])
-                    np.add.at(counts[s], a, 1.0)
-            yield pd.DataFrame(
-                {"stat": [np.concatenate([sums.ravel(), counts.ravel()]).tobytes()]}
-            )
-
-        rows = base.mapInPandas(_iter, "stat binary").collect()
+    try:
+        rows = base.mapInPandas(_init, "stat binary").collect()
         tot = _reduce(rows, None)
-        sums = tot[: m * ks * dsub].reshape(m, ks, dsub)
-        counts = tot[m * ks * dsub :].reshape(m, ks)
-        # empty cells keep their previous centroid
-        nz = counts > 0
-        new = codebooks.copy()
-        new[nz] = sums[nz] / counts[nz][:, None]
-        codebooks = new
-        bc.destroy()
+        sums = tot[: ks * d].reshape(ks, d)
+        counts = tot[ks * d :]
+        means = sums / np.maximum(counts, 1.0)[:, None]
+        # codebooks[s, c] = subvector s of init mean c
+        codebooks = means.reshape(ks, m, dsub).transpose(1, 0, 2).copy()
+
+        for _ in range(iters):
+            bc = sc.broadcast(codebooks)
+
+            def _iter(batches):
+                import pandas as pd
+
+                cb = bc.value  # (m, ks, dsub)
+                sums = np.zeros((m, ks, dsub), dtype=np.float64)
+                counts = np.zeros((m, ks), dtype=np.float64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = _norm_rows(np.stack(pdf["__v"].to_numpy()).astype(np.float64))
+                    xs = x.reshape(len(x), m, dsub)
+                    for s in range(m):
+                        # (n, ks) squared distances via expansion
+                        d2 = (
+                            (xs[:, s, :] ** 2).sum(1)[:, None]
+                            - 2.0 * xs[:, s, :] @ cb[s].T
+                            + (cb[s] ** 2).sum(1)[None, :]
+                        )
+                        a = np.argmin(d2, axis=1)
+                        np.add.at(sums[s], a, xs[:, s, :])
+                        np.add.at(counts[s], a, 1.0)
+                yield pd.DataFrame(
+                    {"stat": [np.concatenate([sums.ravel(), counts.ravel()]).tobytes()]}
+                )
+
+            rows = base.mapInPandas(_iter, "stat binary").collect()
+            tot = _reduce(rows, None)
+            sums = tot[: m * ks * dsub].reshape(m, ks, dsub)
+            counts = tot[m * ks * dsub :].reshape(m, ks)
+            # empty cells keep their previous centroid
+            nz = counts > 0
+            new = codebooks.copy()
+            new[nz] = sums[nz] / counts[nz][:, None]
+            codebooks = new
+            bc.destroy()
+    finally:
+        base.unpersist()
     return codebooks
 
 
@@ -336,9 +347,9 @@ def ivfpq_knn(
 
     m = codebooks.shape[0]
     cents = np.asarray(centroids, dtype=np.float64)
-    assigned = ivf_assign(corpus, cents.tolist(), vec_col, id_col).select(
-        F.col("neighbor_id").alias("vec_id"), "cluster"
-    )
+    assigned = ivf_assign(
+        corpus, cents.tolist(), vec_col, id_col, with_vec=False
+    ).select(F.col("neighbor_id").alias("vec_id"), "cluster")
     codes = pq_encode(corpus, codebooks, vec_col, id_col).join(assigned, "vec_id")
 
     qrows = _collect_queries(queries, query_id_col, vec_col, max_queries)

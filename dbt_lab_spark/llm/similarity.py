@@ -319,6 +319,7 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_vec: bool = True,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid — the inverted
     file.  Map-only (no shuffle); persist/bucket the result by `cluster`
@@ -341,13 +342,18 @@ def ivf_assign(
     from pyspark.sql import types as T
 
     cents = np.asarray(centroids, dtype=np.float64)  # (C, dim), unit-norm
-    out_schema = T.StructType(
-        [
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("__cv", T.ArrayType(T.DoubleType())),
-            T.StructField("cluster", T.IntegerType()),
-        ]
-    )
+    # `with_vec=False` drops the normalized-vector payload column for
+    # consumers that only need (id, cluster) — e.g. the jvm-scorer knn
+    # path and silhouette, which re-join raw vectors anyway.  Skipping
+    # `__cv` avoids materializing + Arrow-shipping dim doubles per row
+    # out of the Python worker (r11 opt, guide §4: pass only the
+    # columns the consumer needs across the boundary).
+    fields = [
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("__cv", T.ArrayType(T.DoubleType())),
+        T.StructField("cluster", T.IntegerType()),
+    ]
+    out_schema = T.StructType(fields if with_vec else [fields[0], fields[2]])
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,13 +364,11 @@ def ivf_assign(
             norms[norms == 0.0] = 1.0
             mn = m / norms[:, None]
             cl = np.argmax(mn @ cents.T, axis=1).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].astype("int64"),
-                    "__cv": [row.tolist() for row in mn],
-                    "cluster": cl,
-                }
-            )
+            cols = {"neighbor_id": pdf[id_col].astype("int64")}
+            if with_vec:
+                cols["__cv"] = [row.tolist() for row in mn]
+            cols["cluster"] = cl
+            yield pd.DataFrame(cols)
 
     return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
 
@@ -405,7 +409,9 @@ def ivf_knn(
     and this scorer share ONE probe set — no ulp-level tie divergence
     between two independent computations.
     """
-    inv = ivf_assign(corpus, centroids, vec_col, id_col)
+    # the jvm scorer re-joins RAW vectors, so the inverted file only
+    # needs (id, cluster) — skip the normalized-vector payload column
+    inv = ivf_assign(corpus, centroids, vec_col, id_col, with_vec=(scorer != "jvm"))
     qv = _normalized(vec_col)
     if probes is not None:
         # probes carries literal (query_id, cluster) columns

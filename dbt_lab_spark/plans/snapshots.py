@@ -306,7 +306,12 @@ def _dir_num_rows(d: str) -> int:
     """Row count of a parquet directory from FOOTERS only — no Spark
     job, no data pages.  Replaces `spark.read.parquet(d).count()` for
     just-written directories: at any scale the count of a write we
-    performed ourselves is O(#files) footer metadata, never a scan."""
+    performed ourselves is O(#files) footer metadata, never a scan.
+
+    LOCAL-FS ONLY (ADVICE r10 #3): walks the directory with os.listdir,
+    like every other path operation in LocalCommitProtocol-backed
+    tables.  An object-store port must swap these helpers for
+    filesystem-API equivalents alongside the protocol."""
     import pyarrow.parquet as pq
 
     n = 0
@@ -364,11 +369,32 @@ def _footer_spark_schema(paths):
     if f is None:
         return None
     try:
+        import pyarrow as pa
+
         pf = pq.ParquetFile(f)
         phys = pf.metadata.schema
         for i in range(phys.num_columns):
             if phys.column(i).physical_type == "INT96":
                 return None
+
+        def has_ntz_ts(t) -> bool:
+            # ADVICE r10 #1: a tz-naive (isAdjustedToUTC=false) parquet
+            # timestamp maps to TimestampType via from_arrow_schema
+            # (prefer_timestamp_ntz defaults False) but JVM inference
+            # on Spark 3.4+ reports TimestampNTZType — a silent
+            # session-timezone value shift.  Bail to inference.
+            if isinstance(t, pa.TimestampType):
+                return t.tz is None
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return has_ntz_ts(t.value_type)
+            if pa.types.is_struct(t):
+                return any(has_ntz_ts(t.field(i).type) for i in range(t.num_fields))
+            if pa.types.is_map(t):
+                return has_ntz_ts(t.key_type) or has_ntz_ts(t.item_type)
+            return False
+
+        if any(has_ntz_ts(field.type) for field in pf.schema_arrow):
+            return None
         from pyspark.sql.pandas.types import from_arrow_schema
 
         return _all_nullable(from_arrow_schema(pf.schema_arrow))
@@ -388,8 +414,44 @@ def _read_pq(spark: SparkSession, paths, schema=None) -> DataFrame:
         paths = [paths]
     if schema is None:
         schema = _footer_spark_schema(paths)
+    elif not _schema_matches_footer(paths, schema):
+        # ADVICE r10 #2: an explicit schema makes Spark silently
+        # NULL-fill missing columns, so drift between a log-recorded
+        # schema and the actual files (stale/corrupt log record) would
+        # yield nulls instead of a visible mismatch.  One driver-side
+        # footer name check (O(1) per read, not O(files)); on mismatch
+        # fall back to inference so the drift surfaces downstream.
+        schema = None
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(*paths)
+
+
+def _schema_matches_footer(paths, schema) -> bool:
+    """True when one footer's top-level column names equal the supplied
+    schema's (as sets — parquet physical order is not significant to
+    Spark's by-name resolution).  Unreadable/absent footers return True
+    (nothing to validate against; the read itself will surface I/O
+    errors)."""
+    import pyarrow.parquet as pq
+
+    f = None
+    try:
+        for p in paths:
+            if os.path.isdir(p):
+                for fn in sorted(os.listdir(p)):
+                    if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                        f = os.path.join(p, fn)
+                        break
+            elif p.endswith(".parquet"):
+                f = p
+            if f:
+                break
+        if f is None:
+            return True
+        names = set(pq.ParquetFile(f).schema_arrow.names)
+    except Exception:
+        return True
+    return names == {fld.name for fld in schema.fields}
 
 
 def _ts_canon(v):

@@ -1879,7 +1879,7 @@ def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_if_small(scan(spark, cat, "embeddings", ["vec_id", "embedding"]))
     C = 8
     cents = ivf_centroids(emb, num_centroids=C, iters=0, dim=64)
-    assigned = ivf_assign(emb, cents, "embedding", "vec_id").select(
+    assigned = ivf_assign(emb, cents, "embedding", "vec_id", with_vec=False).select(
         F.col("neighbor_id").alias("vec_id"), "cluster"
     )
     v = to_double_array("embedding")
