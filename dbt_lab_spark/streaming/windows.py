@@ -26,6 +26,33 @@ from contextlib import contextmanager
 
 
 @contextmanager
+def scoped_no_data_batches(spark: SparkSession, enabled: bool):
+    """Scoped set/restore of
+    `spark.sql.streaming.noDataMicroBatches.enabled` (r11 opt, guide
+    §1.2 "don't compute things you throw away").
+
+    The no-data micro-batch exists to EMIT watermark-finalized results
+    (append-mode window/session aggregates, outer/anti join null rows)
+    and to evict state.  For a replay-scoped stream whose every output
+    row is emitted ON a data batch — inner/semi stream-stream joins
+    (a match is definitive the moment it arrives), dropDuplicates[
+    WithinWatermark] (first occurrence emits on arrival), NoTimeout
+    applyInPandasWithState (output only from the data callback) — the
+    finalization batch produces zero rows and the state it would evict
+    is torn down with the stopped query, so skipping it cannot change
+    the memory-sink contents.  NEVER use this on a stream whose
+    semantics pin watermark-driven emission (the watermark/session/
+    outer/anti queries keep the default)."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true" if enabled else "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Set spark.sql.shuffle.partitions for the duration of a replay
     stream and RESTORE it on any exit — including an exception raised

@@ -299,9 +299,16 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             staged = staged.unionByName(sentinel).unionByName(redelivered)
         land_replay_splits(staged, src, "g")
-        from dbt_lab_spark.streaming.windows import scoped_shuffle_partitions
+        from dbt_lab_spark.streaming.windows import (
+            scoped_no_data_batches,
+            scoped_shuffle_partitions,
+        )
 
-        with scoped_shuffle_partitions(spark, 4):
+        # dropDuplicatesWithinWatermark emits every surviving row ON
+        # its data batch; the trailing no-data batch only evicts state
+        # this replay immediately tears down — skip it (r11 opt).
+        with scoped_shuffle_partitions(spark, 4), \
+                scoped_no_data_batches(spark, False):
             stream = (
                 spark.readStream.schema("event_id long, ts timestamp")
                 .option("maxFilesPerTrigger", 1)
@@ -598,9 +605,16 @@ def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             src_c, 0, "clicks",
         )
-        from dbt_lab_spark.streaming.windows import scoped_shuffle_partitions
+        from dbt_lab_spark.streaming.windows import (
+            scoped_no_data_batches,
+            scoped_shuffle_partitions,
+        )
 
-        with scoped_shuffle_partitions(spark, 4):
+        # INNER interval join: a pair emits the moment both sides have
+        # arrived (a data batch); the trailing no-data batch only
+        # evicts state this replay immediately tears down (r11 opt).
+        with scoped_shuffle_partitions(spark, 4), \
+                scoped_no_data_batches(spark, False):
             left = spark.readStream.schema(
                 "user_id long, ts timestamp"
             ).parquet(src_p)

@@ -175,7 +175,15 @@ def _stream_semi_anti(
 
         land_replay_file(staged(purchases, "ts"), src_p, 0, "purchases")
         land_replay_file(staged(clicks, "ts_r"), src_c, 0, "clicks")
-        with scoped_shuffle_partitions(spark, 4):
+        from dbt_lab_spark.streaming.windows import scoped_no_data_batches
+
+        # left_semi emits a left row the moment its first match
+        # arrives (data batch) — the no-data finalization batch emits
+        # nothing for it and can be skipped (r11 opt).  left_anti's
+        # rows ARE watermark-finalized no-match evidence: it keeps the
+        # default (the batch IS its emission mechanism).
+        with scoped_shuffle_partitions(spark, 4), \
+                scoped_no_data_batches(spark, how != "left_semi"):
             left = spark.readStream.schema(
                 "user_id long, ts timestamp"
             ).parquet(src_p)

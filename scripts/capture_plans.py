@@ -29,7 +29,7 @@ spark = get_spark(app_name=f"plan-capture-{suffix}",
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 qs = e.queries()
 outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "plans", "r10")
+                      "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r11"))
 os.makedirs(outdir, exist_ok=True)
 for name in names:
     t0 = time.time()
